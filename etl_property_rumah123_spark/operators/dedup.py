@@ -1,0 +1,248 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, per the north star (BASELINE.json:6):
+
+- exact: hash-groupBy on content digest — one shuffle of (digest, id)
+- MinHash + LSH: shingle -> signature -> band -> bucket self-join —
+  the only pairwise comparisons run inside buckets
+- SimHash: 64-bit signature + bucket-by-prefix for near-dup candidates
+- n-gram Jaccard: token-set join with exact Jaccard verification
+- embedding cosine: near-dup pairs above a cosine threshold
+
+Scale design: every candidate-generation step is a hash shuffle on a
+content-derived key (never a cross join); verification joins carry
+only (id, small payload) pairs. At 100 TB the band/bucket joins are
+the dominant shuffle — bands and rows-per-band tune the candidate
+volume (S-curve), and AQE skew handling splits pathological buckets
+(e.g. boilerplate-heavy shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_property_rumah123_spark.functions import hashing
+from etl_property_rumah123_spark.functions.vector import dot
+from etl_property_rumah123_spark.operators.cleaning import dedupe_keep_first
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the smallest id per content digest.
+
+    Digest-first grouping means the shuffle carries md5(text) + id, not
+    the document bodies; the kept ids join back to the corpus if full
+    rows are needed (map-side join at scale via broadcast of survivors
+    or a shuffle join on id).
+    """
+    digests = df.select(
+        F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("keep_id")
+    )
+    return digests.groupBy("digest").agg(
+        F.min("keep_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, text_col: str = "text", order_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup returning full surviving rows (keep-first semantics
+    via the same window pattern as the reference's T2)."""
+    with_digest = df.withColumn("__digest", F.md5(F.col(text_col)))
+    return dedupe_keep_first(with_digest, key="__digest", order_col=order_col).drop(
+        "__digest"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, signature) — k md5-string min-hashes over word shingles."""
+    sh = hashing.shingles(hashing.word_tokens(F.col(text_col)), shingle_n)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        hashing.minhash_signature(sh, num_hashes).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (i < j) sharing >= 1 band bucket.
+
+    shingle -> minhash -> band keys -> explode -> self-join per bucket.
+    The self-join is on the band key, so work is proportional to
+    sum(bucket^2) not n^2; the distinct() collapses pairs that collide
+    in several bands.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes)
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(hashing.lsh_band_keys(F.col("signature"), bands, rows)).alias(
+            "bucket"
+        ),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join.
+
+    Inverted-index style: explode distinct shingles, self-join on the
+    shingle (candidates must share >= 1), count the intersection in one
+    aggregation, then Jaccard = inter / (|A| + |B| - inter).
+
+    Only ids + counts shuffle after the index join. For 100 TB add a
+    df-frequency cut (drop shingles appearing in > p% of docs) before
+    the self-join — the classic prefix-filter — to cap bucket sizes.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                hashing.shingles(hashing.word_tokens(F.col(text_col)), shingle_n)
+            )
+        ).alias("shingle"),
+    )
+    sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = tokens.alias("a")
+    b = tokens.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    jacc = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "na", "nb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) — 64-bit xxhash64-based SimHash per document."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        hashing.simhash64(hashing.word_tokens(F.col(text_col))).alias("simhash"),
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` of
+    the signature (candidates must agree there), verify by Hamming
+    distance. Blocking on a prefix is the standard rotate-and-block
+    scheme's first table; production would union several rotations for
+    recall — the plumbing (block -> join -> popcount filter) is what
+    scales."""
+    sigs = simhash_signatures(df, text_col, id_col).withColumn(
+        "block", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hashing.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs by embedding dot product (== cosine for
+    unit-norm vectors) above a threshold.
+
+    This is the exact O(n^2) verification path — correct but quadratic;
+    ann_buckets/LSH in similarity.py is the scale path that generates
+    candidates first. Kept as the oracle-checkable ground truth.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", dot(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns.
+
+Two paths, per the north star:
+
+- **brute-force top-k** (ground truth): query set x corpus join, dot
+  product (== cosine on unit vectors), per-query top-k window. The
+  corpus side streams; only (query_id, corpus_id, score) reach the
+  shuffle. Correct at any scale but O(|Q| * n) — right when |Q| is
+  small or as the in-bucket verifier.
+- **bucketed ANN** (scale path): random-hyperplane LSH (sign bits of
+  projections onto deterministic pseudo-random unit vectors) or
+  IVF-style coarse quantization; candidates come from the query's
+  bucket (+ optional multi-probe), then exact scoring inside buckets.
+  Turns the n in O(|Q| * n) into the bucket size.
+
+The projection vectors are derived from md5 of (table_seed, plane,
+dim) — fully deterministic, no fitted state to ship, reproducible
+across runs and engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_property_rumah123_spark.functions.vector import dot
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side should be small (it is broadcast); ranking uses a
+    per-query window with a deterministic (score desc, id) tiebreak.
+    Output: (query_id, neighbor_id, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplane(seed: str, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random +-1 hyperplane from md5 bits."""
+    out: list[float] = []
+    i = 0
+    while len(out) < dim:
+        h = hashlib.md5(f"{seed}|{plane}|{i}".encode()).digest()
+        for byte in h:
+            for bit in range(8):
+                if len(out) >= dim:
+                    break
+                out.append(1.0 if (byte >> bit) & 1 else -1.0)
+        i += 1
+    return out
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: str = "rp-lsh-42",
+) -> DataFrame:
+    """Attach a random-hyperplane LSH bucket id (sign-bit code).
+
+    Vectors with high cosine similarity agree on most sign bits, so
+    near neighbors concentrate in the same bucket. The planes are
+    constant literal arrays compiled into the plan — no fitted model,
+    no broadcast needed.
+    """
+    code = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(seed, p, dim)])
+        bit = (dot(F.col(vec_col), plane) >= 0).cast("long")
+        code = code.bitwiseOR(F.shiftleft(bit, p))
+    return df.withColumn("bucket", code)
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact scoring restricted to the query's LSH
+    bucket. Recall is tuned by num_planes (fewer planes -> bigger
+    buckets -> higher recall, more work); multi-probe = union several
+    plane seeds. Output: (query_id, neighbor_id, rank)."""
+    qb = rp_lsh_buckets(queries, dim, num_planes, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    cb = rp_lsh_buckets(corpus, dim, num_planes, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    scored = (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

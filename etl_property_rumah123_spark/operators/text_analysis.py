@@ -1,0 +1,114 @@
+"""Text-analysis operators for a training-data pipeline: token
+counting, quality scoring, language ID, document fingerprinting.
+
+All pure Column expressions over a text column — at 100 TB these run
+embarrassingly parallel inside the scan stage with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_property_rumah123_spark.functions.hashing import shingles, word_tokens
+
+#: Tiny per-language marker-word sets for the heuristic language ID.
+#: Real pipelines use char-n-gram models; the *operator shape* (argmax
+#: over per-language evidence scores, computed as expressions) is the
+#: part that matters at scale.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "los", "que", "y", "una"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+#: BPE-ish sub-word segmentation: runs of letters, runs of digits, or
+#: single punctuation — a cheap stand-in for tokenizer-true counts.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0).cast("long")).otherwise(
+        F.size(F.split(trimmed, r"\s+")).cast("long")
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word token count via regexp run extraction."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def stopword_ratio(words: Column, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of tokens that are stopwords (evidence of natural text)."""
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return hits.cast("double") / F.nullif(F.size(words).cast("double"), F.lit(0.0))
+
+
+def mean_word_length(words: Column) -> Column:
+    total = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    return total.cast("double") / F.nullif(F.size(words).cast("double"), F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / all chars."""
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return punct.cast("double") / F.nullif(F.length(text).cast("double"), F.lit(0.0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the quality-feature bundle used for corpus filtering."""
+    words = word_tokens(F.col(text_col))
+    return df.withColumns(
+        {
+            "n_tokens": token_count(F.col(text_col)),
+            "n_chars_measured": char_count(F.col(text_col)),
+            "stop_ratio": stopword_ratio(words, LANG_MARKERS["en"]),
+            "mean_word_len": mean_word_length(words),
+            "punct_ratio": punct_ratio(F.col(text_col)),
+        }
+    )
+
+
+def lang_scores(words: Column) -> dict[str, Column]:
+    """Per-language marker hit counts."""
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        sw = F.array(*[F.lit(w) for w in markers])
+        out[lang] = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return out
+
+
+def detect_language(text: Column, min_hits: int = 1) -> Column:
+    """Heuristic language ID: argmax of marker hits, 'und' when no
+    language reaches ``min_hits``. Ties break by the fixed language
+    order (deterministic)."""
+    words = word_tokens(text)
+    scores = lang_scores(words)
+    best_lang = F.lit("und")
+    best_score = F.lit(min_hits - 1)
+    for lang, score in scores.items():  # later langs win only on strictly greater
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column, shingle_n: int = 5) -> Column:
+    """Document fingerprint: lexicographic min md5 over word n-gram
+    shingles (a min-wise rolling-window hash). Falls back to md5 of the
+    whole text for docs shorter than the shingle width, so every doc
+    fingerprints deterministically."""
+    sh = shingles(word_tokens(text), shingle_n)
+    min_shingle_hash = F.array_min(F.transform(sh, F.md5))
+    return F.coalesce(min_shingle_hash, F.md5(text))

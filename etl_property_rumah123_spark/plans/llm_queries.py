@@ -1,0 +1,469 @@
+"""Oracle-checked queries for the LLM-data-pipeline operators: dedup,
+similarity search, text analysis, multimodal plumbing, event streams.
+
+Parity notes:
+- all hash-dependent ops use md5 (identical hex in Spark and DuckDB);
+  the xxhash64-based SimHash and RP-LSH ANN register with oracle=None
+  (rows-only check) since DuckDB has no xxhash64.
+- dot products fold left-to-right in both engines (F.aggregate vs
+  list_reduce), giving bit-identical doubles — thresholds and rankings
+  then agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_property_rumah123_spark.functions.vector import l2_norm
+from etl_property_rumah123_spark.operators import dedup, similarity, text_analysis
+from etl_property_rumah123_spark.plans import register
+from etl_property_rumah123_spark.sources.catalog import table
+
+# DuckDB fold-left dot product fragment (bit-identical to F.aggregate)
+_DUCK_DOT = (
+    "list_reduce([CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) "
+    "FOR p IN list_zip({a}, {b})], (x, y) -> x + y)"
+)
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup via content-digest groupBy: shuffle carries "
+    "(digest, id), never document bodies.",
+    headline=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w) - 2)]
+                  ELSE [] END AS sh
+      FROM w
+    ), sig AS (
+      SELECT doc_id,
+             [list_min([md5(CAST(k AS VARCHAR) || '|' || s) FOR s IN sh])
+              FOR k IN generate_series(0, 15)] AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b,
+             CAST(b AS VARCHAR) || ':' || md5(array_to_string(sig[b*4+1:b*4+4], '')) AS bucket
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash(16 md5 hashes over 3-word shingles) + LSH(4 bands x 4 "
+    "rows) candidate pairs. Bucket self-join: work ~ sum(bucket^2), "
+    "not n^2.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(
+        table(spark, sf_dir, "documents"),
+        shingle_n=3,
+        num_hashes=16,
+        bands=4,
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w) - 2)]
+                  ELSE [] END) AS sh
+      FROM w
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a AS id_a, i.id_b AS id_b, i.inter AS inter,
+           sa.n AS na, sb.n AS nb
+    FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+                 JOIN sizes sb ON i.id_b = sb.doc_id
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.02
+    """,
+    doc="Exact 3-gram Jaccard similarity join via inverted shingle "
+    "index; threshold picked to emit a non-trivial pair set on the "
+    "synthetic corpus.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(
+        table(spark, sf_dir, "documents"), shingle_n=3, threshold=0.02
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64-based: rows-only check (DuckDB lacks xxhash64)
+    doc="SimHash near-dup pairs: 64-bit xxhash64 signature, prefix-"
+    "block candidates, Hamming verify. JVM-native bit ops throughout.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dups(
+        table(spark, sf_dir, "documents"), max_hamming=24, prefix_bits=8
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+         b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+    SELECT id_a, id_b
+    FROM a JOIN b ON id_a < id_b
+    WHERE {_DUCK_DOT.format(a='va', b='vb')} >= 0.3
+    """,
+    doc="Embedding near-dup pairs: exact pairwise dot (== cosine, unit "
+    "vectors) >= 0.3. The quadratic ground-truth path; ann_topk_lsh is "
+    "the scale path.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dups(
+        table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+                  {_DUCK_DOT.format(a='qv', b='cv')} AS sim
+           FROM q JOIN c ON query_id <> neighbor_id
+         )
+    SELECT query_id AS query_id, neighbor_id AS neighbor_id, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM s)
+    WHERE rnk <= 5
+    """,
+    doc="Exact top-5 cosine neighbors for 10 query vectors: broadcast "
+    "query side, streamed corpus, per-query top-k window.",
+    headline=True,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5
+    )
+
+
+@register(
+    "ann_topk_lsh",
+    None,  # approximate + engine-specific hyperplanes: rows-only check
+    doc="Approximate top-k via random-hyperplane LSH buckets "
+    "(deterministic md5-derived planes); exact scoring inside buckets.",
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(
+        e.filter(F.col("vec_id") < 10), e, dim=64, k=5, num_planes=6
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    SELECT label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(SQRT(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding], (a, b) -> a + b))), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    doc="Vector-column aggregation: per-label mean L2 norm, computed "
+    "fully JVM-side (transform + fold, no UDF).",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(l2_norm(F.col("embedding"))), 6).alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id AS doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           END AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{text_analysis.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpeish,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_measured
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish sub-word regex "
+    "runs + chars.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_analysis.token_count(F.col("text")).alias("n_tokens"),
+        text_analysis.bpe_ish_token_count(F.col("text")).alias("n_bpeish"),
+        text_analysis.char_count(F.col("text")).alias("n_chars_measured"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    """
+    WITH w AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    )
+    SELECT doc_id AS doc_id,
+           ROUND(CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS DOUBLE)
+                 / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 6) AS stop_ratio,
+           ROUND(CAST(list_sum([CAST(LENGTH(x) AS BIGINT) FOR x IN w]) AS DOUBLE)
+                 / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 6) AS mean_word_len,
+           ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                 / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0.0), 6) AS punct_ratio
+    FROM w
+    """,
+    doc="Quality scoring features: stopword ratio, mean word length, "
+    "punctuation ratio — corpus-filter signals as pure expressions.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = text_analysis.quality_features(table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+    )
+
+
+def _duck_lang_hits(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in text_analysis.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(w, x -> list_contains([{markers}], x)))"
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), scores AS (
+      SELECT doc_id,
+             {_duck_lang_hits('en')} AS s_en,
+             {_duck_lang_hits('fr')} AS s_fr,
+             {_duck_lang_hits('de')} AS s_de,
+             {_duck_lang_hits('es')} AS s_es,
+             {_duck_lang_hits('zh')} AS s_zh
+      FROM w
+    )
+    SELECT doc_id AS doc_id,
+           CASE WHEN GREATEST(s_en, s_fr, s_de, s_es, s_zh) < 1 THEN 'und'
+                WHEN s_en = GREATEST(s_en, s_fr, s_de, s_es, s_zh) THEN 'en'
+                WHEN s_fr = GREATEST(s_en, s_fr, s_de, s_es, s_zh) THEN 'fr'
+                WHEN s_de = GREATEST(s_en, s_fr, s_de, s_es, s_zh) THEN 'de'
+                WHEN s_es = GREATEST(s_en, s_fr, s_de, s_es, s_zh) THEN 'es'
+                ELSE 'zh' END AS detected_lang
+    FROM scores
+    """,
+    doc="Heuristic language ID: argmax of per-language marker-word "
+    "hits with deterministic first-wins tie-break, 'und' below "
+    "min evidence.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_analysis.detect_language(F.col("text")).alias("detected_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    WITH w AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    )
+    SELECT doc_id AS doc_id,
+           COALESCE(
+             list_min(CASE WHEN len(w) >= 5
+               THEN [md5(array_to_string(w[i:i+4], ' ')) FOR i IN generate_series(1, len(w) - 4)]
+               ELSE [] END),
+             md5(text)) AS fingerprint
+    FROM w
+    """,
+    doc="Document fingerprint: min-wise md5 over word 5-gram shingles "
+    "(rolling-window content hash), whole-text fallback for short docs.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_analysis.fingerprint(F.col("text"), shingle_n=5).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (batch form; streaming/ has the readStream twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(value), 0) AS BIGINT) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Hourly rollup by event type — the batch twin of the streaming "
+    "tumbling-window aggregation.",
+    headline=True,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 0).cast("long").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_tumbling_15min",
+    """
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+    doc="Tumbling 15-minute windows via F.window (epoch-aligned, same "
+    "alignment as DuckDB time_bucket).",
+)
+def events_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id AS user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id
+    """,
+    doc="Sessionization (gaps-and-islands): 30-min inactivity gap via "
+    "LAG + flag-sum. Batch twin of the session_window streaming op.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_ingest",
+    """
+    SELECT doc_id AS sample_id,
+           'text' AS modality,
+           CAST(LENGTH(text) AS BIGINT) AS payload_bytes,
+           md5(text) AS payload_digest
+    FROM documents
+    """,
+    doc="Multimodal ingest plumbing: opaque binary payload column + "
+    "typed metadata; filters/joins touch metadata only, never bytes. "
+    "(Decode itself is a mapInPandas stub — see operators/multimodal.py.)",
+)
+def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators import multimodal
+
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    return media.select(
+        "sample_id",
+        "modality",
+        F.length(F.col("payload")).cast("long").alias("payload_bytes"),
+        F.md5(F.col("payload")).alias("payload_digest"),
+    )

@@ -1,0 +1,798 @@
+"""Relational query surface: scans, filters, joins, aggregations,
+windows, set ops, scalar functions — the capability layer the reference
+lacks entirely (SURVEY §2.7 'explicitly absent') expressed as
+Catalyst-optimized DataFrame plans over the testdata star schema.
+
+Scale notes, applied throughout:
+- dimension joins hint ``broadcast`` only for tables that stay small at
+  any scale factor (region: 5 rows, nation: 25 rows); everything else
+  is left to AQE so the same plan survives 100 TB.
+- aggregations are expressed declaratively so partial (map-side)
+  aggregation happens before the shuffle.
+- filters are plain Column predicates on scan columns so they reach the
+  parquet reader (check .explain(): PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_property_rumah123_spark.plans import register
+from etl_property_rumah123_spark.sources.catalog import table, tables
+
+
+def _bigint_sum(col, alias: str):
+    """Money-sum parity convention: ROUND(sum, 0) as BIGINT."""
+    return F.round(F.sum(col), 0).cast("long").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation core
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty,
+           CAST(ROUND(SUM(l_extendedprice), 0) AS BIGINT) AS sum_base_price,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS sum_disc_price,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0) AS BIGINT) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: filtered scan -> hash agg "
+    "(map-side partial combine; one shuffle on the 2 grouping cols).",
+    headline=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _bigint_sum(F.col("l_quantity"), "sum_qty"),
+            _bigint_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _bigint_sum(disc_price, "sum_disc_price"),
+            _bigint_sum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS l_orderkey,
+           CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 0) AS BIGINT) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style: selective dim filter -> 3-way join -> agg -> "
+    "top-k. Filters push to all three scans; AQE picks broadcast for "
+    "the filtered customer side at small SF and shuffle-join at scale.",
+    headline=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    l = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    revenue_raw = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(revenue_raw, 0).cast("long").alias("revenue"),
+            revenue_raw.alias("__rev_exact"),
+        )
+        .orderBy(F.col("__rev_exact").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q5_region_volume",
+    """
+    SELECT n.n_name AS n_name,
+           CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 0) AS BIGINT) AS revenue
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-style 6-way join. region/nation are broadcast "
+    "explicitly (bounded at 5/25 rows at ANY scale); customer/supplier "
+    "joins left to AQE.",
+    headline=True,
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    r = F.broadcast(t["region"].filter(F.col("r_name") == "ASIA"))
+    n = F.broadcast(t["nation"])
+    o = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)
+            .cast("long")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "agg_having",
+    """
+    SELECT o_custkey AS o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+    doc="Group-by with post-aggregation HAVING filter.",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _bigint_sum(F.col("o_totalprice"), "total_spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "distinct_count_segments",
+    """
+    SELECT c_mktsegment AS c_mktsegment,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="COUNT DISTINCT (expands to two-phase agg; partials still "
+    "combine map-side on the composite key).",
+)
+def distinct_count_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "rollup_flag_status",
+    """
+    SELECT l_returnflag AS l_returnflag, l_linestatus AS l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals with GROUPING indicators "
+    "disambiguating real NULL keys from subtotal rows.",
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus AS o_orderstatus, o_orderpriority AS o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions (2^2 grouping sets in one pass).",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count("*").alias("n"),
+            _bigint_sum(F.col("o_totalprice"), "total"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_custom",
+    """
+    SELECT c_mktsegment AS c_mktsegment, c_nationkey AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(c_acctbal), 6) AS avg_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    doc="Arbitrary GROUPING SETS (not expressible as rollup/cube).",
+)
+def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               COUNT(*) AS n, ROUND(AVG(c_acctbal), 6) AS avg_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections / sort / limit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project_pushdown",
+    """
+    SELECT l_orderkey AS l_orderkey, l_linenumber AS l_linenumber,
+           CAST(ROUND(l_extendedprice * (1 - l_discount), 0) AS BIGINT) AS net_price
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_returnflag = 'R'
+    """,
+    doc="Selective conjunctive filter + narrow projection. All three "
+    "predicates and the 5-column ReadSchema push into the parquet scan.",
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_quantity") > 45)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 0)
+            .cast("long")
+            .alias("net_price"),
+        )
+    )
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey AS o_orderkey,
+           CAST(ROUND(o_totalprice, 0) AS BIGINT) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    doc="Top-k by value: Spark plans TakeOrderedAndProject — per-"
+    "partition heaps then a k-row driver merge, never a full sort.",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 0).cast("long").alias("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+    )
+
+
+@register(
+    "case_when_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+    doc="CASE WHEN bucketing histogram (constant-folded when-chain).",
+)
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_customers",
+    """
+    SELECT c_custkey AS c_custkey, c_name AS c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    doc="LEFT SEMI join (EXISTS): emits each customer at most once; "
+    "only the join key crosses the shuffle from the probe side.",
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT c_custkey AS c_custkey, c_mktsegment AS c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="LEFT ANTI join (NOT EXISTS): customers that never ordered.",
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "left_join_order_counts",
+    """
+    SELECT c.c_custkey AS c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc="LEFT OUTER join preserving zero-order customers (COUNT(col) "
+    "skips the null-extended rows).",
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "full_outer_nation_presence",
+    """
+    WITH cn AS (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust
+                FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_supp
+                FROM supplier GROUP BY 1)
+    SELECT COALESCE(cn.k, sn.k) AS nationkey,
+           COALESCE(cn.n_cust, 0) AS n_cust,
+           COALESCE(sn.n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    """,
+    doc="FULL OUTER join of two pre-aggregated sides with COALESCE "
+    "null-filling. Pre-aggregating before the join shrinks both shuffle "
+    "inputs to |nations| rows.",
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "supplier")
+    cn = t["customer"].groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count("*").alias("n_cust")
+    )
+    sn = t["supplier"].groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count("*").alias("n_supp")
+    )
+    # USING-style full outer join already emits k as coalesce(cn.k, sn.k)
+    return cn.join(sn, "k", "full_outer").select(
+        F.col("k").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "broadcast_dim_join",
+    """
+    SELECT n.n_name AS n_name, r.r_name AS r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(c.c_acctbal), 0) AS BIGINT) AS total_bal
+    FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    doc="Star-schema dim enrichment: explicit broadcast of the bounded "
+    "dims makes this a zero-shuffle join (only the final agg shuffles).",
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _bigint_sum(F.col("c_acctbal"), "total_bal"),
+        )
+    )
+
+
+@register(
+    "correlated_above_nation_avg",
+    """
+    SELECT c_custkey AS c_custkey, ROUND(c_acctbal, 6) AS c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    doc="Correlated scalar subquery: Catalyst de-correlates it into an "
+    "aggregate + join — no per-row re-execution.",
+)
+def correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    nation_avg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        c.join(nation_avg, "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey", F.round("c_acctbal", 6).alias("c_acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_acctbal",
+    """
+    SELECT c_nationkey AS c_nationkey, c_custkey AS c_custkey,
+           CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS BIGINT) AS bal_rank
+    FROM customer
+    QUALIFY bal_rank <= 3
+    """,
+    doc="Ranking window + QUALIFY-style post-filter: top 3 balances per "
+    "nation. One shuffle on the partition key.",
+)
+def window_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (
+        table(spark, sf_dir, "customer")
+        .withColumn("bal_rank", F.rank().over(w).cast("long"))
+        .filter(F.col("bal_rank") <= 3)
+        .select("c_nationkey", "c_custkey", "bal_rank")
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
+           CAST(ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS running_spend
+    FROM orders
+    """,
+    doc="Running total with an explicit ROWS frame and a deterministic "
+    "tie-broken ordering (date, orderkey).",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 0).cast("long").alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_gap",
+    """
+    SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+    doc="LAG + date arithmetic: per-customer inter-order gap in days; "
+    "first order yields null.",
+)
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
+    )
+
+
+@register(
+    "window_ntile_share",
+    """
+    SELECT q AS q, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS spend
+    FROM (SELECT o_totalprice,
+                 CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS q
+          FROM orders)
+    GROUP BY q
+    """,
+    doc="NTILE quartiles then re-aggregation (global-order window; at "
+    "scale prefer approx percentile buckets — kept for API parity).",
+)
+def window_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_totalprice", F.ntile(4).over(w).cast("long").alias("q"))
+        .groupBy("q")
+        .agg(F.count("*").alias("n"), _bigint_sum(F.col("o_totalprice"), "spend"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_custkeys",
+    """
+    SELECT k AS k FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7000
+      INTERSECT
+      SELECT o_custkey AS k FROM orders
+    )
+    EXCEPT
+    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="INTERSECT + EXCEPT composition (both compile to aggregated "
+    "semi/anti joins).",
+)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "orders")
+    rich = t["customer"].filter(F.col("c_acctbal") > 7000).select(
+        F.col("c_custkey").alias("k")
+    )
+    ordered = t["orders"].select(F.col("o_custkey").alias("k"))
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    return rich.intersect(ordered).exceptAll(building).distinct()
+
+
+@register(
+    "union_all_keys",
+    """
+    SELECT k AS k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) GROUP BY k
+    """,
+    doc="UNION ALL (bag semantics) then aggregate — unionByName keeps "
+    "column resolution by name, not position.",
+)
+def union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "supplier")
+    u = t["customer"].select(F.col("c_nationkey").alias("k")).unionByName(
+        t["supplier"].select(F.col("s_nationkey").alias("k"))
+    )
+    return u.groupBy("k").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey AS p_partkey,
+           UPPER(p_name) AS upper_name,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           SUBSTRING(p_type, 1, 3) AS type_prefix,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_name, ' ', '_') AS snake_name,
+           CAST(STRPOS(p_name, 'e') AS BIGINT) AS first_e
+    FROM part WHERE p_size >= 25
+    """,
+    doc="String function family: upper/length/substring/concat/replace/"
+    "position — all JVM-side codegen expressions.",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 25)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("upper_name"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.substring("p_type", 1, 3).alias("type_prefix"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+            F.instr(F.col("p_name"), "e").cast("long").alias("first_e"),
+        )
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="Calendar extraction + aggregation by (year, month).",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _bigint_sum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+@register(
+    "math_functions",
+    """
+    SELECT l_orderkey AS l_orderkey, l_linenumber AS l_linenumber,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+           CAST(ABS(l_quantity - 25) AS BIGINT) AS qty_dev,
+           CAST(l_partkey % 10 AS BIGINT) AS part_mod
+    FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 100 = 0
+    """,
+    doc="Math function family: ceil/sqrt/ln/abs/modulo.",
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 100 == 0))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.ceil(F.col("l_quantity") / 7.0).cast("long").alias("qty_bucket"),
+            F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+            F.abs(F.col("l_quantity") - 25).cast("long").alias("qty_dev"),
+            (F.col("l_partkey") % 10).cast("long").alias("part_mod"),
+        )
+    )
+
+
+@register(
+    "json_extract_events",
+    """
+    SELECT event_id AS event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="JSON field extraction from a string column "
+    "(get_json_object — no UDF, no full JSON parse).",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        )
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority AS o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot (wide conditional aggregation); explicit value list keeps "
+    "it one pass with no extra value-discovery job.",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+        )
+    )

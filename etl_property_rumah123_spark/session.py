@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are chosen for correctness-portability first (operators never
+depend on session config — permissive casts are expressed with
+``try_cast`` and friends), and for scale second:
+
+- AQE on: runtime shuffle coalescing, skew-join splitting, and
+  broadcast-join demotion/promotion are the main levers that let the
+  same lazy plan run at sf0.001 and at 100 TB.
+- Arrow on: every Pandas-UDF boundary (multimodal decode, custom
+  stateful ops) moves columnar batches, not pickled rows.
+- ``spark.sql.shuffle.partitions`` is only a local-mode default; on a
+  real cluster AQE coalescing makes the initial number mostly
+  irrelevant as long as it is not too small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "etl-property-rumah123-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when not
+    attached to a cluster; pass an explicit master / leave None under
+    spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Non-ANSI keeps CAST coerce-to-null semantics matching the
+        # reference's pd.to_numeric(errors='coerce')
+        # (/root/reference/src/transform.py:65). Operators still use
+        # try_cast explicitly so they stay correct under ANSI sessions.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

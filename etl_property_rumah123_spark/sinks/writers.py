@@ -1,0 +1,55 @@
+"""File writers (op L5): dated CSV/Parquet outputs.
+
+Mirrors save_to_csv (/root/reference/utils/helper.py:42-63) with two
+engine-grade changes: the run date is INJECTED (never datetime.now()
+inside the operator — testability, and retries must not change the
+path), and Parquet is the default (schema-carrying, splittable,
+columnar) with CSV kept for reference-compatible handoff.
+
+The array<string> ``additional_features`` column is stringified only
+here, at the sink boundary (SURVEY §1.4): CSV/VARCHAR targets get a
+JSON rendering; Parquet keeps the native array type.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _stringify_arrays(df: DataFrame) -> DataFrame:
+    out = df
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "array":
+            out = out.withColumn(f.name, F.to_json(F.col(f.name)))
+    return out
+
+
+def dated_path(base_path: str, filename: str, run_date: str, ext: str) -> str:
+    """{base}/{filename}_{YYYYMMDD}.{ext} — same naming as the
+    reference (/root/reference/utils/helper.py:58-59)."""
+    return os.path.join(base_path, f"{filename}_{run_date}.{ext}")
+
+
+def save_csv(df: DataFrame, filename: str, base_path: str, run_date: str) -> str:
+    """Dated CSV directory write (header, overwrite-by-date so retries
+    are idempotent). Arrays stringified at this boundary."""
+    path = dated_path(base_path, filename, run_date, "csv")
+    _stringify_arrays(df).write.mode("overwrite").option("header", True).csv(path)
+    return path
+
+
+def save_parquet(
+    df: DataFrame, filename: str, base_path: str, run_date: str,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Dated Parquet write; optional partition columns for downstream
+    partition pruning (e.g. region/ads_type at production scale)."""
+    path = dated_path(base_path, filename, run_date, "parquet")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path

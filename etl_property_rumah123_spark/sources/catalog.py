@@ -1,0 +1,59 @@
+"""Testdata catalog: one place that knows how to scan the benchmark tables.
+
+Reads are plain ``spark.read.parquet`` — Parquet carries the schema, and
+going through the DataSource V2 path keeps predicate pushdown, column
+pruning, and partition coalescing in play (verify with
+``df.explain('formatted')``: look for PushedFilters / ReadSchema).
+
+Replaces the reference's re-infer-types-per-stage CSV handoff
+(/root/reference/dags/dags.py:84,102) with schema-carrying columnar scans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+
+from etl_property_rumah123_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table.
+
+    ``events.parquet`` carries a TIMESTAMP(NANOS) column, which the
+    Spark parquet reader rejects by default (PARQUET_TYPE_ILLEGAL).
+    We read nanos as raw int64 (``nanosAsLong``) and rebuild a proper
+    TimestampType with integer division — ``ts div 1000`` stays in
+    long arithmetic, so no double-precision loss at ~1.7e18 nanos.
+    """
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Scan several tables at once; all tables when no names given."""
+    names = names or TESTDATA_TABLES
+    return {n: table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so plans can be written in Spark SQL.
+
+    Views are lazy — registering all ten costs nothing until a query
+    actually scans one.
+    """
+    for name, df in tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)

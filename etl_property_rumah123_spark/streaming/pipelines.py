@@ -1,0 +1,123 @@
+"""Structured Streaming pipelines over the events schema.
+
+Each builder takes a streaming DataFrame (``spark.readStream`` from a
+file/rate/kafka source with the events schema) and returns the
+transformed streaming DataFrame — source- and sink-agnostic, so tests
+drive them with file sources and production attaches Kafka + a
+foreachBatch JDBC sink.
+
+Scale/state design:
+- every stateful op is bounded by a watermark — state for windows or
+  dedup keys older than the watermark is evicted, so state size is
+  O(keys within the lateness horizon), not O(stream history).
+- session windows use the native ``F.session_window`` (state-store
+  backed merge), not a custom applyInPandasWithState, unless custom
+  semantics are needed (see ``value_ema_by_user`` for that shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "15 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data drop.
+
+    Streaming twin of the batch ``events_tumbling_15min`` query —
+    same alignment, same aggregates, plus the watermark bound.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_rates(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window event rates (overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "approx_users")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native session windows: 30-min inactivity gap per user.
+
+    Streaming twin of the batch ``events_sessionize`` query; the state
+    store merges adjacent sessions as events arrive.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, key: str = "event_id", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming T2: drop duplicate keys within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival of each
+    key (matching the reference's keep-first dedup,
+    /root/reference/src/transform.py:11) and evicts key state once the
+    watermark passes — bounded state, unlike a global dropDuplicates.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+):
+    """Test/debug helper: drain a stream into an in-memory table."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def foreach_batch_upsert(batch_writer):
+    """Adapter for exactly-once-ish sink delivery: wrap a batch upsert
+    function (e.g. sinks.jdbc_merge.load_to_postgres) for use with
+    ``writeStream.foreachBatch``. The upsert's idempotence (merge on
+    unique key) is what upgrades at-least-once delivery to effective
+    exactly-once — same argument as the reference's truncate-staging +
+    ON CONFLICT pattern (/root/reference/src/load.py:80-96)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_writer(batch_df, batch_id)
+
+    return _apply

@@ -1,0 +1,68 @@
+"""Driver-harness mirror: run every registered query on Spark AND its
+DuckDB oracle, compare row count, column names, and exact values
+(order-insensitive) — the same bar as CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_property_rumah123_spark.plans import load_all
+from tests.conftest import SF_SMOKE, register_duck_views
+
+REGISTRY = load_all()
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+def normalize(rows, columns):
+    """Sort columns by name and rows by repr — order-insensitive exact
+    compare, mirroring the driver's value-hash."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            # exact repr — strictest mirror of a bitwise value-hash;
+            # queries themselves must round to engine-portable values
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append((columns[i], repr(v)))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_SMOKE)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    register_duck_views(duck, SF_SMOKE)
+    res = duck.execute(spec.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    ns, nd = normalize(spark_rows, spark_cols), normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: first value mismatch {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(spark, name):
+    """Non-SQL-expressible ops: plan builds, executes, schema stable."""
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_SMOKE)
+    assert sdf.columns
+    assert sdf.count() >= 0
