@@ -1,0 +1,132 @@
+"""Sink tests (ops L1-L5): merge SQL shape, transactional orchestration
+with a stub DB-API connection, idempotency accounting, dated writers
+with array stringification at the boundary.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_property_rumah123_spark.sinks import jdbc_merge, writers
+
+
+class StubCursor:
+    def __init__(self, conn, rows):
+        self.conn = conn
+        self._rows = rows
+
+    def execute(self, sql):
+        self.conn.executed.append(sql)
+        if self.conn.fail_on_execute:
+            raise RuntimeError("boom")
+
+    def fetchall(self):
+        return self._rows
+
+
+class StubConnection:
+    """Minimal DB-API connection: records statements, scripted
+    RETURNING rows, tracks commit/rollback/close."""
+
+    def __init__(self, returning_rows, fail_on_execute=False):
+        self.returning_rows = returning_rows
+        self.executed = []
+        self.committed = False
+        self.rolled_back = False
+        self.closed = False
+        self.fail_on_execute = fail_on_execute
+
+    def cursor(self):
+        return StubCursor(self, self.returning_rows)
+
+    def commit(self):
+        self.committed = True
+
+    def rollback(self):
+        self.rolled_back = True
+
+    def close(self):
+        self.closed = True
+
+
+def test_merge_sql_full_row_upsert():
+    sql = jdbc_merge.build_merge_sql(
+        ["link", "name", "price_rp"], "stg_property_rumah", "property_rumah", "link"
+    )
+    assert sql.startswith("INSERT INTO property_rumah (link, name, price_rp)")
+    assert "SELECT link, name, price_rp FROM stg_property_rumah" in sql
+    assert "ON CONFLICT (link) DO UPDATE SET" in sql
+    # every column overwritten from EXCLUDED (last-write-wins)
+    for c in ("link", "name", "price_rp"):
+        assert f"{c} = EXCLUDED.{c}" in sql
+    assert sql.endswith("RETURNING xmax = 0")
+
+
+def test_merge_counts_fresh_inserts_and_commits():
+    conn = StubConnection([(True,), (False,), (True,), (False,)])
+    n = jdbc_merge.merge_staging_to_main(
+        lambda: conn, ["link", "name"], "stg", "main", "link"
+    )
+    assert n == 2  # xmax=0 rows only (fresh inserts, not updates)
+    assert conn.committed and not conn.rolled_back and conn.closed
+
+
+def test_merge_rolls_back_on_error():
+    conn = StubConnection([], fail_on_execute=True)
+    with pytest.raises(RuntimeError):
+        jdbc_merge.merge_staging_to_main(lambda: conn, ["link"], "stg", "main", "link")
+    assert conn.rolled_back and not conn.committed and conn.closed
+
+
+def test_load_empty_df_skips_everything(spark):
+    df = spark.range(0).select(F.col("id").alias("link"))
+    called = []
+    n = jdbc_merge.load_to_postgres(
+        df,
+        jdbc_url="jdbc:postgresql://nowhere/db",
+        connection_factory=lambda: called.append(1),
+        stg_table="stg",
+        main_table="main",
+        unique_key="link",
+    )
+    assert n == 0 and not called  # F2 guard: no JDBC write, no merge
+
+
+def test_load_rejects_bad_batch_size(spark):
+    df = spark.range(1).select(F.col("id").alias("link"))
+    with pytest.raises(ValueError):
+        jdbc_merge.load_to_postgres(
+            df, "jdbc:x", lambda: None, "stg", "main", "link", batch_size=0
+        )
+
+
+def test_dated_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", ["x", "y"]), ("b", [])], "link string, additional_features array<string>"
+    )
+    path = writers.save_parquet(df, "listings", str(tmp_path), "20260813")
+    assert path.endswith("listings_20260813.parquet")
+    back = spark.read.parquet(path)
+    # parquet keeps the native array type
+    assert dict(back.dtypes)["additional_features"] == "array<string>"
+    assert back.count() == 2
+
+
+def test_dated_csv_stringifies_arrays(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", ["x", "y"])], "link string, additional_features array<string>"
+    )
+    path = writers.save_csv(df, "listings", str(tmp_path), "20260813")
+    assert path.endswith("listings_20260813.csv")
+    back = spark.read.option("header", True).csv(path)
+    row = back.collect()[0]
+    assert row["additional_features"] == '["x","y"]'  # JSON at the boundary
+
+
+def test_dated_write_is_idempotent_per_run_date(spark, tmp_path):
+    df = spark.createDataFrame([("a",)], "link string")
+    p1 = writers.save_parquet(df, "listings", str(tmp_path), "20260813")
+    p2 = writers.save_parquet(df, "listings", str(tmp_path), "20260813")
+    assert p1 == p2
+    assert spark.read.parquet(p2).count() == 1  # overwrite, not append
