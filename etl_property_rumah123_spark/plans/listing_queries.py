@@ -146,3 +146,42 @@ def listing_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bedroom",
         F.concat_ws("|", "additional_features").alias("features"),
     )
+
+
+@register(
+    "listing_region_fanout",
+    None,  # Spark Python DataSource — not runnable in DuckDB
+    doc="Op U2 — multi-region fan-out as ONE plan: per-region source "
+    "reads unioned by name with a region literal column, then the "
+    "shared transform. Ref: dags/dags.py:40-149 + configs/extract.yaml.",
+)
+def listing_region_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.config import ExtractConfig, RegionConfig
+    from etl_property_rumah123_spark.runner import extract_all_regions
+
+    fixture_dir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_listing_fixtures_v1"
+    )
+    write_fixture_pages(fixture_dir, num_pages=4, cards_per_page=12, seed=42)
+    cfg = ExtractConfig(
+        regions=[
+            RegionConfig(name="jakarta", id="dki-jakarta", admins=ADMINS[:2]),
+            RegionConfig(name="bogor", id="bogor", admins=ADMINS[2:]),
+        ],
+        num_pages=2,
+    )
+    raw = extract_all_regions(
+        spark,
+        cfg,
+        source_options={
+            "fixture_dir": fixture_dir,
+            "pages_per_partition": "1",
+            "base_sleep": "0.001",
+            "min_sleep": "0.0",
+        },
+    )
+    out = cleaning.transform_data(raw, drop_order_col=False)
+    return out.groupBy("region").agg(
+        F.count("*").alias("n_listings"),
+        F.count("price_rp").alias("n_priced"),
+    )

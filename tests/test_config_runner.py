@@ -1,0 +1,99 @@
+"""Config reader (S6) + runner (U2/O1-O3) tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_property_rumah123_spark.config import (
+    ExtractConfig,
+    RegionConfig,
+    _parse_yaml_subset,
+    extract_config,
+    load_config,
+    read_config,
+)
+from etl_property_rumah123_spark.runner import (
+    extract_all_regions,
+    run_region_pipeline,
+)
+from etl_property_rumah123_spark.sources.fixtures import ADMINS, write_fixture_pages
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_read_config_parses_reference_shape():
+    cfg = extract_config(read_config(os.path.join(REPO, "configs/extract.yaml")))
+    assert len(cfg.regions) == 6
+    assert cfg.regions[0].id == "dki-jakarta"
+    assert cfg.regions[0].admins == ["Jakarta", "Kepulauan Seribu"]
+    assert (cfg.ads_type, cfg.property_type, cfg.num_pages) == ("jual", "rumah", 20)
+    lc = load_config(read_config(os.path.join(REPO, "configs/load.yaml")))
+    assert (lc.stg_table, lc.main_table, lc.unique_key, lc.batch_size) == (
+        "stg_property_rumah", "property_rumah", "link", 500,
+    )
+
+
+def test_fallback_parser_matches_pyyaml():
+    text = open(os.path.join(REPO, "configs/extract.yaml")).read()
+    import yaml
+
+    assert extract_config(_parse_yaml_subset(text)) == extract_config(
+        yaml.safe_load(text)
+    )
+
+
+def test_read_config_missing_file_raises():
+    with pytest.raises(FileNotFoundError):
+        read_config("/nonexistent/nope.yaml")
+
+
+def fixture_cfg(tmp_path, num_pages=2):
+    fixture_dir = str(tmp_path / "pages")
+    write_fixture_pages(fixture_dir, num_pages=num_pages, cards_per_page=8, seed=3)
+    cfg = ExtractConfig(
+        regions=[
+            RegionConfig(name="jakarta", id="dki-jakarta", admins=ADMINS[:2]),
+            RegionConfig(name="bogor", id="bogor", admins=ADMINS[2:]),
+        ],
+        num_pages=num_pages,
+    )
+    opts = {
+        "fixture_dir": fixture_dir,
+        "pages_per_partition": "1",
+        "base_sleep": "0.0001",
+        "min_sleep": "0.0",
+    }
+    return cfg, opts
+
+
+def test_extract_all_regions_unions_with_region_column(spark, tmp_path):
+    cfg, opts = fixture_cfg(tmp_path)
+    df = extract_all_regions(spark, cfg, opts)
+    assert "region" in df.columns
+    counts = {r["region"]: r["n"] for r in df.groupBy("region").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"jakarta", "bogor"}
+    assert counts["jakarta"] == counts["bogor"] == 16  # same fixture pages
+
+
+def test_run_region_pipeline_dry_run_and_checkpoint(spark, tmp_path):
+    cfg, opts = fixture_cfg(tmp_path)
+    from etl_property_rumah123_spark.config import LoadConfig
+
+    rc = run_region_pipeline(
+        spark,
+        cfg,
+        LoadConfig(),
+        cfg.regions[0],
+        stage_dir=str(tmp_path / "stage"),
+        run_date="20260813",
+        source_options=opts,
+    )
+    assert rc == -1  # dry run (no sink configured)
+    ckpt = spark.read.parquet(
+        str(tmp_path / "stage" / "listings_jakarta_20260813.parquet")
+    )
+    assert ckpt.count() > 0
+    links = [r["link"] for r in ckpt.select("link").collect()]
+    assert len(links) == len(set(links))  # transform deduped before checkpoint
