@@ -51,6 +51,7 @@ def register(
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module so REGISTRY is fully populated."""
     from etl_property_rumah123_spark.plans import (  # noqa: F401
+        advanced,
         cleaning_queries,
         listing_queries,
         llm_queries,

@@ -1,0 +1,349 @@
+"""Advanced / scale-pattern operators absent from both the reference
+and (as built-ins) from Spark: as-of join, bucketed range join,
+time-range window frames, salted two-phase aggregation, exact
+percentiles, array table-functions.
+
+Each has a genuinely independent oracle: DuckDB's native ASOF JOIN,
+its inequality joins, RANGE frames, quantile_cont — different
+algorithms, same semantics, so hash-equality is real evidence.
+
+Scale notes are inline per operator; the common theme is "no
+inequality join reaches the physical plan" — every op shuffles on an
+equi-key (user, time bucket, salt) and does the inequality work
+inside a partition or a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_property_rumah123_spark.plans import register
+from etl_property_rumah123_spark.sources.catalog import table
+
+
+# ---------------------------------------------------------------------------
+# As-of join (events self-as-of: last strictly-prior click per user)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: str,
+    strict: bool = True,
+) -> DataFrame:
+    """Generic as-of join: for each left row, attach ``payload`` from
+    the right row with the greatest ``right_ts`` <(=) ``left_ts``
+    within the same ``on`` key.
+
+    Spark has no ASOF JOIN; the naive inequality join degenerates to a
+    per-key cross product. This is the **union + ordered window**
+    rewrite: tag both sides, union by name, and carry the last non-null
+    payload forward with ``last_value(ignorenulls)`` over
+    (key, ts, side) ordering. One shuffle on the key — the same cost
+    as a groupBy — and no pairwise comparisons at all, so it holds at
+    100 TB where the key cardinality, not the time density, sets the
+    partition count.
+
+    ``side`` ordering encodes strictness: right rows sort AFTER left
+    rows at equal ts when ``strict`` (payload at ts == left_ts is not
+    yet visible), BEFORE when inclusive.
+    """
+    r_side = F.lit(1 if strict else -1)
+    lt = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(right.schema[payload].dataType).alias("__payload"),
+        "*",
+    )
+    rt = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        r_side.alias("__side"),
+        F.col(payload).alias("__payload"),
+    )
+    for c in left.columns:
+        rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = lt.unionByName(rt)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn(
+            "__asof", F.last("__payload", ignorenulls=True).over(w)
+        )
+        .filter(F.col("__side") == 0)
+        .drop("__k", "__ts", "__side", "__payload")
+    )
+
+
+@register(
+    "asof_join_last_click",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT e.event_id AS event_id, e.user_id AS user_id,
+           c.click_id AS last_click_id
+    FROM events e
+    ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts > c.ts
+    """,
+    doc="As-of join via union+window (no inequality join in the plan), "
+    "proven against DuckDB's native ASOF JOIN implementation.",
+    headline=True,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload="click_id",
+        strict=True,
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("__asof").alias("last_click_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join (bucketed: equi-join on time buckets, then exact filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_followups",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS followup_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS delta_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 60 SECONDS
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+    doc="Range join (pairs within a 60s window) via the bucketed "
+    "rewrite: equi-join on (user, minute bucket) with each left row "
+    "probing bucket m and m+1, exact interval filter after. The "
+    "oracle runs DuckDB's genuine inequality join; the Spark plan "
+    "contains only hash equi-joins (work ~ bucket density, not n^2).",
+)
+def range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("followup_id"),
+        F.col("user_id"),
+        F.col("ts").alias("b_ts"),
+        F.floor(F.unix_micros(F.col("ts")) / 60_000_000).alias("bucket"),
+    )
+    # each click probes its own minute bucket and the next one
+    probes = clicks.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.unix_micros(F.col("a_ts")) / 60_000_000),
+                F.floor(F.unix_micros(F.col("a_ts")) / 60_000_000) + 1,
+            )
+        ),
+    )
+    delta = F.unix_micros(F.col("b_ts")) - F.unix_micros(F.col("a_ts"))
+    return (
+        probes.join(buys, ["user_id", "bucket"])
+        .filter((delta > 0) & (delta <= 60_000_000))
+        .select(
+            "click_id",
+            "followup_id",
+            delta.alias("delta_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-range window frame (rolling 30-day spend)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_30d_spend",
+    """
+    SELECT o_orderkey AS o_orderkey,
+           CAST(ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ), 0) AS BIGINT) AS spend_30d
+    FROM orders
+    """,
+    doc="RANGE window frame keyed by time: per-customer rolling 30-day "
+    "spend. Spark expresses the interval frame as rangeBetween over "
+    "epoch seconds; DuckDB uses a native INTERVAL RANGE frame.",
+)
+def rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 0).cast("long").alias("spend_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation (skew pattern)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_agg_two_phase",
+    """
+    SELECT event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(value), 0) AS BIGINT) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-resistant aggregation: phase 1 groups by (key, salt) — "
+    "16-way split of each hot key across partitions — phase 2 merges "
+    "partials by key. Result identical to the plain groupBy (the "
+    "oracle); the pattern is what survives a power-law key at 100 TB "
+    "when AQE skew handling alone is not enough (e.g. for "
+    "high-cardinality partial states).",
+)
+def salted_agg_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    salted = e.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 0).cast("long").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentiles_by_segment",
+    """
+    SELECT c_mktsegment AS c_mktsegment,
+           ROUND(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           ROUND(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+           ROUND(quantile_cont(c_acctbal, 0.90), 4) AS p90
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="Exact linear-interpolation percentiles per group (Spark "
+    "percentile vs DuckDB quantile_cont — independent exact "
+    "implementations). At 100 TB swap for approx_percentile with a "
+    "bounded error; the exact form is the correctness anchor.",
+)
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", 0.25), 4).alias("p25"),
+        F.round(F.percentile("c_acctbal", 0.50), 4).alias("p50"),
+        F.round(F.percentile("c_acctbal", 0.90), 4).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array lateral view / table function
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "posexplode_embedding_head",
+    """
+    SELECT vec_id AS vec_id,
+           CAST(g.i - 1 AS INT) AS pos,
+           ROUND(CAST(v.head[CAST(g.i AS INT)] AS DOUBLE), 6) AS val
+    FROM (SELECT vec_id, embedding[1:4] AS head FROM embeddings WHERE vec_id < 50) v,
+         generate_series(1, 4) AS g(i)
+    WHERE CAST(g.i AS INT) <= len(v.head)
+    """,
+    doc="Lateral array expansion with ordinality: posexplode vs a "
+    "DuckDB lateral generate_series index join over the first 4 dims.",
+)
+def posexplode_embedding_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return emb.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "v")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int"),
+        F.round(F.col("v").cast("double"), 6).alias("val"),
+    )
+
+
+@register(
+    "array_functions_embeddings",
+    """
+    SELECT vec_id AS vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(CAST(list_reverse(embedding)[1] AS DOUBLE), 6) AS last_val,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+    FROM embeddings WHERE vec_id < 200
+    """,
+    doc="Array function suite over array<float>: size, min/max, "
+    "element_at, reverse, higher-order filter count.",
+)
+def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    arr = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(arr).alias("dim"),
+        F.round(F.array_max(arr).cast("double"), 6).alias("vmax"),
+        F.round(F.array_min(arr).cast("double"), 6).alias("vmin"),
+        F.round(F.element_at(arr, 1).cast("double"), 6).alias("first_val"),
+        F.round(F.element_at(F.reverse(arr), 1).cast("double"), 6).alias("last_val"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (sketch; rows-only — algorithms differ by design)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL++ vs DuckDB's sketch differ; correctness is bounded error
+    doc="HyperLogLog++ approximate distinct users per event_type with "
+    "the exact count alongside; the rows-only check asserts execution, "
+    "the test suite asserts the 5% error envelope.",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )

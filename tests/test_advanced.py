@@ -1,0 +1,54 @@
+"""Unit tests for the advanced operators beyond the oracle harness:
+as-of join edge semantics and the HLL error envelope."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_property_rumah123_spark.plans.advanced import asof_join
+from etl_property_rumah123_spark.sources.catalog import table
+from tests.conftest import SF_SMOKE
+
+
+def make_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 10, "c")], "k long, t long, row string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 101), (2, 99, 200)], "k long, t long, payload long"
+    )
+    return left, right
+
+
+def run(spark, strict):
+    left, right = make_frames(spark)
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", payload="payload",
+        strict=strict,
+    )
+    return {r["row"]: r["__asof"] for r in out.collect()}
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    got = run(spark, strict=True)
+    assert got == {"a": None, "b": 101, "c": None}
+
+
+def test_asof_inclusive_takes_equal_ts(spark):
+    got = run(spark, strict=False)
+    assert got == {"a": 100, "b": 101, "c": None}
+
+
+def test_approx_distinct_error_envelope(spark):
+    e = table(spark, SF_SMOKE, "events")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.count_distinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(3, 0.05 * r["exact"])
