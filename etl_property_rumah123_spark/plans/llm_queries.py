@@ -467,3 +467,19 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("payload")).cast("long").alias("payload_bytes"),
         F.md5(F.col("payload")).alias("payload_digest"),
     )
+
+
+@register(
+    "multimodal_decode",
+    None,  # mapInPandas stage — not runnable in DuckDB
+    doc="Arrow-batched decode stage (mapInPandas): binary payload in, "
+    "typed metadata out, one Python worker per core. The codec is a "
+    "deterministic stub (no image/audio libs in this container); the "
+    "batch plumbing — schema, Arrow transfer, partition parallelism — "
+    "is the real thing. See operators/multimodal.py.",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators import multimodal
+
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media)
