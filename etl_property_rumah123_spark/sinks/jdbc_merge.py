@@ -36,19 +36,35 @@ logger = logging.getLogger(__name__)
 
 
 def build_merge_sql(
-    columns: Sequence[str], stg_table: str, main_table: str, unique_key: str
+    columns: Sequence[str],
+    stg_table: str,
+    main_table: str,
+    unique_key: str,
+    count_inserts: bool = True,
 ) -> str:
     """The ON CONFLICT upsert statement (all columns overwritten from
-    EXCLUDED — full-row last-write-wins, /root/reference/src/load.py:33-39)."""
+    EXCLUDED — full-row last-write-wins, /root/reference/src/load.py:33-39).
+
+    ``count_inserts`` appends the Postgres-specific ``RETURNING
+    xmax = 0`` fresh-insert accounting; disable for ANSI targets
+    (DuckDB, SQLite) that support ON CONFLICT but not xmax.
+    """
     cols = ", ".join(columns)
-    updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns)
-    return (
+    # The reference overwrites every column incl. the key
+    # (/root/reference/src/load.py:36-37); assigning the conflict key to
+    # EXCLUDED.key is always a no-op (they are equal by definition of
+    # the conflict), and some engines (DuckDB) reject PK assignment —
+    # excluding it is semantically identical and portable.
+    updates = ", ".join(
+        f"{c} = EXCLUDED.{c}" for c in columns if c != unique_key
+    )
+    sql = (
         f"INSERT INTO {main_table} ({cols})\n"
         f"SELECT {cols} FROM {stg_table}\n"
         f"ON CONFLICT ({unique_key}) DO UPDATE SET\n"
-        f"{updates}\n"
-        f"RETURNING xmax = 0"
+        f"{updates}"
     )
+    return sql + ("\nRETURNING xmax = 0" if count_inserts else "")
 
 
 def write_staging(
@@ -86,16 +102,20 @@ def merge_staging_to_main(
     stg_table: str,
     main_table: str,
     unique_key: str,
+    count_inserts: bool = True,
 ) -> int:
     """L3+L4: run the merge in one driver-side transaction; returns the
     count of freshly inserted rows (xmax = 0 accounting,
-    /root/reference/src/load.py:38-42). Rolls back on any error."""
-    sql = build_merge_sql(columns, stg_table, main_table, unique_key)
+    /root/reference/src/load.py:38-42), or -1 when ``count_inserts`` is
+    off (non-Postgres targets). Rolls back on any error."""
+    sql = build_merge_sql(columns, stg_table, main_table, unique_key, count_inserts)
     conn = connection_factory()
     try:
         cur = conn.cursor()
         cur.execute(sql)
-        inserted = sum(1 for row in cur.fetchall() if row[0])
+        inserted = (
+            sum(1 for row in cur.fetchall() if row[0]) if count_inserts else -1
+        )
         conn.commit()
         logger.info("merged %s -> %s: %d fresh inserts", stg_table, main_table, inserted)
         return inserted

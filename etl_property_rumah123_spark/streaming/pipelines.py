@@ -109,6 +109,59 @@ def run_to_memory_sink(
     )
 
 
+#: Output schema of the per-user EMA stateful operator.
+EMA_SCHEMA = "user_id long, n_events long, ema double"
+#: State schema: running (count, ema).
+_EMA_STATE_SCHEMA = "n long, ema double"
+
+
+def value_ema_by_user(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Custom stateful operator: exponential moving average of ``value``
+    per user via ``applyInPandasWithState``.
+
+    This is the shape Spark's built-in windows can't express — state is
+    an arbitrary reduction (here: (count, ema)) carried across
+    micro-batches per key, updated with Arrow-batched pandas, emitted
+    once per batch per active key. State size is O(active users) — two
+    scalars per key — so a 100 TB stream with 10^9 users holds ~16 GB
+    of state sharded across executors' state stores.
+
+    Within-batch event order follows the batch frame order; for strict
+    event-time ordering sort upstream per key (micro-batches preserve
+    per-key grouping, not intra-key time order).
+    """
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, ema = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                if v is None:
+                    continue
+                v = float(v)
+                ema = v if ema is None else alpha * v + (1 - alpha) * ema
+                n += 1
+        state.update((n, ema))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ema": [ema]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EMA_SCHEMA,
+            stateStructType=_EMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def foreach_batch_upsert(batch_writer):
     """Adapter for exactly-once-ish sink delivery: wrap a batch upsert
     function (e.g. sinks.jdbc_merge.load_to_postgres) for use with

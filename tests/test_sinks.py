@@ -57,9 +57,11 @@ def test_merge_sql_full_row_upsert():
     assert sql.startswith("INSERT INTO property_rumah (link, name, price_rp)")
     assert "SELECT link, name, price_rp FROM stg_property_rumah" in sql
     assert "ON CONFLICT (link) DO UPDATE SET" in sql
-    # every column overwritten from EXCLUDED (last-write-wins)
-    for c in ("link", "name", "price_rp"):
+    # every non-key column overwritten from EXCLUDED (last-write-wins;
+    # key = EXCLUDED.key would be a no-op and DuckDB rejects it)
+    for c in ("name", "price_rp"):
         assert f"{c} = EXCLUDED.{c}" in sql
+    assert "link = EXCLUDED.link" not in sql
     assert sql.endswith("RETURNING xmax = 0")
 
 
@@ -99,6 +101,44 @@ def test_load_rejects_bad_batch_size(spark):
         jdbc_merge.load_to_postgres(
             df, "jdbc:x", lambda: None, "stg", "main", "link", batch_size=0
         )
+
+
+def test_merge_executes_and_is_idempotent_on_real_engine(tmp_path):
+    """§5.4: run the staged merge twice with overlapping keys — main
+    state must equal the single-run state (idempotent), and re-merging
+    updated staging rows is last-write-wins."""
+    import duckdb
+
+    con = duckdb.connect(str(tmp_path / "sink.db"))
+    con.execute("CREATE TABLE main (link VARCHAR PRIMARY KEY, name VARCHAR, price BIGINT)")
+    con.execute("CREATE TABLE stg (link VARCHAR, name VARCHAR, price BIGINT)")
+    con.execute("INSERT INTO stg VALUES ('a', 'A', 1), ('b', 'B', 2)")
+
+    sql = jdbc_merge.build_merge_sql(
+        ["link", "name", "price"], "stg", "main", "link", count_inserts=False
+    )
+    con.execute(sql)
+    once = con.execute("SELECT * FROM main ORDER BY link").fetchall()
+    con.execute(sql)  # re-run: task-retry / rerun scenario
+    twice = con.execute("SELECT * FROM main ORDER BY link").fetchall()
+    assert once == twice == [("a", "A", 1), ("b", "B", 2)]
+
+    # next run: overlapping key with new values + a fresh key
+    con.execute("DELETE FROM stg")
+    con.execute("INSERT INTO stg VALUES ('b', 'B2', 20), ('c', 'C', 3)")
+    con.execute(sql)
+    final = con.execute("SELECT * FROM main ORDER BY link").fetchall()
+    assert final == [("a", "A", 1), ("b", "B2", 20), ("c", "C", 3)]  # last-write-wins
+    con.close()
+
+
+def test_merge_count_inserts_off_returns_sentinel():
+    conn = StubConnection([])
+    n = jdbc_merge.merge_staging_to_main(
+        lambda: conn, ["link"], "stg", "main", "link", count_inserts=False
+    )
+    assert n == -1 and conn.committed
+    assert "RETURNING" not in conn.executed[0]
 
 
 def test_dated_parquet_roundtrip(spark, tmp_path):

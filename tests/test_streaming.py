@@ -95,6 +95,48 @@ def test_foreach_batch_upsert_invokes_writer(spark, events_stream_dir):
     ).count()
 
 
+def test_value_ema_by_user_stateful(spark, events_stream_dir):
+    out = drain_update(
+        spark,
+        pipelines.value_ema_by_user(stream_events(spark, events_stream_dir)),
+        "t_ema",
+    )
+    # one emitted row per user per micro-batch; the last emission per
+    # user carries the final state
+    import pandas as pd
+
+    final = {
+        r["user_id"]: (r["n_events"], r["ema"])
+        for r in out.collect()  # update-mode memory sink: last write wins per key
+    }
+    pdf = pd.read_parquet(events_stream_dir)
+    expect_n = pdf[pdf["value"].notna()].groupby("user_id")["value"].count()
+    assert final
+    for uid, (n, ema) in final.items():
+        assert n == expect_n.get(uid, 0)
+        assert ema is None or ema == ema  # non-NaN
+
+    # EMA recurrence check on one user, replicating file order
+    uid = next(iter(final))
+    vals = pdf[pdf["user_id"] == uid]["value"].dropna().tolist()
+    ema = None
+    for v in vals:
+        ema = v if ema is None else 0.3 * v + 0.7 * ema
+    assert final[uid][1] == pytest.approx(ema, rel=1e-9)
+
+
+def drain_update(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def test_streaming_upsert_composes_with_merge_sql():
     """The foreachBatch handler + merge SQL are the streaming L3 path;
     the SQL itself must be the reference's full-row ON CONFLICT shape."""
