@@ -107,19 +107,111 @@ def ann_topk(
     num_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    hamming_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact scoring restricted to the query's LSH
-    bucket. Recall is tuned by num_planes (fewer planes -> bigger
-    buckets -> higher recall, more work); multi-probe = union several
-    plane seeds. Output: (query_id, neighbor_id, rank)."""
+    bucket(s). Recall knobs: fewer planes -> bigger buckets; and
+    **multi-probe** (``hamming_probes=1``): each query also probes the
+    ``num_planes`` buckets one sign-flip away — the standard trick that
+    buys most of a second hash table's recall for zero extra corpus
+    state (only the tiny query side fans out). Output:
+    (query_id, neighbor_id, rank)."""
     qb = rp_lsh_buckets(queries, dim, num_planes, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )
+    if hamming_probes >= 1:
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(num_planes)
+            ],
+        )
+        qb = qb.withColumn("bucket", F.explode(flips))
     cb = rp_lsh_buckets(corpus, dim, num_planes, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
     )
     scored = (
         qb.join(cb, "bucket")
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()  # multi-probe may reach one candidate via 2 buckets
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_lists``
+    KMeans cells, search each query's ``n_probe`` nearest cells only.
+
+    Scale shape: the KMeans fit runs on the corpus (or a sample) once;
+    centroids are tiny and broadcast. Corpus rows are assigned a
+    ``cell`` and shuffled once by it — at serving time a query touches
+    n_probe/n_lists of the data. Recall/latency is the classic IVF
+    nprobe curve.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+
+    def assign(df, id_alias):
+        withv = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(f"{id_alias}_vec"),
+            array_to_vector(F.col(vec_col)).alias("features"),
+        )
+        return model.transform(withv).withColumnRenamed("prediction", "cell")
+
+    c_assigned = assign(corpus, "neighbor_id").select(
+        "neighbor_id", F.col("neighbor_id_vec").alias("cv"), "cell"
+    )
+
+    # query -> its n_probe nearest centroids, via a broadcast centroid table
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent_df = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            centroids, "cell int, centroid array<double>"
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    dist_sq = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("centroid"), lambda a, b: (a.cast("double") - b) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell"))
+    probes = (
+        q.crossJoin(cent_df)
+        .withColumn("d2", dist_sq)
+        .withColumn("cr", F.row_number().over(wq))
+        .filter(F.col("cr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        probes.join(c_assigned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", dot(F.col("qv"), F.col("cv")))
     )

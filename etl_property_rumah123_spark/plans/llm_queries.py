@@ -192,7 +192,24 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return similarity.ann_topk(
-        e.filter(F.col("vec_id") < 10), e, dim=64, k=5, num_planes=6
+        e.filter(F.col("vec_id") < 10), e, dim=64, k=5, num_planes=6,
+        hamming_probes=1,
+    )
+
+
+@register(
+    "ann_topk_ivf",
+    None,  # KMeans cells are engine-specific: rows-only check; recall
+    # quality is asserted on clustered data in test_similarity_recall.py
+    doc="IVF-style ANN: KMeans coarse quantization (16 cells), each "
+    "query probes its 2 nearest cells; exact scoring inside cells. "
+    "One corpus shuffle by cell at build; n_probe/n_lists of the data "
+    "touched per query at serve.",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, n_lists=16, n_probe=2
     )
 
 

@@ -41,6 +41,29 @@ def save_csv(df: DataFrame, filename: str, base_path: str, run_date: str) -> str
     return path
 
 
+def save_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table for co-located joins.
+
+    Two tables bucketed by the same key into the same bucket count
+    join with ZERO exchanges — the shuffle is paid once at write time
+    and amortized over every subsequent join/aggregation on that key.
+    At 100 TB this is the difference between an hourly fact-to-fact
+    join re-shuffling both sides and one that streams bucket pairs.
+    ``sortBy`` additionally removes the sort from sort-merge joins.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def save_parquet(
     df: DataFrame, filename: str, base_path: str, run_date: str,
     partition_by: list[str] | None = None,
