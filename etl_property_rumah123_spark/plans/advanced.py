@@ -347,3 +347,61 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom aggregation (applyInPandas UDAF shape) + Python UDTF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udaf_mad_by_segment",
+    """
+    SELECT c_mktsegment AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MEDIAN(c_acctbal), 6) AS median,
+           ROUND(MEDIAN(ABS(c_acctbal - m)), 6) AS mad
+    FROM customer, (SELECT c_mktsegment AS seg, MEDIAN(c_acctbal) AS m
+                    FROM customer GROUP BY 1) meds
+    WHERE c_mktsegment = meds.seg
+    GROUP BY c_mktsegment
+    """,
+    doc="Custom grouped aggregation (UDAF shape) via applyInPandas: "
+    "median absolute deviation per segment — order statistics no "
+    "built-in aggregate composes. Arrow-batched; one shuffle on the "
+    "group key.",
+)
+def udaf_mad_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators.custom_agg import mad_by_group
+
+    out = mad_by_group(table(spark, sf_dir, "customer"))
+    return out.select(
+        "c_mktsegment",
+        "n",
+        F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+    )
+
+
+@register(
+    "udtf_sentence_split",
+    """
+    SELECT doc_id AS doc_id,
+           CAST(g.i - 1 AS INT) AS sentence_idx,
+           rtrim(trim(parts[CAST(g.i AS INT)]), '.') AS sentence,
+           CAST(len(string_split_regex(rtrim(trim(parts[CAST(g.i AS INT)]), '.'), '\\s+')) AS INT) AS n_words
+    FROM (SELECT doc_id, string_split(text, '. ') AS parts
+          FROM documents WHERE doc_id < 100) d,
+         generate_series(1, 50) AS g(i)
+    WHERE CAST(g.i AS INT) <= len(parts)
+      AND rtrim(trim(parts[CAST(g.i AS INT)]), '.') <> ''
+    """,
+    doc="Python UDTF (Spark 4): one document row expands to typed "
+    "(sentence_idx, sentence, n_words) rows via a lateral join; the "
+    "oracle re-implements the expansion with SQL split+unnest.",
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators.custom_agg import split_sentences
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return split_sentences(d)

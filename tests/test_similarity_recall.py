@@ -69,6 +69,13 @@ def test_ivf_recall_beats_chance(spark, clustered):
 def test_bucketed_join_has_no_exchange(spark, clustered):
     """Co-located join: both sides bucketed by the key -> zero Exchange
     nodes in the physical plan (the 100 TB shuffle-elimination story)."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_items_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)  # stale location
+
     orders = spark.range(0, 1000).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("a")
     )
