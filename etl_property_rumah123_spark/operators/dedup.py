@@ -221,6 +221,71 @@ def simhash_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# Connected components: candidate pairs -> dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label every node with the MIN node id of its connected component
+    — the step that turns near-dup candidate pairs into dedup groups
+    (keep min-id per component, drop the rest).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converged when no
+    label changes. Rounds needed = graph diameter (dup clusters are
+    near-cliques from band collisions, so 2-4 in practice, vs O(n) for
+    path graphs — ``max_iterations`` guards the pathological case).
+
+    Scale notes: each round is one join edges x labels + one min-agg —
+    both shuffles on node id, no driver-side state but the convergence
+    counter. ``localCheckpoint`` cuts the lineage each round so the
+    plan does not grow with iterations (the classic iterative-Spark
+    trap). This is GraphX/GraphFrames' algorithm expressed in plain
+    DataFrame ops, keeping the engine dependency-free.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("component")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage growth per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

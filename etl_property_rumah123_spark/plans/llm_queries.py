@@ -151,6 +151,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_components",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w) - 2)]
+                  ELSE [] END AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+    ), sig AS (
+      SELECT doc_id,
+             [list_min([md5(CAST(k AS VARCHAR) || '|' || s) FOR s IN sh])
+              FOR k IN generate_series(0, 15)] AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id,
+             CAST(b AS VARCHAR) || ':' || md5(array_to_string(sig[b*4+1:b*4+4], '')) AS bucket
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
+    ), edges AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), edges_sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM documents
+      UNION
+      SELECT e.src AS node, reach.r AS r
+      FROM edges_sym e JOIN reach ON reach.node = e.dst
+    )
+    SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+    doc="Dedup clustering: MinHash-LSH candidate pairs -> connected "
+    "components via iterative min-label propagation (checkpointed "
+    "DataFrame loop), oracled against a DuckDB RECURSIVE CTE "
+    "transitive closure — two fully independent algorithms.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    edges = dedup.lsh_candidate_pairs(docs, shingle_n=3, num_hashes=16, bands=4)
+    return dedup.connected_components(docs, edges).select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

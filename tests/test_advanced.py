@@ -39,6 +39,20 @@ def test_asof_inclusive_takes_equal_ts(spark):
     assert got == {"a": 100, "b": 101, "c": None}
 
 
+def test_connected_components_path_and_singleton(spark):
+    """A 5-node path (worst-case diameter for label propagation), a
+    2-clique, and a singleton — labels must converge to the min id of
+    each component."""
+    from etl_property_rumah123_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (1, 0), (6, 5)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
+
+
 def test_approx_distinct_error_envelope(spark):
     e = table(spark, SF_SMOKE, "events")
     rows = (
