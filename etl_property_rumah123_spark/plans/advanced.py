@@ -350,6 +350,93 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bag-semantics set ops, map functions, SQL-path EXISTS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_bag_semantics",
+    """
+    SELECT k AS k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT o_custkey AS k FROM orders
+      INTERSECT ALL
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    ) GROUP BY k
+    """,
+    doc="INTERSECT ALL (bag semantics: multiplicity = min of the two "
+    "sides) — distinct from the set-semantics INTERSECT already "
+    "covered; compiles to a counted join, one shuffle per side.",
+)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    left = o.select(F.col("o_custkey").alias("k"))
+    right = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    return left.intersectAll(right).groupBy("k").agg(F.count("*").alias("n"))
+
+
+@register(
+    "map_functions_events",
+    """
+    SELECT event_id AS event_id,
+           CAST(cardinality(m) AS INT) AS n_keys,
+           m['type'][1] AS type_val,
+           array_to_string(map_keys(m), ',') AS keys_csv
+    FROM (
+      SELECT event_id,
+             MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+      FROM events WHERE event_id < 500
+    )
+    """,
+    doc="MapType columns: construction from arrays, size, key lookup, "
+    "key enumeration — Spark map_from_arrays/element_at vs DuckDB MAP.",
+)
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("uid")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return e.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "type").alias("type_val"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+    )
+
+
+@register(
+    "exists_subquery_sql",
+    """
+    SELECT c_custkey AS c_custkey, c_name AS c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+    doc="Correlated EXISTS / NOT EXISTS through the spark.sql parser "
+    "path (decorrelated by Catalyst into semi/anti joins) — the same "
+    "text runs verbatim on DuckDB.",
+)
+def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey AS c_custkey, c_name AS c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Custom aggregation (applyInPandas UDAF shape) + Python UDTF
 # ---------------------------------------------------------------------------
 
