@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_property_rumah123_spark.functions import hashing
 from etl_property_rumah123_spark.functions.vector import l2_norm
 from etl_property_rumah123_spark.operators import dedup, similarity, text_analysis
 from etl_property_rumah123_spark.plans import register
@@ -305,6 +306,41 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_analysis.token_count(F.col("text")).alias("n_tokens"),
         text_analysis.bpe_ish_token_count(F.col("text")).alias("n_bpeish"),
         text_analysis.char_count(F.col("text")).alias("n_chars_measured"),
+    )
+
+
+@register(
+    "text_top_terms",
+    """
+    SELECT term AS term, CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents)
+    WHERE LENGTH(term) >= 3
+    GROUP BY term
+    ORDER BY freq DESC, term
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary: explode tokens -> term + document "
+    "frequency -> global top-50. The classic wordcount with the "
+    "two-level aggregation (term, doc) -> term that map-side combines "
+    "at scale; top-k is a single-partition final sort of the "
+    "already-aggregated term table.",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(hashing.word_tokens(F.lower(F.col("text")))).alias("term"),
+    ).filter(F.length("term") >= 3)
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count("*").alias("freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(50)
     )
 
 

@@ -164,6 +164,27 @@ def test_dated_csv_stringifies_arrays(spark, tmp_path):
     assert row["additional_features"] == '["x","y"]'  # JSON at the boundary
 
 
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """save_parquet(partition_by) -> a filter on the partition column
+    must prune at planning time (PartitionFilters, not a post-scan
+    filter) — the scan-cost lever for region/date-partitioned layouts."""
+    df = spark.createDataFrame(
+        [(i, ["jakarta", "bogor", "depok"][i % 3]) for i in range(90)],
+        "id long, region string",
+    )
+    path = writers.save_parquet(df, "listings", str(tmp_path), "20260813",
+                                partition_by=["region"])
+    back = spark.read.parquet(path).filter(F.col("region") == "bogor")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(region" in plan
+    assert back.count() == 30
+    # only the bogor directory is listed
+    files = [r["file"] for r in back.select(F.input_file_name().alias("file")).distinct().collect()]
+    assert files and all("region=bogor" in f for f in files)
+
+
 def test_dated_write_is_idempotent_per_run_date(spark, tmp_path):
     df = spark.createDataFrame([("a",)], "link string")
     p1 = writers.save_parquet(df, "listings", str(tmp_path), "20260813")
