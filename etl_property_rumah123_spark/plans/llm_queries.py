@@ -75,6 +75,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash(16 md5 hashes over 3-word shingles) + LSH(4 bands x 4 "
     "rows) candidate pairs. Bucket self-join: work ~ sum(bucket^2), "
     "not n^2.",
+    headline=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(
@@ -520,6 +521,7 @@ def events_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Sessionization (gaps-and-islands): 30-min inactivity gap via "
     "LAG + flag-sum. Batch twin of the session_window streaming op.",
+    headline=True,
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
