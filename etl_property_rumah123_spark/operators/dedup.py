@@ -246,11 +246,35 @@ def jaccard_pairs(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash) — 64-bit xxhash64-based SimHash per document."""
-    return df.select(
+    """(id, simhash) — 64-bit xxhash64-based SimHash per document.
+
+    Aggregate formulation (same lesson as minhash_signatures): explode
+    words, xxhash64 each ONCE (codegen), then 64 per-bit majority
+    sums as grouped aggregates with map-side combine — vs the per-row
+    HOF fold which interprets 64 zip_with lambdas per token. Produces
+    bit-identical signatures to hashing.simhash64 (same per-token
+    indicators, same >= n/2 majority rule).
+    """
+    words = df.select(
         F.col(id_col).alias("doc_id"),
-        hashing.simhash64(hashing.word_tokens(F.col(text_col))).alias("simhash"),
+        F.explode_outer(hashing.word_tokens(F.col(text_col))).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    bit_sums = [
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+        for i in range(64)
+    ]
+    counts = words.groupBy("doc_id").agg(
+        F.count("w").alias("__n"), *bit_sums
     )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"__b{i}") * 2 >= F.col("__n"),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return counts.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_dups(
