@@ -11,6 +11,15 @@ Two families on purpose:
 
 All builders return Column expressions (no UDFs, no shuffle of their
 own); the shuffles belong to the operators that use them.
+
+NOTE on the per-row forms: ``minhash_signature`` and ``simhash64``
+here are the *reference definitions* — higher-order-function folds
+that read as the algorithm. The production paths in
+``operators/dedup.py`` re-express both as explode + grouped
+aggregates (codegen, map-side combine; 10-20x faster — HOF lambdas
+are interpreted and get inlined per use by projection collapse) and
+are pinned bit-identical to these forms by
+``tests/test_advanced.py::test_aggregate_forms_match_reference_hofs``.
 """
 
 from __future__ import annotations

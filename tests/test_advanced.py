@@ -53,6 +53,41 @@ def test_connected_components_path_and_singleton(spark):
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
 
 
+def test_aggregate_forms_match_reference_hofs(spark):
+    """The optimized aggregate-form MinHash/SimHash in operators/dedup
+    must stay bit-identical to the readable HOF reference definitions
+    in functions/hashing."""
+    from etl_property_rumah123_spark.functions import hashing
+    from etl_property_rumah123_spark.operators import dedup
+
+    docs = table(spark, SF_SMOKE, "documents").limit(200)
+
+    hof_min = docs.select(
+        "doc_id",
+        hashing.minhash_signature(
+            hashing.shingles(hashing.word_tokens(F.col("text")), 3), 16
+        ).alias("sig"),
+    )
+    agg_min = dedup.minhash_signatures(docs, shingle_n=3, num_hashes=16)
+    diff = (
+        hof_min.join(agg_min, "doc_id")
+        .filter(F.col("sig") != F.col("signature"))
+        .count()
+    )
+    assert diff == 0
+
+    hof_sim = docs.select(
+        "doc_id", hashing.simhash64(hashing.word_tokens(F.col("text"))).alias("s")
+    )
+    agg_sim = dedup.simhash_signatures(docs)
+    diff = (
+        hof_sim.join(agg_sim, "doc_id")
+        .filter(F.col("s") != F.col("simhash"))
+        .count()
+    )
+    assert diff == 0
+
+
 def test_approx_distinct_error_envelope(spark):
     e = table(spark, SF_SMOKE, "events")
     rows = (
