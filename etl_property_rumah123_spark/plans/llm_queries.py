@@ -346,6 +346,130 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_filter",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len(w) END AS n_tokens,
+             CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS DOUBLE)
+               / NULLIF(CAST(len(w) AS DOUBLE), 0.0) AS stop_ratio,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0.0) AS punct_ratio
+      FROM w
+    )
+    SELECT doc_id AS doc_id, lang AS lang, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM feat
+    WHERE n_tokens >= 5
+      AND (stop_ratio IS NULL OR stop_ratio <= 0.6)
+      AND (punct_ratio IS NULL OR punct_ratio <= 0.2)
+    """,
+    doc="Corpus quality gate (C4-style heuristics composed into one "
+    "filter): min token count, bounded stopword ratio, bounded "
+    "punctuation ratio. Pure expressions — runs inside the scan stage "
+    "with zero shuffles at any scale.",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    feats = text_analysis.quality_features(d)
+    return feats.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("stop_ratio").isNull() | (F.col("stop_ratio") <= 0.6))
+        & (F.col("punct_ratio").isNull() | (F.col("punct_ratio") <= 0.2))
+    ).select("doc_id", "lang", "n_tokens")
+
+
+@register(
+    "text_tfidf_top_term",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM terms WHERE LENGTH(term) >= 3 GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN(n.n_docs / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id AS doc_id, term AS top_term, tfidf AS tfidf
+    FROM (SELECT doc_id, term, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    doc="TF-IDF keyword extraction: term frequency x log inverse doc "
+    "frequency, top-scoring term per document. The df table is tiny "
+    "(vocabulary) -> broadcast to the tf side; log argument identical "
+    "on both engines so doubles match exactly.",
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(hashing.word_tokens(F.lower(F.col("text")))).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = float(d.count())
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tfidf")
+    )
+
+
+@register(
+    "corpus_split_deterministic",
+    """
+    SELECT split AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM (
+      SELECT doc_id,
+             CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split42'), 1, 1)) AS INT) AS h
+            FROM documents)
+    ) GROUP BY split
+    """,
+    doc="Deterministic train/val/test corpus split (80/5/15ish, actual "
+    "ratio set by the hex-digit bucket of a salted md5): reproducible "
+    "across engines, runs, and partitionings — the property random "
+    "sample() lacks. Zero shuffles beyond the count aggregation; the "
+    "same hash gate scales to exact-fraction sampling at 100 TB.",
+)
+def corpus_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split42"))), 1, 1),
+        16,
+        10,
+    ).cast("int")
+    split = (
+        F.when(h < 8, F.lit("train")).when(h < 9, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
+    )
+
+
+@register(
     "text_quality_scores",
     """
     WITH w AS (
