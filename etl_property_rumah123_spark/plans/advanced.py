@@ -436,6 +436,101 @@ def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0), 9) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Fixed-width histogram (10 buckets of width 25, clamped) over "
+    "event values — plain floor arithmetic so the binning is portable; "
+    "one map-side-combining aggregation at any scale.",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 25.0), F.lit(0)), F.lit(9)
+    ).cast("int")
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+@register(
+    "null_semantics_suite",
+    """
+    SELECT event_id AS event_id,
+           CASE WHEN props IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END AS props_null_safe,
+           COALESCE(NULLIF(event_type, 'error'), 'recovered') AS coalesced_type,
+           CASE WHEN value IS NULL THEN 'missing' ELSE 'present' END AS value_presence,
+           CASE WHEN NULLIF(value, 0.0) IS NOT DISTINCT FROM NULLIF(value, 0.0)
+                THEN 1 ELSE 0 END AS self_eq_null_safe
+    FROM events WHERE event_id < 1000
+    """,
+    doc="Null-handling semantics: null-safe equality (<=> / IS NOT "
+    "DISTINCT FROM), NULLIF, COALESCE, and three-valued-logic CASE — "
+    "the subtle corners that diverge between engines if the planner "
+    "simplifies them wrong.",
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    nz = F.nullif(F.col("value"), F.lit(0.0))
+    return e.select(
+        "event_id",
+        F.col("props").eqNullSafe(F.lit(None)).cast("int").alias("props_null_safe"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("recovered")).alias(
+            "coalesced_type"
+        ),
+        F.when(F.col("value").isNull(), "missing")
+        .otherwise("present")
+        .alias("value_presence"),
+        nz.eqNullSafe(nz).cast("int").alias("self_eq_null_safe"),
+    )
+
+
+@register(
+    "fuzzy_match_levenshtein",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 300 AND b.p_partkey < 300
+      AND levenshtein(a.p_name, b.p_name) <= 12
+    """,
+    doc="Fuzzy string matching: blocked self-join (equi-join on brand "
+    "bounds the pair space — the record-linkage blocking pattern) with "
+    "edit-distance verification. Both engines implement classic "
+    "Levenshtein, so distances agree exactly.",
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "brand")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= 12)
+        .select("id_a", "id_b", F.col("dist").cast("int"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom aggregation (applyInPandas UDAF shape) + Python UDTF
 # ---------------------------------------------------------------------------
