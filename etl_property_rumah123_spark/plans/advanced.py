@@ -437,6 +437,71 @@ def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey AS l_orderkey, l_linenumber AS l_linenumber,
+           measure AS measure, ROUND(val, 6) AS val
+    FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+               FROM lineitem WHERE l_orderkey < 100)
+      ON l_quantity, l_extendedprice, l_discount
+      INTO NAME measure VALUE val
+    )
+    """,
+    doc="Unpivot (wide -> long melt), the inverse of the pivot query: "
+    "3 measure columns become (measure, val) rows — a zero-shuffle "
+    "generator expansion in both engines.",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure", F.round("val", 6).alias("val")
+    )
+
+
+@register(
+    "filtered_aggregates",
+    """
+    SELECT o_custkey AS o_custkey,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+           CAST(ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS BIGINT) AS urgent_spend
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10
+    """,
+    doc="Conditional aggregation (SQL FILTER clause; count_if / "
+    "sum(when) on the Spark side) — one pass, no per-condition "
+    "subqueries or self-joins.",
+)
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+                    )
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("urgent_spend"),
+            F.count("*").alias("__n"),
+        )
+        .filter(F.col("__n") >= 10)
+        .drop("__n")
+    )
+
+
+@register(
     "value_histogram",
     """
     SELECT CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0), 9) AS INT) AS bucket,
