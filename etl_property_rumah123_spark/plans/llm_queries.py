@@ -346,6 +346,46 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_conversion",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'signup') AS first_signup,
+             MIN(ts) FILTER (WHERE event_type = 'click') AS first_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(COUNT(first_signup) AS BIGINT) AS n_signup,
+      CAST(COUNT(CASE WHEN first_click > first_signup THEN 1 END) AS BIGINT) AS n_click_after_signup,
+      CAST(COUNT(CASE WHEN first_purchase > first_click AND first_click > first_signup
+                 THEN 1 END) AS BIGINT) AS n_full_funnel
+    FROM firsts
+    """,
+    doc="Funnel analysis: signup -> click -> purchase ordering per "
+    "user via conditional MIN aggregates — one shuffle on user_id, no "
+    "joins, the scalable formulation of sequence funnels (vs the "
+    "self-join-per-stage anti-pattern).",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("s").alias("n_signup"),
+        F.count(F.when(F.col("c") > F.col("s"), 1)).alias("n_click_after_signup"),
+        F.count(
+            F.when((F.col("p") > F.col("c")) & (F.col("c") > F.col("s")), 1)
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
     "text_quality_filter",
     """
     WITH w AS (

@@ -109,6 +109,48 @@ def run_to_memory_sink(
     )
 
 
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "60 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: purchases within ``max_gap`` after a
+    click by the same user — the streaming twin of the batch
+    ``range_join_followups`` query.
+
+    Both sides are watermarked and the join condition bounds event
+    time on BOTH ends, so the state store can evict: click state is
+    held only ``max_gap`` past the watermark, purchase state only to
+    the watermark. Without the two-sided time bound the join state
+    grows forever — the canonical stream-stream join trap.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    cond = (
+        (c.user_id == p.user_id)
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return c.join(p, cond).select(
+        "click_id", "purchase_id", c.user_id.alias("user_id")
+    )
+
+
 #: Output schema of the per-user EMA stateful operator.
 EMA_SCHEMA = "user_id long, n_events long, ema double"
 #: State schema: running (count, ema).

@@ -137,6 +137,43 @@ def drain_update(spark, stream_df, name):
     return spark.table(name)
 
 
+def test_stream_stream_join_matches_batch_range_join(spark, events_stream_dir):
+    """Stream-stream interval join drained with availableNow must emit
+    the same pairs as the batch range join on the same data (modulo
+    watermark-dropped tail, which on this data is empty because the
+    join fires as rows arrive in one batch)."""
+    ev = stream_events(spark, events_stream_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = stream_events(spark, events_stream_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = drain(
+        spark,
+        pipelines.click_purchase_join(clicks, buys, max_gap="6 hours", watermark="12 hours"),
+        "t_ssjoin",
+    )
+    got = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
+
+    batch = spark.read.parquet(events_stream_dir)
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(p, "user_id")
+        .filter(
+            (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 6 hours"))
+        )
+        .collect()
+    }
+    assert want  # data actually contains qualifying pairs
+    assert got == want
+
+
 def test_foreach_batch_merge_into_duckdb_end_to_end(spark, events_stream_dir, tmp_path):
     """The streaming L3 path, executed for real: every micro-batch is
     staged and merged ON CONFLICT into a DuckDB 'main' table. Final
