@@ -137,6 +137,52 @@ def drain_update(spark, stream_df, name):
     return spark.table(name)
 
 
+def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
+    """Restart-with-checkpoint semantics: a second availableNow run
+    against the same checkpointLocation must process ONLY files added
+    since the first run — the incremental-offset contract every
+    production stream relies on."""
+    src = tmp_path / "incoming"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    events = table(spark, SF_SMOKE, "events")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("append").parquet(str(src))
+
+    seen_batches = []
+
+    def run_once():
+        batch_rows = []
+
+        def collect(df, bid):
+            batch_rows.append({r["event_id"] for r in df.select("event_id").collect()})
+
+        q = (
+            spark.readStream.schema(events.schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = set().union(*batch_rows) if batch_rows else set()
+        seen_batches.append(got)
+        return got
+
+    first = run_once()
+    assert first == {r["event_id"] for r in half1.select("event_id").collect()}
+
+    # nothing new -> restart emits nothing
+    assert run_once() == set()
+
+    half2.coalesce(1).write.mode("append").parquet(str(src))
+    third = run_once()
+    assert third == {r["event_id"] for r in half2.select("event_id").collect()}
+    assert first | third == {r["event_id"] for r in events.select("event_id").collect()}
+
+
 def test_stream_stream_join_matches_batch_range_join(spark, events_stream_dir):
     """Stream-stream interval join drained with availableNow must emit
     the same pairs as the batch range join on the same data (modulo
