@@ -85,6 +85,79 @@ def decode_media(df: DataFrame) -> DataFrame:
     return cols.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
 
 
+#: Output schema of the feature-extract stage.
+FEATURE_SCHEMA = "sample_id long, feat array<float>"
+
+#: Output schema of frame sampling: one row per sampled frame.
+FRAME_SCHEMA = "sample_id long, frame_idx int, frame_digest string"
+
+
+def extract_features(df: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction: payload bytes -> fixed-size
+    float vector.
+
+    STUB kernel (no vision/audio models in this container): per-sample
+    byte histogram folded into ``feat_dim`` buckets and normalized —
+    deterministic, shape-correct. The Spark-side contract is the real
+    part: binary in, array<float> out, one vector per sample, batches
+    never leave Arrow. Swap the kernel for a model forward pass (or an
+    ONNX session held per-worker) in production.
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                if b is None:
+                    feats.append(None)
+                    continue
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % feat_dim, minlength=feat_dim).astype("float32")
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame({"sample_id": pdf["sample_id"], "feat": feats})
+
+    return df.select("sample_id", "payload").mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video-like payloads: emit ``n_frames`` evenly
+    spaced 'frames' per sample (one output row each — a 1:N expansion
+    inside mapInPandas, the shape real video pipelines need).
+
+    STUB kernel: each frame is the md5 of its byte slice; a real
+    implementation seeks the container's keyframes instead.
+    """
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_idx, out_digest = [], [], []
+            for sid, b in zip(pdf["sample_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                step = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    sl = raw[i * step : (i + 1) * step]
+                    if not sl:
+                        break
+                    out_id.append(sid)
+                    out_idx.append(i)
+                    out_digest.append(hashlib.md5(sl).hexdigest())
+            yield pd.DataFrame(
+                {"sample_id": out_id, "frame_idx": out_idx, "frame_digest": out_digest}
+            )
+
+    return df.select("sample_id", "payload").mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
 def real_image_decode(payload: bytes) -> "np.ndarray":  # noqa: F821
     """Placeholder for the production decode kernel.
 

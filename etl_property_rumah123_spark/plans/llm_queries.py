@@ -749,3 +749,32 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
     return multimodal.decode_media(media)
+
+
+@register(
+    "multimodal_features",
+    None,  # mapInPandas stage — not runnable in DuckDB
+    doc="Arrow-batched feature extraction: payload bytes -> fixed-size "
+    "array<float> per sample (stub kernel: folded byte histogram; "
+    "production swaps in a model forward pass). The output feeds the "
+    "embedding similarity/dedup operators directly.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators import multimodal
+
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    None,  # mapInPandas stage — not runnable in DuckDB
+    doc="Frame sampling (1:N row expansion inside mapInPandas): 4 "
+    "evenly spaced frame digests per payload — the video-keyframe "
+    "pipeline shape with a deterministic stub in place of a codec.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators import multimodal
+
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media)
