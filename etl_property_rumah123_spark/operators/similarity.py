@@ -171,7 +171,9 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    # maxIter bounded: coarse cells only need rough centroids (recall
+    # comes from n_probe, not from a fully converged k-means)
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features", maxIter=8).fit(train)
 
     def assign(df, id_alias):
         withv = df.select(

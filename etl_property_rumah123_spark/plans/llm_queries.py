@@ -148,8 +148,99 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the scale path.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_dups(
+    return dedup.embedding_near_dups_blocked(
         table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH RECURSIVE hist AS (
+      SELECT * FROM documents WHERE doc_id % 4 <> 0
+    ), batch AS (
+      SELECT * FROM documents WHERE doc_id % 4 = 0
+    ), exact_hits AS (
+      SELECT b.doc_id FROM batch b
+      JOIN (SELECT DISTINCT md5(text) AS d FROM hist) h ON md5(b.text) = h.d
+    ), bsh AS (
+      SELECT doc_id, CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w) - 2)]
+                  ELSE [] END AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM batch)
+    ), hsh AS (
+      SELECT doc_id, CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w) - 2)]
+                  ELSE [] END AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM hist)
+    ), bsig AS (
+      SELECT doc_id, [list_min([md5(CAST(k AS VARCHAR) || '|' || s) FOR s IN sh])
+                      FOR k IN generate_series(0, 15)] AS sig FROM bsh
+    ), hsig AS (
+      SELECT doc_id, [list_min([md5(CAST(k AS VARCHAR) || '|' || s) FOR s IN sh])
+                      FOR k IN generate_series(0, 15)] AS sig FROM hsh
+    ), bband AS (
+      SELECT doc_id, CAST(b AS VARCHAR) || ':' || md5(array_to_string(sig[b*4+1:b*4+4], '')) AS bucket
+      FROM bsig, (SELECT unnest(generate_series(0, 3)) AS b)
+    ), hband AS (
+      SELECT doc_id, CAST(b AS VARCHAR) || ':' || md5(array_to_string(sig[b*4+1:b*4+4], '')) AS bucket
+      FROM hsig, (SELECT unnest(generate_series(0, 3)) AS b)
+    ), near_hits AS (
+      SELECT DISTINCT b.doc_id FROM bband b JOIN hband h ON b.bucket = h.bucket
+    )
+    SELECT doc_id AS doc_id,
+           CAST(MAX(is_exact) AS INT) AS exact_dup,
+           CAST(MAX(is_near) AS INT) AS near_dup
+    FROM (
+      SELECT doc_id, 1 AS is_exact, 0 AS is_near FROM exact_hits
+      UNION ALL
+      SELECT doc_id, 0, 1 FROM near_hits
+    ) GROUP BY doc_id
+    """,
+    doc="Incremental dedup: a new crawl batch (doc_id %% 4 == 0) "
+    "checked against the historical corpus — exact digest anti-hits "
+    "plus MinHash-LSH near-dup hits against history's band buckets. "
+    "The production shape: history's signatures/buckets are "
+    "precomputed once and reused per batch; the per-batch cost is "
+    "proportional to the batch, not the corpus.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+    hist_digests = hist.select(F.md5("text").alias("d")).distinct()
+    exact_hits = (
+        batch.join(F.broadcast(hist_digests), F.md5(batch["text"]) == F.col("d"))
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+        .withColumn("is_near", F.lit(0))
+    )
+
+    def buckets(df):
+        sigs = dedup.minhash_signatures(df, shingle_n=3, num_hashes=16)
+        from etl_property_rumah123_spark.functions.hashing import lsh_band_keys
+
+        return sigs.select(
+            "doc_id",
+            F.explode(lsh_band_keys(F.col("signature"), 4, 4)).alias("bucket"),
+        )
+
+    near_hits = (
+        buckets(batch)
+        .join(buckets(hist).select("bucket").distinct(), "bucket")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(0))
+        .withColumn("is_near", F.lit(1))
+    )
+    return (
+        exact_hits.unionByName(near_hits)
+        .groupBy("doc_id")
+        .agg(
+            F.max("is_exact").cast("int").alias("exact_dup"),
+            F.max("is_near").cast("int").alias("near_dup"),
+        )
     )
 
 

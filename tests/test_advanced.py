@@ -53,6 +53,25 @@ def test_connected_components_path_and_singleton(spark):
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
 
 
+def test_blocked_cosine_matches_pairwise_join_form(spark):
+    """The block-nested-loop all-pairs kernel must emit exactly the
+    same pair set as the per-pair Column-expression reference."""
+    from etl_property_rumah123_spark.operators import dedup
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    ref = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dups(emb, threshold=0.3).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dups_blocked(
+            emb, threshold=0.3, n_blocks=5
+        ).collect()
+    }
+    assert ref and blocked == ref
+
+
 def test_aggregate_forms_match_reference_hofs(spark):
     """The optimized aggregate-form MinHash/SimHash in operators/dedup
     must stay bit-identical to the readable HOF reference definitions
