@@ -17,7 +17,20 @@ Catalyst-compiled DataFrame transformations:
 
 from etl_property_rumah123_spark.session import get_spark
 from etl_property_rumah123_spark.operators.cleaning import transform_data
+from etl_property_rumah123_spark.sinks.jdbc_merge import load_to_postgres
+from etl_property_rumah123_spark.config import (
+    extract_config,
+    load_config,
+    read_config,
+)
 
-__all__ = ["get_spark", "transform_data"]
+__all__ = [
+    "get_spark",
+    "transform_data",
+    "load_to_postgres",
+    "read_config",
+    "extract_config",
+    "load_config",
+]
 
 __version__ = "0.1.0"

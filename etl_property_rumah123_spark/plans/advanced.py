@@ -437,6 +437,44 @@ def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join_replicated",
+    """
+    SELECT o.o_orderkey AS o_orderkey, c.c_name AS c_name,
+           CAST(ROUND(o.o_totalprice, 0) AS BIGINT) AS price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey < 3000
+    """,
+    doc="Explicit skew-salted join: the big (skewed) side salts its "
+    "key with pmod(xxhash64(row-id), 8); the small side replicates "
+    "each row across all 8 salt values; the join runs on "
+    "(key, salt) so one hot key spreads over 8 partitions. Result "
+    "identical to the plain join (the oracle). This is the manual "
+    "fallback when AQE skew-split cannot help (e.g. the skewed side "
+    "feeds a stateful op that pins partitioning).",
+)
+def salted_join_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SALT = 8
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    c = table(spark, sf_dir, "customer")
+    big = o.withColumn("__salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(SALT)))
+    small = c.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
+    )
+    return (
+        big.join(
+            small,
+            (big["o_custkey"] == small["c_custkey"])
+            & (big["__salt"] == small["__salt"]),
+        )
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.round("o_totalprice", 0).cast("long").alias("price"),
+        )
+    )
+
+
+@register(
     "unpivot_lineitem_measures",
     """
     SELECT l_orderkey AS l_orderkey, l_linenumber AS l_linenumber,

@@ -437,6 +437,82 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_prepare_pipeline",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len(w) END AS n_tokens
+      FROM w
+      WHERE (CASE WHEN trim(text) = '' THEN 0 ELSE len(w) END) >= 5
+        AND (CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS DOUBLE)
+             / NULLIF(CAST(len(w) AS DOUBLE), 0.0)) <= 0.6
+    ), deduped AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    )
+    SELECT split AS split, lang AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT lang, n_tokens,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split42'), 1, 1)) AS INT) < 8
+                  THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split42'), 1, 1)) AS INT) < 9
+                  THEN 'val' ELSE 'test' END AS split
+      FROM deduped
+    ) GROUP BY split, lang
+    """,
+    doc="The full corpus-preparation pipeline as ONE lazy plan: "
+    "quality gate (P-style expressions, zero shuffles) -> exact dedup "
+    "keep-min-id (one shuffle on digest) -> deterministic salted-hash "
+    "split -> per-(split, lang) token accounting. The composition the "
+    "engine exists for; Catalyst pipelines all four stages.",
+)
+def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    gated = (
+        text_analysis.quality_features(d)
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("stop_ratio").isNull() | (F.col("stop_ratio") <= 0.6))
+        )
+        .select("doc_id", "lang", "text", "n_tokens")
+    )
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "text")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split42"))), 1, 1
+        ),
+        16,
+        10,
+    ).cast("int")
+    split = (
+        F.when(h < 8, F.lit("train")).when(h < 9, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+@register(
     "funnel_conversion",
     """
     WITH firsts AS (
