@@ -437,6 +437,95 @@ def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_function_suite",
+    """
+    SELECT o_orderkey AS o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS cheapest,
+           ROUND(NTH_VALUE(o_totalprice, 3) OVER
+             (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS third_cheapest
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Ranking/distribution window functions beyond row_number: "
+    "percent_rank, cume_dist, dense_rank, first_value, nth_value with "
+    "an explicit rows frame — one sort per partition serves all six.",
+)
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.first_value("o_totalprice").over(w), 2).alias("cheapest"),
+        F.round(F.nth_value("o_totalprice", 3).over(wf), 2).alias("third_cheapest"),
+    )
+
+
+@register(
+    "scd2_customer_versions",
+    """
+    WITH updates AS (
+      SELECT c_custkey, ROUND(c_acctbal * 1.1, 2) AS new_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c.c_custkey AS c_custkey, ver.acctbal AS acctbal,
+           ver.valid_from AS valid_from, ver.is_current AS is_current
+    FROM customer c
+    LEFT JOIN updates u ON c.c_custkey = u.c_custkey, LATERAL (
+      SELECT ROUND(c.c_acctbal, 2) AS acctbal, '2026-01-01' AS valid_from,
+             CASE WHEN u.c_custkey IS NULL THEN 1 ELSE 0 END AS is_current
+      UNION ALL
+      SELECT u.new_acctbal, '2026-08-13', 1 WHERE u.c_custkey IS NOT NULL
+    ) ver
+    """,
+    doc="SCD Type-2 versioning: applying an update batch to a "
+    "dimension produces a closed historical row plus a current row per "
+    "changed key, one unchanged current row otherwise — expressed as "
+    "a left join + per-row version generator (no MERGE needed; "
+    "re-expressible as Delta MERGE on a lakehouse).",
+)
+def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("u_key"),
+            F.round(F.col("c_acctbal") * 1.1, 2).alias("new_acctbal"),
+        )
+    )
+    joined = c.join(updates, c["c_custkey"] == updates["u_key"], "left")
+    changed = joined.filter(F.col("u_key").isNotNull())
+    unchanged = joined.filter(F.col("u_key").isNull())
+    current_unchanged = unchanged.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2026-01-01").alias("valid_from"),
+        F.lit(1).alias("is_current"),
+    )
+    closed_old = changed.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2026-01-01").alias("valid_from"),
+        F.lit(0).alias("is_current"),
+    )
+    new_current = changed.select(
+        "c_custkey",
+        F.col("new_acctbal").alias("acctbal"),
+        F.lit("2026-08-13").alias("valid_from"),
+        F.lit(1).alias("is_current"),
+    )
+    return current_unchanged.unionByName(closed_old).unionByName(new_current)
+
+
+@register(
     "salted_join_replicated",
     """
     SELECT o.o_orderkey AS o_orderkey, c.c_name AS c_name,
