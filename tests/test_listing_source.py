@@ -169,6 +169,51 @@ def test_reader_gives_up_after_max_429(tmp_path):
     assert rows == []
 
 
+def test_parse_messy_card_golden(spark):
+    """Hand-written card with the messiness a real listing page has:
+    nested tags inside h2, HTML entities, badge with punctuation,
+    attribute spans interleaved with plain spans, price wrapped in
+    nested markup. Documents one divergence: entities (&#178;) stay
+    encoded (BeautifulSoup would decode) — harmless downstream because
+    digit extraction takes the first digit run anyway."""
+    card = (
+        '<div class="card-featured__middle-section">'
+        '<a class="quick-label-badge" href="/promo">Promo!</a>'
+        '<a href="/properti/hot-123">  <img src="x.jpg"/> </a>'
+        '<div class="card-featured__middle-section__header-badge">'
+        "<span>RumahKPR+FurnishedBagus</span></div>"
+        "<h2>Rumah <b>Mewah</b>\n  di Kemang</h2>"
+        '<div class="card-featured__middle-section__price">'
+        "<small>mulai</small><strong> Rp 1,75 \n Miliar </strong></div>"
+        "<span>Dijual</span><span>Iklan</span><span>Kemang, Jakarta Selatan</span>"
+        '<span class="attribute-text">4</span>'
+        '<span class="attribute-text">3</span>'
+        '<div class="attribute-info">Tanah : 1.200 m&#178;</div>'
+        '<div class="attribute-info">Bangunan : 250 m&#178;</div>'
+        "</div>"
+    )
+    from etl_property_rumah123_spark.operators.cleaning import transform_data
+
+    df = spark.createDataFrame(
+        [(1, 0, card, "jual", "rumah")],
+        "page_num int, card_idx int, card_html string, ads_type string, property_type string",
+    )
+    raw = parse_cards(df, ["jakarta selatan"]).collect()[0]
+    assert raw["link"] == "rumah123.com/properti/hot-123"  # badge anchor skipped
+    assert raw["name"] == "Rumah Mewah di Kemang"  # nested tags + newline collapsed
+    assert raw["price_rp"].strip() == "Rp 1,75 \n Miliar".strip()
+    assert raw["location"] == "Kemang, Jakarta Selatan"  # first matching span
+    assert raw["lot_size"] == "Tanah : 1.200 m&#178;"  # entity kept (divergence)
+    assert raw["n_bedroom"] == "4" and raw["n_bathroom"] == "3"
+    assert raw["n_carport"] is None  # only 2 attribute spans
+    assert raw["additional_features"] == ["KPR+", "Furnished", "Bagus"]
+
+    clean = transform_data(parse_cards(df, ["jakarta selatan"])).collect()[0]
+    assert clean["price_rp"] == 1_750_000_000
+    assert clean["lot_size"] == 1  # first-digit-run quirk ('1.200' -> 1)
+    assert clean["building_size"] == 250
+
+
 # --- the full Spark path ---------------------------------------------------
 
 
