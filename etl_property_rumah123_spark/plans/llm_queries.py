@@ -513,6 +513,52 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events WHERE event_type = 'error'
+    ), cal AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM bounds
+    ), actual AS (
+      SELECT date_trunc('hour', ts) AS hour_start, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT strftime(cal.hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(actual.n, 0) AS n
+    FROM cal LEFT JOIN actual ON cal.hour_start = actual.hour_start
+    """,
+    doc="Time-series gap filling: a generated hourly calendar "
+    "(sequence + explode between the observed bounds) left-joined to "
+    "actual counts, missing hours zero-filled — the dense-series shape "
+    "dashboards and models need. The calendar side is tiny and "
+    "broadcast; scales with the time range, not the event volume.",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    actual = e.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        F.broadcast(cal)
+        .join(actual, "hour_start", "left")
+        .select(
+            F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+@register(
     "funnel_conversion",
     """
     WITH firsts AS (
