@@ -513,6 +513,39 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             STDDEV_SAMP(value) AS sigma
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id AS event_id, e.event_type AS event_type,
+           ROUND((e.value - s.mu) / s.sigma, 6) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE e.value IS NOT NULL
+      AND ABS((e.value - s.mu) / s.sigma) > 3.0
+    """,
+    doc="Anomaly flagging: per-type sample mean/stddev (tiny stats "
+    "table, broadcast back) -> |z| > 3 outliers. Two passes over "
+    "events, both map-side-combining aggregations/joins; the pattern "
+    "behind data-quality monitors at ingest.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )
+
+
+@register(
     "events_gap_fill",
     """
     WITH bounds AS (
