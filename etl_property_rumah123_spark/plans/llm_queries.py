@@ -513,6 +513,70 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_top_paths",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS session_id
+      FROM g
+    ), paths AS (
+      SELECT user_id, session_id,
+             array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT path AS path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    doc="Behavioral path mining: sessionize (gaps-and-islands), build "
+    "each session's ordered event-type path (first 5 steps) with an "
+    "ordered collect, rank the most common paths. The ordered "
+    "list-aggregation + frequency shape behind user-journey and "
+    "n-gram-over-actions features.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > 1_800_000_000), 1
+    ).otherwise(0)
+    s = e.withColumn("session_id", F.sum(new_session).over(w))
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ).cast("array<struct<ts:timestamp,event_id:long,event_type:string>>"),
+                1,
+                5,
+            ).alias("steps")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform(F.col("steps"), lambda x: x["event_type"])
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
     "events_anomaly_zscore",
     """
     WITH stats AS (
