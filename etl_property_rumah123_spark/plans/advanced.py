@@ -437,6 +437,63 @@ def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ), activity AS (
+      SELECT DISTINCT o.o_custkey, f.cohort,
+             datediff('month', f.cohort, date_trunc('month', o.o_orderdate)) AS month_offset
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+           CAST(month_offset AS INT) AS month_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_customers
+    FROM activity
+    WHERE month_offset <= 6 AND cohort >= TIMESTAMP '1997-01-01'
+                            AND cohort < TIMESTAMP '1998-01-01'
+    GROUP BY cohort, month_offset
+    """,
+    doc="Cohort retention matrix: customers bucketed by first-order "
+    "month, activity counted at each month offset — first-touch agg + "
+    "broadcast-back join + distinct + matrix agg, the standard "
+    "retention-analytics shape (all shuffles on o_custkey / the tiny "
+    "cohort key).",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+            )
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(
+            (F.col("month_offset") <= 6)
+            & (F.col("cohort") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("cohort") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            "month_offset",
+        )
+        .agg(F.count("*").alias("active_customers"))
+    )
+
+
+@register(
     "window_function_suite",
     """
     SELECT o_orderkey AS o_orderkey,

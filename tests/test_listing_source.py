@@ -158,6 +158,23 @@ def test_reader_retries_on_429_then_succeeds(tmp_path):
     assert {r[0] for r in rows} == {1, 2}
 
 
+def test_reader_skips_page_on_server_error(tmp_path):
+    """Non-429 failure (e.g. 500): no retry loop — on_other_error fires
+    once, the page yields no cards, and the per-range early stop ends
+    the scan of that range (matching the reference's treatment of
+    non-429 statuses, src/extract.py:186-188)."""
+    write_fixture_pages(str(tmp_path), num_pages=2, cards_per_page=3)
+    (tmp_path / "statuses.json").write_text(json.dumps({"1": [500]}))
+    rows = read_all(ListingReader(reader_opts(str(tmp_path), num_pages=2)))
+    # page 1 failed -> empty -> range (1,2) stops before page 2
+    assert rows == []
+
+    # same failure on page 2 only: page 1 fine, page 2 empty-stop
+    (tmp_path / "statuses.json").write_text(json.dumps({"2": [500]}))
+    rows = read_all(ListingReader(reader_opts(str(tmp_path), num_pages=2)))
+    assert len(rows) == 3 and {r[0] for r in rows} == {1}
+
+
 def test_reader_gives_up_after_max_429(tmp_path):
     write_fixture_pages(str(tmp_path), num_pages=2, cards_per_page=3)
     (tmp_path / "statuses.json").write_text(json.dumps({"1": [429] * 10}))
