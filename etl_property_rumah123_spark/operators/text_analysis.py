@@ -104,6 +104,36 @@ def detect_language(text: Column, min_hits: int = 1) -> Column:
     return best_lang
 
 
+def detect_language_agg(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_hits: int = 1
+) -> DataFrame:
+    """(id, lang) — same definition as ``detect_language`` (argmax of
+    marker-word hits, 'und' below ``min_hits``, ties to the earlier
+    language) in the aggregate formulation: explode words, one
+    conditional-count aggregate per language (codegen + map-side
+    combine), argmax over plain columns. Use this for corpus-scale
+    scans; the Column-expression form remains for single-expression
+    contexts."""
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(word_tokens(F.col(text_col))).alias("__w"),
+    )
+    counts = words.groupBy("__id").agg(
+        *[
+            F.count(F.when(F.col("__w").isin(*markers), 1)).alias(f"__c_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ]
+    )
+    best_lang = F.lit("und")
+    best_score = F.lit(min_hits - 1).cast("long")
+    for lang in LANG_MARKERS:  # later langs win only on strictly greater
+        score = F.col(f"__c_{lang}")
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return counts.select(F.col("__id").alias(id_col), best_lang.alias("lang"))
+
+
 def fingerprint(text: Column, shingle_n: int = 5) -> Column:
     """Document fingerprint: lexicographic min md5 over word n-gram
     shingles (a min-wise rolling-window hash). Falls back to md5 of the

@@ -883,9 +883,8 @@ def _duck_lang_hits(lang: str) -> str:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        text_analysis.detect_language(F.col("text")).alias("detected_lang"),
+    return text_analysis.detect_language_agg(d).withColumnRenamed(
+        "lang", "detected_lang"
     )
 
 

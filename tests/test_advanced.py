@@ -106,6 +106,19 @@ def test_aggregate_forms_match_reference_hofs(spark):
     )
     assert diff == 0
 
+    from etl_property_rumah123_spark.operators import text_analysis
+
+    hof_lang = docs.select(
+        "doc_id", text_analysis.detect_language(F.col("text")).alias("l1")
+    )
+    agg_lang = text_analysis.detect_language_agg(docs)
+    diff = (
+        hof_lang.join(agg_lang, "doc_id")
+        .filter(F.col("l1") != F.col("lang"))
+        .count()
+    )
+    assert diff == 0
+
 
 def test_approx_distinct_error_envelope(spark):
     e = table(spark, SF_SMOKE, "events")
