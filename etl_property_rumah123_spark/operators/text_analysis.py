@@ -142,3 +142,23 @@ def fingerprint(text: Column, shingle_n: int = 5) -> Column:
     sh = shingles(word_tokens(text), shingle_n)
     min_shingle_hash = F.array_min(F.transform(sh, F.md5))
     return F.coalesce(min_shingle_hash, F.md5(text))
+
+
+def fingerprint_agg(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 5
+) -> DataFrame:
+    """(id, fingerprint) — same definition as ``fingerprint`` in the
+    aggregate formulation (codegen shingle rows + min aggregate with
+    map-side combine; short docs fall back to md5(text) through the
+    null-marker row)."""
+    from etl_property_rumah123_spark.operators.dedup import shingle_rows
+
+    rows = shingle_rows(df, text_col, id_col, shingle_n)
+    mins = rows.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("__min_h"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("__fb")
+    )
+    return base.join(mins, "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce("__min_h", "__fb").alias("fingerprint"),
+    )

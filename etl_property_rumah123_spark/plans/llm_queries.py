@@ -907,10 +907,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        text_analysis.fingerprint(F.col("text"), shingle_n=5).alias("fingerprint"),
-    )
+    return text_analysis.fingerprint_agg(d, shingle_n=5)
 
 
 # ---------------------------------------------------------------------------

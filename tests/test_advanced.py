@@ -119,6 +119,17 @@ def test_aggregate_forms_match_reference_hofs(spark):
     )
     assert diff == 0
 
+    hof_fp = docs.select(
+        "doc_id", text_analysis.fingerprint(F.col("text"), 5).alias("f1")
+    )
+    agg_fp = text_analysis.fingerprint_agg(docs, shingle_n=5)
+    diff = (
+        hof_fp.join(agg_fp, "doc_id")
+        .filter(F.col("f1") != F.col("fingerprint"))
+        .count()
+    )
+    assert diff == 0
+
 
 def test_approx_distinct_error_envelope(spark):
     e = table(spark, SF_SMOKE, "events")
