@@ -437,6 +437,47 @@ def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "brand_cooccurrence",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY a.p_brand, b.p_brand
+    HAVING COUNT(*) >= 10
+    """,
+    doc="Market-basket co-occurrence: distinct (order, brand) baskets, "
+    "self-join per order for brand pairs, support count with a "
+    "frequency floor — the itemset-mining candidate step. The "
+    "per-order self-join is bounded by basket width (brands per "
+    "order), not corpus size, so work is sum(width^2) per order; the "
+    "brand dimension joins broadcast.",
+)
+def brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    dim = F.broadcast(p.select("p_partkey", "p_brand"))
+    basket = (
+        li.join(dim, li["l_partkey"] == dim["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = basket.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = basket.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 10)
+    )
+
+
+@register(
     "cohort_retention",
     """
     WITH firsts AS (
