@@ -437,6 +437,37 @@ def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regexp_functions",
+    """
+    SELECT p_partkey AS p_partkey,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+', 0)) AS INT) AS vowel_runs,
+           regexp_extract(p_type, '^(\\w+)', 1) AS first_word,
+           REGEXP_REPLACE(p_name, '\\s+', '-', 'g') AS dashed,
+           CASE WHEN regexp_matches(p_name, '^[a-z]+ ') THEN 1 ELSE 0 END AS starts_word,
+           split_part(p_type, ' ', 2) AS second_type_word
+    FROM part WHERE p_partkey < 500
+    """,
+    doc="Regexp scalar-function breadth: count of pattern runs, group "
+    "extraction, global replace, anchored match predicate (rlike), "
+    "delimiter field pick — all JVM-side, all pushed-filter friendly.",
+)
+def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]+"), F.lit(0))).alias(
+            "vowel_runs"
+        ),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"\s+", "-").alias("dashed"),
+        F.col("p_name").rlike("^[a-z]+ ").cast("int").alias("starts_word"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias(
+            "second_type_word"
+        ),
+    )
+
+
+@register(
     "brand_cooccurrence",
     """
     WITH basket AS (
