@@ -83,8 +83,12 @@ def simhash64(words: Column) -> Column:
     """64-bit SimHash of a token array, fully JVM-side.
 
     Per token: xxhash64 -> 64 bit indicators; summed positionally via
-    a zip_with fold; bit i of the result is 1 when more than half the
-    tokens have bit i set. Empty/short docs hash to 0 deterministically.
+    a zip_with fold; bit i of the result is 1 when at least half the
+    tokens have bit i set. Edge cases (pinned by tests): an EMPTY token
+    array yields all-ones (-1) — the 0 >= 0 majority rule is vacuously
+    true per bit; a NULL array yields null. Callers canonicalize null
+    text to '' upstream (see operators/dedup.py), which tokenizes to
+    [''] and hashes like any 1-token doc.
     """
     zeros = F.array_repeat(F.lit(0).cast("long"), 64)
     bit_idx = F.sequence(F.lit(0), F.lit(63))

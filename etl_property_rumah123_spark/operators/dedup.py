@@ -86,10 +86,17 @@ def shingle_rows(
     shingle (the ``pos == 0`` marker), so downstream aggregations see
     every doc without a restore join. One shuffle on doc_id; the
     groupBys that follow reuse its partitioning.
+
+    NULL text is canonically treated as '' (coalesced here), so a
+    null-text doc keeps its marker row and aggregates to a k-null
+    signature — identical to the per-row HOF reference form instead of
+    silently vanishing through the non-outer posexplode.
     """
     words = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(hashing.word_tokens(F.col(text_col))).alias("pos", "w"),
+        F.posexplode(
+            hashing.word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "w"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("w")] + [
@@ -254,10 +261,16 @@ def simhash_signatures(
     HOF fold which interprets 64 zip_with lambdas per token. Produces
     bit-identical signatures to hashing.simhash64 (same per-token
     indicators, same >= n/2 majority rule).
+
+    NULL text is canonically treated as '' (coalesced here, same rule
+    as ``shingle_rows``): both forms then see the single-''-token
+    array, so signatures agree for null-text docs too.
     """
     words = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode_outer(hashing.word_tokens(F.col(text_col))).alias("w"),
+        F.explode_outer(
+            hashing.word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("w"),
     ).withColumn("h", F.xxhash64("w"))
     bit_sums = [
         F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
@@ -322,6 +335,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 20,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Label every node with the MIN node id of its connected component
     — the step that turns near-dup candidate pairs into dedup groups
@@ -339,6 +353,12 @@ def connected_components(
     plan does not grow with iterations (the classic iterative-Spark
     trap). This is GraphX/GraphFrames' algorithm expressed in plain
     DataFrame ops, keeping the engine dependency-free.
+
+    If labels are still changing when ``max_iterations`` is exhausted
+    (possible for path-shaped chains longer than the round budget),
+    the labeling is PARTIAL — ``on_nonconverged`` controls the signal:
+    ``"raise"`` (default, loud) or ``"warn"`` (log and return the
+    partial labels). Never silent.
     """
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -346,6 +366,7 @@ def connected_components(
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -372,6 +393,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations; component labels are only "
+            f"partially propagated"
+        )
+        if on_nonconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            raise RuntimeError(msg)
     return labels
 
 

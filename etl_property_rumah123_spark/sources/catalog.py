@@ -30,13 +30,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     We read nanos as raw int64 (``nanosAsLong``) and rebuild a proper
     TimestampType with integer division — ``ts div 1000`` stays in
     long arithmetic, so no double-precision loss at ~1.7e18 nanos.
+
+    The ``nanosAsLong`` conf is consulted only at schema-inference
+    time (the ``spark.read.parquet`` call below), so it is scoped:
+    saved, set, and restored immediately — a concurrent reader of a
+    nanos file in the same session sees its own setting, never ours.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df

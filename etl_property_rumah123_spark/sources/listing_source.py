@@ -177,6 +177,7 @@ class ListingReader(DataSourceReader):
         )
         for page_num in range(partition.start, partition.end + 1):
             retries = 0
+            failed = False
             while True:  # S5: re-fetch the same page after 429 backoff
                 limiter.wait()
                 status, html = fetcher.fetch(page_num, base_url + str(page_num))
@@ -188,15 +189,22 @@ class ListingReader(DataSourceReader):
                     limiter.on_rate_limit()
                     continue
                 limiter.on_other_error()
-                html = ""
+                failed = True
                 break
+            if failed:
+                # Non-429 failure (500, network): skip THIS page and keep
+                # scanning the rest of the range — matching the reference,
+                # which logs and continues to the next page
+                # (src/extract.py:186-192). Only a *successful* page with
+                # zero cards terminates the scan.
+                continue
             cards = split_cards(html)
             if not cards:
-                # S4: empty page ends THIS range's scan. (The reference,
-                # being serial, ends the whole scrape; partitions are
-                # independent here, so later ranges probe their own
-                # first page — same termination signal, applied per
-                # partition.)
+                # S4: empty 200 page ends THIS range's scan. (The
+                # reference, being serial, ends the whole scrape;
+                # partitions are independent here, so later ranges probe
+                # their own first page — same termination signal, applied
+                # per partition.)
                 break
             for card_idx, card in enumerate(cards):
                 yield (page_num, card_idx, card, self.ads_type, self.property_type)

@@ -131,6 +131,71 @@ def test_aggregate_forms_match_reference_hofs(spark):
     assert diff == 0
 
 
+def test_null_and_empty_text_consistent_across_forms(spark):
+    """Null text is canonically '' in BOTH signature families: the
+    aggregate forms keep null-text docs (k-null minhash signature) and
+    agree bit-for-bit with the HOF reference under the same
+    canonicalization."""
+    from etl_property_rumah123_spark.functions import hashing
+    from etl_property_rumah123_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d e")], "doc_id long, text string"
+    )
+    canon = F.coalesce(F.col("text"), F.lit(""))
+
+    agg_min = {
+        r["doc_id"]: r["signature"]
+        for r in dedup.minhash_signatures(docs, shingle_n=3, num_hashes=4).collect()
+    }
+    assert set(agg_min) == {1, 2, 3}  # null-text doc no longer vanishes
+    assert agg_min[1] == agg_min[2] == [None] * 4
+    hof_min = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id",
+            hashing.minhash_signature(
+                hashing.shingles(hashing.word_tokens(canon), 3), 4
+            ).alias("sig"),
+        ).collect()
+    }
+    assert hof_min == agg_min
+
+    agg_sim = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(docs).collect()
+    }
+    hof_sim = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", hashing.simhash64(hashing.word_tokens(canon)).alias("s")
+        ).collect()
+    }
+    assert set(agg_sim) == {1, 2, 3}
+    assert agg_sim == hof_sim
+    assert agg_sim[1] == agg_sim[2]  # null text hashes like '' text
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """A 6-node path needs 5 propagation rounds; with max_iterations=2
+    the partial labeling must not be returned silently."""
+    import pytest
+
+    from etl_property_rumah123_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iterations=2)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = connected_components(
+            nodes, edges, max_iterations=2, on_nonconverged="warn"
+        )
+    assert out.count() == 6  # warn mode still returns the partial labels
+
+
 def test_approx_distinct_error_envelope(spark):
     e = table(spark, SF_SMOKE, "events")
     rows = (

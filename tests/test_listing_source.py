@@ -160,16 +160,17 @@ def test_reader_retries_on_429_then_succeeds(tmp_path):
 
 def test_reader_skips_page_on_server_error(tmp_path):
     """Non-429 failure (e.g. 500): no retry loop — on_other_error fires
-    once, the page yields no cards, and the per-range early stop ends
-    the scan of that range (matching the reference's treatment of
-    non-429 statuses, src/extract.py:186-188)."""
+    once, the failed page is SKIPPED, and the scan continues with the
+    next page in the range (matching the reference, which logs and
+    continues, src/extract.py:186-192). Only a successful 200 page with
+    zero cards terminates a range."""
     write_fixture_pages(str(tmp_path), num_pages=2, cards_per_page=3)
     (tmp_path / "statuses.json").write_text(json.dumps({"1": [500]}))
     rows = read_all(ListingReader(reader_opts(str(tmp_path), num_pages=2)))
-    # page 1 failed -> empty -> range (1,2) stops before page 2
-    assert rows == []
+    # page 1 failed -> skipped; page 2 still fetched
+    assert len(rows) == 3 and {r[0] for r in rows} == {2}
 
-    # same failure on page 2 only: page 1 fine, page 2 empty-stop
+    # same failure on page 2 only: page 1 fine, page 2 skipped
     (tmp_path / "statuses.json").write_text(json.dumps({"2": [500]}))
     rows = read_all(ListingReader(reader_opts(str(tmp_path), num_pages=2)))
     assert len(rows) == 3 and {r[0] for r in rows} == {1}
@@ -181,9 +182,9 @@ def test_reader_gives_up_after_max_429(tmp_path):
     rows = read_all(
         ListingReader(reader_opts(str(tmp_path), num_pages=2, max_retries_429=2))
     )
-    # page 1 exhausted retries -> empty -> early stop kills range (1,2);
-    # but page 2 is in the same partition here (pages_per_partition=2)
-    assert rows == []
+    # page 1 exhausted its 429 retries -> treated like any other
+    # failure: skipped, page 2 (same partition) still fetched
+    assert len(rows) == 3 and {r[0] for r in rows} == {2}
 
 
 def test_parse_messy_card_golden(spark):
