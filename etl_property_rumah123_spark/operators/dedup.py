@@ -250,8 +250,21 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def md5_hash60(col):
+    """Portable 60-bit token hash: the first 15 hex chars of md5,
+    parsed as an integer. Identical in DuckDB
+    (``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)``), which is what
+    makes the SimHash pipeline oracle-checkable; 60 bits keeps the
+    value positive in a signed int64 on both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=F.xxhash64,
+    bits: int = 64,
 ) -> DataFrame:
     """(id, simhash) — 64-bit xxhash64-based SimHash per document.
 
@@ -265,22 +278,27 @@ def simhash_signatures(
     NULL text is canonically treated as '' (coalesced here, same rule
     as ``shingle_rows``): both forms then see the single-''-token
     array, so signatures agree for null-text docs too.
+
+    ``hash_fn``/``bits`` select the token hash: the default
+    ``xxhash64``/64 is the fast JVM production path; pass
+    ``md5_hash60``/60 for the engine-portable variant the DuckDB
+    oracle can recompute.
     """
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(
             hashing.word_tokens(F.coalesce(F.col(text_col), F.lit("")))
         ).alias("w"),
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", hash_fn(F.col("w")))
     bit_sums = [
         F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
-        for i in range(64)
+        for i in range(bits)
     ]
     counts = words.groupBy("doc_id").agg(
         F.count("w").alias("__n"), *bit_sums
     )
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         sig = sig.bitwiseOR(
             F.when(
                 F.col(f"__b{i}") * 2 >= F.col("__n"),
@@ -296,28 +314,72 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     prefix_bits: int = 16,
+    rotations: int = 4,
+    hash_fn=F.xxhash64,
+    bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` of
-    the signature (candidates must agree there), verify by Hamming
-    distance. Blocking on a prefix is the standard rotate-and-block
-    scheme's first table; production would union several rotations for
-    recall — the plumbing (block -> join -> popcount filter) is what
-    scales."""
-    sigs = simhash_signatures(df, text_col, id_col).withColumn(
-        "block", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
-    )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    return (
+    """Near-dup pairs by SimHash: the standard rotate-and-block scheme.
+
+    Each signature is bit-rotated ``rotations`` ways (evenly spaced
+    steps); candidates are pairs agreeing on the top ``prefix_bits``
+    of ANY rotation, verified by Hamming distance. A single prefix
+    table misses near-dups whose differing bits fall inside the
+    prefix; unioning rotations restores recall (asserted >= 0.8 on
+    planted near-dups in tests/test_similarity_recall.py) while each
+    rotation's block join stays a hash equi-join — work is
+    sum(block^2) per rotation, never all-pairs.
+
+    Candidate pairs are deduplicated across rotations BEFORE the
+    popcount verify, so each pair is scored once.
+    """
+    sigs = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn, bits=bits)
+    if bits < 64:
+        mask = F.lit((1 << bits) - 1).cast("long")
+    step = bits // rotations
+    rot_tables = []
+    for r in range(rotations):
+        s = r * step
+        if s == 0:
+            rotated = F.col("simhash")
+        else:
+            rotated = F.shiftleft("simhash", s).bitwiseOR(
+                F.shiftrightunsigned("simhash", bits - s)
+            )
+            if bits < 64:
+                rotated = rotated.bitwiseAND(mask)
+        rot_tables.append(
+            sigs.select(
+                "doc_id",
+                "simhash",
+                F.lit(r).alias("rot"),
+                F.shiftrightunsigned(rotated, bits - prefix_bits).alias("block"),
+            )
+        )
+    blocks = rot_tables[0]
+    for t in rot_tables[1:]:
+        blocks = blocks.unionByName(t)
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.block") == F.col("b.block"))
+            (F.col("a.rot") == F.col("b.rot"))
+            & (F.col("a.block") == F.col("b.block"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            hashing.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            hashing.hamming64(F.col("__sa"), F.col("__sb")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

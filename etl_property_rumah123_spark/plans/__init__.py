@@ -35,6 +35,15 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Sub-queries that are *members of a consolidated suite* rather than
+# top-level registry entries. The driver's correctness harness caps the
+# number of queries it checks per round, so the registry is kept at
+# <= 50 entries by merging same-family queries into tagged-union /
+# joined "suite" queries (plans/suites.py); every part keeps its own
+# builder + oracle here so suites can compose them and unit tests can
+# still pin part-level plan properties.
+PARTS: dict[str, QuerySpec] = {}
+
 
 def register(
     name: str, oracle: str | None, doc: str = "", headline: bool = False
@@ -48,14 +57,92 @@ def register(
     return wrap
 
 
+def part(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: a suite member — kept out of the top-level registry."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        PARTS[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+# Driver execution order: the correctness harness walks the registry in
+# iteration order, so flagships and previously-unverified suites come
+# first; rows-only entries last. load_all() asserts this list matches
+# the registered set exactly — a new query must be placed here.
+ORDER = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "events_hourly",
+    "events_sessionize",
+    "window_function_suite",
+    "window_basics_suite",
+    "join_suite",
+    "grouping_analytics_suite",
+    "agg_suite",
+    "scan_shapes_suite",
+    "scalar_string_suite",
+    "scalar_datetime_math_suite",
+    "pivot_unpivot_suite",
+    "subquery_suite",
+    "set_ops_suite",
+    "complex_types_suite",
+    "events_windows_suite",
+    "events_insights_suite",
+    "text_doc_profile",
+    "text_quality_suite",
+    "text_term_stats",
+    "corpus_pipeline_suite",
+    "multimodal_ingest",
+    "multimodal_process_suite",
+    "dedup_simhash",
+    "asof_join_last_click",
+    "range_rolling_suite",
+    "segment_stats_suite",
+    "skew_salting_suite",
+    "approx_distinct_users",
+    "brand_cooccurrence",
+    "cohort_retention",
+    "scd2_customer_versions",
+    "null_semantics_suite",
+    "udtf_sentence_split",
+    "clean_field_extract_suite",
+    "clean_dedup_filter_suite",
+    "listing_parse_cards",
+    "listing_pipeline_end_to_end",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_components",
+    "knn_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module so REGISTRY is fully populated."""
+    """Import every query module so REGISTRY is fully populated, then
+    fix the iteration order to ORDER (the driver runs front-to-back)."""
     from etl_property_rumah123_spark.plans import (  # noqa: F401
         advanced,
         cleaning_queries,
         listing_queries,
         llm_queries,
         relational,
+        suites,
     )
 
+    missing = [n for n in ORDER if n not in REGISTRY]
+    extra = [n for n in REGISTRY if n not in ORDER]
+    if missing or extra:
+        raise RuntimeError(
+            f"registry/ORDER mismatch: missing={missing} extra={extra}"
+        )
+    ordered = {n: REGISTRY[n] for n in ORDER}
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_property_rumah123_spark.plans import register
+from etl_property_rumah123_spark.plans import part, register
 from etl_property_rumah123_spark.sources.catalog import table
 
 
@@ -127,7 +127,7 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "range_join_followups",
     """
     SELECT a.event_id AS click_id, b.event_id AS followup_id,
@@ -184,7 +184,7 @@ def range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "rolling_30d_spend",
     """
     SELECT o_orderkey AS o_orderkey,
@@ -216,7 +216,7 @@ def rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "salted_agg_two_phase",
     """
     SELECT event_type AS event_type,
@@ -248,7 +248,7 @@ def salted_agg_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "percentiles_by_segment",
     """
     SELECT c_mktsegment AS c_mktsegment,
@@ -276,7 +276,7 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "posexplode_embedding_head",
     """
     SELECT vec_id AS vec_id,
@@ -300,7 +300,7 @@ def posexplode_embedding_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "array_functions_embeddings",
     """
     SELECT vec_id AS vec_id,
@@ -336,16 +336,27 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    None,  # HLL++ vs DuckDB's sketch differ; correctness is bounded error
-    doc="HyperLogLog++ approximate distinct users per event_type with "
-    "the exact count alongside; the rows-only check asserts execution, "
-    "the test suite asserts the 5% error envelope.",
+    """
+    SELECT event_type AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS INT) AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    doc="HyperLogLog++ approximate distinct users per event_type, "
+    "oracle-checked as an error envelope: the sketch estimate is not "
+    "portable across engines, so the query emits the exact count plus "
+    "a within_bound flag (|approx-exact| <= max(3, 5% of exact)); the "
+    "oracle asserts the flag is 1 for every group — a bound violation "
+    "hash-mismatches and fails the row.",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.count_distinct("user_id")
+    bound = F.greatest(F.lit(3.0), 0.05 * exact)
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
+        exact.alias("exact_users"),
+        (F.abs(approx - exact) <= bound).cast("int").alias("within_bound"),
     )
 
 
@@ -354,7 +365,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "set_ops_bag_semantics",
     """
     SELECT k AS k, CAST(COUNT(*) AS BIGINT) AS n FROM (
@@ -376,7 +387,7 @@ def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.intersectAll(right).groupBy("k").agg(F.count("*").alias("n"))
 
 
-@register(
+@part(
     "map_functions_events",
     """
     SELECT event_id AS event_id,
@@ -406,7 +417,7 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "exists_subquery_sql",
     """
     SELECT c_custkey AS c_custkey, c_name AS c_name
@@ -436,7 +447,7 @@ def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "regexp_functions",
     """
     SELECT p_partkey AS p_partkey,
@@ -654,7 +665,7 @@ def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return current_unchanged.unionByName(closed_old).unionByName(new_current)
 
 
-@register(
+@part(
     "salted_join_replicated",
     """
     SELECT o.o_orderkey AS o_orderkey, c.c_name AS c_name,
@@ -692,7 +703,7 @@ def salted_join_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "unpivot_lineitem_measures",
     """
     SELECT l_orderkey AS l_orderkey, l_linenumber AS l_linenumber,
@@ -720,7 +731,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "filtered_aggregates",
     """
     SELECT o_custkey AS o_custkey,
@@ -757,7 +768,7 @@ def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "value_histogram",
     """
     SELECT CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0), 9) AS INT) AS bucket,
@@ -815,7 +826,7 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "fuzzy_match_levenshtein",
     """
     SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
@@ -857,7 +868,7 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "udaf_mad_by_segment",
     """
     SELECT c_mktsegment AS c_mktsegment,

@@ -14,11 +14,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_property_rumah123_spark.operators import cleaning
-from etl_property_rumah123_spark.plans import register
+from etl_property_rumah123_spark.plans import part, register
 from etl_property_rumah123_spark.sources.catalog import table
 
 
-@register(
+@part(
     "clean_digit_extract",
     """
     SELECT p_partkey AS p_partkey,
@@ -42,7 +42,7 @@ def clean_digit_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "clean_price_parse",
     """
     WITH raw AS (
@@ -93,7 +93,7 @@ def clean_price_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "clean_dedup_keepfirst",
     """
     SELECT user_id AS user_id, event_id AS first_event_id, event_type AS event_type
@@ -121,7 +121,7 @@ def clean_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "clean_null_filter",
     """
     SELECT event_id AS event_id,
@@ -140,7 +140,7 @@ def clean_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning.drop_null_keys(e, "link_like").select("event_id", "link_like")
 
 
-@register(
+@part(
     "clean_location_pick",
     """
     SELECT doc_id AS doc_id,
@@ -162,7 +162,7 @@ def clean_location_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "clean_int_coercion",
     """
     SELECT event_id AS event_id,
@@ -189,7 +189,7 @@ def clean_int_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "n_bedroom")
 
 
-@register(
+@part(
     "clean_badge_split",
     """
     WITH badge AS (

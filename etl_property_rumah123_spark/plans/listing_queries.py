@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from etl_property_rumah123_spark.operators import cleaning
 from etl_property_rumah123_spark.operators import listing_parse as lp
 from etl_property_rumah123_spark.operators.listing_parse import parse_cards
-from etl_property_rumah123_spark.plans import register
+from etl_property_rumah123_spark.plans import part, register
 from etl_property_rumah123_spark.sources.catalog import table
 from etl_property_rumah123_spark.sources.fixtures import ADMINS, write_fixture_pages
 from etl_property_rumah123_spark.sources.listing_source import ListingDataSource
@@ -112,11 +112,44 @@ def _parse_with_key(cards: DataFrame) -> DataFrame:
 @register(
     "listing_pipeline_end_to_end",
     None,  # Spark Python DataSource — not runnable in DuckDB
-    doc="Ops S1/S2/S4/S5 + S3 + F1/T2/P6-P9 — full extract->transform "
-    "over fixture HTML through the rumah123_listings DataSource. "
-    "Ref: src/__init__.py:1-3 (the library API surface).",
+    doc="Ops S1/S2/S4/S5 + S3 + F1/T2/P6-P9 + U2 — full extract->"
+    "transform over fixture HTML through the rumah123_listings "
+    "DataSource, with the multi-region fan-out's per-region counts "
+    "appended as 'region_fanout'-tagged rows. Ref: src/__init__.py:1-3 "
+    "(the library API surface) + dags/dags.py:40-149.",
 )
 def listing_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as FF
+
+    listings = _listing_pipeline(spark, sf_dir).withColumn(
+        "part", FF.lit("listing")
+    ).withColumn("n1", FF.lit(None).cast("long")).withColumn(
+        "n2", FF.lit(None).cast("long")
+    )
+    fanout = listing_region_fanout(spark, sf_dir)
+    fanout_aligned = fanout.select(
+        FF.lit("region_fanout").alias("part"),
+        FF.col("region").alias("link"),
+        *[FF.lit(None).cast("string").alias(c) for c in (
+            "name", "price_rp", "location", "lot_size", "building_size",
+            "n_bedroom", "features",
+        )],
+        FF.col("n_listings").cast("long").alias("n1"),
+        FF.col("n_priced").cast("long").alias("n2"),
+    )
+    cast_listings = listings.select(
+        "part",
+        *[FF.col(c).cast("string").alias(c) for c in (
+            "link", "name", "price_rp", "location", "lot_size",
+            "building_size", "n_bedroom", "features",
+        )],
+        "n1",
+        "n2",
+    )
+    return cast_listings.unionByName(fanout_aligned)
+
+
+def _listing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture_dir = os.path.join(
         tempfile.gettempdir(), "spark_graft_listing_fixtures_v1"
     )
@@ -148,7 +181,7 @@ def listing_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "listing_region_fanout",
     None,  # Spark Python DataSource — not runnable in DuckDB
     doc="Op U2 — multi-region fan-out as ONE plan: per-region source "

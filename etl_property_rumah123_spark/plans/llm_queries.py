@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from etl_property_rumah123_spark.functions import hashing
 from etl_property_rumah123_spark.functions.vector import l2_norm
 from etl_property_rumah123_spark.operators import dedup, similarity, text_analysis
-from etl_property_rumah123_spark.plans import register
+from etl_property_rumah123_spark.plans import part, register
 from etl_property_rumah123_spark.sources.catalog import table
 
 # DuckDB fold-left dot product fragment (bit-identical to F.aggregate)
@@ -124,14 +124,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    None,  # xxhash64-based: rows-only check (DuckDB lacks xxhash64)
-    doc="SimHash near-dup pairs: 64-bit xxhash64 signature, prefix-"
-    "block candidates, Hamming verify. JVM-native bit ops throughout.",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(COALESCE(text, '')), '\\s+') AS w
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) FOR x IN w] AS hs
+      FROM w
+    ), sig AS (
+      SELECT doc_id,
+             list_reduce(
+               [CASE WHEN 2 * list_sum([(h >> i) & 1 FOR h IN hs]) >= len(hs)
+                     THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+                FOR i IN generate_series(0, 59)],
+               (a, b) -> a | b) AS sig
+      FROM h
+    ), blocks AS (
+      -- 60-bit rotate-left by r*15 without BIGINT overflow: shift only
+      -- the low (60 - r*15) bits left, OR the high bits shifted down
+      SELECT doc_id, sig, r,
+             (((sig & ((CAST(1 AS BIGINT) << (60 - r * 15)) - 1)) << (r * 15))
+              | (sig >> (60 - r * 15))) >> 52 AS block
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS r)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sig AS sa, b.sig AS sb
+      FROM blocks a JOIN blocks b
+        ON a.r = b.r AND a.block = b.block AND a.doc_id < b.doc_id
+    )
+    SELECT id_a AS id_a, id_b AS id_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 24
+    """,
+    doc="SimHash near-dup pairs, oracle-checked end-to-end: 60-bit "
+    "portable signature (md5-derived token hash — identical in "
+    "DuckDB), 4-rotation blocking on 8-bit prefixes, Hamming verify. "
+    "The xxhash64/64-bit fast path is the same code with the default "
+    "hash (operators/dedup.py:simhash_near_dups), pinned equivalent "
+    "in structure; recall of the rotation scheme is asserted on "
+    "planted near-dups in tests/test_similarity_recall.py.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_dups(
-        table(spark, sf_dir, "documents"), max_hamming=24, prefix_bits=8
+    out = dedup.simhash_near_dups(
+        table(spark, sf_dir, "documents"),
+        max_hamming=24,
+        prefix_bits=8,
+        rotations=4,
+        hash_fn=dedup.md5_hash60,
+        bits=60,
     )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @register(
@@ -353,7 +396,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "embedding_norm_stats",
     """
     SELECT label AS label,
@@ -377,7 +420,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "text_token_stats",
     f"""
     SELECT doc_id AS doc_id,
@@ -401,7 +444,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "text_top_terms",
     """
     SELECT term AS term, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -436,7 +479,7 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "corpus_prepare_pipeline",
     """
     WITH w AS (
@@ -512,7 +555,7 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "events_top_paths",
     """
     WITH g AS (
@@ -576,7 +619,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "events_anomaly_zscore",
     """
     WITH stats AS (
@@ -609,7 +652,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "events_gap_fill",
     """
     WITH bounds AS (
@@ -655,7 +698,7 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "funnel_conversion",
     """
     WITH firsts AS (
@@ -695,7 +738,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "text_quality_filter",
     """
     WITH w AS (
@@ -731,7 +774,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_tokens")
 
 
-@register(
+@part(
     "text_tfidf_top_term",
     """
     WITH terms AS (
@@ -782,7 +825,7 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "corpus_split_deterministic",
     """
     SELECT split AS split,
@@ -819,7 +862,7 @@ def corpus_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "text_quality_scores",
     """
     WITH w AS (
@@ -854,7 +897,7 @@ def _duck_lang_hits(lang: str) -> str:
     )
 
 
-@register(
+@part(
     "text_lang_id",
     f"""
     WITH w AS (
@@ -888,7 +931,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "text_fingerprint",
     """
     WITH w AS (
@@ -944,7 +987,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "events_tumbling_15min",
     """
     SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -1041,7 +1084,7 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "multimodal_decode",
     None,  # mapInPandas stage — not runnable in DuckDB
     doc="Arrow-batched decode stage (mapInPandas): binary payload in, "
@@ -1057,7 +1100,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(media)
 
 
-@register(
+@part(
     "multimodal_features",
     None,  # mapInPandas stage — not runnable in DuckDB
     doc="Arrow-batched feature extraction: payload bytes -> fixed-size "
@@ -1072,7 +1115,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
-@register(
+@part(
     "multimodal_frame_sample",
     None,  # mapInPandas stage — not runnable in DuckDB
     doc="Frame sampling (1:N row expansion inside mapInPandas): 4 "

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_property_rumah123_spark.plans import register
+from etl_property_rumah123_spark.plans import part, register
 from etl_property_rumah123_spark.sources.catalog import table, tables
 
 
@@ -162,7 +162,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "agg_having",
     """
     SELECT o_custkey AS o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -185,7 +185,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "distinct_count_segments",
     """
     SELECT c_mktsegment AS c_mktsegment,
@@ -208,7 +208,7 @@ def distinct_count_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "rollup_flag_status",
     """
     SELECT l_returnflag AS l_returnflag, l_linestatus AS l_linestatus,
@@ -232,7 +232,7 @@ def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "cube_status_priority",
     """
     SELECT o_orderstatus AS o_orderstatus, o_orderpriority AS o_orderpriority,
@@ -257,7 +257,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "grouping_sets_custom",
     """
     SELECT c_mktsegment AS c_mktsegment, c_nationkey AS c_nationkey,
@@ -285,7 +285,7 @@ def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "filter_project_pushdown",
     """
     SELECT l_orderkey AS l_orderkey, l_linenumber AS l_linenumber,
@@ -314,7 +314,7 @@ def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "topk_orders",
     """
     SELECT o_orderkey AS o_orderkey,
@@ -338,7 +338,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "case_when_buckets",
     """
     SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
@@ -371,7 +371,7 @@ def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "semi_join_customers",
     """
     SELECT c_custkey AS c_custkey, c_name AS c_name
@@ -392,7 +392,7 @@ def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "anti_join_customers",
     """
     SELECT c_custkey AS c_custkey, c_mktsegment AS c_mktsegment
@@ -410,7 +410,7 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "left_join_order_counts",
     """
     SELECT c.c_custkey AS c_custkey,
@@ -431,7 +431,7 @@ def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "full_outer_nation_presence",
     """
     WITH cn AS (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust
@@ -463,7 +463,7 @@ def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "broadcast_dim_join",
     """
     SELECT n.n_name AS n_name, r.r_name AS r_name,
@@ -491,7 +491,7 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "correlated_above_nation_avg",
     """
     SELECT c_custkey AS c_custkey, ROUND(c_acctbal, 6) AS c_acctbal
@@ -517,7 +517,7 @@ def correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "window_rank_acctbal",
     """
     SELECT c_nationkey AS c_nationkey, c_custkey AS c_custkey,
@@ -538,7 +538,7 @@ def window_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "window_running_sum",
     """
     SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
@@ -563,7 +563,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "window_lag_gap",
     """
     SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
@@ -585,7 +585,7 @@ def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "window_ntile_share",
     """
     SELECT q AS q, CAST(COUNT(*) AS BIGINT) AS n,
@@ -613,7 +613,7 @@ def window_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "set_ops_custkeys",
     """
     SELECT k AS k FROM (
@@ -639,7 +639,7 @@ def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich.intersect(ordered).exceptAll(building).distinct()
 
 
-@register(
+@part(
     "union_all_keys",
     """
     SELECT k AS k, CAST(COUNT(*) AS BIGINT) AS n FROM (
@@ -664,7 +664,7 @@ def union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "string_functions",
     """
     SELECT p_partkey AS p_partkey,
@@ -695,7 +695,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "date_functions",
     """
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
@@ -721,7 +721,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "math_functions",
     """
     SELECT l_orderkey AS l_orderkey, l_linenumber AS l_linenumber,
@@ -750,7 +750,7 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "json_extract_events",
     """
     SELECT event_id AS event_id,
@@ -771,7 +771,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "pivot_status_by_priority",
     """
     SELECT o_orderpriority AS o_orderpriority,

@@ -9,10 +9,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etl_property_rumah123_spark.plans import load_all
+from etl_property_rumah123_spark.plans import PARTS, load_all
 from tests.conftest import SF_SMOKE
 
-REGISTRY = load_all()
+# Plan-quality pins apply to part-level queries too (suite members keep
+# their builders in PARTS after the registry consolidation).
+REGISTRY = dict(PARTS)
+REGISTRY.update(load_all())
 
 
 def plan_of(df) -> str:

@@ -66,6 +66,43 @@ def test_ivf_recall_beats_chance(spark, clustered):
     assert recall(ivf, truth) >= 0.8
 
 
+def test_simhash_multi_rotation_recall(spark):
+    """Planted near-dups: pairs differing in a few words out of ~40.
+    Multi-rotation blocking must recover >= 0.8 of them, and at least
+    as many as the single-prefix scheme (a differing bit landing in
+    the one prefix kills single-table recall)."""
+    from etl_property_rumah123_spark.operators import dedup
+
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    rows, pair_ids = [], []
+    doc_id = 0
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(40)]
+        rows.append((doc_id, " ".join(words)))
+        near = list(words)
+        for _ in range(3):  # ~7.5% token change -> small hamming delta
+            near[rng.randrange(len(near))] = rng.choice(vocab)
+        rows.append((doc_id + 1, " ".join(near)))
+        pair_ids.append((doc_id, doc_id + 1))
+        doc_id += 2
+    for _ in range(80):  # unrelated filler docs
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(40))))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def found(rotations):
+        out = dedup.simhash_near_dups(
+            docs, max_hamming=16, prefix_bits=8, rotations=rotations
+        )
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        return sum(1 for p in pair_ids if p in got) / len(pair_ids)
+
+    single, multi = found(1), found(4)
+    assert multi >= single  # extra rotations only add candidates
+    assert multi >= 0.8
+
+
 def test_bucketed_join_has_no_exchange(spark, clustered):
     """Co-located join: both sides bucketed by the key -> zero Exchange
     nodes in the physical plan (the 100 TB shuffle-elimination story)."""
