@@ -2,7 +2,15 @@
 
 Prints exactly one JSON line:
   {"metric": "headline_wall_sec", "value": N, "unit": "sec",
-   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+   "queries": {"q1_pricing_summary": sec, ...},
+   "registry_sweep": {"<query>": sec, ...}, "registry_total_sec": N,
+   "sf": 0.1}
+
+``queries`` holds the 9 headline queries, each warmed then timed
+best-of-2. ``registry_sweep`` is a single timed pass over EVERY
+registered query (the full capability surface) so round-over-round
+comparisons can see regressions outside the headline set; disable with
+SPARK_GRAFT_SWEEP=0 for quick iteration.
 
 Each query is forced end-to-end with a noop sink write (full execution,
 no driver-side collect — the same action profile a cluster job has).
@@ -22,11 +30,18 @@ from etl_property_rumah123_spark.plans import load_all  # noqa: E402
 from etl_property_rumah123_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SWEEP = os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0"
 
 
 def sf_of(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
     return float(m.group(1)) if m else -1.0
+
+
+def run_once(spec, spark) -> float:
+    t0 = time.perf_counter()
+    spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -35,32 +50,36 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # plan, not first-touch class loading.
-    for name, spec in headline.items():
-        spec.fn(spark, SF_DIR).limit(1).write.format("noop").mode("overwrite").save()
-        break
+    # Warm EVERY headline query once (JVM, parquet footers, codegen
+    # caches) so both timed runs measure the plan, not first-touch
+    # costs; the warm-up run is not recorded.
+    for spec in headline.values():
+        run_once(spec, spark)
 
     timings: dict[str, float] = {}
     for name, spec in headline.items():
-        best = float("inf")
-        for _ in range(2):  # best-of-2: damps scheduler/GC noise
-            t0 = time.perf_counter()
-            spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        best = min(run_once(spec, spark) for _ in range(2))
         timings[name] = round(best, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(SF_DIR),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+    }
+
+    if SWEEP:
+        sweep: dict[str, float] = {}
+        for name, spec in registry.items():
+            try:
+                sweep[name] = round(run_once(spec, spark), 3)
+            except Exception:
+                sweep[name] = -1.0  # failed query: visible, not fatal
+        out["registry_sweep"] = sweep
+        out["registry_total_sec"] = round(sum(v for v in sweep.values() if v > 0), 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

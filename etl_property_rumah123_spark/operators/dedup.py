@@ -156,6 +156,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     materialize: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (i < j) sharing >= 1 band bucket.
 
@@ -170,6 +171,15 @@ def lsh_candidate_pairs(
     persisting the signature table, which is exactly what a 100 TB
     dedup run does (signatures are reused across many band joins and
     incremental runs).
+
+    ``max_bucket_size`` drops band buckets holding more than that many
+    docs BEFORE the self-join — the hot-bucket guard. A bucket shared
+    by b docs costs b^2 comparisons; one boilerplate-heavy bucket with
+    1% of a 100 TB corpus is quadratic death that AQE skew-splitting
+    only spreads, not shrinks. Dropping is sound for dedup recall:
+    a near-dup cluster that large is better handled by exact dedup of
+    its dominant content, and its members still collide in other
+    (discriminative) bands.
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes)
@@ -179,6 +189,10 @@ def lsh_candidate_pairs(
             "bucket"
         ),
     )
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("bucket").agg(F.count("*").alias("__bn"))
+        keep = sizes.filter(F.col("__bn") <= max_bucket_size).select("bucket")
+        buckets = buckets.join(keep, "bucket")
     if materialize:
         buckets = buckets.localCheckpoint(eager=False)
     a = buckets.alias("a")
@@ -205,6 +219,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df_fraction: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join.
 
@@ -212,15 +227,31 @@ def jaccard_pairs(
     shingle (candidates must share >= 1), count the intersection in one
     aggregation, then Jaccard = inter / (|A| + |B| - inter).
 
-    Only ids + counts shuffle after the index join. For 100 TB add a
-    df-frequency cut (drop shingles appearing in > p% of docs) before
-    the self-join — the classic prefix-filter — to cap bucket sizes.
+    Only ids + counts shuffle after the index join.
+
+    ``max_df_fraction`` is the 100 TB hot-shingle guard: shingles
+    appearing in more than that fraction of documents (boilerplate —
+    headers, license blurbs) are dropped from the index BEFORE the
+    self-join, capping every inverted-list at df_max and the join work
+    at n * df_max instead of the quadratic blow-up one ubiquitous
+    shingle causes. Sizes are recomputed AFTER the cut, so the score
+    is exact Jaccard over the filtered (discriminative) shingle space
+    — document that shift when enabling it; docs whose entire shingle
+    set is boilerplate drop out of the index (no candidates), the
+    same way stopword-only docs vanish from keyword search.
     """
     tokens = (
         shingle_rows(df, text_col, id_col, shingle_n)
         .filter(F.col("shingle").isNotNull())
         .distinct()
     )
+    if max_df_fraction is not None:
+        n_docs = df.count()  # one scalar job; the threshold is a literal
+        dfreq = tokens.groupBy("shingle").agg(F.count("*").alias("__df"))
+        keep = dfreq.filter(
+            F.col("__df") <= F.lit(float(max_df_fraction) * n_docs)
+        ).select("shingle")
+        tokens = tokens.join(keep, "shingle")
     sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = tokens.alias("a")
     b = tokens.alias("b")

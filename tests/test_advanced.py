@@ -196,6 +196,55 @@ def test_connected_components_nonconvergence_is_loud(spark):
     assert out.count() == 6  # warn mode still returns the partial labels
 
 
+def test_jaccard_df_frequency_cut_bounds_hot_shingle(spark):
+    """A shingle planted in 30% of docs makes the inverted-index join
+    quadratic in that bucket; the max_df_fraction cut must remove it
+    while distinctive-shingle pairs survive."""
+    from etl_property_rumah123_spark.operators import dedup
+
+    rows = []
+    # 60 docs sharing one boilerplate shingle ('common header line'),
+    # otherwise distinct
+    for i in range(60):
+        rows.append((i, f"common header line unique{i} tail{i} end{i}"))
+    # 2 genuinely similar docs with no boilerplate
+    rows.append((100, "alpha beta gamma delta epsilon"))
+    rows.append((101, "alpha beta gamma delta zeta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncut = dedup.jaccard_pairs(docs, shingle_n=3, threshold=0.01)
+    cut = dedup.jaccard_pairs(
+        docs, shingle_n=3, threshold=0.01, max_df_fraction=0.2
+    )
+    n_uncut, n_cut = uncut.count(), cut.count()
+    # the hot shingle alone creates 60*59/2 = 1770 candidate pairs
+    assert n_uncut >= 1770
+    # after the cut only the distinctive overlap survives
+    got = {(r["id_a"], r["id_b"]) for r in cut.collect()}
+    assert (100, 101) in got
+    assert n_cut < 10, n_cut
+
+
+def test_lsh_max_bucket_size_bounds_hot_bucket(spark):
+    """A bucket shared by many identical-signature docs is dropped by
+    max_bucket_size; pairs colliding in small buckets survive."""
+    from etl_property_rumah123_spark.operators import dedup
+
+    rows = [(i, "the exact same boilerplate text repeated here") for i in range(40)]
+    rows.append((100, "rare document alpha beta gamma delta"))
+    rows.append((101, "rare document alpha beta gamma zeta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncut = dedup.lsh_candidate_pairs(docs, shingle_n=3, num_hashes=16, bands=4)
+    cut = dedup.lsh_candidate_pairs(
+        docs, shingle_n=3, num_hashes=16, bands=4, max_bucket_size=10
+    )
+    assert uncut.count() >= 40 * 39 // 2
+    got = {(r["id_a"], r["id_b"]) for r in cut.collect()}
+    assert (100, 101) in got  # small-bucket collision survives
+    assert cut.count() < 40  # the 40-doc hot bucket is gone
+
+
 def test_approx_distinct_error_envelope(spark):
     e = table(spark, SF_SMOKE, "events")
     rows = (
