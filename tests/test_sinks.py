@@ -132,6 +132,98 @@ def test_merge_executes_and_is_idempotent_on_real_engine(tmp_path):
     con.close()
 
 
+class DuckDBAPIShim:
+    """Adapt a duckdb connection to the DB-API surface
+    merge_staging_to_main expects (duckdb's cursor() spawns a separate
+    connection, so transactions are driven explicitly here)."""
+
+    def __init__(self, con):
+        self._con = con
+        self.rolled_back = False
+
+    def cursor(self):
+        self._con.execute("BEGIN TRANSACTION")
+        return self._con
+
+    def commit(self):
+        self._con.execute("COMMIT")
+
+    def rollback(self):
+        self._con.execute("ROLLBACK")
+        self.rolled_back = True
+
+    def close(self):
+        pass  # caller keeps the connection for assertions
+
+
+def test_load_path_end_to_end_on_real_engine(spark, tmp_path):
+    """L1-L4 against a real ON CONFLICT engine (DuckDB; no Postgres /
+    JDBC driver jar in this sandbox): Spark DataFrame -> Arrow ->
+    staging table (the L2 write stand-in), then the REAL
+    merge_staging_to_main orchestration — transaction, commit,
+    rollback — run twice with overlapping keys. Asserts idempotency
+    and fresh-insert accounting (count delta; xmax is Postgres-only)."""
+    import duckdb
+
+    con = duckdb.connect(str(tmp_path / "e2e.db"))
+    con.execute(
+        "CREATE TABLE main (link VARCHAR PRIMARY KEY, name VARCHAR, price BIGINT)"
+    )
+    shim = DuckDBAPIShim(con)
+
+    def stage(df):
+        con.unregister("stg_arrow") if "stg_arrow" in [
+            r[0] for r in con.execute("SHOW TABLES").fetchall()
+        ] else None
+        con.register("stg_arrow", df.toArrow())
+        con.execute("CREATE OR REPLACE TABLE stg AS SELECT * FROM stg_arrow")
+
+    run1 = spark.createDataFrame(
+        [("a", "A", 1), ("b", "B", 2)], "link string, name string, price long"
+    )
+    stage(run1)
+    jdbc_merge.merge_staging_to_main(
+        lambda: shim, ["link", "name", "price"], "stg", "main", "link",
+        count_inserts=False,
+    )
+    n_after_1 = con.execute("SELECT COUNT(*) FROM main").fetchone()[0]
+    assert n_after_1 == 2  # both rows freshly inserted
+
+    # re-run the SAME batch: idempotent, zero fresh inserts
+    jdbc_merge.merge_staging_to_main(
+        lambda: shim, ["link", "name", "price"], "stg", "main", "link",
+        count_inserts=False,
+    )
+    assert con.execute("SELECT COUNT(*) FROM main").fetchone()[0] == n_after_1
+    assert con.execute("SELECT * FROM main ORDER BY link").fetchall() == [
+        ("a", "A", 1), ("b", "B", 2),
+    ]
+
+    # overlapping batch: one update (last-write-wins), one fresh insert
+    run2 = spark.createDataFrame(
+        [("b", "B2", 20), ("c", "C", 3)], "link string, name string, price long"
+    )
+    stage(run2)
+    jdbc_merge.merge_staging_to_main(
+        lambda: shim, ["link", "name", "price"], "stg", "main", "link",
+        count_inserts=False,
+    )
+    assert con.execute("SELECT * FROM main ORDER BY link").fetchall() == [
+        ("a", "A", 1), ("b", "B2", 20), ("c", "C", 3),
+    ]
+
+    # rollback path on a real engine: a bad merge leaves main untouched
+    con.execute("CREATE OR REPLACE TABLE stg AS SELECT 'x' AS wrong_col")
+    with pytest.raises(Exception):
+        jdbc_merge.merge_staging_to_main(
+            lambda: shim, ["link", "name", "price"], "stg", "main", "link",
+            count_inserts=False,
+        )
+    assert shim.rolled_back
+    assert con.execute("SELECT COUNT(*) FROM main").fetchone()[0] == 3
+    con.close()
+
+
 def test_merge_count_inserts_off_returns_sentinel():
     conn = StubConnection([])
     n = jdbc_merge.merge_staging_to_main(
