@@ -362,8 +362,16 @@ def simhash_near_dups(
 
     Candidate pairs are deduplicated across rotations BEFORE the
     popcount verify, so each pair is scored once.
+
+    The signature table is localCheckpointed (same rationale as
+    ``lsh_candidate_pairs``): the rotation union references it
+    ``rotations`` times and the self-join twice more — without
+    materialization the whole tokenize->hash->64-aggregate pipeline
+    would recompute 2x``rotations`` times.
     """
-    sigs = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn, bits=bits)
+    sigs = simhash_signatures(
+        df, text_col, id_col, hash_fn=hash_fn, bits=bits
+    ).localCheckpoint(eager=False)
     if bits < 64:
         mask = F.lit((1 << bits) - 1).cast("long")
     step = bits // rotations
