@@ -148,6 +148,181 @@ def ann_topk(
     )
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    seed: int = 42,
+    iters: int = 10,
+):
+    """Train product-quantization codebooks: split the vector into
+    ``m`` subspaces, k-means (k = 2**nbits) each subspace on a bounded
+    corpus sample.
+
+    The codebook is a model artifact (m * 2**nbits * dim/m floats —
+    a few KB), trained on a driver-side SAMPLE exactly like the IVF
+    centroids: at 100 TB you sample a few thousand vectors, never the
+    corpus. Deterministic: fixed seed, fixed Lloyd iteration count.
+    Returns a numpy array of shape (m, 2**nbits, dim//m).
+    """
+    import numpy as np
+
+    sample = corpus.select(vec_col).limit(sample_size).collect()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub, ksub = dim // m, 2 ** nbits
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(n, size=ksub, replace=n < ksub)].copy()
+        for _ in range(iters):  # Lloyd
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                pts = sub[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the index of the
+    nearest codebook centroid — m small ints per vector instead of
+    dim floats (the 32x+ index compression that makes billion-vector
+    ANN fit in memory). One Arrow-batched corpus pass; the codes
+    table is the reusable serving artifact."""
+    m, ksub, dsub = codebooks.shape
+    books = codebooks  # closure-captured; broadcast with the task
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"nid": pdf[id_col], "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, schema="nid long, codes array<int>"
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    refine_factor: int = 8,
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-ranking.
+
+    Pipeline: train codebooks on a sample -> encode the corpus
+    (Arrow-batched pass, m bytes/vector) -> asymmetric distance
+    computation: each query precomputes an m x 2**nbits inner-product
+    lookup table against the codebooks, so scoring a corpus vector is
+    m table lookups on its codes, never a d-dim dot product ->
+    top ``k * refine_factor`` candidates per query by ADC score ->
+    exact re-rank of just those candidates against the true vectors.
+    ``refine_factor`` trades candidate-set size for recall: tightly
+    clustered corpora need a wider set because ADC error exceeds the
+    sim gap between near-tied neighbors (8x is recall 1.0 on the
+    clustered test fixture; 4x drops to ~0.65).
+
+    Scale shape: queries are collected (small by contract, same as the
+    broadcast in brute_force_topk); the corpus is touched twice —
+    once to encode (reusable artifact), once streaming code lookups —
+    and the only shuffle carries (query, candidate, score) triples.
+    Output: (query_id, neighbor_id, rank), same contract as ann_topk.
+    """
+    import numpy as np
+
+    books = train_pq_codebooks(corpus, m, nbits, vec_col, seed=seed)
+    _, ksub, dsub = books.shape
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    # LUT[q, j, c] = <query_q subspace_j, centroid_c> ; ADC score =
+    # sum_j LUT[q, j, codes_j] ~= full dot product
+    lut = np.einsum(
+        "qjd,jcd->qjc",
+        Q.reshape(len(Q), m, dsub),
+        books,
+    )
+
+    codes = pq_encode(corpus, books, vec_col, id_col)
+
+    def score_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            C = np.stack(pdf["codes"].to_numpy())  # (b, m)
+            # scores: (q, b) via LUT fancy-indexing per subspace
+            scores = np.zeros((len(Q), len(C)))
+            for j in range(m):
+                scores += lut[:, j, C[:, j]]
+            nids = pdf["nid"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(Q)):
+                out_q.extend([int(q_ids[qi])] * len(C))
+                out_n.extend(nids)
+                out_s.extend(scores[qi])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "approx_sim": out_s}
+            )
+
+    import pandas as pd  # noqa: F401
+
+    approx = codes.mapInPandas(
+        score_kernel, schema="query_id long, neighbor_id long, approx_sim double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("ar", F.row_number().over(wa))
+        .filter(F.col("ar") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the candidate set only
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    rescored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -119,8 +119,8 @@ ORDER = [
     "dedup_incremental",
     "dedup_components",
     "knn_bruteforce",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
+    "ann_suite",
+    "profile_table",
 ]
 
 

@@ -366,7 +366,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "ann_topk_lsh",
     None,  # approximate + engine-specific hyperplanes: rows-only check
     doc="Approximate top-k via random-hyperplane LSH buckets "
@@ -380,7 +380,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "ann_topk_ivf",
     None,  # KMeans cells are engine-specific: rows-only check; recall
     # quality is asserted on clustered data in test_similarity_recall.py
@@ -1127,3 +1127,110 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
     return multimodal.sample_frames(media)
+
+
+# ---------------------------------------------------------------------------
+# ANN suite (three index families, shared output contract) + profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_suite",
+    None,  # approximate + engine-specific state: rows-only check;
+    # recall >= 0.8 asserted per family in test_similarity_recall.py
+    doc="Approximate nearest-neighbor suite, tagged union of the three "
+    "index families over the same 10-query workload: 'rp_lsh' "
+    "(random-hyperplane buckets + multi-probe), 'ivf' (KMeans coarse "
+    "cells, n_probe=2), 'pq_adc' (product quantization: sampled "
+    "codebooks -> Arrow-batched corpus encode -> asymmetric-distance "
+    "lookup scoring -> exact re-rank of the candidate set). All three "
+    "share the (query_id, neighbor_id, rank) contract of "
+    "knn_bruteforce, which remains the oracle-checked ground truth.",
+)
+def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    lsh = similarity.ann_topk(
+        q, e, dim=64, k=5, num_planes=6, hamming_probes=1
+    ).withColumn("method", F.lit("rp_lsh"))
+    ivf = similarity.ivf_topk(q, e, k=5, n_lists=16, n_probe=2).withColumn(
+        "method", F.lit("ivf")
+    )
+    pq = similarity.pq_topk(q, e, k=5, m=8, nbits=4).withColumn(
+        "method", F.lit("pq_adc")
+    )
+    return (
+        lsh.unionByName(ivf)
+        .unionByName(pq)
+        .select("method", "query_id", "neighbor_id", "rank")
+    )
+
+
+@register(
+    "profile_table",
+    """
+    WITH o AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(o_orderstatus) AS c_status, COUNT(DISTINCT o_orderstatus) AS d_status,
+             MIN(o_orderstatus) AS mn_status, MAX(o_orderstatus) AS mx_status,
+             COUNT(o_totalprice) AS c_price, COUNT(DISTINCT o_totalprice) AS d_price,
+             ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 6) AS mn_price,
+             ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 6) AS mx_price,
+             COUNT(o_custkey) AS c_cust, COUNT(DISTINCT o_custkey) AS d_cust,
+             ROUND(CAST(MIN(o_custkey) AS DOUBLE), 6) AS mn_cust,
+             ROUND(CAST(MAX(o_custkey) AS DOUBLE), 6) AS mx_cust
+      FROM orders
+    ), e AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(event_type) AS c_type, COUNT(DISTINCT event_type) AS d_type,
+             MIN(event_type) AS mn_type, MAX(event_type) AS mx_type,
+             COUNT(value) AS c_value, COUNT(DISTINCT value) AS d_value,
+             ROUND(CAST(MIN(value) AS DOUBLE), 6) AS mn_value,
+             ROUND(CAST(MAX(value) AS DOUBLE), 6) AS mx_value
+      FROM events
+    )
+    SELECT 'orders.o_orderstatus' AS col, n_rows AS n_rows,
+           n_rows - c_status AS n_null, d_status AS n_distinct,
+           mn_status AS min_s, mx_status AS max_s,
+           CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v
+    FROM o
+    UNION ALL
+    SELECT 'orders.o_totalprice', n_rows, n_rows - c_price, d_price,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), mn_price, mx_price
+    FROM o
+    UNION ALL
+    SELECT 'orders.o_custkey', n_rows, n_rows - c_cust, d_cust,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), mn_cust, mx_cust
+    FROM o
+    UNION ALL
+    SELECT 'events.event_type', n_rows, n_rows - c_type, d_type,
+           mn_type, mx_type, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM e
+    UNION ALL
+    SELECT 'events.value', n_rows, n_rows - c_value, d_value,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), mn_value, mx_value
+    FROM e
+    """,
+    doc="Dataset profiling (ingest data-quality gate): per-column row/"
+    "null/distinct counts and ranges for orders + events, ONE "
+    "aggregation scan per table reshaped long via stack — never a "
+    "per-column re-scan.",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators.profiling import profile_columns
+
+    o = profile_columns(
+        table(spark, sf_dir, "orders"),
+        "orders",
+        {
+            "o_orderstatus": "string",
+            "o_totalprice": "numeric",
+            "o_custkey": "numeric",
+        },
+    )
+    e = profile_columns(
+        table(spark, sf_dir, "events"),
+        "events",
+        {"event_type": "string", "value": "numeric"},
+    )
+    return o.unionByName(e)

@@ -13,9 +13,10 @@ from etl_property_rumah123_spark.plans import PARTS, load_all
 from tests.conftest import SF_SMOKE
 
 # Plan-quality pins apply to part-level queries too (suite members keep
-# their builders in PARTS after the registry consolidation).
-REGISTRY = dict(PARTS)
-REGISTRY.update(load_all())
+# their builders in PARTS after the registry consolidation). load_all()
+# must run FIRST — importing the plan modules is what populates PARTS.
+REGISTRY = dict(load_all())
+REGISTRY.update(PARTS)
 
 
 def plan_of(df) -> str:
@@ -95,3 +96,29 @@ def test_keep_first_dedup_single_shuffle(spark):
         if line.startswith("Arguments: hashpartitioning")
     ]
     assert len(hash_exchanges) == 1, plan
+
+
+def test_profile_table_one_scan_per_table(spark):
+    """The profiler must compute ALL column stats in one aggregation
+    scan per table (2 tables -> 2 parquet scans), never a re-scan per
+    profiled column."""
+    import re
+
+    plan = plan_of(REGISTRY["profile_table"].fn(spark, SF_SMOKE))
+    # formatted plans list each node twice (tree + details); count the
+    # numbered detail headers only
+    scans = [l for l in plan.splitlines() if re.match(r"^\(\d+\) Scan parquet", l)]
+    assert len(scans) == 2, plan
+
+
+def test_pq_pipeline_is_arrow_batched(spark):
+    """PQ encode + ADC scoring run as mapInPandas (Arrow batches),
+    never row-at-a-time pickled Python."""
+    from etl_property_rumah123_spark.operators import similarity
+    from etl_property_rumah123_spark.sources.catalog import table
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    plan = plan_of(similarity.pq_topk(q, e, k=3, m=8, nbits=4))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

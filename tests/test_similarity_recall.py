@@ -66,6 +66,27 @@ def test_ivf_recall_beats_chance(spark, clustered):
     assert recall(ivf, truth) >= 0.8
 
 
+def test_pq_adc_recall_with_refine(spark, clustered):
+    """PQ-ADC + exact re-rank: recall >= 0.8 on clustered vectors
+    (dim 16, 4 subspaces x 16 centroids); the ADC approximation alone
+    ranks candidates, the refine step restores exact ordering."""
+    q = clustered.filter(F.col("vec_id") % 40 == 0)
+    truth = similarity.brute_force_topk(q, clustered, k=5)
+    pq = similarity.pq_topk(q, clustered, k=5, m=4, nbits=4, refine_factor=8)
+    assert recall(pq, truth) >= 0.8
+
+
+def test_pq_encode_shape_and_determinism(spark, clustered):
+    books = similarity.train_pq_codebooks(clustered, m=4, nbits=4)
+    assert books.shape == (4, 16, 4)
+    codes = similarity.pq_encode(clustered, books)
+    rows = {r["nid"]: r["codes"] for r in codes.collect()}
+    assert len(rows) == clustered.count()
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in rows.values())
+    rows2 = {r["nid"]: r["codes"] for r in similarity.pq_encode(clustered, books).collect()}
+    assert rows == rows2  # deterministic artifact
+
+
 def test_simhash_multi_rotation_recall(spark):
     """Planted near-dups: pairs differing in a few words out of ~40.
     Multi-rotation blocking must recover >= 0.8 of them, and at least
