@@ -76,3 +76,49 @@ def save_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return path
+
+
+def write_partitioned_dataset(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    dynamic_overwrite: bool = True,
+) -> str:
+    """Hive-partitioned Parquet dataset write with the two controls a
+    100 TB table layout needs:
+
+    - **Small-file control**: without it, every one of the N shuffle
+      partitions writes its own file into every partition directory —
+      N x |partitions| tiny files that crush the namenode/lister and
+      downstream scan planning. Repartitioning on (partition_cols
+      [+ salt]) first routes each output partition's rows to exactly
+      ``files_per_partition`` tasks, so the directory gets exactly
+      that many files. Raise it when single partitions are too large
+      for one task (the salt spreads rows evenly).
+    - **Dynamic partition overwrite**: ``INSERT OVERWRITE`` semantics
+      per partition — a rerun/backfill replaces ONLY the partitions
+      present in ``df``, leaving the rest of the table untouched.
+      That makes per-date/per-region incremental jobs idempotent
+      without truncating the world. The session conf is scoped
+      (save/restore) like catalog.table's nanos setting.
+    """
+    spark = df.sparkSession
+    if files_per_partition <= 1:
+        routed = df.repartition(*[F.col(c) for c in partition_cols])
+    else:
+        salt = (F.rand(seed=42) * files_per_partition).cast("int")
+        routed = df.repartition(
+            *[F.col(c) for c in partition_cols], salt.alias("__salt")
+        )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic" if dynamic_overwrite else "static")
+    try:
+        routed.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return path

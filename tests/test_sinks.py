@@ -5,6 +5,8 @@ with array stringification at the boundary.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -283,3 +285,63 @@ def test_dated_write_is_idempotent_per_run_date(spark, tmp_path):
     p2 = writers.save_parquet(df, "listings", str(tmp_path), "20260813")
     assert p1 == p2
     assert spark.read.parquet(p2).count() == 1  # overwrite, not append
+
+
+def test_partitioned_dataset_small_file_control(spark, tmp_path):
+    """Each (split, lang) partition directory must contain exactly
+    files_per_partition data files — not one per shuffle partition."""
+    import glob
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("split"),
+        (F.col("id") % 2).cast("string").alias("lang"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    ).repartition(16)  # simulate an upstream shuffle fan-out
+    path = str(tmp_path / "corpus")
+    writers.write_partitioned_dataset(df, path, ["split", "lang"])
+    for d in glob.glob(f"{path}/split=*/lang=*"):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    # files_per_partition=3 spreads each partition over 3 tasks
+    writers.write_partitioned_dataset(
+        df, str(tmp_path / "c3"), ["split", "lang"], files_per_partition=3
+    )
+    for d in glob.glob(f"{tmp_path}/c3/split=*/lang=*"):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 3, (d, files)
+
+
+def test_partitioned_dataset_dynamic_overwrite(spark, tmp_path):
+    """A rerun carrying ONLY one partition's rows must replace that
+    partition and leave every other partition untouched."""
+    full = spark.createDataFrame(
+        [(1, "train", "v1"), (2, "val", "v1"), (3, "test", "v1")],
+        "doc_id long, split string, payload string",
+    )
+    path = str(tmp_path / "ds")
+    writers.write_partitioned_dataset(full, path, ["split"])
+    fix = spark.createDataFrame(
+        [(20, "val", "v2")], "doc_id long, split string, payload string"
+    )
+    writers.write_partitioned_dataset(fix, path, ["split"])
+    got = {
+        (r["split"], r["doc_id"], r["payload"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("train", 1, "v1"), ("val", 20, "v2"), ("test", 3, "v1")}
+
+
+def test_partitioned_dataset_read_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "train"), (2, "val")], "doc_id long, split string"
+    )
+    path = str(tmp_path / "p")
+    writers.write_partitioned_dataset(df, path, ["split"])
+    q = spark.read.parquet(path).filter(F.col("split") == "train")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan and "split" in plan
+    assert q.count() == 1
