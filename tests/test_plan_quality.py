@@ -122,3 +122,23 @@ def test_pq_pipeline_is_arrow_batched(spark):
     plan = plan_of(similarity.pq_topk(q, e, k=3, m=8, nbits=4))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_no_unexpected_cartesian_or_bnlj_in_any_registered_plan(spark):
+    """Global scale-killer gate over EVERY registered query plan:
+    no CartesianProduct anywhere; BroadcastNestedLoopJoin only in the
+    documented broadcast-small-side ground-truth paths; BatchEvalPython
+    only in the Python-UDTF demo (inherent to UDTFs)."""
+    BNLJ_BY_DESIGN = {
+        "knn_bruteforce",        # broadcast 10-query side, != condition
+        "dedup_embedding_cosine",  # block-pair join over tiny packed table
+        "ann_suite",             # contains the same broadcast query side
+    }
+    PICKLED_BY_DESIGN = {"udtf_sentence_split"}  # Python UDTF node type
+    for name, spec in load_all().items():
+        plan = plan_of(spec.fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        if name not in BNLJ_BY_DESIGN:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        if name not in PICKLED_BY_DESIGN:
+            assert "BatchEvalPython" not in plan, name
