@@ -332,20 +332,25 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    train_sample: int = 4096,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_lists``
     KMeans cells, search each query's ``n_probe`` nearest cells only.
 
-    Scale shape: the KMeans fit runs on the corpus (or a sample) once;
-    centroids are tiny and broadcast. Corpus rows are assigned a
-    ``cell`` and shuffled once by it — at serving time a query touches
-    n_probe/n_lists of the data. Recall/latency is the classic IVF
-    nprobe curve.
+    Scale shape: the KMeans fit runs on a bounded SAMPLE
+    (``train_sample`` rows — coarse centroids need thousands of
+    points, not the corpus; at 100 TB fitting on the full data would
+    dominate the whole query); centroids are tiny and broadcast.
+    Corpus rows are assigned a ``cell`` and shuffled once by it — at
+    serving time a query touches n_probe/n_lists of the data.
+    Recall/latency is the classic IVF nprobe curve.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    if train_sample:
+        train = train.limit(train_sample)
     # maxIter bounded: coarse cells only need rough centroids (recall
     # comes from n_probe, not from a fully converged k-means)
     model = KMeans(k=n_lists, seed=seed, featuresCol="features", maxIter=8).fit(train)
