@@ -525,16 +525,36 @@ def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT p.c_mktsegment AS c_mktsegment,
            p.p25 AS p25, p.p50 AS p50, p.p90 AS p90,
-           m.n AS n, m.median AS median, m.mad AS mad
+           m.n AS n, m.median AS median, m.mad AS mad,
+           CAST(1 AS INT) AS p50_approx_ok
     FROM ({{pct}}) p JOIN ({{mad}}) m ON p.c_mktsegment = m.c_mktsegment
     """,
     doc="Per-segment order statistics: exact percentiles (built-in) "
-    "joined with the applyInPandas MAD UDAF on the segment key.",
+    "joined with the applyInPandas MAD UDAF on the segment key, plus "
+    "an approx_percentile error envelope — the sketch median must land "
+    "within 2% (+1 abs) of the exact p50, checked as a hash-compared "
+    "flag like approx_distinct_users (the sketch itself is not "
+    "portable across engines; its bound is).",
 )
 def segment_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.sources.catalog import table
+
     pct = PARTS["percentiles_by_segment"].fn(spark, sf_dir)
     mad = PARTS["udaf_mad_by_segment"].fn(spark, sf_dir)
-    return pct.join(mad, "c_mktsegment")
+    apx = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.percentile_approx("c_acctbal", 0.5, 10000).alias("__apx"))
+    )
+    joined = pct.join(mad, "c_mktsegment").join(apx, "c_mktsegment")
+    ok = (
+        F.abs(F.col("__apx") - F.col("p50"))
+        <= 0.02 * F.abs(F.col("p50")) + F.lit(1.0)
+    )
+    return joined.select(
+        "c_mktsegment", "p25", "p50", "p90", "n", "median", "mad",
+        ok.cast("int").alias("p50_approx_ok"),
+    )
 
 
 _REG["segment_stats_suite"].oracle = _REG["segment_stats_suite"].oracle.format(
