@@ -204,6 +204,57 @@ def value_ema_by_user(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     )
 
 
+def streaming_profile(
+    df: DataFrame, columns: dict[str, str], table_name: str = "stream"
+) -> DataFrame:
+    """Streaming data-quality monitor: the streaming twin of
+    ``operators.profiling.profile_columns``.
+
+    One global streaming aggregation maintains per-column row/null
+    counts, ranges, and an approximate distinct sketch (exact COUNT
+    DISTINCT is unbounded-state in a stream; HLL state is O(KB) per
+    column), reshaped long with ``stack``. Run in ``complete`` output
+    mode — the state is a single row of scalars+sketches, so complete
+    mode re-emits a handful of rows per micro-batch, not the stream.
+
+    This is the ingest-gate pattern: attach it alongside the main
+    pipeline and alert when n_null jumps or a range walks out of
+    bounds — the streaming analog of profiling a batch before
+    training-data admission.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in columns.items():
+        aggs.append(F.count(c).alias(f"__c_{c}"))
+        aggs.append(F.approx_count_distinct(c, rsd=0.02).alias(f"__d_{c}"))
+        if kind == "string":
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        else:
+            aggs.append(F.round(F.min(F.col(c).cast("double")), 6).alias(f"__mn_{c}"))
+            aggs.append(F.round(F.max(F.col(c).cast("double")), 6).alias(f"__mx_{c}"))
+    one = df.agg(*aggs)
+    groups = []
+    for c, kind in columns.items():
+        vals = [
+            f"'{table_name}.{c}'",
+            "CAST(n_rows AS BIGINT)",
+            f"CAST(n_rows - __c_{c} AS BIGINT)",
+            f"CAST(__d_{c} AS BIGINT)",
+        ]
+        if kind == "string":
+            vals += [f"__mn_{c}", f"__mx_{c}",
+                     "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"]
+        else:
+            vals += ["CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
+                     f"__mn_{c}", f"__mx_{c}"]
+        groups.append(", ".join(vals))
+    stack = (
+        f"stack({len(columns)}, {', '.join(groups)}) AS "
+        "(col, n_rows, n_null, approx_distinct, min_s, max_s, min_v, max_v)"
+    )
+    return one.select(F.expr(stack))
+
+
 def foreach_batch_upsert(batch_writer):
     """Adapter for exactly-once-ish sink delivery: wrap a batch upsert
     function (e.g. sinks.jdbc_merge.load_to_postgres) for use with

@@ -275,3 +275,34 @@ def test_streaming_upsert_composes_with_merge_sql():
     assert "ON CONFLICT (link) DO UPDATE SET" in sql
     assert "name = EXCLUDED.name" in sql
     assert "RETURNING xmax = 0" in sql
+
+
+def test_streaming_profile_matches_batch(spark, events_stream_dir):
+    """The streaming profiler's final complete-mode emission must agree
+    with the batch profiler on everything exact (rows, nulls, ranges);
+    the distinct count is an HLL sketch, checked within 5%."""
+    from etl_property_rumah123_spark.operators.profiling import profile_columns
+
+    cols = {"event_type": "string", "value": "numeric"}
+    stream = pipelines.streaming_profile(
+        stream_events(spark, events_stream_dir), cols, table_name="events"
+    )
+    q = pipelines.run_to_memory_sink(stream, "t_profile", output_mode="complete")
+    q.awaitTermination()
+    got = {r["col"]: r for r in spark.table("t_profile").collect()}
+
+    batch = {
+        r["col"]: r
+        for r in profile_columns(
+            spark.read.parquet(events_stream_dir), "events", cols
+        ).collect()
+    }
+    assert set(got) == set(batch)
+    for k, b in batch.items():
+        s = got[k]
+        assert s["n_rows"] == b["n_rows"]
+        assert s["n_null"] == b["n_null"]
+        assert s["min_s"] == b["min_s"] and s["max_s"] == b["max_s"]
+        assert s["min_v"] == b["min_v"] and s["max_v"] == b["max_v"]
+        exact = b["n_distinct"]
+        assert abs(s["approx_distinct"] - exact) <= max(3, 0.05 * exact)
