@@ -9,6 +9,11 @@ register with ``oracle=None`` and get rows-only checks.
 Parity conventions (Spark vs DuckDB value-hash):
 - money/double SUMs  -> ROUND(x, 0) cast BIGINT (fractional rounding of
   doubles diverges between BigDecimal-string and binary rounding)
+- RUNNING/window money sums -> accumulate as DECIMAL(18,2) first: every
+  prefix row is a rounding opportunity and cent-grain values land on
+  exact .5 knife-edges where 1 ulp of double accumulation-order
+  difference flips ROUND (observed at sf0.1); exact decimal
+  accumulation is order-insensitive at any scale
 - AVG / ratios       -> ROUND(x, 6)
 - cosine scores      -> ROUND(x, 4)
 - timestamps         -> formatted 'yyyy-MM-dd[ HH:mm:ss]' strings

@@ -188,7 +188,7 @@ def range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_30d_spend",
     """
     SELECT o_orderkey AS o_orderkey,
-           CAST(ROUND(SUM(o_totalprice) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
            ), 0) AS BIGINT) AS spend_30d
@@ -196,7 +196,9 @@ def range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="RANGE window frame keyed by time: per-customer rolling 30-day "
     "spend. Spark expresses the interval frame as rangeBetween over "
-    "epoch seconds; DuckDB uses a native INTERVAL RANGE frame.",
+    "epoch seconds; DuckDB uses a native INTERVAL RANGE frame. Money "
+    "summed as DECIMAL(18,2) — same .5-knife-edge rationale as "
+    "window_running_sum.",
 )
 def rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
@@ -205,9 +207,10 @@ def rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_timestamp("o_orderdate"))
         .rangeBetween(-30 * 86400, 0)
     )
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
     return o.select(
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 0).cast("long").alias("spend_30d"),
+        F.round(spend, 0).cast("long").alias("spend_30d"),
     )
 
 

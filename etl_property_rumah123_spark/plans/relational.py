@@ -542,13 +542,18 @@ def window_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     """
     SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
-           CAST(ROUND(SUM(o_totalprice) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS running_spend
     FROM orders
     """,
     doc="Running total with an explicit ROWS frame and a deterministic "
-    "tie-broken ordering (date, orderkey).",
+    "tie-broken ordering (date, orderkey). The money column is summed "
+    "as DECIMAL(18,2): a long running double sum lands on .5 rounding "
+    "knife-edges (cent-grain values sum to exact halves) where 1 ulp "
+    "of accumulation-order difference flips ROUND — observed as an "
+    "off-by-one vs the oracle at sf0.1. Exact decimal accumulation is "
+    "order-insensitive, so the parity holds at ANY scale.",
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
@@ -556,10 +561,11 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
     return table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 0).cast("long").alias("running_spend"),
+        F.round(spend, 0).cast("long").alias("running_spend"),
     )
 
 
