@@ -616,7 +616,8 @@ def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_customer_versions",
     """
     WITH updates AS (
-      SELECT c_custkey, ROUND(c_acctbal * 1.1, 2) AS new_acctbal
+      SELECT c_custkey,
+             CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE) AS new_acctbal
       FROM customer WHERE c_custkey % 10 = 0
     )
     SELECT c.c_custkey AS c_custkey, ver.acctbal AS acctbal,
@@ -633,15 +634,19 @@ def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dimension produces a closed historical row plus a current row per "
     "changed key, one unchanged current row otherwise — expressed as "
     "a left join + per-row version generator (no MERGE needed; "
-    "re-expressible as Delta MERGE on a lakehouse).",
+    "re-expressible as Delta MERGE on a lakehouse). The simulated "
+    "update (x1.1) multiplies in DECIMAL: double multiply-then-round "
+    "hits .005 knife-edges where Spark's BigDecimal-repr rounding and "
+    "binary rounding diverge (observed at sf0.1).",
 )
 def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
+    bump = F.col("c_acctbal").cast("decimal(18,2)") * F.lit(1.1).cast("decimal(3,1)")
     updates = (
         c.filter(F.col("c_custkey") % 10 == 0)
         .select(
             F.col("c_custkey").alias("u_key"),
-            F.round(F.col("c_acctbal") * 1.1, 2).alias("new_acctbal"),
+            F.round(bump, 2).cast("double").alias("new_acctbal"),
         )
     )
     joined = c.join(updates, c["c_custkey"] == updates["u_key"], "left")

@@ -73,10 +73,12 @@ def test_window_money_sums_parity_at_sf01(spark, duck):
     sums once flipped a .5 rounding knife-edge at sf0.1 (double
     accumulation-order 1-ulp difference between engines) — fixed by
     DECIMAL(18,2) accumulation. sf0.001 cannot reproduce it, so this
-    test runs the two window-sum suites against sf0.1 explicitly."""
+    test runs the affected suites against sf0.1 explicitly
+    (scd2's x1.1 bump had the same class of bug: double
+    multiply-then-round at a .005 edge — now DECIMAL on both sides)."""
     sf = "/root/testdata/sf0.1"
     register_duck_views(duck, sf)
-    for name in ("window_basics_suite", "range_rolling_suite"):
+    for name in ("window_basics_suite", "range_rolling_suite", "scd2_customer_versions"):
         spec = REGISTRY[name]
         sdf = spec.fn(spark, sf)
         ns = normalize([tuple(r) for r in sdf.collect()], sdf.columns)
