@@ -276,6 +276,42 @@ def jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Training/eval decontamination: corpus documents sharing at least
+    one word ``shingle_n``-gram with the eval set (the standard exact
+    n-gram collision test run before training-data admission).
+
+    Shape: both sides reduce to distinct (doc, shingle) rows; the eval
+    side collapses to a distinct shingle set — tiny relative to the
+    corpus (eval suites are thousands of docs), so Spark broadcasts it
+    and the corpus-side scan streams. Output: (doc_id, n_shared) for
+    every contaminated corpus doc; dropping them is a left-anti join
+    on this result.
+    """
+    c = (
+        shingle_rows(corpus, text_col, id_col, shingle_n)
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    e = (
+        shingle_rows(eval_df, text_col, id_col, shingle_n)
+        .filter(F.col("shingle").isNotNull())
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(e), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1234,3 +1234,45 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"event_type": "string", "value": "numeric"},
     )
     return o.unionByName(e)
+
+
+@part(
+    "corpus_decontaminate",
+    """
+    WITH cw AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE doc_id % 50 <> 0
+    ), csh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) >= 8
+                    THEN [array_to_string(w[i:i+7], ' ')
+                          FOR i IN generate_series(1, len(w) - 7)]
+                    ELSE [] END)) AS s
+      FROM cw
+    ), ew AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE doc_id % 50 = 0
+    ), esh AS (
+      SELECT DISTINCT unnest(
+               CASE WHEN len(w) >= 8
+                    THEN [array_to_string(w[i:i+7], ' ')
+                          FOR i IN generate_series(1, len(w) - 7)]
+                    ELSE [] END) AS s
+      FROM ew
+    )
+    SELECT c.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM csh c JOIN esh e ON c.s = e.s
+    GROUP BY c.doc_id
+    """,
+    doc="Training/eval decontamination: corpus docs (doc_id %% 50 != 0) "
+    "sharing >= 1 exact word 8-gram with the held-out eval slice — the "
+    "collision test run before training-data admission. Eval shingle "
+    "set is broadcast; corpus side streams.",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.ngram_contamination(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        shingle_n=8,
+    )

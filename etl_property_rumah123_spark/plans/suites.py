@@ -466,11 +466,13 @@ _suite(
     {
         "prepare": {"part": "corpus_prepare_pipeline", "s1": "split", "s2": "lang", "n1": "n_docs", "n2": "n_tokens"},
         "split": {"part": "corpus_split_deterministic", "s1": "split", "n1": "n_docs", "n2": "min_id"},
+        "decontaminate": {"part": "corpus_decontaminate", "n1": "doc_id", "n2": "n_shared"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint")],
     doc="Corpus preparation: the full gate->dedup->split->account "
-    "pipeline as one lazy plan, plus the standalone deterministic "
-    "hash split accounting.",
+    "pipeline as one lazy plan, the standalone deterministic hash "
+    "split accounting, and eval-set decontamination (exact word "
+    "8-gram collisions against the held-out slice).",
 )
 
 
@@ -531,26 +533,38 @@ def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Per-segment order statistics: exact percentiles (built-in) "
     "joined with the applyInPandas MAD UDAF on the segment key, plus "
-    "an approx_percentile error envelope — the sketch median must land "
-    "within 2% (+1 abs) of the exact p50, checked as a hash-compared "
-    "flag like approx_distinct_users (the sketch itself is not "
-    "portable across engines; its bound is).",
+    "an approx_percentile error envelope checked as a hash-compared "
+    "flag (like approx_distinct_users — the sketch is not portable "
+    "across engines; its guarantee is). The envelope is on RANK, the "
+    "quantity the sketch actually bounds: the number of values on each "
+    "side of the sketch's median must put its rank within rsd*n (+1 "
+    "discrete slack) of n/2 — a value-distance bound would be wrong "
+    "for small or gappy groups where the exact median interpolates "
+    "between two distant order statistics.",
 )
 def segment_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_property_rumah123_spark.sources.catalog import table
 
     pct = PARTS["percentiles_by_segment"].fn(spark, sf_dir)
     mad = PARTS["udaf_mad_by_segment"].fn(spark, sf_dir)
-    apx = (
-        table(spark, sf_dir, "customer")
+    cust = table(spark, sf_dir, "customer")
+    apx = cust.groupBy("c_mktsegment").agg(
+        F.percentile_approx("c_acctbal", 0.5, 10000).alias("__apx")
+    )
+    ranks = (
+        cust.join(F.broadcast(apx), "c_mktsegment")
         .groupBy("c_mktsegment")
-        .agg(F.percentile_approx("c_acctbal", 0.5, 10000).alias("__apx"))
+        .agg(
+            F.count_if(F.col("c_acctbal") < F.col("__apx")).alias("__lt"),
+            F.count_if(F.col("c_acctbal") <= F.col("__apx")).alias("__le"),
+            F.count("*").alias("__n"),
+        )
     )
-    joined = pct.join(mad, "c_mktsegment").join(apx, "c_mktsegment")
-    ok = (
-        F.abs(F.col("__apx") - F.col("p50"))
-        <= 0.02 * F.abs(F.col("p50")) + F.lit(1.0)
+    slack = 0.02 * F.col("__n") + F.lit(1.0)
+    ok = (F.col("__lt") <= F.col("__n") / 2 + slack) & (
+        F.col("__le") >= F.col("__n") / 2 - slack
     )
+    joined = pct.join(mad, "c_mktsegment").join(ranks, "c_mktsegment")
     return joined.select(
         "c_mktsegment", "p25", "p50", "p90", "n", "median", "mad",
         ok.cast("int").alias("p50_approx_ok"),
