@@ -88,6 +88,7 @@ ORDER = [
     "grouping_analytics_suite",
     "agg_suite",
     "scan_shapes_suite",
+    "tpch_shapes_suite",
     "scalar_string_suite",
     "scalar_datetime_math_suite",
     "pivot_unpivot_suite",

@@ -802,3 +802,145 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H optimizer-stress shapes (adapted to the testdata columns)
+# ---------------------------------------------------------------------------
+
+
+@part(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS carrying an inequality "
+    "between the two sides (ship > order+30d) — decorrelates to a "
+    "LEFT SEMI join on the order key with the inequality as a join-"
+    "side predicate, never a per-row subquery.",
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = t["lineitem"]
+    cond = (o["o_orderkey"] == l["l_orderkey"]) & (
+        l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@part(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(ROUND(SUM(l_extendedprice * l_discount), 0) AS BIGINT) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: the classic range-predicate scan benchmark — "
+    "date range + discount band + quantity cap all push into the "
+    "parquet scan; zero joins, one map-side-combining aggregate.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _bigint_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@part(
+    "q14_promo_ratio",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_ratio
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+      AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+    doc="TPC-H Q14 shape: conditional-revenue ratio over a month of "
+    "shipments — one pass, both numerator and denominator as "
+    "conditional aggregates of the same join (no self-join); the part "
+    "dimension broadcast.",
+)
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = F.broadcast(table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type").like("PROMO%"), net).otherwise(0.0))
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .agg(F.round(100.0 * promo / F.sum(net), 6).alias("promo_ratio"))
+    )
+
+
+@part(
+    "q19_bracket_revenue",
+    """
+    SELECT CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 16 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#9' AND p_size BETWEEN 31 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunction of per-bracket conjunctions "
+    "mixing columns from both join sides — the predicate the optimizer "
+    "must split so the single-side conjuncts (brand/size, quantity) "
+    "still push below the join instead of evaluating the whole OR "
+    "post-join.",
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    q = F.col("l_quantity")
+    bracket = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(16, 30) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(31, 50) & q.between(20, 30))
+    )
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .filter(bracket)
+        .agg(
+            _bigint_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n"),
+        )
+    )

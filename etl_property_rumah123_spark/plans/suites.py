@@ -194,6 +194,22 @@ _suite(
 )
 
 _suite(
+    "tpch_shapes_suite",
+    {
+        "q4_exists": {"part": "q4_priority_exists", "s1": "o_orderpriority", "n1": "order_count"},
+        "q6_scan": {"part": "q6_forecast_revenue", "n1": "revenue", "n2": "n"},
+        "q14_ratio": {"part": "q14_promo_ratio", "v1": "promo_ratio"},
+        "q19_brackets": {"part": "q19_bracket_revenue", "n1": "revenue", "n2": "n"},
+    },
+    [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
+    doc="TPC-H optimizer-stress shapes adapted to the testdata "
+    "columns: Q4 correlated EXISTS with a cross-side inequality, Q6 "
+    "range-predicate scan, Q14 conditional-revenue ratio, Q19 "
+    "disjunctive per-bracket predicate that must split across the "
+    "join.",
+)
+
+_suite(
     "scalar_string_suite",
     {
         "string": {"part": "string_functions", "k1": "p_partkey", "s1": "upper_name", "s2": "type_prefix", "s3": "brand_type", "s4": "snake_name", "n1": "name_len", "n2": "first_e"},
