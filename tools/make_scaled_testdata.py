@@ -1,0 +1,85 @@
+"""Synthesize a larger scale factor from an existing testdata dir by
+replicating each table K times with key offsets — for THROUGHPUT
+measurement beyond the largest generated SF (the driver provides up to
+sf0.1; this builds a ~sf1 equivalent).
+
+Key handling: every primary/foreign key family shifts by
+``copy * (max_key + 1)`` so joins keep their original fan-out (copy i
+of orders joins copy i of lineitem/customer); dimension tables
+(region/nation/part/supplier) are NOT replicated — exactly how real
+star schemas scale (facts grow, dims don't), which also preserves the
+broadcast-ability the plans rely on. Content columns are left verbatim:
+the result is valid for timing relational/join/window/text plans, NOT
+for dedup-quality evaluation (10x replication makes every doc a 10-way
+exact dup — realistic for a dedup stress test, wrong for recall).
+
+Usage:
+    python tools/make_scaled_testdata.py [src_dir] [dst_dir] [k]
+Defaults: /root/testdata/sf0.1 -> /tmp/sf1_synth, k=10.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_property_rumah123_spark.session import get_spark  # noqa: E402
+from etl_property_rumah123_spark.sources.catalog import table  # noqa: E402
+
+# table -> columns sharing each key family's offset
+KEY_FAMILIES = {
+    "custkey": {"customer": ["c_custkey"], "orders": ["o_custkey"]},
+    "orderkey": {"orders": ["o_orderkey"], "lineitem": ["l_orderkey"]},
+    "event": {"events": ["event_id"]},
+    "user": {"events": ["user_id"]},
+    "doc": {"documents": ["doc_id"]},
+    "vec": {"embeddings": ["vec_id"]},
+}
+REPLICATED = ["customer", "orders", "lineitem", "events", "documents", "embeddings"]
+DIMS = ["region", "nation", "part", "supplier"]
+
+
+def main(src: str, dst: str, k: int) -> None:
+    spark = get_spark(app_name="make-scaled-testdata")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(dst, exist_ok=True)
+
+    # one pass to learn each family's stride
+    strides: dict[str, int] = {}
+    for fam, tabs in KEY_FAMILIES.items():
+        tname, cols = next(iter(tabs.items()))
+        strides[fam] = (
+            table(spark, src, tname).agg(F.max(cols[0])).collect()[0][0] + 1
+        )
+
+    for t in DIMS:
+        table(spark, src, t).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{t}.parquet")
+        )
+        print("copied dim", t, flush=True)
+
+    for t in REPLICATED:
+        base = table(spark, src, t)
+        shifted = []
+        for i in range(k):
+            df = base
+            for fam, tabs in KEY_FAMILIES.items():
+                for col in tabs.get(t, []):
+                    df = df.withColumn(col, F.col(col) + F.lit(i * strides[fam]))
+            shifted.append(df)
+        out = shifted[0]
+        for df in shifted[1:]:
+            out = out.unionByName(df)
+        out.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
+        print(f"replicated {t} x{k}", flush=True)
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_synth"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    main(src, dst, k)
