@@ -22,6 +22,12 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Local mode runs every executor thread inside the driver JVM, so Spark's
+# 1g driver-heap default is ~32 MB per concurrent task at local[32] —
+# enough for sf0.1, OOM at sf1. Sized here because the factory owns the
+# local JVM; under spark-submit the JVM is already up and this is a no-op.
+DEFAULT_LOCAL_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 
 def get_spark(
     app_name: str = "etl-property-rumah123-spark",
@@ -53,10 +59,14 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if master is None and not os.environ.get("SPARK_MASTER"):
+        master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
-        builder = builder.master(f"local[{cpus}]")
+        if master.startswith("local"):
+            builder = builder.config(
+                "spark.driver.memory", DEFAULT_LOCAL_DRIVER_MEMORY
+            )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
