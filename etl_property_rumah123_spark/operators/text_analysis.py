@@ -80,6 +80,91 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def clean_lines(text: Column) -> Column:
+    """Non-empty trimmed lines of ``text`` (null text reads as '')."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(text, F.lit("")), "\n"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+
+
+def clean_words(text: Column) -> Column:
+    """Whitespace tokens with the empty-text artifact removed: ''/null
+    text yields [] (plain ``word_tokens`` yields [''], kept there for
+    parity with older oracles)."""
+    return F.filter(
+        word_tokens(F.coalesce(text, F.lit(""))), lambda x: x != ""
+    )
+
+
+def dup_fraction(arr: Column) -> Column:
+    """Fraction of array elements that repeat an earlier element:
+    ``(len - distinct) / len``; NULL for empty arrays."""
+    n = F.size(arr).cast("double")
+    return (n - F.size(F.array_distinct(arr)).cast("double")) / F.nullif(
+        n, F.lit(0.0)
+    )
+
+
+def word_bigrams(words: Column) -> Column:
+    """Adjacent word pairs joined with one space; < 2 words yields []."""
+    n = F.size(words)
+    return F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters, per document:
+
+    - ``n_lines`` / ``dup_line_frac`` — share of non-empty lines that
+      duplicate an earlier line (boilerplate / template detector);
+    - ``dup_word_frac`` — share of tokens repeating an earlier token;
+    - ``top_bigram_frac`` — share of adjacent-word bigram occurrences
+      taken by the single most frequent bigram (NULL below 2 words).
+
+    Shape at scale: the line/word fractions are pure Column
+    expressions (zero shuffles, array_distinct is linear per doc). The
+    top-bigram share is explode -> (doc, bigram) counts -> per-doc
+    max/sum — two map-side-combining aggregations, deliberately NOT the
+    HOF count-each-distinct-element form, whose per-row cost is
+    quadratic in document length (pathological on one long document).
+    """
+    d = df.select(
+        "doc_id",
+        clean_lines(F.col(text_col)).alias("__lines"),
+        clean_words(F.col(text_col)).alias("__w"),
+    )
+    scal = d.select(
+        "doc_id",
+        F.size("__lines").cast("long").alias("n_lines"),
+        F.round(dup_fraction(F.col("__lines")), 6).alias("dup_line_frac"),
+        F.round(dup_fraction(F.col("__w")), 6).alias("dup_word_frac"),
+    )
+    bg = (
+        d.filter(F.size("__w") >= 2)
+        .select("doc_id", F.explode(word_bigrams(F.col("__w"))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("__maxc"), F.sum("c").alias("__totc"))
+    )
+    return (
+        scal.join(bg, "doc_id", "left")
+        .withColumn(
+            "top_bigram_frac",
+            F.round(
+                F.col("__maxc").cast("double") / F.col("__totc").cast("double"), 6
+            ),
+        )
+        .drop("__maxc", "__totc")
+    )
+
+
 def lang_scores(words: Column) -> dict[str, Column]:
     """Per-language marker hit counts."""
     out = {}

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from etl_property_rumah123_spark.functions import hashing
 from etl_property_rumah123_spark.functions.vector import l2_norm
-from etl_property_rumah123_spark.operators import dedup, similarity, text_analysis
+from etl_property_rumah123_spark.operators import (
+    dedup,
+    sampling,
+    similarity,
+    text_analysis,
+)
 from etl_property_rumah123_spark.plans import part, register
 from etl_property_rumah123_spark.sources.catalog import table
 
@@ -860,6 +865,150 @@ def corpus_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
     )
+
+
+# Per-language mixing weights for the deterministic sampler. A real
+# pipeline reads these from config; a literal dict keeps the Spark
+# when-chain and the oracle CASE generated from ONE source of truth.
+_MIX_RATES: dict[str, float] = {"en": 1.0, "zh": 0.5, "es": 0.5, "de": 0.25}
+_MIX_DEFAULT = 0.1
+_PACK_BUDGET = 1024
+
+# Clean word array (''/null text -> [], no empty tokens) — DuckDB twin
+# of text_analysis.clean_words.
+_DUCK_WORDS = (
+    "list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), "
+    "x -> x <> '')"
+)
+
+
+def _duck_mix_rate() -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items()
+    )
+    return f"CASE lang {arms} ELSE {_MIX_DEFAULT} END"
+
+
+@part(
+    "corpus_mix_sample",
+    f"""
+    SELECT lang AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN u < rate THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_sampled
+    FROM (
+      SELECT lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix42'), 1, 6)) AS BIGINT)
+               / 16777216.0 AS u,
+             {_duck_mix_rate()} AS rate,
+             len({_DUCK_WORDS}) AS n_tok
+      FROM documents
+    ) GROUP BY lang
+    """,
+    doc="Dataset-mixing accounting: per-language doc/token counts "
+    "admitted by the deterministic hash gate at the configured mixing "
+    "weights. The gate (md5-derived uniform < rate) is reproducible "
+    "across engines and partitionings — the property sample() lacks — "
+    "and evaluates inside the scan stage; the only shuffle is the "
+    "final per-language aggregation.",
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    rate = F.lit(float(_MIX_DEFAULT))
+    for k, v in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(float(v))).otherwise(rate)
+    u = sampling.deterministic_uniform(F.col("doc_id"), "|mix42")
+    admitted = (u < rate).cast("int")
+    n_tok = F.size(text_analysis.clean_words(F.col("text"))).cast("long")
+    return (
+        d.select("lang", admitted.alias("__adm"), n_tok.alias("__tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__adm").cast("long").alias("n_sampled"),
+            F.sum(F.col("__adm") * F.col("__tok")).cast("long").alias(
+                "n_tokens_sampled"
+            ),
+        )
+    )
+
+
+@part(
+    "corpus_token_pack",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tok
+      FROM documents
+    ), run AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running
+      FROM tok
+    )
+    SELECT CAST((running - n_tok) // {_PACK_BUDGET} AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM run GROUP BY 1
+    """,
+    doc="Sequence-packing accounting: documents laid out in doc_id "
+    "order, token stream cut every 1024 tokens, each doc assigned the "
+    "bin it starts in (concat-and-chunk pretraining packing). The "
+    "Spark side computes the global running sum with the two-phase "
+    "distributed prefix sum (operators/sampling.py) — range "
+    "repartition + per-partition window + broadcast offsets — never a "
+    "single-partition global window; the oracle's single-node window "
+    "checks it reproduces the exact same global order.",
+)
+def corpus_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(text_analysis.clean_words(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    return sampling.pack_token_bins(
+        d, budget=_PACK_BUDGET, order_col="doc_id", weight_col="n_tok"
+    )
+
+
+@part(
+    "text_repetition_scores",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter([trim(x) FOR x IN string_split(coalesce(text, ''), chr(10))],
+                         x -> x <> '') AS lines,
+             {_DUCK_WORDS} AS w
+      FROM documents
+    ), scal AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                   / NULLIF(CAST(len(lines) AS DOUBLE), 0.0), 6) AS dup_line_frac,
+             ROUND(CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+                   / NULLIF(CAST(len(w) AS DOUBLE), 0.0), 6) AS dup_word_frac
+      FROM base
+    ), bg AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS b
+      FROM base WHERE len(w) >= 2
+    ), bgm AS (
+      SELECT doc_id, MAX(c) AS maxc, SUM(c) AS totc
+      FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id AS doc_id, s.n_lines AS n_lines,
+           s.dup_line_frac AS dup_line_frac, s.dup_word_frac AS dup_word_frac,
+           ROUND(CAST(m.maxc AS DOUBLE) / CAST(m.totc AS DOUBLE), 6) AS top_bigram_frac
+    FROM scal s LEFT JOIN bgm m ON s.doc_id = m.doc_id
+    """,
+    doc="Gopher-style repetition filters: duplicate-line fraction, "
+    "duplicate-word fraction (pure expressions, zero shuffles), and "
+    "most-frequent-bigram share (explode + two map-side-combining "
+    "aggregations — not the per-row HOF form, which is quadratic in "
+    "document length).",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.repetition_features(table(spark, sf_dir, "documents"))
 
 
 @part(

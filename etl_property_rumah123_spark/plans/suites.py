@@ -391,26 +391,33 @@ _REG["events_insights_suite"].oracle = _REG["events_insights_suite"].oracle.form
     f"""
     SELECT t.doc_id AS doc_id, t.n_tokens AS n_tokens,
            t.n_bpeish AS n_bpeish, t.n_chars_measured AS n_chars_measured,
-           l.detected_lang AS detected_lang, f.fingerprint AS fingerprint
+           l.detected_lang AS detected_lang, f.fingerprint AS fingerprint,
+           r.n_lines AS n_lines, r.dup_line_frac AS dup_line_frac,
+           r.dup_word_frac AS dup_word_frac, r.top_bigram_frac AS top_bigram_frac
     FROM ({{tok}}) t
     JOIN ({{lang}}) l ON t.doc_id = l.doc_id
     JOIN ({{fp}}) f ON t.doc_id = f.doc_id
+    JOIN ({{rep}}) r ON t.doc_id = r.doc_id
     """,
     doc="Per-document text profile: token/BPE-ish/char counts, "
-    "heuristic language ID, and min-wise shingle fingerprint joined on "
-    "doc_id (all three are expression/aggregate forms over one scan).",
+    "heuristic language ID, min-wise shingle fingerprint, and the "
+    "Gopher-style repetition scores (duplicate-line/word fractions, "
+    "top-bigram share) joined on doc_id — expression/aggregate forms "
+    "over one scan each.",
 )
 def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = PARTS["text_token_stats"].fn(spark, sf_dir)
     lang = PARTS["text_lang_id"].fn(spark, sf_dir)
     fp = PARTS["text_fingerprint"].fn(spark, sf_dir)
-    return tok.join(lang, "doc_id").join(fp, "doc_id")
+    rep = PARTS["text_repetition_scores"].fn(spark, sf_dir)
+    return tok.join(lang, "doc_id").join(fp, "doc_id").join(rep, "doc_id")
 
 
 _REG["text_doc_profile"].oracle = _REG["text_doc_profile"].oracle.format(
     tok=PARTS["text_token_stats"].oracle,
     lang=PARTS["text_lang_id"].oracle,
     fp=PARTS["text_fingerprint"].oracle,
+    rep=PARTS["text_repetition_scores"].oracle,
 )
 
 
@@ -483,12 +490,17 @@ _suite(
         "prepare": {"part": "corpus_prepare_pipeline", "s1": "split", "s2": "lang", "n1": "n_docs", "n2": "n_tokens"},
         "split": {"part": "corpus_split_deterministic", "s1": "split", "n1": "n_docs", "n2": "min_id"},
         "decontaminate": {"part": "corpus_decontaminate", "n1": "doc_id", "n2": "n_shared"},
+        "mix": {"part": "corpus_mix_sample", "s1": "lang", "n1": "n_docs", "n2": "n_sampled", "n3": "n_tokens_sampled"},
+        "pack": {"part": "corpus_token_pack", "n1": "bin", "n2": "n_docs", "n3": "n_tokens"},
     },
-    [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint")],
+    [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],
     doc="Corpus preparation: the full gate->dedup->split->account "
     "pipeline as one lazy plan, the standalone deterministic hash "
-    "split accounting, and eval-set decontamination (exact word "
-    "8-gram collisions against the held-out slice).",
+    "split accounting, eval-set decontamination (exact word 8-gram "
+    "collisions against the held-out slice), per-language "
+    "mixing-weight sampling accounting (deterministic hash gate), and "
+    "sequence-packing accounting (distributed prefix sum, 1024-token "
+    "bins).",
 )
 
 

@@ -1,0 +1,117 @@
+"""Deterministic sampling + sequence packing (operators/sampling.py)
+and the Gopher-style repetition features (operators/text_analysis.py).
+
+The packing tests pin the property the distributed prefix sum must
+have: the result is a pure function of (order_col, weight_col) and
+never of the physical partitioning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_property_rumah123_spark.operators import sampling, text_analysis
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_tok long")
+
+
+def _naive_bins(rows, budget):
+    out = {}
+    running = 0
+    for _id, tok in sorted(rows):
+        b = running // budget
+        n, t = out.get(b, (0, 0))
+        out[b] = (n + 1, t + tok)
+        running += tok
+    return {b: v for b, v in out.items()}
+
+
+@pytest.mark.parametrize("num_partitions", [1, 3, 8])
+def test_pack_token_bins_matches_naive_any_partitioning(spark, num_partitions):
+    rows = [(i, (i * 37) % 113) for i in range(200)]
+    df = _docs(spark, rows).repartition(num_partitions)
+    got = {
+        r["bin"]: (r["n_docs"], r["n_tokens"])
+        for r in sampling.pack_token_bins(df, budget=500).collect()
+    }
+    assert got == _naive_bins(rows, 500)
+
+
+def test_global_running_sum_matches_cumsum(spark):
+    rows = [(i, i % 7) for i in range(100)]
+    df = _docs(spark, rows).repartition(5)
+    got = {
+        r["doc_id"]: r["running"]
+        for r in sampling.global_running_sum(df, "doc_id", "n_tok").collect()
+    }
+    acc = 0
+    for i, w in rows:
+        acc += w
+        assert got[i] == acc
+
+
+def test_hash_gate_is_partition_invariant_and_near_rate(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    kept1 = {
+        r["doc_id"]
+        for r in sampling.hash_gate(
+            df, F.lit(0.25), F.col("doc_id"), "|t"
+        ).collect()
+    }
+    kept2 = {
+        r["doc_id"]
+        for r in sampling.hash_gate(
+            df.repartition(13), F.lit(0.25), F.col("doc_id"), "|t"
+        ).collect()
+    }
+    assert kept1 == kept2  # layout never changes the sample
+    assert 0.22 < len(kept1) / 4000 < 0.28  # md5 uniformity at n=4000
+
+
+def test_repetition_features_planted(spark):
+    df = spark.createDataFrame(
+        [
+            # 4 lines, 'dup dup' twice; 'a b' bigram dominates
+            (1, "a b a b a b\ndup dup\ndup dup\nc d"),
+            (2, "all unique words here"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text_analysis.repetition_features(df).collect()}
+    r1 = got[1]
+    assert r1["n_lines"] == 4 and r1["dup_line_frac"] == 0.25
+    # words: a b a b a b dup dup dup dup c d -> 12 tokens, 5 distinct
+    assert r1["dup_word_frac"] == round(7 / 12, 6)
+    # bigrams within the full token array: 'a b' occurs 3 times of 11
+    assert r1["top_bigram_frac"] == round(3 / 11, 6)
+    r2 = got[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["top_bigram_frac"] == round(1 / 3, 6)
+    for empty_id in (3, 4):
+        r = got[empty_id]
+        assert r["n_lines"] == 0
+        assert r["dup_line_frac"] is None
+        assert r["dup_word_frac"] is None
+        assert r["top_bigram_frac"] is None
+
+
+def test_pack_plan_has_no_global_single_partition_window(spark):
+    """The data-sized window must be partitioned by __pid; only the
+    offsets window (one row per partition, post-aggregation) may run
+    single-partition; offsets come back via broadcast join."""
+    df = _docs(spark, [(i, 1) for i in range(50)])
+    plan = (
+        sampling.global_running_sum(df, "doc_id", "n_tok")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    data_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "__local" in ln
+    ]
+    assert data_windows and all("], [__pid#" in ln for ln in data_windows)
+    assert "BroadcastExchange" in plan
