@@ -80,6 +80,39 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: PII surface patterns, deliberately written in the regex subset where
+#: Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte — parity is
+#: pinned by the oracle comparing md5(redacted_text). Order matters for
+#: redaction: emails first (their local part may contain digits a later
+#: pattern would chew on), then IPs, then phone runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d –-]{7,}\d"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-pattern PII match counts over the raw text (each pattern is
+    counted independently, before any redaction)."""
+    t = F.coalesce(text, F.lit(""))
+    return {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+        for name, pat in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with ``<NAME>`` placeholders, applying
+    the patterns in ``PII_PATTERNS`` order. A pure expression chain —
+    at 100 TB this runs inside the scan stage like every other
+    text filter."""
+    out = F.coalesce(text, F.lit(""))
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
 def clean_lines(text: Column) -> Column:
     """Non-empty trimmed lines of ``text`` (null text reads as '')."""
     return F.filter(

@@ -421,9 +421,14 @@ _REG["text_doc_profile"].oracle = _REG["text_doc_profile"].oracle.format(
 )
 
 
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+_PII_PHONE = "\\+?\\d[\\d –-]{7,}\\d"
+
+
 @register(
     "text_quality_suite",
-    """
+    f"""
     WITH w AS (
       SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ), feat AS (
@@ -437,7 +442,7 @@ _REG["text_doc_profile"].oracle = _REG["text_doc_profile"].oracle.format(
                / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0.0) AS punct_ratio
       FROM w
     )
-    SELECT doc_id AS doc_id,
+    SELECT f.doc_id AS doc_id,
            ROUND(stop_ratio, 6) AS stop_ratio,
            ROUND(mean_word_len, 6) AS mean_word_len,
            ROUND(punct_ratio, 6) AS punct_ratio,
@@ -445,13 +450,23 @@ _REG["text_doc_profile"].oracle = _REG["text_doc_profile"].oracle.format(
            CASE WHEN n_tokens >= 5
                   AND (stop_ratio IS NULL OR stop_ratio <= 0.6)
                   AND (punct_ratio IS NULL OR punct_ratio <= 0.2)
-                THEN 1 ELSE 0 END AS passed
-    FROM feat
+                THEN 1 ELSE 0 END AS passed,
+           CAST(len(regexp_extract_all(coalesce(d.text, ''), '{_PII_EMAIL}')) AS BIGINT) AS n_pii_email,
+           CAST(len(regexp_extract_all(coalesce(d.text, ''), '{_PII_IP}')) AS BIGINT) AS n_pii_ip,
+           CAST(len(regexp_extract_all(coalesce(d.text, ''), '{_PII_PHONE}')) AS BIGINT) AS n_pii_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(coalesce(d.text, ''),
+               '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_digest
+    FROM feat f JOIN documents d ON f.doc_id = d.doc_id
     """,
     doc="Quality scoring + gate in one pass: stopword ratio, mean word "
-    "length, punctuation ratio, token count, and the C4-style pass "
-    "flag (supersedes the separate scores/filter queries — the filter "
-    "predicate is checked as the ``passed`` column).",
+    "length, punctuation ratio, token count, the C4-style pass flag "
+    "(supersedes the separate scores/filter queries — the filter "
+    "predicate is checked as the ``passed`` column), and PII "
+    "surface-pattern counts plus the digest of the fully redacted "
+    "text (pins redaction byte-for-byte across engines; the synthetic "
+    "corpus carries no PII, so planted-fixture unit tests carry the "
+    "positive-match signal).",
 )
 def text_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_property_rumah123_spark.operators import text_analysis
@@ -463,6 +478,7 @@ def text_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stop_ratio").isNull() | (F.col("stop_ratio") <= 0.6))
         & (F.col("punct_ratio").isNull() | (F.col("punct_ratio") <= 0.2))
     )
+    pii = text_analysis.pii_counts(F.col("text"))
     return feats.select(
         "doc_id",
         F.round("stop_ratio", 6).alias("stop_ratio"),
@@ -470,6 +486,10 @@ def text_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         passed.cast("int").alias("passed"),
+        pii["email"].alias("n_pii_email"),
+        pii["ip"].alias("n_pii_ip"),
+        pii["phone"].alias("n_pii_phone"),
+        F.md5(text_analysis.redact_pii(F.col("text"))).alias("redacted_digest"),
     )
 
 

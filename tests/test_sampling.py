@@ -99,6 +99,32 @@ def test_repetition_features_planted(spark):
         assert r["top_bigram_frac"] is None
 
 
+def test_pii_counts_and_redaction_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com or 192.168.0.1 ring +62 812-3456-7890"),
+            (2, "no pii here"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    counts = text_analysis.pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            counts["email"].alias("e"),
+            counts["ip"].alias("i"),
+            counts["phone"].alias("p"),
+            text_analysis.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (1, 1, 1)
+    assert out[1]["red"] == "mail <EMAIL> or <IP> ring <PHONE>"
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 0, 0)
+    assert out[3]["red"] == ""  # null text redacts to the empty doc
+
+
 def test_pack_plan_has_no_global_single_partition_window(spark):
     """The data-sized window must be partitioned by __pid; only the
     offsets window (one row per partition, post-aggregation) may run
