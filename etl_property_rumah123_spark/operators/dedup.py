@@ -384,6 +384,7 @@ def simhash_near_dups(
     rotations: int = 4,
     hash_fn=F.xxhash64,
     bits: int = 64,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: the standard rotate-and-block scheme.
 
@@ -404,6 +405,15 @@ def simhash_near_dups(
     ``rotations`` times and the self-join twice more — without
     materialization the whole tokenize->hash->64-aggregate pipeline
     would recompute 2x``rotations`` times.
+
+    ``max_block_size`` is the hot-block guard (same contract as
+    ``lsh_candidate_pairs(max_bucket_size)``): (rot, block) groups
+    holding more than that many docs are dropped BEFORE the self-join.
+    A block of b docs costs b² pair rows per rotation; a corpus with
+    large exact-duplicate families (every copy shares ALL rotations'
+    blocks) or a boilerplate-dominant prefix goes quadratic without
+    it. Dropping is recall-sound the same way: families that large
+    belong to exact dedup, which precedes near-dup in the pipeline.
     """
     sigs = simhash_signatures(
         df, text_col, id_col, hash_fn=hash_fn, bits=bits
@@ -433,6 +443,10 @@ def simhash_near_dups(
     blocks = rot_tables[0]
     for t in rot_tables[1:]:
         blocks = blocks.unionByName(t)
+    if max_block_size is not None:
+        sizes = blocks.groupBy("rot", "block").agg(F.count("*").alias("__bn"))
+        keep = sizes.filter(F.col("__bn") <= max_block_size).select("rot", "block")
+        blocks = blocks.join(keep, ["rot", "block"])
     a = blocks.alias("a")
     b = blocks.alias("b")
     cand = (

@@ -150,7 +150,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- the low (60 - r*15) bits left, OR the high bits shifted down
       SELECT doc_id, sig, r,
              (((sig & ((CAST(1 AS BIGINT) << (60 - r * 15)) - 1)) << (r * 15))
-              | (sig >> (60 - r * 15))) >> 52 AS block
+              | (sig >> (60 - r * 15))) >> 48 AS block
       FROM sig, (SELECT unnest(generate_series(0, 3)) AS r)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -164,7 +164,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="SimHash near-dup pairs, oracle-checked end-to-end: 60-bit "
     "portable signature (md5-derived token hash — identical in "
-    "DuckDB), 4-rotation blocking on 8-bit prefixes, Hamming verify. "
+    "DuckDB), 4-rotation blocking on 12-bit prefixes (block width must "
+    "grow with corpus size — candidate work is >= n^2/2^prefix_bits "
+    "regardless of content, so 8 bits stopped being scale-safe at "
+    "synthetic sf1), Hamming verify. "
     "The xxhash64/64-bit fast path is the same code with the default "
     "hash (operators/dedup.py:simhash_near_dups), pinned equivalent "
     "in structure; recall of the rotation scheme is asserted on "
@@ -174,7 +177,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.simhash_near_dups(
         table(spark, sf_dir, "documents"),
         max_hamming=24,
-        prefix_bits=8,
+        prefix_bits=12,
         rotations=4,
         hash_fn=dedup.md5_hash60,
         bits=60,

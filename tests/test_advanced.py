@@ -245,6 +245,25 @@ def test_lsh_max_bucket_size_bounds_hot_bucket(spark):
     assert cut.count() < 40  # the 40-doc hot bucket is gone
 
 
+def test_simhash_max_block_size_bounds_duplicate_family(spark):
+    """An exact-duplicate family shares EVERY rotation's block, so an
+    unguarded run pays ~rotations x b^2 pair rows for it; max_block_size
+    drops those blocks while small-block near-dups keep colliding."""
+    from etl_property_rumah123_spark.operators import dedup
+
+    rows = [(i, "the exact same boilerplate text repeated here") for i in range(40)]
+    rows.append((100, "rare solitary document alpha beta gamma delta epsilon"))
+    rows.append((101, "rare solitary document alpha beta gamma delta zeta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncut = dedup.simhash_near_dups(docs, max_hamming=12)
+    cut = dedup.simhash_near_dups(docs, max_hamming=12, max_block_size=10)
+    assert uncut.count() >= 40 * 39 // 2
+    got = {(r["id_a"], r["id_b"]) for r in cut.collect()}
+    assert (100, 101) in got  # small-block near-dup survives
+    assert cut.count() < 40  # the 40-copy family is gone
+
+
 def test_approx_distinct_error_envelope(spark):
     e = table(spark, SF_SMOKE, "events")
     rows = (

@@ -8,13 +8,17 @@ Key handling: every primary/foreign key family shifts by
 of orders joins copy i of lineitem/customer); dimension tables
 (region/nation/part/supplier) are NOT replicated — exactly how real
 star schemas scale (facts grow, dims don't), which also preserves the
-broadcast-ability the plans rely on. Content columns are left verbatim:
-the result is valid for timing relational/join/window/text plans, NOT
-for dedup-quality evaluation (10x replication makes every doc a 10-way
-exact dup — realistic for a dedup stress test, wrong for recall).
+broadcast-ability the plans rely on. Content columns are left verbatim
+by default: the result is valid for timing relational/join/window/text
+plans, NOT for dedup timing (10x replication makes every doc a 10-way
+near-dup — the PAIR OUTPUT then grows quadratically within each family,
+which measures the data artifact, not the engine). ``--perturb``
+appends a copy-unique token to each replicated document text, breaking
+the artificial dup families so dedup queries scale like a real corpus
+that grew 10x.
 
 Usage:
-    python tools/make_scaled_testdata.py [src_dir] [dst_dir] [k]
+    python tools/make_scaled_testdata.py [src_dir] [dst_dir] [k] [--perturb]
 Defaults: /root/testdata/sf0.1 -> /tmp/sf1_synth, k=10.
 """
 
@@ -43,7 +47,7 @@ REPLICATED = ["customer", "orders", "lineitem", "events", "documents", "embeddin
 DIMS = ["region", "nation", "part", "supplier"]
 
 
-def main(src: str, dst: str, k: int) -> None:
+def main(src: str, dst: str, k: int, perturb: bool = False) -> None:
     spark = get_spark(app_name="make-scaled-testdata")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(dst, exist_ok=True)
@@ -70,6 +74,17 @@ def main(src: str, dst: str, k: int) -> None:
             for fam, tabs in KEY_FAMILIES.items():
                 for col in tabs.get(t, []):
                     df = df.withColumn(col, F.col(col) + F.lit(i * strides[fam]))
+            if perturb and t == "documents" and i > 0:
+                # copy-unique suffix: kills the artificial 10-way dup
+                # families without changing token-scale statistics
+                df = df.withColumn(
+                    "text",
+                    F.concat(
+                        F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(f" copytoken{i}x"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                )
             shifted.append(df)
         out = shifted[0]
         for df in shifted[1:]:
@@ -79,7 +94,9 @@ def main(src: str, dst: str, k: int) -> None:
 
 
 if __name__ == "__main__":
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_synth"
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    main(src, dst, k)
+    args = [a for a in sys.argv[1:] if a != "--perturb"]
+    perturb = "--perturb" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    dst = args[1] if len(args) > 1 else "/tmp/sf1_synth"
+    k = int(args[2]) if len(args) > 2 else 10
+    main(src, dst, k, perturb=perturb)
