@@ -10,7 +10,10 @@ Prints exactly one JSON line:
 best-of-2. ``registry_sweep`` is a single timed pass over EVERY
 registered query (the full capability surface) so round-over-round
 comparisons can see regressions outside the headline set; disable with
-SPARK_GRAFT_SWEEP=0 for quick iteration.
+SPARK_GRAFT_SWEEP=0 for quick iteration. When the synthetic ~sf1 dir
+exists (see tools/make_scaled_testdata.py) and the main run is the
+default sf0.1, ``sf1_headline`` repeats the headline set at 10x data
+so every recorded bench carries its own scaling data point.
 
 Each query is forced end-to-end with a noop sink write (full execution,
 no driver-side collect — the same action profile a cluster job has).
@@ -31,6 +34,10 @@ from etl_property_rumah123_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SWEEP = os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0"
+# Synthetic ~sf1 dir (tools/make_scaled_testdata.py). When present and
+# the main run is the default sf0.1, the headline set is ALSO timed at
+# sf1 so every recorded bench carries a 10x-scaling data point.
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_synth")
 
 
 def sf_of(path: str) -> float:
@@ -38,9 +45,9 @@ def sf_of(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def run_once(spec, spark) -> float:
+def run_once(spec, spark, sf_dir: str = SF_DIR) -> float:
     t0 = time.perf_counter()
-    spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -78,6 +85,19 @@ def main() -> None:
                 sweep[name] = -1.0  # failed query: visible, not fatal
         out["registry_sweep"] = sweep
         out["registry_total_sec"] = round(sum(v for v in sweep.values() if v > 0), 3)
+
+    if os.path.isdir(SF1_DIR) and abs(sf_of(SF_DIR) - 0.1) < 1e-9:
+        sf1: dict[str, float] = {}
+        for name, spec in headline.items():
+            try:
+                run_once(spec, spark, SF1_DIR)  # warm
+                sf1[name] = round(run_once(spec, spark, SF1_DIR), 3)
+            except Exception:
+                sf1[name] = -1.0
+        out["sf1_headline"] = sf1
+        out["sf1_headline_total_sec"] = round(
+            sum(v for v in sf1.values() if v > 0), 3
+        )
 
     print(json.dumps(out))
 
