@@ -106,6 +106,45 @@ def global_running_sum(
     )
 
 
+def chunk_spans(
+    df: DataFrame,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tok",
+) -> DataFrame:
+    """Retrieval-style chunk plan: one row per (doc, chunk) for fixed
+    ``size``-token windows advancing by ``stride`` tokens (overlap =
+    ``size - stride``). The last window is truncated at the document
+    end; zero-token docs produce no chunks.
+
+    Chunk count per doc is ``1 + ceil(max(n_tok - size, 0) / stride)``,
+    computed in non-negative integer arithmetic ONLY — Spark's ``DIV``
+    truncates toward zero while DuckDB's ``//`` floors, so a negative
+    numerator would silently diverge between engine and oracle.
+
+    Pure generate-and-explode over the token counts: no shuffle, no
+    join; row expansion is ~n_tok/stride per doc, the output's
+    intrinsic size.
+    """
+    extra = F.expr(
+        f"CAST((GREATEST({weight_col} - {size}, 0) + {stride - 1}) "
+        f"DIV {stride} AS BIGINT)"
+    )
+    exploded = (
+        df.filter(F.col(weight_col) > 0)
+        .select(id_col, weight_col, F.explode(F.sequence(F.lit(0), extra)).alias("chunk_idx"))
+    )
+    start = F.col("chunk_idx") * stride
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.least(start + size, F.col(weight_col)) - start)
+        .cast("long")
+        .alias("chunk_tokens"),
+    )
+
+
 def pack_token_bins(
     df: DataFrame,
     budget: int,

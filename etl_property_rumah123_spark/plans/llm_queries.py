@@ -973,6 +973,41 @@ def corpus_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 256, 192
+
+
+@part(
+    "corpus_chunk_plan",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tok
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, n_tok,
+             unnest(generate_series(0,
+               (GREATEST(n_tok - {_CHUNK_SIZE}, 0) + {_CHUNK_STRIDE - 1})
+                 // {_CHUNK_STRIDE})) AS chunk_idx
+      FROM tok WHERE n_tok > 0
+    )
+    SELECT doc_id AS doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(LEAST(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n_tok)
+                - chunk_idx * {_CHUNK_STRIDE} AS BIGINT) AS chunk_tokens
+    FROM ex
+    """,
+    doc="Retrieval-style chunk plan: one row per (doc, chunk) for "
+    "256-token windows advancing by 192 (64-token overlap), last "
+    "window truncated at doc end. Non-negative integer arithmetic "
+    "only — Spark DIV truncates, DuckDB // floors, so negative "
+    "numerators would diverge. Generate-and-explode, zero shuffles.",
+)
+def corpus_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(text_analysis.clean_words(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    return sampling.chunk_spans(d, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
 @part(
     "text_repetition_scores",
     f"""

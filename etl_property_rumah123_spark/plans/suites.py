@@ -512,15 +512,17 @@ _suite(
         "decontaminate": {"part": "corpus_decontaminate", "n1": "doc_id", "n2": "n_shared"},
         "mix": {"part": "corpus_mix_sample", "s1": "lang", "n1": "n_docs", "n2": "n_sampled", "n3": "n_tokens_sampled"},
         "pack": {"part": "corpus_token_pack", "n1": "bin", "n2": "n_docs", "n3": "n_tokens"},
+        "chunks": {"part": "corpus_chunk_plan", "n1": "doc_id", "n2": "chunk_idx", "n3": "chunk_tokens"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],
     doc="Corpus preparation: the full gate->dedup->split->account "
     "pipeline as one lazy plan, the standalone deterministic hash "
     "split accounting, eval-set decontamination (exact word 8-gram "
     "collisions against the held-out slice), per-language "
-    "mixing-weight sampling accounting (deterministic hash gate), and "
+    "mixing-weight sampling accounting (deterministic hash gate), "
     "sequence-packing accounting (distributed prefix sum, 1024-token "
-    "bins).",
+    "bins), and the retrieval chunk plan (256-token windows, stride "
+    "192).",
 )
 
 

@@ -99,6 +99,27 @@ def test_repetition_features_planted(spark):
         assert r["top_bigram_frac"] is None
 
 
+def test_chunk_spans_matches_naive(spark):
+    rows = [(1, 0), (2, 1), (3, 256), (4, 257), (5, 256 + 192), (6, 1000)]
+    df = _docs(spark, rows)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_tokens"]
+        for r in sampling.chunk_spans(df, size=256, stride=192).collect()
+    }
+    expect = {}
+    for doc, n in rows:
+        i = 0
+        while n > 0 and i * 192 < n or (n > 0 and i == 0):
+            start = i * 192
+            expect[(doc, i)] = min(start + 256, n) - start
+            if start + 256 >= n:
+                break
+            i += 1
+    assert got == expect
+    assert (1, 0) not in got  # zero-token doc yields no chunks
+    assert got[(4, 1)] == 65  # 257 tokens: second window is the tail
+
+
 def test_pii_counts_and_redaction_planted(spark):
     df = spark.createDataFrame(
         [
