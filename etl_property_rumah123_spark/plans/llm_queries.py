@@ -973,6 +973,61 @@ def corpus_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@part(
+    "text_lm_surprisal",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS b
+      FROM w WHERE len(w) >= 2
+    ), freq AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t FROM freq
+    )
+    SELECT doc_id AS doc_id,
+           ROUND(AVG(length(bin(t // c)) - 1), 6) AS lm_surprisal
+    FROM bg JOIN freq USING (b) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="CCNet-style LM quality proxy: per-doc mean bigram surprisal "
+    "against the corpus's own bigram frequencies. Surprisal is the "
+    "INTEGER bucket floor(log2(total/freq)) computed as "
+    "length(bin(total DIV freq)) - 1 — floating ln is not reproducible "
+    "across engines (libm last-ulp differences flip ROUND at scale), "
+    "while bin() of a BIGINT is exact in both; the filter only needs "
+    "monotonicity, which the bucket keeps. Shape: one bigram-explode "
+    "scan feeding (a) the frequency aggregation and (b) the scoring "
+    "join — the exploded table is localCheckpointed since both "
+    "branches read it; the 1-row corpus total attaches via an explicit "
+    "broadcast nested-loop join (the bounded-side pattern the plan "
+    "gate whitelists — an equi-join on a literal key constant-folds "
+    "into the same plan anyway).",
+)
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", text_analysis.clean_words(F.col("text")).alias("w"))
+    bg = (
+        w.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(text_analysis.word_bigrams(F.col("w"))).alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    freq = bg.groupBy("b").agg(F.count("*").cast("long").alias("c"))
+    tot = freq.agg(F.sum("c").cast("long").alias("t"))
+    freq_t = freq.crossJoin(F.broadcast(tot))
+    s = bg.join(freq_t, "b").select(
+        "doc_id", (F.length(F.bin(F.expr("t DIV c"))) - 1).alias("s")
+    )
+    return s.groupBy("doc_id").agg(
+        F.round(F.avg("s"), 6).alias("lm_surprisal")
+    )
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 256, 192
 
 

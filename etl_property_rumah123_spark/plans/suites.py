@@ -498,10 +498,12 @@ _suite(
     {
         "top_terms": {"part": "text_top_terms", "s1": "term", "n1": "freq", "n2": "doc_freq"},
         "tfidf": {"part": "text_tfidf_top_term", "k1": "doc_id", "s1": "top_term", "v1": "tfidf"},
+        "lm": {"part": "text_lm_surprisal", "k1": "doc_id", "v1": "lm_surprisal"},
     },
     [("s1", "string"), ("k1", "bigint"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
-    doc="Corpus term statistics: global top-50 vocabulary and per-doc "
-    "TF-IDF top keyword.",
+    doc="Corpus term statistics: global top-50 vocabulary, per-doc "
+    "TF-IDF top keyword, and the CCNet-style per-doc mean bigram "
+    "surprisal (integer log2 buckets — exact across engines).",
 )
 
 _suite(

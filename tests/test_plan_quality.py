@@ -133,6 +133,7 @@ def test_no_unexpected_cartesian_or_bnlj_in_any_registered_plan(spark):
         "knn_bruteforce",        # broadcast 10-query side, != condition
         "dedup_embedding_cosine",  # block-pair join over tiny packed table
         "ann_suite",             # contains the same broadcast query side
+        "text_term_stats",       # 1-row corpus-total broadcast (lm member)
     }
     PICKLED_BY_DESIGN = {"udtf_sentence_split"}  # Python UDTF node type
     for name, spec in load_all().items():

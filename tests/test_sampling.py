@@ -146,6 +146,44 @@ def test_pii_counts_and_redaction_planted(spark):
     assert out[3]["red"] == ""  # null text redacts to the empty doc
 
 
+def test_lm_surprisal_ranks_rare_bigrams_higher(spark):
+    """A doc made of the corpus's dominant bigram scores lower than a
+    doc of one-off bigrams, and the integer-bucket formula is exact."""
+    from etl_property_rumah123_spark.plans import PARTS, load_all
+
+    load_all()
+    common = " ".join(["alpha beta"] * 20)  # 'alpha beta' dominates
+    rows = [(i, common) for i in range(5)]
+    rows.append((100, "zeta eta theta iota kappa lam mu nu xi omicron"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents_v", df.toPandas())
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_v")
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute(PARTS["text_lm_surprisal"].oracle).fetchall()
+    }
+
+    # same builder the registered suite uses, against the same tiny df
+    # (llm_queries binds `table` at import, so patch it there)
+    from etl_property_rumah123_spark.plans import llm_queries
+
+    orig = llm_queries.table
+    llm_queries.table = lambda s, d, n: df  # noqa: E731
+    try:
+        got = {
+            r["doc_id"]: r["lm_surprisal"]
+            for r in PARTS["text_lm_surprisal"].fn(spark, "unused").collect()
+        }
+    finally:
+        llm_queries.table = orig
+    assert got == oracle
+    assert got[100] > got[0]  # rare bigrams -> higher surprisal
+
+
 def test_pack_plan_has_no_global_single_partition_window(spark):
     """The data-sized window must be partitioned by __pid; only the
     offsets window (one row per partition, post-aggregation) may run
