@@ -198,6 +198,72 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def sentence_segments(text: Column) -> Column:
+    """Non-empty trimmed '.'-delimited segments (null text reads '')."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(text, F.lit("")), r"\."), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 3,
+) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate removal: drop every sentence
+    segment that appears verbatim in >= ``min_df`` distinct documents
+    (cookie banners, nav text, disclaimers), then reassemble each
+    document's surviving segments in their original order.
+
+    Output per input document: ``n_segments`` (before the cut),
+    ``n_removed``, and ``clean_text`` — the kept segments re-joined as
+    the canonical ``'. '``-separated form ('' when everything was
+    boilerplate). Documents with no non-empty segments (null/blank
+    text) drop out, matching the SQL oracle's explode semantics.
+
+    Shape at scale: one posexplode scan; the document-frequency pass
+    shuffles DISTINCT (segment, doc_id) pairs — each segment body
+    crosses the wire once per containing doc, with map-side combine on
+    the second aggregate; the boilerplate table is then *filtered to
+    df >= min_df before joining*, so the join's build side holds only
+    the (small, by construction heavy-tailed) boilerplate set and AQE
+    plans it as a broadcast join; reassembly is one groupBy bounded by
+    per-document size. At 100 TB, slim the df shuffle further by
+    keying on xxhash64(segment) instead of the segment body.
+    """
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(sentence_segments(F.col(text_col))).alias("pos", "seg"),
+    )
+    boiler = (
+        segs.select("seg", id_col)
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count("*").cast("long").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("seg")
+        .withColumn("__boiler", F.lit(True))
+    )
+    flagged = segs.join(boiler, "seg", "left")
+    kept = F.when(F.col("__boiler").isNull(), F.struct("pos", "seg"))
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("__boiler").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["seg"]
+            ),
+            ". ",
+        ).alias("clean_text"),
+    )
+
+
 def lang_scores(words: Column) -> dict[str, Column]:
     """Per-language marker hit counts."""
     out = {}

@@ -1028,6 +1028,46 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@part(
+    "text_boilerplate_strip",
+    """
+    WITH s0 AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(coalesce(text, ''), '.'),
+                                        x -> trim(x)), x -> x <> '') AS l
+      FROM documents
+    ), s AS (
+      SELECT doc_id, unnest(l) AS seg,
+             unnest(generate_series(1, len(l))) AS pos
+      FROM s0
+    ), b AS (
+      SELECT seg
+      FROM (SELECT seg, count(DISTINCT doc_id) AS df FROM s GROUP BY seg)
+      WHERE df >= 3
+    )
+    SELECT s.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(s.seg, '. ' ORDER BY s.pos)
+                      FILTER (WHERE b.seg IS NULL), '') AS clean_text
+    FROM s LEFT JOIN b USING (seg)
+    GROUP BY s.doc_id
+    """,
+    doc="RefinedWeb-style boilerplate removal: sentence segments "
+    "appearing verbatim in >= 3 distinct docs are dropped and each "
+    "doc's survivors are re-joined in original order ('. ' canonical "
+    "form). The testdata corpus has no cross-doc repeated segments, so "
+    "here the op verifies as an exact identity pass (counts + "
+    "re-assembled text must still hash-match); the planted-boilerplate "
+    "behavior is pinned by tests/test_sampling.py against the same "
+    "oracle on a fixture corpus. See operators/text_analysis.py:"
+    "strip_boilerplate for the scale shape.",
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.strip_boilerplate(table(spark, sf_dir, "documents"))
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 256, 192
 
 

@@ -515,6 +515,7 @@ _suite(
         "mix": {"part": "corpus_mix_sample", "s1": "lang", "n1": "n_docs", "n2": "n_sampled", "n3": "n_tokens_sampled"},
         "pack": {"part": "corpus_token_pack", "n1": "bin", "n2": "n_docs", "n3": "n_tokens"},
         "chunks": {"part": "corpus_chunk_plan", "n1": "doc_id", "n2": "chunk_idx", "n3": "chunk_tokens"},
+        "boiler": {"part": "text_boilerplate_strip", "n1": "doc_id", "n2": "n_segments", "n3": "n_removed", "s1": "clean_text"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],
     doc="Corpus preparation: the full gate->dedup->split->account "
@@ -523,8 +524,9 @@ _suite(
     "collisions against the held-out slice), per-language "
     "mixing-weight sampling accounting (deterministic hash gate), "
     "sequence-packing accounting (distributed prefix sum, 1024-token "
-    "bins), and the retrieval chunk plan (256-token windows, stride "
-    "192).",
+    "bins), the retrieval chunk plan (256-token windows, stride 192), "
+    "and RefinedWeb-style boilerplate-segment removal (df >= 3 "
+    "sentences dropped, survivors re-joined in order).",
 )
 
 

@@ -184,6 +184,50 @@ def test_lm_surprisal_ranks_rare_bigrams_higher(spark):
     assert got[100] > got[0]  # rare bigrams -> higher surprisal
 
 
+def test_boilerplate_strip_planted(spark):
+    """Segments in >= 3 docs are removed, survivors keep order, a
+    fully-boiler doc collapses to '', null text drops out — and the
+    Spark result exactly matches the DuckDB oracle on the fixture."""
+    from etl_property_rumah123_spark.plans import PARTS, load_all
+
+    load_all()
+    rows = [
+        (1, "Buy now. unique alpha text. Visit our site."),
+        (2, "Buy now. other beta words. Visit our site."),
+        (3, "Buy now. third gamma thing. Visit our site."),
+        (4, "totally unique document here"),
+        (5, None),
+        (6, "Buy now. Visit our site."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents_v", df.toPandas())
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_v")
+    oracle = {
+        r[0]: r[1:]
+        for r in con.execute(PARTS["text_boilerplate_strip"].oracle).fetchall()
+    }
+
+    from etl_property_rumah123_spark.plans import llm_queries
+
+    orig = llm_queries.table
+    llm_queries.table = lambda s, d, n: df  # noqa: E731
+    try:
+        got = {
+            r["doc_id"]: (r["n_segments"], r["n_removed"], r["clean_text"])
+            for r in PARTS["text_boilerplate_strip"].fn(spark, "unused").collect()
+        }
+    finally:
+        llm_queries.table = orig
+    assert got == oracle
+    assert got[1] == (3, 2, "unique alpha text")  # order + removal
+    assert got[6] == (2, 2, "")  # fully-boiler doc -> empty, not null
+    assert 5 not in got  # null text has no segments
+
+
 def test_pack_plan_has_no_global_single_partition_window(spark):
     """The data-sized window must be partitioned by __pid; only the
     offsets window (one row per partition, post-aggregation) may run
