@@ -287,17 +287,20 @@ def ngram_contamination(
     one word ``shingle_n``-gram with the eval set (the standard exact
     n-gram collision test run before training-data admission).
 
-    Shape: both sides reduce to distinct (doc, shingle) rows; the eval
-    side collapses to a distinct shingle set — tiny relative to the
-    corpus (eval suites are thousands of docs), so Spark broadcasts it
-    and the corpus-side scan streams. Output: (doc_id, n_shared) for
-    every contaminated corpus doc; dropping them is a left-anti join
-    on this result.
+    Shape: the eval side collapses to a distinct shingle set — tiny
+    relative to the corpus (eval suites are thousands of docs) — and
+    broadcasts. The corpus side streams through the broadcast join
+    with NO shuffle: the per-doc distinct (a doc repeating a shared
+    8-gram must count it once) runs AFTER the join, over only the
+    surviving contaminated (doc, shingle) rows, which the broadcast
+    filter has already cut to a sliver of the corpus. Distinct-then-
+    join and join-then-distinct are equivalent here because the join
+    key is a column of the distinct key. Output: (doc_id, n_shared)
+    for every contaminated corpus doc; dropping them is a left-anti
+    join on this result.
     """
-    c = (
-        shingle_rows(corpus, text_col, id_col, shingle_n)
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
+    c = shingle_rows(corpus, text_col, id_col, shingle_n).filter(
+        F.col("shingle").isNotNull()
     )
     e = (
         shingle_rows(eval_df, text_col, id_col, shingle_n)
@@ -307,6 +310,7 @@ def ngram_contamination(
     )
     return (
         c.join(F.broadcast(e), "shingle")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )

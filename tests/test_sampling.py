@@ -228,6 +228,36 @@ def test_boilerplate_strip_planted(spark):
     assert 5 not in got  # null text has no segments
 
 
+def test_contamination_counts_repeated_shared_shingle_once(spark):
+    """A corpus doc repeating a contaminated 8-gram three times still
+    reports n_shared=1 — the post-join distinct must dedupe per
+    (doc, shingle), and an uncontaminated doc must not appear."""
+    from etl_property_rumah123_spark.operators.dedup import ngram_contamination
+
+    leak = "a b c d e f g h"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{leak} x {leak} y {leak}"),  # 3 occurrences, 1 distinct
+            (2, "p q r s t u v w entirely clean text here"),
+            (3, f"start {leak} end plus q r s t u v w x"),  # 2 shared grams
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"{leak} and also q r s t u v w x")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in ngram_contamination(corpus, eval_df, shingle_n=8).collect()
+    }
+    # doc 1: grams of "a..h x a..h y a..h" that hit the eval set: the
+    # exact window "a b c d e f g h" occurs 3 times -> counted once;
+    # no other 8-gram of doc 1 appears in the eval text.
+    assert got[1] == 1
+    assert 2 not in got
+    assert got[3] >= 2  # "a..h" plus "q r s t u v w x"
+
+
 def test_pack_plan_has_no_global_single_partition_window(spark):
     """The data-sized window must be partitioned by __pid; only the
     offsets window (one row per partition, post-aggregation) may run
