@@ -8,10 +8,14 @@ of metadata-only queries payload-free. Decode and feature extraction
 run as ``mapInPandas`` — Arrow batches in, Arrow batches out, one
 Python worker per core, no driver involvement.
 
-The actual image/audio codecs are NOT available in this environment,
-so the decode kernels are deterministic stubs behind the same
-interface (clearly marked); the Spark-side plumbing — schema, batch
-shape, partitioning — is real and tested.
+Codecs: uncompressed formats are decoded FOR REAL — 24-bit BMP images
+and 16-bit PCM WAV audio parse through ``functions/codecs.py``
+(numpy + stdlib implementations of the public specs), so the decode
+stage extracts genuine width/height/duration from genuine format
+bytes. Compressed codecs (JPEG/PNG/H.264) are not available in this
+container and remain a documented production swap
+(:func:`decode_compressed` below); text payloads carry no decodable
+dimensions and report NULLs.
 """
 
 from __future__ import annotations
@@ -21,11 +25,17 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Output schema of the decode stub (DDL form for mapInPandas).
+#: Output schema of the decode stage (DDL form for mapInPandas).
 DECODE_SCHEMA = (
     "sample_id long, modality string, payload_bytes long, "
-    "payload_digest string, decoded_width int, decoded_height int"
+    "payload_digest string, decoded_width int, decoded_height int, "
+    "decoded_ms long"
 )
+
+#: Synthesized-media sample rate (Hz) for WAV payloads.
+_WAV_RATE = 8000
+#: Synthesized-media image width in pixels.
+_BMP_WIDTH = 16
 
 
 def documents_as_media(df: DataFrame) -> DataFrame:
@@ -44,44 +54,130 @@ def documents_as_media(df: DataFrame) -> DataFrame:
     )
 
 
-def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-    """mapInPandas kernel: per-batch 'decode' of payload bytes.
+def synthesize_media(df: DataFrame) -> DataFrame:
+    """Turn the documents table into a mixed-modality media frame with
+    REAL format bytes: ``doc_id % 3`` routes each doc to text
+    (utf-8), image (a 24-bit BMP whose pixels are the text bytes,
+    tiled), or audio (a 16-bit PCM WAV whose samples are derived from
+    the text bytes). The payloads parse with any standard BMP/WAV
+    reader — this is the fixture generator for the real decode path,
+    and the width/height/duration metadata it emits is the decoder's
+    expected truth.
 
-    STUB: real image decode (PIL/ffmpeg) is unavailable in this
-    container. The stub computes deterministic pseudo-dimensions from
-    the payload digest so the pipeline shape (binary in -> metadata
-    out, Arrow both ways) is fully exercised.
+    Runs as mapInPandas: payload construction is per-row Python, but
+    it is fixture synthesis, not a hot-path operator — the operators
+    under test (decode/features) stay Arrow-batched.
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_property_rumah123_spark.functions import codecs
+
+        for pdf in batches:
+            out = {
+                "sample_id": [], "modality": [], "payload": [],
+                "mime_type": [], "width": [], "height": [],
+                "duration_ms": [], "caption": [],
+            }
+            for sid, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                kind = sid % 3
+                if kind == 1 and raw:
+                    w = _BMP_WIDTH
+                    h = max(1, -(-len(raw) // (w * 3)))
+                    px = np.zeros(h * w * 3, dtype=np.uint8)
+                    px[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                    payload = codecs.encode_bmp24(px.reshape(h, w, 3))
+                    mod, mime = "image", "image/bmp"
+                    width, height, dur = w, h, None
+                elif kind == 2 and raw:
+                    b = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+                    samples = ((b - 128) * 256).astype(np.int16)
+                    payload = codecs.encode_wav_pcm16(samples, _WAV_RATE)
+                    mod, mime = "audio", "audio/wav"
+                    width = height = None
+                    dur = len(samples) * 1000 // _WAV_RATE
+                else:
+                    payload, mod, mime = raw, "text", "text/plain"
+                    width = height = dur = None
+                out["sample_id"].append(sid)
+                out["modality"].append(mod)
+                out["payload"].append(payload)
+                out["mime_type"].append(mime)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["duration_ms"].append(dur)
+                out["caption"].append(text)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "text").mapInPandas(
+        kernel,
+        schema=(
+            "sample_id long, modality string, payload binary, "
+            "mime_type string, width int, height int, "
+            "duration_ms long, caption string"
+        ),
+    )
+
+
+def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """mapInPandas kernel: per-batch decode of payload bytes.
+
+    Dispatches on mime type: ``image/bmp`` runs the real BMP parser
+    (true width/height from the BITMAPINFOHEADER, validated against
+    the pixel array), ``audio/wav`` runs the real PCM WAV parser
+    (true duration from frame count / rate); anything else (text,
+    compressed formats) yields byte-level metadata with NULL
+    dimensions. Undecodable bytes of a claimed media type also fall
+    back to NULLs rather than failing the batch — corrupt samples are
+    a data-quality fact, not a pipeline error.
     """
     import hashlib
 
     import pandas as pd
 
+    from etl_property_rumah123_spark.functions import codecs
+
     for pdf in batches:
-        digests = pdf["payload"].map(
-            lambda b: hashlib.md5(bytes(b)).hexdigest() if b is not None else None
-        )
-        yield pd.DataFrame(
-            {
-                "sample_id": pdf["sample_id"],
-                "modality": pdf["modality"],
-                "payload_bytes": pdf["payload"].map(
-                    lambda b: len(b) if b is not None else 0
-                ),
-                "payload_digest": digests,
-                # deterministic fake dims in lieu of a real codec
-                "decoded_width": digests.map(
-                    lambda d: (int(d[:4], 16) % 1920) + 1 if d else None
-                ),
-                "decoded_height": digests.map(
-                    lambda d: (int(d[4:8], 16) % 1080) + 1 if d else None
-                ),
-            }
-        )
+        rows = {
+            "sample_id": [], "modality": [], "payload_bytes": [],
+            "payload_digest": [], "decoded_width": [],
+            "decoded_height": [], "decoded_ms": [],
+        }
+        for sid, mod, mime, b in zip(
+            pdf["sample_id"], pdf["modality"], pdf["mime_type"], pdf["payload"]
+        ):
+            raw = bytes(b) if b is not None else b""
+            width = height = ms = None
+            if raw and mime == "image/bmp":
+                try:
+                    px = codecs.decode_bmp24(raw)
+                    height, width = px.shape[0], px.shape[1]
+                except ValueError:
+                    pass
+            elif raw and mime == "audio/wav":
+                try:
+                    samples, rate = codecs.decode_wav_pcm16(raw)
+                    ms = len(samples) * 1000 // rate
+                except ValueError:
+                    pass
+            rows["sample_id"].append(sid)
+            rows["modality"].append(mod)
+            rows["payload_bytes"].append(len(raw))
+            rows["payload_digest"].append(
+                hashlib.md5(raw).hexdigest() if b is not None else None
+            )
+            rows["decoded_width"].append(width)
+            rows["decoded_height"].append(height)
+            rows["decoded_ms"].append(ms)
+        yield pd.DataFrame(rows)
 
 
 def decode_media(df: DataFrame) -> DataFrame:
     """Run the Arrow-batched decode stage over a MEDIA_SCHEMA frame."""
-    cols = df.select("sample_id", "modality", "payload")
+    cols = df.select("sample_id", "modality", "mime_type", "payload")
     return cols.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
 
 
@@ -96,31 +192,52 @@ def extract_features(df: DataFrame, feat_dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction: payload bytes -> fixed-size
     float vector.
 
-    STUB kernel (no vision/audio models in this container): per-sample
-    byte histogram folded into ``feat_dim`` buckets and normalized —
-    deterministic, shape-correct. The Spark-side contract is the real
-    part: binary in, array<float> out, one vector per sample, batches
-    never leave Arrow. Swap the kernel for a model forward pass (or an
-    ONNX session held per-worker) in production.
+    The feature is a normalized ``feat_dim``-bucket histogram over the
+    DECODED content when a real codec applies (BMP pixel values, WAV
+    sample magnitudes) and over raw bytes otherwise — deterministic
+    and shape-correct. No learned models ship in this container; swap
+    the histogram for a model forward pass (an ONNX session held
+    per-worker) in production — the Spark-side contract is the part
+    that carries: binary in, array<float> out, one vector per sample,
+    batches never leave Arrow.
     """
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
+        from etl_property_rumah123_spark.functions import codecs
+
+        def content_array(mime, raw):
+            """Decoded content when a real codec applies, else bytes."""
+            if raw and mime == "image/bmp":
+                try:
+                    return codecs.decode_bmp24(raw).ravel()
+                except ValueError:
+                    pass
+            elif raw and mime == "audio/wav":
+                try:
+                    samples, _ = codecs.decode_wav_pcm16(raw)
+                    return np.abs(samples.astype(np.int32))
+                except ValueError:
+                    pass
+            return np.frombuffer(raw, dtype=np.uint8)
+
         for pdf in batches:
             feats = []
-            for b in pdf["payload"]:
+            for mime, b in zip(pdf["mime_type"], pdf["payload"]):
                 if b is None:
                     feats.append(None)
                     continue
-                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                arr = content_array(mime, bytes(b))
                 hist = np.bincount(arr % feat_dim, minlength=feat_dim).astype("float32")
                 total = hist.sum()
                 feats.append((hist / total if total else hist).tolist())
             yield pd.DataFrame({"sample_id": pdf["sample_id"], "feat": feats})
 
-    return df.select("sample_id", "payload").mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    return df.select("sample_id", "mime_type", "payload").mapInPandas(
+        kernel, schema=FEATURE_SCHEMA
+    )
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -158,13 +275,16 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.select("sample_id", "payload").mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
-def real_image_decode(payload: bytes) -> "np.ndarray":  # noqa: F821
-    """Placeholder for the production decode kernel.
+def decode_compressed(payload: bytes) -> "np.ndarray":  # noqa: F821
+    """Placeholder for compressed-format decode (JPEG/PNG/H.264/MP3).
 
-    Raises until a codec library (PIL / torchvision / ffmpeg) is
-    installed; ``decode_media`` uses the deterministic stub instead.
+    Uncompressed BMP and PCM WAV decode for real via
+    ``functions/codecs.py``; compressed codecs need a library
+    (PIL / torchvision / ffmpeg) that is not installed in this
+    container, so this raises until one is swapped in.
     """
     raise NotImplementedError(
-        "image/audio codecs are not available in this environment; "
-        "swap _decode_batches' stub for a real kernel in production"
+        "compressed-format codecs (JPEG/PNG/H.264) are not available "
+        "in this environment; BMP/WAV decode natively via "
+        "functions/codecs.py — swap this for PIL/ffmpeg in production"
     )

@@ -1370,15 +1370,17 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     None,  # mapInPandas stage — not runnable in DuckDB
     doc="Arrow-batched decode stage (mapInPandas): binary payload in, "
-    "typed metadata out, one Python worker per core. The codec is a "
-    "deterministic stub (no image/audio libs in this container); the "
-    "batch plumbing — schema, Arrow transfer, partition parallelism — "
-    "is the real thing. See operators/multimodal.py.",
+    "typed metadata out, one Python worker per core. BMP and PCM WAV "
+    "payloads decode through REAL format parsers "
+    "(functions/codecs.py); the mixed-modality input synthesizes "
+    "genuine BMP/WAV bytes from the documents table, so the stage "
+    "extracts true widths/heights/durations. Compressed codecs stay "
+    "a documented production swap. See operators/multimodal.py.",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_property_rumah123_spark.operators import multimodal
 
-    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    media = multimodal.synthesize_media(table(spark, sf_dir, "documents"))
     return multimodal.decode_media(media)
 
 
@@ -1386,14 +1388,15 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     None,  # mapInPandas stage — not runnable in DuckDB
     doc="Arrow-batched feature extraction: payload bytes -> fixed-size "
-    "array<float> per sample (stub kernel: folded byte histogram; "
-    "production swaps in a model forward pass). The output feeds the "
-    "embedding similarity/dedup operators directly.",
+    "array<float> per sample — a normalized histogram over DECODED "
+    "content (BMP pixels, WAV sample magnitudes; raw bytes for text). "
+    "Production swaps the histogram for a model forward pass. The "
+    "output feeds the embedding similarity/dedup operators directly.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_property_rumah123_spark.operators import multimodal
 
-    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    media = multimodal.synthesize_media(table(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
 
 
@@ -1407,7 +1410,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_property_rumah123_spark.operators import multimodal
 
-    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    media = multimodal.synthesize_media(table(spark, sf_dir, "documents"))
     return multimodal.sample_frames(media)
 
 

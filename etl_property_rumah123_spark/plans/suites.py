@@ -538,11 +538,13 @@ _suite(
 @register(
     "multimodal_process_suite",
     None,  # mapInPandas stages — not runnable in DuckDB
-    doc="Multimodal processing stages, tagged union: Arrow-batched "
-    "decode (metadata out), feature extraction (vector summarized as "
-    "dim + sum), and 1:N frame sampling — all mapInPandas kernels with "
-    "deterministic stub codecs (operators/multimodal.py documents the "
-    "production swap).",
+    doc="Multimodal processing stages over mixed-modality media "
+    "(text/BMP/WAV payloads synthesized from documents), tagged "
+    "union: Arrow-batched decode — REAL BMP and PCM-WAV parsers "
+    "(functions/codecs.py) extracting true width/height/duration — "
+    "feature extraction over decoded content (vector summarized as "
+    "dim + sum), and 1:N frame sampling. Compressed codecs remain "
+    "the documented production swap (operators/multimodal.py).",
 )
 def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_property_rumah123_spark.operators import multimodal
@@ -552,7 +554,7 @@ def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("k1", "bigint"), ("s1", "string"), ("s2", "string"),
         ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double"),
     ]
-    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    media = multimodal.synthesize_media(table(spark, sf_dir, "documents"))
     decode = multimodal.decode_media(media)
     feats = multimodal.extract_features(media).select(
         "sample_id",
@@ -564,7 +566,7 @@ def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal.sample_frames(media)
     return _union(
         [
-            _align(decode, "decode", schema, k1="sample_id", s1="modality", s2="payload_digest", n1="payload_bytes", n2="decoded_width", n3="decoded_height"),
+            _align(decode, "decode", schema, k1="sample_id", s1="modality", s2="payload_digest", n1="payload_bytes", n2="decoded_width", n3="decoded_height", v1="decoded_ms"),
             _align(feats, "features", schema, k1="sample_id", n1="feat_dim", v1="feat_sum"),
             _align(frames, "frames", schema, k1="sample_id", n1="frame_idx", s1="frame_digest"),
         ]

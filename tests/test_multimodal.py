@@ -1,32 +1,126 @@
-"""Multimodal plumbing tests: decode / feature-extract / frame-sample
-stages are deterministic, shape-correct, and Arrow-batched."""
+"""Multimodal tests: the BMP/WAV codecs round-trip for real, and the
+decode / feature-extract / frame-sample stages are deterministic,
+shape-correct, and Arrow-batched."""
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
+from etl_property_rumah123_spark.functions import codecs
 from etl_property_rumah123_spark.operators import multimodal
 from etl_property_rumah123_spark.sources.catalog import table
 from tests.conftest import SF_SMOKE
 
 
-def media(spark, n=50):
+def media(spark, n=60):
     docs = table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < n)
-    return multimodal.documents_as_media(docs)
+    return multimodal.synthesize_media(docs)
 
 
-def test_decode_is_deterministic_and_digest_correct(spark):
+# ---------------------------------------------------------------------------
+# Codec round-trips (pure Python, no Spark)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("w,h", [(16, 4), (3, 5), (1, 1), (7, 2)])
+def test_bmp24_roundtrip_exact(w, h):
+    """encode->decode is pixel-exact, including widths whose rows need
+    4-byte padding (w=3 -> 9-byte rows padded to 12)."""
+    rng = np.random.default_rng(42 + w * 10 + h)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = codecs.encode_bmp24(px)
+    assert data[:2] == b"BM"
+    out = codecs.decode_bmp24(data)
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, px)
+
+
+def test_bmp_decoder_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        codecs.decode_bmp24(b"not a bitmap at all, just text")
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    data = bytearray(codecs.encode_bmp24(px))
+    data[28] = 8  # biBitCount 24 -> 8 (palettized, unsupported)
+    with pytest.raises(ValueError):
+        codecs.decode_bmp24(bytes(data))
+    with pytest.raises(ValueError):
+        codecs.decode_bmp24(codecs.encode_bmp24(px)[:30])  # truncated
+
+
+def test_wav_pcm16_roundtrip_exact():
+    samples = (np.sin(np.linspace(0, 20, 1600)) * 20000).astype(np.int16)
+    data = codecs.encode_wav_pcm16(samples, rate=8000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    out, rate = codecs.decode_wav_pcm16(data)
+    assert rate == 8000
+    assert np.array_equal(out, samples)
+    with pytest.raises(ValueError):
+        codecs.decode_wav_pcm16(b"RIFFxxxxWAVEbroken")
+
+
+# ---------------------------------------------------------------------------
+# Spark stages over synthesized mixed-modality media
+# ---------------------------------------------------------------------------
+
+
+def test_synthesized_payloads_are_real_formats(spark):
+    """Every image payload parses with the BMP decoder, every audio
+    payload with the WAV decoder, and the decoded dims/duration equal
+    the metadata the synthesizer declared."""
+    rows = media(spark).collect()
+    assert {r["modality"] for r in rows} == {"text", "image", "audio"}
+    for r in rows:
+        raw = bytes(r["payload"])
+        if r["modality"] == "image":
+            px = codecs.decode_bmp24(raw)
+            assert (px.shape[0], px.shape[1]) == (r["height"], r["width"])
+        elif r["modality"] == "audio":
+            samples, rate = codecs.decode_wav_pcm16(raw)
+            assert len(samples) * 1000 // rate == r["duration_ms"]
+
+
+def test_decode_extracts_true_dims_and_duration(spark):
+    """The decode stage's output equals ground truth computed
+    driver-side from the same payload bytes — a real parse, not
+    pseudo-dims."""
     m = media(spark)
+    src = {r["sample_id"]: r for r in m.collect()}
     out = {r["sample_id"]: r for r in multimodal.decode_media(m).collect()}
-    src = {r["sample_id"]: r["payload"] for r in m.collect()}
     assert set(out) == set(src)
-    for sid, payload in src.items():
+    for sid, s in src.items():
         r = out[sid]
-        assert r["payload_bytes"] == len(payload)
-        assert r["payload_digest"] == hashlib.md5(bytes(payload)).hexdigest()
-        assert 1 <= r["decoded_width"] <= 1920 and 1 <= r["decoded_height"] <= 1080
+        raw = bytes(s["payload"])
+        assert r["payload_bytes"] == len(raw)
+        assert r["payload_digest"] == hashlib.md5(raw).hexdigest()
+        if s["modality"] == "image":
+            assert (r["decoded_width"], r["decoded_height"]) == (
+                s["width"],
+                s["height"],
+            )
+            assert r["decoded_ms"] is None
+        elif s["modality"] == "audio":
+            assert r["decoded_ms"] == s["duration_ms"]
+            assert r["decoded_width"] is None
+        else:
+            assert r["decoded_width"] is None and r["decoded_ms"] is None
+
+
+def test_decode_corrupt_media_yields_nulls_not_failure(spark):
+    """A payload claiming image/bmp but holding garbage decodes to
+    NULL dims — corrupt samples are data, not exceptions."""
+    import pandas as pd  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, "image", "image/bmp", bytearray(b"BMgarbage-not-a-real-bitmap"))],
+        "sample_id long, modality string, mime_type string, payload binary",
+    )
+    r = multimodal.decode_media(df).collect()[0]
+    assert r["decoded_width"] is None and r["decoded_height"] is None
+    assert r["payload_bytes"] == 27
 
 
 def test_feature_vectors_shape_and_norm(spark):
@@ -35,6 +129,27 @@ def test_feature_vectors_shape_and_norm(spark):
     for r in out:
         assert len(r["feat"]) == 8
         assert abs(sum(r["feat"]) - 1.0) < 1e-5  # normalized histogram
+
+
+def test_features_use_decoded_content_not_container_bytes(spark):
+    """Two WAVs with identical sample content but different container
+    byte layouts (extra rate -> different header) must NOT be forced
+    apart by header bytes; conversely the image feature must reflect
+    pixels, not BMP header bytes. We check the audio case directly:
+    same samples, different rate -> same magnitude histogram."""
+    samples = (np.arange(400) % 251).astype(np.int16)
+    rows = [
+        (1, "audio/wav", bytearray(codecs.encode_wav_pcm16(samples, 8000))),
+        (2, "audio/wav", bytearray(codecs.encode_wav_pcm16(samples, 16000))),
+    ]
+    df = spark.createDataFrame(
+        rows, "sample_id long, mime_type string, payload binary"
+    )
+    out = {
+        r["sample_id"]: r["feat"]
+        for r in multimodal.extract_features(df, feat_dim=8).collect()
+    }
+    assert out[1] == out[2]
 
 
 def test_frame_sampling_expands_rows(spark):
