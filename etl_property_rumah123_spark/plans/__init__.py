@@ -108,7 +108,7 @@ ORDER = [
     "range_rolling_suite",
     "segment_stats_suite",
     "skew_salting_suite",
-    "approx_distinct_users",
+    "sketch_suite",
     "brand_cooccurrence",
     "cohort_retention",
     "scd2_customer_versions",

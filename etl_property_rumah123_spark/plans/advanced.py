@@ -337,7 +337,7 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@part(
     "approx_distinct_users",
     """
     SELECT event_type AS event_type,
@@ -360,6 +360,69 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         exact.alias("exact_users"),
         (F.abs(approx - exact) <= bound).cast("int").alias("within_bound"),
+    )
+
+
+@part(
+    "sketch_heavy_hitters",
+    """
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+    """,
+    doc="Heavy hitters via approx_top_k: single-pass mergeable "
+    "frequent-items sketch, k=20 over event_type. While the tracked "
+    "distinct count stays under the sketch capacity the counts are "
+    "EXACT (the regime here), so the oracle compares against true "
+    "counts; past capacity the sketch degrades gracefully to "
+    "approximate top-k — the single-pass mergeable shape is what a "
+    "100 TB vocabulary/label scan needs (no second aggregation over "
+    "the full data).",
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.agg(F.expr("approx_top_k(event_type, 20)").alias("tk"))
+        .select(F.explode("tk").alias("x"))
+        .select(
+            F.col("x.item").alias("item"),
+            F.col("x.count").cast("long").alias("est_count"),
+        )
+    )
+
+
+@part(
+    "sketch_hll_union",
+    """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_global,
+           CAST(1 AS INT) AS within_bound
+    FROM events
+    """,
+    doc="Sketch MERGEABILITY — the property that matters at 100 TB: "
+    "per-group Apache DataSketches HLL sketches (hll_sketch_agg) "
+    "union into a global estimate (hll_union_agg -> "
+    "hll_sketch_estimate) without re-scanning rows, the same way "
+    "partial aggregates merge across executors or daily partitions "
+    "merge into a monthly rollup. Envelope oracle: the unioned "
+    "estimate must land within max(3, 5%) of the exact global "
+    "distinct, asserted via the within_bound flag.",
+)
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_group = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    unioned = per_group.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = e.agg(F.count_distinct("user_id").cast("long").alias("exact_global"))
+    return exact.crossJoin(F.broadcast(unioned)).select(
+        "exact_global",
+        (
+            F.abs(F.col("est") - F.col("exact_global"))
+            <= F.greatest(F.lit(3.0), 0.05 * F.col("exact_global"))
+        )
+        .cast("int")
+        .alias("within_bound"),
     )
 
 

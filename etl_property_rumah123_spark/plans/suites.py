@@ -653,6 +653,22 @@ _suite(
 )
 
 _suite(
+    "sketch_suite",
+    {
+        "distinct": {"part": "approx_distinct_users", "s1": "event_type", "n1": "exact_users", "n2": "within_bound"},
+        "heavy": {"part": "sketch_heavy_hitters", "s1": "item", "n1": "est_count"},
+        "hll_union": {"part": "sketch_hll_union", "n1": "exact_global", "n2": "within_bound"},
+    },
+    [("s1", "string"), ("n1", "bigint"), ("n2", "int")],
+    doc="Approximate-aggregation sketches, all single-pass and "
+    "mergeable (the 100 TB property): HLL++ distinct-per-group with "
+    "an error-envelope flag, approx_top_k heavy hitters (exact in "
+    "the under-capacity regime, hence exact-count oracle), and "
+    "DataSketches HLL built per-group then UNIONED into a global "
+    "estimate — merge-don't-rescan, envelope-checked.",
+)
+
+_suite(
     "clean_dedup_filter_suite",
     {
         "keep_first": {"part": "clean_dedup_keepfirst", "k1": "user_id", "k2": "first_event_id", "s1": "event_type"},

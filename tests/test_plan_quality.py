@@ -134,6 +134,7 @@ def test_no_unexpected_cartesian_or_bnlj_in_any_registered_plan(spark):
         "dedup_embedding_cosine",  # block-pair join over tiny packed table
         "ann_suite",             # contains the same broadcast query side
         "text_term_stats",       # 1-row corpus-total broadcast (lm member)
+        "sketch_suite",          # 1-row exact x 1-row unioned-estimate
     }
     PICKLED_BY_DESIGN = {"udtf_sentence_split"}  # Python UDTF node type
     for name, spec in load_all().items():
