@@ -1352,7 +1352,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Multimodal ingest plumbing: opaque binary payload column + "
     "typed metadata; filters/joins touch metadata only, never bytes. "
-    "(Decode itself is a mapInPandas stub — see operators/multimodal.py.)",
+    "(Decode runs real BMP/WAV parsers in mapInPandas — see "
+    "operators/multimodal.py and functions/codecs.py.)",
 )
 def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_property_rumah123_spark.operators import multimodal
