@@ -126,7 +126,8 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
             n_ch = wf.getnchannels()
             rate = wf.getframerate()
             raw = wf.readframes(wf.getnframes())
-    except wave.Error as e:
+    # wave raises EOFError (not wave.Error) on severely truncated input
+    except (wave.Error, EOFError) as e:
         raise ValueError(f"not a PCM WAV: {e}") from e
     samples = np.frombuffer(raw, dtype="<i2")
     if n_ch > 1:

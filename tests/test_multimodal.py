@@ -60,6 +60,10 @@ def test_wav_pcm16_roundtrip_exact():
     assert np.array_equal(out, samples)
     with pytest.raises(ValueError):
         codecs.decode_wav_pcm16(b"RIFFxxxxWAVEbroken")
+    with pytest.raises(ValueError):
+        codecs.decode_wav_pcm16(b"RI")  # wave raises EOFError here
+    with pytest.raises(ValueError):
+        codecs.decode_wav_pcm16(b"")
 
 
 # ---------------------------------------------------------------------------
