@@ -451,6 +451,16 @@ _PII_PHONE = "\\+?\\d[\\d –-]{7,}\\d"
                   AND (stop_ratio IS NULL OR stop_ratio <= 0.6)
                   AND (punct_ratio IS NULL OR punct_ratio <= 0.2)
                 THEN 1 ELSE 0 END AS passed,
+           CAST(FLOOR(((((-1.0 + 2.5 * COALESCE(stop_ratio, 0.0))
+                         + 0.3 * COALESCE(mean_word_len, 0.0))
+                        - 4.0 * COALESCE(punct_ratio, 0.0))
+                       + 0.01 * CAST(LEAST(n_tokens, 200) AS DOUBLE))
+                      * 1000.0) AS BIGINT) AS quality_logit_milli,
+           CASE WHEN FLOOR(((((-1.0 + 2.5 * COALESCE(stop_ratio, 0.0))
+                              + 0.3 * COALESCE(mean_word_len, 0.0))
+                             - 4.0 * COALESCE(punct_ratio, 0.0))
+                            + 0.01 * CAST(LEAST(n_tokens, 200) AS DOUBLE))
+                           * 1000.0) >= 0 THEN 1 ELSE 0 END AS clf_pass,
            CAST(len(regexp_extract_all(coalesce(d.text, ''), '{_PII_EMAIL}')) AS BIGINT) AS n_pii_email,
            CAST(len(regexp_extract_all(coalesce(d.text, ''), '{_PII_IP}')) AS BIGINT) AS n_pii_ip,
            CAST(len(regexp_extract_all(coalesce(d.text, ''), '{_PII_PHONE}')) AS BIGINT) AS n_pii_phone,
@@ -462,10 +472,13 @@ _PII_PHONE = "\\+?\\d[\\d –-]{7,}\\d"
     doc="Quality scoring + gate in one pass: stopword ratio, mean word "
     "length, punctuation ratio, token count, the C4-style pass flag "
     "(supersedes the separate scores/filter queries — the filter "
-    "predicate is checked as the ``passed`` column), and PII "
-    "surface-pattern counts plus the digest of the fully redacted "
-    "text (pins redaction byte-for-byte across engines; the synthetic "
-    "corpus carries no PII, so planted-fixture unit tests carry the "
+    "predicate is checked as the ``passed`` column), a frozen linear "
+    "quality-classifier logit (fastText/CCNet model-based-filter "
+    "shape, emitted as exact FLOOR(score*1000) plus a clf_pass flag; "
+    "production swaps in trained weights), and PII surface-pattern "
+    "counts plus the digest of the fully redacted text (pins "
+    "redaction byte-for-byte across engines; the synthetic corpus "
+    "carries no PII, so planted-fixture unit tests carry the "
     "positive-match signal).",
 )
 def text_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,6 +491,21 @@ def text_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stop_ratio").isNull() | (F.col("stop_ratio") <= 0.6))
         & (F.col("punct_ratio").isNull() | (F.col("punct_ratio") <= 0.2))
     )
+    # Classifier-style quality score: a frozen linear model over the
+    # features, pure expressions (the fastText/CCNet "model-based
+    # filter" shape — production swaps in trained weights). Emitted as
+    # FLOOR(score*1000) so the value is exact across engines: both
+    # sides run the identical left-associated double expression, and
+    # floor of the same double is deterministic where ROUND of a
+    # blended double is a knife-edge.
+    logit = (
+        F.lit(-1.0)
+        + F.lit(2.5) * F.coalesce(F.col("stop_ratio"), F.lit(0.0))
+        + F.lit(0.3) * F.coalesce(F.col("mean_word_len"), F.lit(0.0))
+        - F.lit(4.0) * F.coalesce(F.col("punct_ratio"), F.lit(0.0))
+        + F.lit(0.01) * F.least(F.col("n_tokens"), F.lit(200)).cast("double")
+    )
+    logit_milli = F.floor(logit * F.lit(1000.0)).cast("long")
     pii = text_analysis.pii_counts(F.col("text"))
     return feats.select(
         "doc_id",
@@ -486,6 +514,8 @@ def text_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         passed.cast("int").alias("passed"),
+        logit_milli.alias("quality_logit_milli"),
+        (logit_milli >= 0).cast("int").alias("clf_pass"),
         pii["email"].alias("n_pii_email"),
         pii["ip"].alias("n_pii_ip"),
         pii["phone"].alias("n_pii_phone"),

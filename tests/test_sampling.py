@@ -228,6 +228,37 @@ def test_boilerplate_strip_planted(spark):
     assert 5 not in got  # null text has no segments
 
 
+def test_quality_classifier_gate_separates_text_quality(spark):
+    """The frozen linear scorer passes natural-looking text and fails
+    empty/punctuation-soup docs; the milli-logit is floor-exact."""
+    from etl_property_rumah123_spark.plans import load_all
+
+    load_all()
+    rows = [
+        (1, "the cat sat on the mat and the dog is a friend of the cat"),
+        (2, ""),
+        (3, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) @@@ ~~~ !!! ???"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the suite imports catalog.table inside the function body, so
+    # patch it at the catalog module
+    import etl_property_rumah123_spark.sources.catalog as catalog
+
+    orig = catalog.table
+    catalog.table = lambda s, d, n: df  # noqa: E731
+    try:
+        out = {
+            r["doc_id"]: r
+            for r in load_all()["text_quality_suite"].fn(spark, "x").collect()
+        }
+    finally:
+        catalog.table = orig
+    assert out[1]["clf_pass"] == 1
+    assert out[2]["clf_pass"] == 0  # empty: logit = -1.0 -> -1000
+    assert out[2]["quality_logit_milli"] == -1000
+    assert out[3]["clf_pass"] == 0  # punctuation soup: heavy penalty
+
+
 def test_contamination_counts_repeated_shared_shingle_once(spark):
     """A corpus doc repeating a contaminated 8-gram three times still
     reports n_shared=1 — the post-join distinct must dedupe per
