@@ -70,7 +70,8 @@ def _parse_yaml_subset(text: str) -> dict:
     for line in text.splitlines():
         if not line.strip() or line.strip().startswith("#"):
             continue
-        m = re.match(r"^(\s*)(- )?([\w]+):\s*(.*)$", line)
+        # dotted keys cover spark conf names (configs/cluster.yaml)
+        m = re.match(r"^(\s*)(- )?([\w.]+):\s*(.*)$", line)
         if not m:
             continue
         indent, dash, key, rest = m.groups()

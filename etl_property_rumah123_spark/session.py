@@ -29,17 +29,37 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DEFAULT_LOCAL_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 
 
+def cluster_profile(path: str | None = None) -> dict[str, str]:
+    """Load the production cluster conf (configs/cluster.yaml) as a
+    flat {spark key: value} dict — the documented 1000-executor /
+    100 TB profile. Pass the result as ``extra_conf`` (or use
+    ``get_spark(profile="cluster")``); keys the environment already
+    pins (e.g. under spark-submit --conf) win because they are applied
+    by the launcher, not the builder."""
+    from etl_property_rumah123_spark.config import read_config
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs",
+            "cluster.yaml",
+        )
+    return {str(k): str(v) for k, v in read_config(path).items()}
+
+
 def get_spark(
     app_name: str = "etl-property-rumah123-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    profile: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when not
     attached to a cluster; pass an explicit master / leave None under
-    spark-submit.
+    spark-submit. ``profile="cluster"`` layers configs/cluster.yaml
+    (the 1000-executor / 100 TB conf) under ``extra_conf``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -67,6 +87,12 @@ def get_spark(
             builder = builder.config(
                 "spark.driver.memory", DEFAULT_LOCAL_DRIVER_MEMORY
             )
-    for k, v in (extra_conf or {}).items():
+    merged: dict[str, str] = {}
+    if profile == "cluster":
+        merged.update(cluster_profile())
+    elif profile is not None:
+        raise ValueError(f"unknown session profile {profile!r}")
+    merged.update(extra_conf or {})
+    for k, v in merged.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -44,6 +44,28 @@ def test_fallback_parser_matches_pyyaml():
     )
 
 
+def test_cluster_profile_loads_and_applies():
+    """configs/cluster.yaml parses identically via PyYAML and the
+    fallback parser (dotted spark keys, quoted values), every value is
+    a string, and get_spark(profile=...) rejects unknown profiles."""
+    import pytest
+    import yaml
+
+    from etl_property_rumah123_spark.session import cluster_profile, get_spark
+
+    text = open(os.path.join(REPO, "configs/cluster.yaml")).read()
+    assert {str(k): str(v) for k, v in _parse_yaml_subset(text).items()} == {
+        str(k): str(v) for k, v in yaml.safe_load(text).items()
+    }
+    prof = cluster_profile()
+    assert prof["spark.sql.adaptive.enabled"] == "true"
+    assert prof["spark.sql.shuffle.partitions"] == "10000"
+    assert int(prof["spark.dynamicAllocation.maxExecutors"]) >= 1000
+    assert all(isinstance(v, str) for v in prof.values())
+    with pytest.raises(ValueError):
+        get_spark(profile="nope")
+
+
 def test_read_config_missing_file_raises():
     with pytest.raises(FileNotFoundError):
         read_config("/nonexistent/nope.yaml")
