@@ -63,6 +63,10 @@ def decode_bmp24(data: bytes) -> np.ndarray:
     magic, _, _, _, offset = _BMP_FILE_HEADER.unpack_from(data, 0)
     if magic != b"BM":
         raise ValueError("not a BMP (missing 'BM' magic)")
+    if offset < _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size:
+        # a crafted offset pointing inside the headers would silently
+        # decode header bytes as pixels
+        raise ValueError(f"pixel offset {offset} overlaps the headers")
     (
         hdr_size,
         w,
@@ -125,6 +129,10 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
                 )
             n_ch = wf.getnchannels()
             rate = wf.getframerate()
+            if rate <= 0:
+                # wave accepts a zeroed fmt-chunk rate; callers divide
+                # by the rate for durations
+                raise ValueError(f"bad sample rate {rate}")
             raw = wf.readframes(wf.getnframes())
     # wave raises EOFError (not wave.Error) on severely truncated input
     except (wave.Error, EOFError) as e:

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from etl_property_rumah123_spark.functions import hashing
 from etl_property_rumah123_spark.functions.vector import dot
+from etl_property_rumah123_spark.operators import common
 from etl_property_rumah123_spark.operators.cleaning import dedupe_keep_first
 
 
@@ -194,7 +195,7 @@ def lsh_candidate_pairs(
         keep = sizes.filter(F.col("__bn") <= max_bucket_size).select("bucket")
         buckets = buckets.join(keep, "bucket")
     if materialize:
-        buckets = buckets.localCheckpoint(eager=False)
+        buckets = common.materialize(buckets)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -419,9 +420,9 @@ def simhash_near_dups(
     it. Dropping is recall-sound the same way: families that large
     belong to exact dedup, which precedes near-dup in the pipeline.
     """
-    sigs = simhash_signatures(
-        df, text_col, id_col, hash_fn=hash_fn, bits=bits
-    ).localCheckpoint(eager=False)
+    sigs = common.materialize(
+        simhash_signatures(df, text_col, id_col, hash_fn=hash_fn, bits=bits)
+    )
     if bits < 64:
         mask = F.lit((1 << bits) - 1).cast("long")
     step = bits // rotations

@@ -225,19 +225,28 @@ def strip_boilerplate(
     boilerplate). Documents with no non-empty segments (null/blank
     text) drop out, matching the SQL oracle's explode semantics.
 
-    Shape at scale: one posexplode scan; the document-frequency pass
-    shuffles DISTINCT (segment, doc_id) pairs — each segment body
-    crosses the wire once per containing doc, with map-side combine on
-    the second aggregate; the boilerplate table is then *filtered to
-    df >= min_df before joining*, so the join's build side holds only
-    the (small, by construction heavy-tailed) boilerplate set and AQE
-    plans it as a broadcast join; reassembly is one groupBy bounded by
+    Shape at scale: the exploded segment table is MATERIALIZED
+    (operators/common.py) because two branches read it — the
+    document-frequency pass and the join probe side — and Spark would
+    otherwise re-run the scan+explode per branch. The df pass shuffles
+    DISTINCT (segment, doc_id) pairs — each segment body crosses the
+    wire once per containing doc, with map-side combine on the second
+    aggregate; the boilerplate table is then *filtered to df >= min_df
+    before joining*, so the join's build side holds only the (small,
+    by construction heavy-tailed) boilerplate set and AQE plans it as
+    a broadcast join; reassembly is one groupBy bounded by
     per-document size. At 100 TB, slim the df shuffle further by
     keying on xxhash64(segment) instead of the segment body.
     """
-    segs = df.select(
-        F.col(id_col),
-        F.posexplode(sentence_segments(F.col(text_col))).alias("pos", "seg"),
+    from etl_property_rumah123_spark.operators.common import materialize
+
+    segs = materialize(
+        df.select(
+            F.col(id_col),
+            F.posexplode(sentence_segments(F.col(text_col))).alias(
+                "pos", "seg"
+            ),
+        )
     )
     boiler = (
         segs.select("seg", id_col)

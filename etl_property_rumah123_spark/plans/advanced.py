@@ -370,18 +370,20 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events WHERE event_type IS NOT NULL GROUP BY event_type
     """,
     doc="Heavy hitters via approx_top_k: single-pass mergeable "
-    "frequent-items sketch, k=20 over event_type. While the tracked "
-    "distinct count stays under the sketch capacity the counts are "
-    "EXACT (the regime here), so the oracle compares against true "
-    "counts; past capacity the sketch degrades gracefully to "
-    "approximate top-k — the single-pass mergeable shape is what a "
-    "100 TB vocabulary/label scan needs (no second aggregation over "
-    "the full data).",
+    "frequent-items sketch, k=100 over event_type. The exact-count "
+    "oracle relies on distinct(event_type) <= k <= maxItemsTracked — "
+    "k returns every type and under-capacity tracking makes the "
+    "counts exact; k is set well above the testdata's cardinality so "
+    "a testdata change degrades the envelope visibly rather than "
+    "silently truncating the row set. Past capacity the sketch "
+    "degrades gracefully to approximate top-k — the single-pass "
+    "mergeable shape is what a 100 TB vocabulary/label scan needs "
+    "(no second aggregation over the full data).",
 )
 def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return (
-        e.agg(F.expr("approx_top_k(event_type, 20)").alias("tk"))
+        e.agg(F.expr("approx_top_k(event_type, 100)").alias("tk"))
         .select(F.explode("tk").alias("x"))
         .select(
             F.col("x.item").alias("item"),

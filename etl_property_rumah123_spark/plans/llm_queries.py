@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from etl_property_rumah123_spark.functions import hashing
 from etl_property_rumah123_spark.functions.vector import l2_norm
 from etl_property_rumah123_spark.operators import (
+    common,
     dedup,
     sampling,
     similarity,
@@ -1015,7 +1016,7 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(text_analysis.word_bigrams(F.col("w"))).alias("b"),
         )
-        .localCheckpoint(eager=False)
+        .transform(common.materialize)
     )
     freq = bg.groupBy("b").agg(F.count("*").cast("long").alias("c"))
     tot = freq.agg(F.sum("c").cast("long").alias("t"))

@@ -456,11 +456,8 @@ _PII_PHONE = "\\+?\\d[\\d –-]{7,}\\d"
                         - 4.0 * COALESCE(punct_ratio, 0.0))
                        + 0.01 * CAST(LEAST(n_tokens, 200) AS DOUBLE))
                       * 1000.0) AS BIGINT) AS quality_logit_milli,
-           CASE WHEN FLOOR(((((-1.0 + 2.5 * COALESCE(stop_ratio, 0.0))
-                              + 0.3 * COALESCE(mean_word_len, 0.0))
-                             - 4.0 * COALESCE(punct_ratio, 0.0))
-                            + 0.01 * CAST(LEAST(n_tokens, 200) AS DOUBLE))
-                           * 1000.0) >= 0 THEN 1 ELSE 0 END AS clf_pass,
+           -- lateral alias: one copy of the weights, no drift
+           CASE WHEN quality_logit_milli >= 0 THEN 1 ELSE 0 END AS clf_pass,
            CAST(len(regexp_extract_all(coalesce(d.text, ''), '{_PII_EMAIL}')) AS BIGINT) AS n_pii_email,
            CAST(len(regexp_extract_all(coalesce(d.text, ''), '{_PII_IP}')) AS BIGINT) AS n_pii_ip,
            CAST(len(regexp_extract_all(coalesce(d.text, ''), '{_PII_PHONE}')) AS BIGINT) AS n_pii_phone,
@@ -578,13 +575,18 @@ _suite(
 )
 def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_property_rumah123_spark.operators import multimodal
+    from etl_property_rumah123_spark.operators.common import materialize
     from etl_property_rumah123_spark.sources.catalog import table
 
     schema = [
         ("k1", "bigint"), ("s1", "string"), ("s2", "string"),
         ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double"),
     ]
-    media = multimodal.synthesize_media(table(spark, sf_dir, "documents"))
+    # materialized: three union branches read the synthesized payloads,
+    # and Spark would otherwise run the per-row codec synthesis 3x
+    media = materialize(
+        multimodal.synthesize_media(table(spark, sf_dir, "documents"))
+    )
     decode = multimodal.decode_media(media)
     feats = multimodal.extract_features(media).select(
         "sample_id",

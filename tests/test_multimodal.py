@@ -66,6 +66,28 @@ def test_wav_pcm16_roundtrip_exact():
         codecs.decode_wav_pcm16(b"")
 
 
+def test_wav_zero_rate_raises_not_zerodivision():
+    """A crafted fmt chunk with sample-rate 0 must be ValueError (the
+    decode stage divides by the rate for duration)."""
+    samples = np.arange(32, dtype=np.int16)
+    data = bytearray(codecs.encode_wav_pcm16(samples, rate=8000))
+    i = data.find(b"fmt ")
+    assert i > 0
+    data[i + 12 : i + 16] = b"\x00\x00\x00\x00"  # nSamplesPerSec := 0
+    with pytest.raises(ValueError):
+        codecs.decode_wav_pcm16(bytes(data))
+
+
+def test_bmp_offset_inside_headers_raises():
+    """bfOffBits pointing inside the headers must not silently decode
+    header bytes as pixels."""
+    px = np.zeros((4, 16, 3), dtype=np.uint8)
+    data = bytearray(codecs.encode_bmp24(px))
+    data[10:14] = (0).to_bytes(4, "little")  # bfOffBits := 0
+    with pytest.raises(ValueError):
+        codecs.decode_bmp24(bytes(data))
+
+
 # ---------------------------------------------------------------------------
 # Spark stages over synthesized mixed-modality media
 # ---------------------------------------------------------------------------
@@ -154,6 +176,30 @@ def test_features_use_decoded_content_not_container_bytes(spark):
         for r in multimodal.extract_features(df, feat_dim=8).collect()
     }
     assert out[1] == out[2]
+
+
+def test_materialize_persist_mode_matches_localcheckpoint(spark, monkeypatch):
+    """SPARK_GRAFT_MATERIALIZE=persist (the preemptible-cluster mode)
+    produces identical results to the default localCheckpoint path."""
+    base = {
+        (r["sample_id"], r["payload_digest"])
+        for r in multimodal.decode_media(media(spark, n=20)).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "persist")
+    from etl_property_rumah123_spark.operators.common import materialize
+
+    again = {
+        (r["sample_id"], r["payload_digest"])
+        for r in multimodal.decode_media(
+            materialize(media(spark, n=20))
+        ).collect()
+    }
+    assert base == again
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "bogus")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        materialize(media(spark, n=5))
 
 
 def test_frame_sampling_expands_rows(spark):
