@@ -51,6 +51,43 @@ def test_bmp_decoder_rejects_garbage_and_unsupported():
         codecs.decode_bmp24(codecs.encode_bmp24(px)[:30])  # truncated
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 6),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_bmp24_roundtrip_property(w, h, seed):
+        """Any (H, W, 3) uint8 array survives encode->decode exactly,
+        across padding widths."""
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        assert np.array_equal(codecs.decode_bmp24(codecs.encode_bmp24(px)), px)
+
+    @given(
+        n=st.integers(0, 4096),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_wav_pcm16_roundtrip_property(n, rate, seed):
+        samples = (
+            np.random.default_rng(seed)
+            .integers(-32768, 32768, size=n)
+            .astype(np.int16)
+        )
+        out, r = codecs.decode_wav_pcm16(codecs.encode_wav_pcm16(samples, rate))
+        assert r == rate and np.array_equal(out, samples)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
+
+
 def test_wav_pcm16_roundtrip_exact():
     samples = (np.sin(np.linspace(0, 20, 1600)) * 20000).astype(np.int16)
     data = codecs.encode_wav_pcm16(samples, rate=8000)
