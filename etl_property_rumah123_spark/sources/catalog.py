@@ -25,11 +25,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table.
 
-    ``events.parquet`` carries a TIMESTAMP(NANOS) column, which the
-    Spark parquet reader rejects by default (PARQUET_TYPE_ILLEGAL).
-    We read nanos as raw int64 (``nanosAsLong``) and rebuild a proper
-    TimestampType with integer division — ``ts div 1000`` stays in
-    long arithmetic, so no double-precision loss at ~1.7e18 nanos.
+    ``events.parquet``'s ``ts`` column has shipped in three physical
+    encodings across testdata generations, and every downstream plan
+    expects one logical type — session-zoned TimestampType (the
+    session zone is pinned to UTC in ``session.get_spark``):
+
+    - TIMESTAMP(NANOS): the Spark reader rejects it by default
+      (PARQUET_TYPE_ILLEGAL). We read nanos as raw int64
+      (``nanosAsLong``) and rebuild a TimestampType with integer
+      division — ``ts div 1000`` stays in long arithmetic, so no
+      double-precision loss at ~1.7e18 nanos.
+    - TIMESTAMP(MICROS) without timezone: Spark infers TIMESTAMP_NTZ,
+      which functions like ``unix_micros`` reject. Cast to
+      TimestampType — with the session zone at UTC the wall-clock
+      values (and the DuckDB-oracle comparison) are unchanged.
+    - TIMESTAMP(MICROS) with timezone: already TimestampType; no-op.
 
     The ``nanosAsLong`` conf is consulted only at schema-inference
     time (the ``spark.read.parquet`` call below), so it is scoped:
@@ -50,8 +60,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
