@@ -654,3 +654,68 @@ def embedding_near_dups_blocked(
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     return crossed.mapInPandas(kernel, schema="id_a long, id_b long")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    dim: int = 64,
+    num_planes: int = 6,
+    seed: str = "semdedup-42",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup accounting over an embedding column.
+
+    Buckets the corpus by deterministic random-hyperplane sign bits
+    (``similarity.rp_lsh_buckets`` — literal +-1 planes, no fitted
+    state), then inside each bucket drops every vector that has a
+    SMALLER-id neighbor with cosine >= ``threshold`` (unit vectors, so
+    dot == cosine). Keep-lowest-id is the deterministic stand-in for
+    SemDeDup's keep-one-per-semantic-cluster rule.
+
+    Returns per-bucket accounting ``(bucket, n_vecs, n_dropped)``.
+
+    Scale: ONE equi-join on the bucket key — work is sum(bucket^2),
+    never all-pairs; the exact all-pairs ground truth is
+    ``embedding_near_dups_blocked``. ``max_bucket_size`` is the same
+    hot-bucket guard as the LSH/Jaccard/SimHash families: a degenerate
+    embedding space (many near-identical vectors) concentrates mass in
+    one bucket and only that bucket goes quadratic — the guard drops
+    oversize buckets from the pair join (their vectors stay counted in
+    ``n_vecs``). The bucket assignment is 6 codegen dot products per
+    row (no shuffle), so re-evaluating it per join side is cheaper
+    than a materialization barrier.
+    """
+    from etl_property_rumah123_spark.operators.similarity import rp_lsh_buckets
+
+    b = rp_lsh_buckets(
+        df.select(id_col, vec_col), dim=dim, num_planes=num_planes, seed=seed
+    )
+    counts = b.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+    joinable = b
+    if max_bucket_size is not None:
+        ok = counts.filter(F.col("n_vecs") <= max_bucket_size).select("bucket")
+        joinable = b.join(F.broadcast(ok), "bucket")
+    a = joinable.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    c = joinable.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    dropped = (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot(F.col("va"), F.col("vb")) >= threshold)
+        .groupBy("bucket")
+        .agg(F.count_distinct("id_b").alias("n_dropped"))
+    )
+    return (
+        counts.join(dropped, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )

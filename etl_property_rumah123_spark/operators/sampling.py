@@ -172,3 +172,37 @@ def pack_token_bins(
         F.count("*").alias("n_docs"),
         F.sum(weight_col).cast("long").alias("n_tokens"),
     )
+
+
+def shard_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "|shuffle42",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic training-order shuffle + sharding.
+
+    A pretraining run wants the corpus in a pseudo-random but
+    REPRODUCIBLE order, split into shards each trainer rank reads
+    independently. Both come from one salted md5: the first 12 hex
+    digits (48 bits, always non-negative) are the global order key,
+    and ``h mod n_shards`` is the shard. Changing the salt reshuffles;
+    keeping it reproduces the exact epoch order on any engine or
+    partitioning — ``DataFrame.sample``/``rand`` cannot promise that.
+
+    Returns the input plus ``__h`` (order key) and ``shard``. The
+    production write is ``repartition(n_shards, shard)`` +
+    ``sortWithinPartitions(__h, key)`` — ONE hash shuffle at any
+    scale, each shard file internally in epoch order. Accounting
+    queries over the result (see plans) use the same window order.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % n_shards).cast("long")
+    )

@@ -1104,6 +1104,109 @@ def corpus_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.chunk_spans(d, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
 
 
+_N_SHARDS = 8
+
+
+@part(
+    "corpus_shuffle_shards",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|shuffle42'),
+                                  1, 12)) AS BIGINT) AS hv
+      FROM documents
+    ), r AS (
+      SELECT doc_id, hv % {_N_SHARDS} AS shard,
+             row_number() OVER (PARTITION BY hv % {_N_SHARDS}
+                                ORDER BY hv, doc_id) AS rn
+      FROM h
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS head_doc
+    FROM r GROUP BY shard
+    """,
+    doc="Deterministic training-order shuffle + sharding accounting: "
+    "salted-md5 48-bit order key, shard = h mod 8, per-shard doc count "
+    "and the doc that LEADS each shard's epoch order (row_number over "
+    "(h, doc_id) — the head doc pins the whole order, so a hash or "
+    "windowing divergence between engines fails the value check). The "
+    "production write is repartition(shard) + sortWithinPartitions — "
+    "one hash shuffle at any scale. See operators/sampling.py:"
+    "shard_order.",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = sampling.shard_order(
+        table(spark, sf_dir, "documents").select("doc_id"), n_shards=_N_SHARDS
+    )
+    w = Window.partitionBy("shard").orderBy("__h", "doc_id")
+    r = d.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("head_doc"),
+    )
+
+
+_SEMDEDUP_PLANES, _SEMDEDUP_DIM, _SEMDEDUP_THRESHOLD = 6, 64, 0.3
+_SEMDEDUP_SEED = "semdedup-42"
+
+
+def _duck_semantic_bucket() -> str:
+    """DuckDB twin of similarity.rp_lsh_buckets for the semdedup seed:
+    sign bit per literal +-1 hyperplane, identical fold order, so the
+    bucket id is bit-for-bit reproducible across engines."""
+    from etl_property_rumah123_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for p in range(_SEMDEDUP_PLANES):
+        plane = _hyperplane(_SEMDEDUP_SEED, p, _SEMDEDUP_DIM)
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        d = _DUCK_DOT.format(a="embedding", b=lit)
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@part(
+    "corpus_semantic_dedup",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_duck_semantic_bucket()} AS bucket
+      FROM embeddings
+    ), d AS (
+      SELECT a.bucket AS bucket,
+             CAST(COUNT(DISTINCT b2.vec_id) AS BIGINT) AS n_dropped
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE {_DUCK_DOT.format(a='a.embedding', b='b2.embedding')}
+              >= {_SEMDEDUP_THRESHOLD}
+      GROUP BY a.bucket
+    )
+    SELECT CAST(b.bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(MAX(d.n_dropped), 0) AS BIGINT) AS n_dropped
+    FROM b LEFT JOIN d ON b.bucket = d.bucket
+    GROUP BY b.bucket
+    """,
+    doc="SemDeDup-style semantic dedup accounting: deterministic "
+    "random-hyperplane buckets (6 literal +-1 planes -> 64 buckets), "
+    "inside each bucket drop every vector with a smaller-id neighbor "
+    "at cosine >= 0.3 (keep-lowest-id per semantic cluster). One "
+    "equi-join on the bucket key — sum(bucket^2) work, never "
+    "all-pairs; exact ground truth is dedup_embedding_cosine. The "
+    "oracle recomputes buckets and drops from the same plane "
+    "literals. See operators/dedup.py:semantic_dedup.",
+)
+def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.semantic_dedup(
+        table(spark, sf_dir, "embeddings"),
+        threshold=_SEMDEDUP_THRESHOLD,
+        dim=_SEMDEDUP_DIM,
+        num_planes=_SEMDEDUP_PLANES,
+        seed=_SEMDEDUP_SEED,
+    )
+
+
 @part(
     "text_repetition_scores",
     f"""

@@ -543,6 +543,8 @@ _suite(
         "pack": {"part": "corpus_token_pack", "n1": "bin", "n2": "n_docs", "n3": "n_tokens"},
         "chunks": {"part": "corpus_chunk_plan", "n1": "doc_id", "n2": "chunk_idx", "n3": "chunk_tokens"},
         "boiler": {"part": "text_boilerplate_strip", "n1": "doc_id", "n2": "n_segments", "n3": "n_removed", "s1": "clean_text"},
+        "shuffle": {"part": "corpus_shuffle_shards", "n1": "shard", "n2": "n_docs", "n3": "head_doc"},
+        "semdedup": {"part": "corpus_semantic_dedup", "n1": "bucket", "n2": "n_vecs", "n3": "n_dropped"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],
     doc="Corpus preparation: the full gate->dedup->split->account "
@@ -552,8 +554,11 @@ _suite(
     "mixing-weight sampling accounting (deterministic hash gate), "
     "sequence-packing accounting (distributed prefix sum, 1024-token "
     "bins), the retrieval chunk plan (256-token windows, stride 192), "
-    "and RefinedWeb-style boilerplate-segment removal (df >= 3 "
-    "sentences dropped, survivors re-joined in order).",
+    "RefinedWeb-style boilerplate-segment removal (df >= 3 sentences "
+    "dropped, survivors re-joined in order), the deterministic "
+    "training-order shuffle/shard accounting (salted-hash epoch "
+    "order), and SemDeDup-style semantic dedup accounting "
+    "(hyperplane buckets + in-bucket cosine keep-lowest-id).",
 )
 
 

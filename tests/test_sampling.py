@@ -305,3 +305,90 @@ def test_pack_plan_has_no_global_single_partition_window(spark):
     ]
     assert data_windows and all("], [__pid#" in ln for ln in data_windows)
     assert "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard order (shard_order)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("num_partitions", [1, 7])
+def test_shard_order_is_partitioning_invariant(spark, num_partitions):
+    df = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    ).repartition(num_partitions)
+    out = sampling.shard_order(df, n_shards=8).collect()
+    assert len(out) == 300
+    by_doc = {r["doc_id"]: (r["__h"], r["shard"]) for r in out}
+    # pure function of doc_id: independent of physical layout
+    single = {
+        r["doc_id"]: (r["__h"], r["shard"])
+        for r in sampling.shard_order(
+            spark.createDataFrame([(i,) for i in range(300)], "doc_id long"),
+            n_shards=8,
+        ).collect()
+    }
+    assert by_doc == single
+    assert all(0 <= s < 8 and h >= 0 for h, s in by_doc.values())
+    # every shard populated at n=300 (sanity on the mod distribution)
+    assert len({s for _, s in by_doc.values()}) == 8
+
+
+def test_shard_order_salt_reshuffles(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = {r["doc_id"]: r["__h"] for r in sampling.shard_order(df).collect()}
+    b = {
+        r["doc_id"]: r["__h"]
+        for r in sampling.shard_order(df, salt="|epoch2").collect()
+    }
+    assert a != b  # different salt, different epoch order
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup accounting (dedup.semantic_dedup)
+# ---------------------------------------------------------------------------
+
+
+def _unit(vec):
+    n = sum(x * x for x in vec) ** 0.5
+    return [x / n for x in vec]
+
+
+def _vecs_df(spark, rows, dim):
+    return spark.createDataFrame(
+        rows, f"vec_id long, embedding array<float>"
+    )
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark):
+    from etl_property_rumah123_spark.operators import dedup
+
+    dim = 8
+    base = _unit([1.0] * dim)
+    near = _unit([1.0] * (dim - 1) + [1.2])          # cosine ~0.999 with base
+    far = _unit([1.0, -1.0] * (dim // 2))            # cosine 0 with base
+    df = _vecs_df(spark, [(1, base), (2, near), (3, far)], dim)
+    out = dedup.semantic_dedup(df, dim=dim, num_planes=2, threshold=0.9)
+    rows = {r["bucket"]: r for r in out.collect()}
+    assert sum(r["n_vecs"] for r in rows.values()) == 3
+    # exactly one vector dropped: the higher-id near-dup of vec 1
+    assert sum(r["n_dropped"] for r in rows.values()) == 1
+
+
+def test_semantic_dedup_hot_bucket_guard(spark):
+    from etl_property_rumah123_spark.operators import dedup
+
+    dim = 8
+    v = _unit([1.0] * dim)
+    # 10 identical vectors: one all-in-one bucket
+    df = _vecs_df(spark, [(i, v) for i in range(10)], dim)
+    guarded = dedup.semantic_dedup(
+        df, dim=dim, num_planes=2, threshold=0.9, max_bucket_size=5
+    ).collect()
+    # oversize bucket excluded from the pair join but still counted
+    assert sum(r["n_vecs"] for r in guarded) == 10
+    assert sum(r["n_dropped"] for r in guarded) == 0
+    unguarded = dedup.semantic_dedup(
+        df, dim=dim, num_planes=2, threshold=0.9
+    ).collect()
+    assert sum(r["n_dropped"] for r in unguarded) == 9
