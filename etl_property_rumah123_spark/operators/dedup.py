@@ -719,3 +719,52 @@ def semantic_dedup(
             F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
         )
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_n: int = 16,
+) -> DataFrame:
+    """Cross-document repeated token-window detection — the span-level
+    exact-substring dedup primitive (a verbatim passage shared by two
+    docs shows up as a run of shared ``span_n``-token windows, even
+    when the docs as wholes are dissimilar and every doc-level
+    detector above stays silent).
+
+    A window position counts as repeated when its exact ``span_n``-gram
+    occurs in >= 2 DISTINCT documents; within-doc repetition alone is
+    the repetition-score family's job, not this one's. Output: one row
+    per input doc, ``(doc_id, n_windows, n_repeated)`` — callers cut
+    on ``n_repeated / n_windows`` to drop or trim memorization-risk
+    docs.
+
+    Scale shape: windows come from the codegen'd ``shingle_rows`` and
+    are md5'd BEFORE any shuffle, so every exchange carries 32-char
+    digests, never 16-word strings. One aggregate finds the repeated
+    span set (map-side combine on the digest), one hash join marks the
+    positions, one final groupBy on doc_id folds the accounting —
+    nothing is ever all-pairs, and a pathological span shared by p% of
+    docs costs p% linear join output, not a quadratic bucket.
+    """
+    s = shingle_rows(df, text_col, id_col, span_n)
+    pos = s.select(
+        "doc_id",
+        F.when(F.col("shingle").isNotNull(), F.md5("shingle")).alias("h"),
+    )
+    rep = (
+        pos.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("__rep"))
+    )
+    return (
+        pos.join(rep, "h", "left")  # null h (marker rows) never matches
+        .groupBy("doc_id")
+        .agg(
+            F.count("h").cast("long").alias("n_windows"),
+            F.coalesce(F.sum("__rep"), F.lit(0)).cast("long").alias("n_repeated"),
+        )
+    )

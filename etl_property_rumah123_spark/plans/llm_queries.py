@@ -1104,6 +1104,54 @@ def corpus_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.chunk_spans(d, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
 
 
+_SPAN_N = 16
+
+
+@part(
+    "corpus_repeated_spans",
+    f"""
+    WITH w0 AS (
+      SELECT doc_id,
+             string_split_regex(trim(coalesce(text, '')), '\\s+') AS w
+      FROM documents
+    ), sp AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= {_SPAN_N}
+                    THEN [md5(array_to_string(w[i:i+{_SPAN_N - 1}], ' '))
+                          FOR i IN generate_series(1, len(w) - {_SPAN_N - 1})]
+                    ELSE [] END) AS h
+      FROM w0
+    ), rep AS (
+      SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+      WHERE nd >= 2
+    ), cnt AS (
+      SELECT sp.doc_id, COUNT(*) AS n_windows,
+             SUM(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END) AS n_repeated
+      FROM sp LEFT JOIN rep ON sp.h = rep.h
+      GROUP BY sp.doc_id
+    )
+    SELECT w0.doc_id AS doc_id,
+           CAST(COALESCE(cnt.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(cnt.n_repeated, 0) AS BIGINT) AS n_repeated
+    FROM w0 LEFT JOIN cnt ON w0.doc_id = cnt.doc_id
+    """,
+    doc="Span-level exact-substring dedup primitive (the repeated-"
+    "passage detector of Lee et al.'s dedup study): a 16-token window "
+    "position counts as repeated when its exact n-gram occurs in >= 2 "
+    "distinct docs. Per-doc (n_windows, n_repeated) accounting; "
+    "callers cut on the repeated fraction. The natural corpus has no "
+    "cross-doc 16-grams, so this verifies as an all-zeros identity "
+    "pass here (counts still hash-compared); planted-passage behavior "
+    "is pinned in tests/test_sampling.py. Windows are md5'd before "
+    "any shuffle — exchanges carry digests, never 16-word strings. "
+    "See operators/dedup.py:repeated_spans.",
+)
+def corpus_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.repeated_spans(
+        table(spark, sf_dir, "documents"), span_n=_SPAN_N
+    )
+
+
 _N_SHARDS = 8
 
 

@@ -544,6 +544,7 @@ _suite(
         "chunks": {"part": "corpus_chunk_plan", "n1": "doc_id", "n2": "chunk_idx", "n3": "chunk_tokens"},
         "boiler": {"part": "text_boilerplate_strip", "n1": "doc_id", "n2": "n_segments", "n3": "n_removed", "s1": "clean_text"},
         "shuffle": {"part": "corpus_shuffle_shards", "n1": "shard", "n2": "n_docs", "n3": "head_doc"},
+        "spans": {"part": "corpus_repeated_spans", "n1": "doc_id", "n2": "n_windows", "n3": "n_repeated"},
         "semdedup": {"part": "corpus_semantic_dedup", "n1": "bucket", "n2": "n_vecs", "n3": "n_dropped"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],

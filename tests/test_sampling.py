@@ -392,3 +392,40 @@ def test_semantic_dedup_hot_bucket_guard(spark):
         df, dim=dim, num_planes=2, threshold=0.9
     ).collect()
     assert sum(r["n_dropped"] for r in unguarded) == 9
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact-substring dedup (dedup.repeated_spans)
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_spans_flags_planted_passage(spark):
+    from etl_property_rumah123_spark.operators import dedup
+
+    passage = " ".join(f"tok{i}" for i in range(16))  # one exact 16-gram
+    rows = [
+        (1, passage + " tail one two three"),        # 16-gram at pos 0
+        (2, "lead in words " + passage),             # same 16-gram later
+        (3, "a completely different document " + " ".join(f"x{i}" for i in range(20))),
+        (4, "short doc"),                            # < 16 tokens: 0 windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.repeated_spans(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # doc 1: 20 tokens -> 5 windows; only the exact planted one repeats
+    assert got[1]["n_windows"] == 5 and got[1]["n_repeated"] == 1
+    # doc 2: 19 tokens -> 4 windows; only the final window matches
+    assert got[2]["n_windows"] == 4 and got[2]["n_repeated"] == 1
+    assert got[3]["n_repeated"] == 0
+    assert got[4]["n_windows"] == 0 and got[4]["n_repeated"] == 0
+
+
+def test_repeated_spans_within_doc_repeat_not_counted(spark):
+    from etl_property_rumah123_spark.operators import dedup
+
+    span = " ".join(f"w{i}" for i in range(16))
+    # the same 16-gram twice in ONE doc, nowhere else in the corpus
+    rows = [(1, span + " gap " + span), (2, "unrelated " + " ".join(f"y{i}" for i in range(20)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.repeated_spans(df).collect()}
+    assert got[1]["n_repeated"] == 0  # cross-doc criterion only
