@@ -144,3 +144,21 @@ def test_no_unexpected_cartesian_or_bnlj_in_any_registered_plan(spark):
             assert "BroadcastNestedLoopJoin" not in plan, name
         if name not in PICKLED_BY_DESIGN:
             assert "BatchEvalPython" not in plan, name
+
+
+def test_new_corpus_parts_stay_jvm_side_and_join_hashed(spark):
+    """The round-2 corpus additions (shuffle/shard order, semantic
+    dedup, repeated spans) must stay pure Column expressions — no
+    Python eval — and their self/candidate joins must be hash
+    equi-joins, never cartesian/broadcast-nested-loop."""
+    for name in (
+        "corpus_shuffle_shards",
+        "corpus_semantic_dedup",
+        "corpus_repeated_spans",
+    ):
+        plan = plan_of(REGISTRY[name].fn(spark, SF_SMOKE))
+        assert "EvalPython" not in plan, f"{name} has a Python UDF"
+        assert "CartesianProduct" not in plan, f"{name} has a cross join"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} degenerated to a nested-loop join"
+        )
