@@ -944,3 +944,253 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@part(
+    "q2_max_bal_supplier",
+    """
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+           CAST(s.s_nationkey AS BIGINT) AS s_nationkey,
+           s.s_acctbal AS s_acctbal
+    FROM supplier s
+    WHERE s.s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+    doc="TPC-H Q2 shape: equality against a correlated scalar MAX "
+    "(the min-supplycost pattern, adapted to supplier/acctbal since "
+    "the testdata has no partsupp). Runs through the spark.sql parser "
+    "so Catalyst's own decorrelation rewrites it to a per-group "
+    "aggregate + join, never a per-row subquery. MAX selects an "
+    "existing double (no arithmetic), so the equality is exact in "
+    "both engines.",
+)
+def q2_max_bal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+               CAST(s.s_nationkey AS BIGINT) AS s_nationkey,
+               s.s_acctbal AS s_acctbal
+        FROM supplier s
+        WHERE s.s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                             WHERE s2.s_nationkey = s.s_nationkey)
+        """
+    )
+
+
+@part(
+    "q13_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) per_cust
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: LEFT OUTER join with a predicate INSIDE the "
+    "join condition (filtering it in WHERE would silently turn the "
+    "join inner and drop zero-order customers), then a count-of-counts "
+    "double aggregation. First agg shuffles on c_custkey, second on "
+    "the tiny c_count domain.",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    cond = (c["c_custkey"] == o["o_custkey"]) & (
+        o["o_orderpriority"] != "1-URGENT"
+    )
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@part(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, r.total_rev AS total_rev
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: top-revenue supplier(s) — an aggregated view "
+    "consumed twice, once as the join side and once inside a scalar "
+    "MAX subquery; ties all surface (deterministic set). Revenue is "
+    "rounded to BIGINT before the comparison so the max-equality is "
+    "exact across engines; the 1-row max side is a broadcast.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        _bigint_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["__mx"])
+        .join(s, rev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@part(
+    "q16_supplier_variety",
+    """
+    SELECT p.p_brand AS p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (1, 7, 14, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    doc="TPC-H Q16 shape: NOT IN exclusion set (rewritten LEFT ANTI — "
+    "s_suppkey is non-null so the null-aware subtlety collapses) "
+    "feeding a COUNT DISTINCT over two grouping columns. The "
+    "part-side IN-list and <> push into the scan; the anti join's "
+    "build side is the filtered supplier subset, which scales with SF "
+    "so it is left to AQE rather than hinted broadcast.",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 7, 14, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_size")
+    l = t["lineitem"].select("l_partkey", "l_suppkey")
+    return (
+        l.join(bad, l["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand", F.col("p_size").cast("long").alias("p_size"), "supplier_cnt"
+        )
+    )
+
+
+@part(
+    "q18_large_volume",
+    """
+    SELECT c.c_name AS c_name, o.o_orderkey AS o_orderkey,
+           CAST(ROUND(SUM(l.l_quantity), 0) AS BIGINT) AS total_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY c.c_name, o.o_orderkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery (a semi "
+    "join against an aggregated relation — the aggregate must run "
+    "before the probe), re-join to lineitem for the final per-order "
+    "quantity, top-k with a deterministic (qty, orderkey) tiebreak. "
+    "Quantities are integer-valued doubles, so the sums are exact.",
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 250)
+        .select("l_orderkey")
+    )
+    o = t["orders"].join(
+        big, t["orders"]["o_orderkey"] == big["l_orderkey"], "left_semi"
+    )
+    return (
+        o.join(t["customer"], o["o_custkey"] == t["customer"]["c_custkey"])
+        .join(t["lineitem"], o["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .groupBy("c_name", "o_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 0).cast("long").alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@part(
+    "q21_late_sole_supplier",
+    """
+    WITH tagged AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F')
+    SELECT s.s_name AS s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM tagged l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM tagged l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM tagged l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape: the sole-late-supplier pattern — EXISTS and "
+    "NOT EXISTS against the SAME relation with different correlated "
+    "predicates, here over a late-tagged lineitem-orders join "
+    "(lateness = shipped >60d after order; the testdata has no "
+    "receipt/commit dates). The oracle states the semantics as the "
+    "textbook EXISTS/NOT EXISTS pair; the Spark plan applies the "
+    "scale rewrite a 100 TB run needs: ONE per-order aggregate "
+    "(distinct suppliers, distinct late suppliers) joined back to the "
+    "late rows on the same key — EXISTS other-supplier == "
+    "n_supp > 1, NOT EXISTS other-late == n_late_supp = 1 (own row "
+    "is late, so the late set is exactly {own}) — instead of the "
+    "naive triple self-join that shuffles the tagged relation three "
+    "times. The aggregate's output partitioning (l_orderkey) already "
+    "satisfies the back-join requirement, so the join adds only the "
+    "late-row side's single shuffle (verified: no exchange above the "
+    "aggregate in the physical plan).",
+)
+def q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    o = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    tagged = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("int").alias("late"),
+    )
+    per_order = tagged.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__n_supp"),
+        F.count_distinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("__n_late_supp"),
+    )
+    waiting = (
+        tagged.filter(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1))
+    )
+    s = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        waiting.join(s, waiting["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -196,17 +196,29 @@ _suite(
 _suite(
     "tpch_shapes_suite",
     {
+        "q2_maxbal": {"part": "q2_max_bal_supplier", "s1": "s_name", "n1": "s_suppkey", "n2": "s_nationkey", "v1": "s_acctbal"},
         "q4_exists": {"part": "q4_priority_exists", "s1": "o_orderpriority", "n1": "order_count"},
         "q6_scan": {"part": "q6_forecast_revenue", "n1": "revenue", "n2": "n"},
+        "q13_dist": {"part": "q13_order_distribution", "n1": "c_count", "n2": "custdist"},
         "q14_ratio": {"part": "q14_promo_ratio", "v1": "promo_ratio"},
+        "q15_top": {"part": "q15_top_supplier", "s1": "s_name", "n1": "s_suppkey", "n2": "total_rev"},
+        "q16_variety": {"part": "q16_supplier_variety", "s1": "p_brand", "n1": "p_size", "n2": "supplier_cnt"},
+        "q18_volume": {"part": "q18_large_volume", "s1": "c_name", "n1": "o_orderkey", "n2": "total_qty"},
         "q19_brackets": {"part": "q19_bracket_revenue", "n1": "revenue", "n2": "n"},
+        "q21_wait": {"part": "q21_late_sole_supplier", "s1": "s_name", "n1": "numwait"},
     },
     [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
     doc="TPC-H optimizer-stress shapes adapted to the testdata "
-    "columns: Q4 correlated EXISTS with a cross-side inequality, Q6 "
-    "range-predicate scan, Q14 conditional-revenue ratio, Q19 "
-    "disjunctive per-bracket predicate that must split across the "
-    "join.",
+    "columns: Q2 equality-to-correlated-scalar-MAX (parser path, "
+    "Catalyst decorrelation), Q4 correlated EXISTS with a cross-side "
+    "inequality, Q6 range-predicate scan, Q13 outer join with a "
+    "join-condition predicate + count-of-counts double aggregation, "
+    "Q14 conditional-revenue ratio, Q15 aggregated view consumed as "
+    "both join side and scalar-MAX subquery, Q16 NOT IN exclusion + "
+    "COUNT DISTINCT, Q18 IN over grouped HAVING + deterministic "
+    "top-k, Q19 disjunctive per-bracket predicate that must split "
+    "across the join, Q21 EXISTS/NOT EXISTS sole-late-supplier "
+    "semi/anti self-joins.",
 )
 
 _suite(
