@@ -122,3 +122,117 @@ def write_partitioned_dataset(
         else:
             spark.conf.set(key, prev)
     return path
+
+
+def merge_into_partitioned(
+    batch: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_cols: list[str],
+    order_col: str | None = None,
+    files_per_partition: int = 1,
+    with_stats: bool = True,
+) -> dict:
+    """MERGE (upsert) a batch into a hive-partitioned Parquet dataset —
+    the reference's L3 full-row last-write-wins semantics
+    (/root/reference/src/load.py:30-43) re-expressed file-natively for
+    a table no single database holds:
+
+    1. collect the batch's DISTINCT partition values (driver-side, but
+       bounded by partitions-touched-per-run — a per-date/per-region
+       incremental batch touches a handful, never the table);
+    2. read ONLY those partitions of the existing dataset (the tuple
+       predicate is on partition columns, so it prunes at planning
+       time — untouched partitions are never listed, read, or
+       rewritten);
+    3. keep existing rows whose key is absent from the batch
+       (LEFT ANTI), union the batch, and rewrite just the affected
+       partitions under dynamic partition overwrite.
+
+    This is copy-on-write MERGE at the affected-partition grain —
+    the same cost model as Delta/Iceberg/Hudi CoW, minus their
+    file-level (rather than partition-level) rewrite granularity and
+    transactional manifest; swap in ``MERGE INTO`` on a lakehouse
+    table format to get both. The merged slice is localCheckpointed
+    before the write: it breaks plan lineage to the input files
+    (Spark refuses to overwrite a path it is also reading) and
+    pins the rows so the rewrite cannot observe its own output.
+
+    In-batch duplicate keys: ``order_col`` picks the winner
+    (keep-max, the cross-run analog of T2's keep-first-within-run);
+    without it duplicates are dropped arbitrarily (documented, same
+    as ``dropDuplicates``).
+
+    Returns ``{"path", "n_upserted", "n_carried", "n_partitions"}``
+    (and, when ``with_stats``, ``n_updated``/``n_inserted`` — the
+    reference's xmax=0 accounting, computed as a semi-join count
+    against the pruned existing slice before it is replaced).
+    """
+    spark = batch.sparkSession
+    if order_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        batch = batch.dropDuplicates(key_cols)
+
+    touched = [tuple(r) for r in batch.select(*partition_cols).distinct().collect()]
+    if not touched:
+        out = {"path": path, "n_upserted": 0, "n_carried": 0, "n_partitions": 0}
+        if with_stats:
+            out.update(n_updated=0, n_inserted=0)
+        return out
+
+    def tuple_pred(values):
+        preds = []
+        for vals in values:
+            p = F.lit(True)
+            for c, v in zip(partition_cols, vals):
+                p = p & (F.col(c) == F.lit(v))
+            preds.append(p)
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+
+    try:
+        existing = spark.read.parquet(path).filter(tuple_pred(touched))
+        first_write = False
+    except Exception:  # path does not exist yet -> plain partitioned write
+        existing = None
+        first_write = True
+
+    stats = {"path": path, "n_partitions": len(touched)}
+    if first_write:
+        merged = batch
+        stats["n_carried"] = 0
+        if with_stats:
+            stats["n_updated"] = 0
+    else:
+        carried = existing.join(
+            batch.select(*key_cols), on=key_cols, how="left_anti"
+        )
+        if with_stats:
+            stats["n_updated"] = (
+                existing.join(batch.select(*key_cols), on=key_cols, how="left_semi")
+                .count()
+            )
+        merged = carried.unionByName(batch)
+
+    # Materialize off the input files before overwriting them.
+    merged = merged.localCheckpoint(eager=True)
+    n_rows = merged.count()
+    stats["n_upserted"] = batch.count()
+    stats["n_carried"] = n_rows - stats["n_upserted"]
+    if with_stats:
+        stats["n_inserted"] = stats["n_upserted"] - stats.get("n_updated", 0)
+    write_partitioned_dataset(
+        merged, path, partition_cols,
+        files_per_partition=files_per_partition, dynamic_overwrite=True,
+    )
+    return stats

@@ -345,3 +345,89 @@ def test_partitioned_dataset_read_prunes(spark, tmp_path):
     )
     assert "PartitionFilters: [" in plan and "split" in plan
     assert q.count() == 1
+
+
+def test_merge_into_partitioned_upserts_and_preserves_untouched(spark, tmp_path):
+    """File-native L3: a batch touching one partition updates/inserts
+    by key there, carries unmatched rows, and never rewrites (or even
+    lists) the untouched partitions."""
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "jakarta", 100), (2, "jakarta", 200), (3, "bogor", 300)],
+        "link long, region string, price long",
+    )
+    writers.write_partitioned_dataset(base, path, ["region"])
+    bogor_file_before = {
+        f: os.path.getmtime(os.path.join(path, "region=bogor", f))
+        for f in os.listdir(os.path.join(path, "region=bogor"))
+        if f.endswith(".parquet")
+    }
+
+    batch = spark.createDataFrame(
+        [(2, "jakarta", 999), (9, "jakarta", 900)],
+        "link long, region string, price long",
+    )
+    stats = writers.merge_into_partitioned(
+        batch, path, key_cols=["link"], partition_cols=["region"]
+    )
+    assert stats["n_partitions"] == 1
+    assert stats["n_upserted"] == 2
+    assert stats["n_carried"] == 1  # link=1 kept
+    assert stats["n_updated"] == 1  # link=2 overwritten
+    assert stats["n_inserted"] == 1  # link=9 fresh
+
+    got = {
+        (r["link"], r["region"], r["price"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "jakarta", 100),
+        (2, "jakarta", 999),
+        (9, "jakarta", 900),
+        (3, "bogor", 300),
+    }
+    bogor_file_after = {
+        f: os.path.getmtime(os.path.join(path, "region=bogor", f))
+        for f in os.listdir(os.path.join(path, "region=bogor"))
+        if f.endswith(".parquet")
+    }
+    assert bogor_file_before == bogor_file_after
+
+
+def test_merge_into_partitioned_is_idempotent(spark, tmp_path):
+    """Same batch twice == once (the retry-safety the reference gets
+    from truncate-staging + ON CONFLICT)."""
+    path = str(tmp_path / "lake2")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "link long, region string, price long"
+    )
+    writers.write_partitioned_dataset(base, path, ["region"])
+    batch = spark.createDataFrame(
+        [(1, "a", 11), (3, "a", 30)], "link long, region string, price long"
+    )
+    writers.merge_into_partitioned(batch, path, ["link"], ["region"])
+    stats2 = writers.merge_into_partitioned(batch, path, ["link"], ["region"])
+    assert stats2["n_updated"] == 2 and stats2["n_inserted"] == 0
+    got = sorted(
+        (r["link"], r["region"], r["price"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(1, "a", 11), (2, "b", 20), (3, "a", 30)]
+
+
+def test_merge_into_partitioned_first_write_and_order_col(spark, tmp_path):
+    """No existing dataset -> plain partitioned write; in-batch dup
+    keys resolved keep-max(order_col) — the cross-run analog of T2."""
+    path = str(tmp_path / "lake3")
+    batch = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, "a", 99, 2), (2, "a", 20, 1)],
+        "link long, region string, price long, seq long",
+    )
+    stats = writers.merge_into_partitioned(
+        batch, path, ["link"], ["region"], order_col="seq"
+    )
+    assert stats["n_upserted"] == 2 and stats["n_carried"] == 0
+    got = sorted(
+        (r["link"], r["price"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(1, 99), (2, 20)]
