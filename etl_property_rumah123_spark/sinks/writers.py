@@ -124,6 +124,39 @@ def write_partitioned_dataset(
     return path
 
 
+def compact_partitions(
+    path: str,
+    partition_cols: list[str],
+    spark,
+    files_per_partition: int = 1,
+    partition_filter=None,
+) -> dict:
+    """Bin-pack a partitioned dataset's small files — the maintenance
+    op every long-lived 100 TB table needs after many incremental
+    merges/appends have fragmented its partitions.
+
+    Reads the dataset (optionally only partitions matching
+    ``partition_filter``, a Column predicate on partition columns that
+    prunes at planning time), localCheckpoints the rows off the input
+    files, and rewrites the selected partitions with exactly
+    ``files_per_partition`` files each via dynamic partition
+    overwrite. Row content is unchanged — only layout. Returns
+    ``{"path", "n_rows"}``. Delta ``OPTIMIZE`` / Iceberg
+    ``rewrite_data_files`` are the manifest-tracked production
+    equivalents.
+    """
+    df = spark.read.parquet(path)
+    if partition_filter is not None:
+        df = df.filter(partition_filter)
+    df = df.localCheckpoint(eager=True)
+    n_rows = df.count()
+    write_partitioned_dataset(
+        df, path, partition_cols,
+        files_per_partition=files_per_partition, dynamic_overwrite=True,
+    )
+    return {"path": path, "n_rows": n_rows}
+
+
 def merge_into_partitioned(
     batch: DataFrame,
     path: str,
@@ -236,3 +269,68 @@ def merge_into_partitioned(
         files_per_partition=files_per_partition, dynamic_overwrite=True,
     )
     return stats
+
+
+def zorder_layout(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    target_files: int = 8,
+    bits: int = 16,
+) -> str:
+    """Write ``df`` as Parquet laid out along a Z-order (Morton) curve
+    over ``zorder_cols`` — the multi-dimensional data-skipping layout
+    (Delta ``OPTIMIZE ZORDER BY``'s cost model).
+
+    Why: sorting by one column makes that column's per-file min/max
+    ranges tight and every other column's ranges full-domain, so
+    predicates on the second column skip nothing. Interleaving the
+    bits of all key columns gives every key moderately tight per-file
+    ranges, so a selective predicate on ANY of them prunes most files
+    via Parquet footer statistics.
+
+    Mechanics, all JVM-side expressions: each (numeric) column is
+    min-max scaled to a ``bits``-bit integer (driver fetches one tiny
+    min/max agg row — the same range sampling Delta does), the bits
+    are interleaved with shift/or expressions into a single long, and
+    rows are range-partitioned + sorted by it, one file per range.
+    Nulls scale to 0 (sort first). Linear min-max scaling is the
+    documented simplification vs rank-based scaling: heavy skew
+    concentrates the curve, at which point pre-bucketing the skewed
+    column is the fix. ``bits * len(cols)`` must stay < 63.
+    """
+    n = len(zorder_cols)
+    if bits * n >= 63:
+        raise ValueError(f"bits*cols = {bits * n} must stay < 63")
+    bounds = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in zorder_cols],
+        *[F.max(c).alias(f"mx_{c}") for c in zorder_cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in zorder_cols:
+        mn = float(bounds[f"mn_{c}"]) if bounds[f"mn_{c}"] is not None else 0.0
+        mx = float(bounds[f"mx_{c}"]) if bounds[f"mx_{c}"] is not None else 0.0
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.coalesce(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(top)
+                ).cast("long"),
+                F.lit(0),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1)).cast("long")
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(target_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path

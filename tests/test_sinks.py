@@ -431,3 +431,102 @@ def test_merge_into_partitioned_first_write_and_order_col(spark, tmp_path):
         (r["link"], r["price"]) for r in spark.read.parquet(path).collect()
     )
     assert got == [(1, 99), (2, 20)]
+
+
+def test_compact_partitions_reduces_files_keeps_rows(spark, tmp_path):
+    """Fragment a partition with many tiny files, compact, and check
+    layout changed but content did not."""
+    path = str(tmp_path / "frag")
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i * 10) for i in range(40)],
+        "link long, region string, price long",
+    )
+    # fragment the real-world way: 8 incremental appends, one file each
+    for i in range(8):
+        base.filter(F.col("link") % 8 == i).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("region").parquet(path)
+    import glob as _glob
+
+    def files_of(part):
+        return [
+            f
+            for f in _glob.glob(f"{path}/region={part}/*.parquet")
+        ]
+
+    assert len(files_of("a")) > 1
+    before = {
+        (r["link"], r["region"], r["price"])
+        for r in spark.read.parquet(path).collect()
+    }
+    stats = writers.compact_partitions(path, ["region"], spark, files_per_partition=1)
+    assert stats["n_rows"] == 40
+    assert len(files_of("a")) == 1 and len(files_of("b")) == 1
+    after = {
+        (r["link"], r["region"], r["price"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert after == before
+
+
+def _file_ranges(path, col):
+    """Per-file (min, max) of a column from Parquet footer statistics —
+    the same numbers a scan's file-skipping consults."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in _glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            out.append((lo, hi))
+    return out
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """Z-order vs sort-by-x on a 64x64 grid: per-file footer ranges
+    must be tight in BOTH x and y for the z-ordered layout, while the
+    x-sorted layout leaves y at full domain — the data-skipping
+    property the operator exists for."""
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    sorted_path = str(tmp_path / "by_x")
+    (
+        df.repartitionByRange(16, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(sorted_path)
+    )
+    z_path = str(tmp_path / "bz")
+    writers.zorder_layout(df, z_path, ["x", "y"], target_files=16, bits=6)
+
+    def mean_span_product(path):
+        xs, ys = _file_ranges(path, "x"), _file_ranges(path, "y")
+        assert len(xs) == len(ys) and xs
+        prods = [
+            ((xhi - xlo + 1) / 64.0) * ((yhi - ylo + 1) / 64.0)
+            for (xlo, xhi), (ylo, yhi) in zip(xs, ys)
+        ]
+        return sum(prods) / len(prods)
+
+    # x-sorted: x spans ~1/16 of domain but y spans all of it -> ~1/16.
+    # z-order: both dims ~1/4 of domain -> ~1/16 of area BUT the point
+    # is per-dimension skipping: assert y-ranges shrink dramatically.
+    y_sorted = [(hi - lo + 1) / 64.0 for lo, hi in _file_ranges(sorted_path, "y")]
+    y_z = [(hi - lo + 1) / 64.0 for lo, hi in _file_ranges(z_path, "y")]
+    assert sum(y_sorted) / len(y_sorted) > 0.9  # full domain per file
+    assert sum(y_z) / len(y_z) < 0.5  # tight after z-order
+    # and the joint span-area must not regress
+    assert mean_span_product(z_path) <= mean_span_product(sorted_path) * 1.5
+    # content unchanged
+    assert spark.read.parquet(z_path).count() == 64 * 64
