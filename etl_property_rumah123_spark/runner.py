@@ -111,3 +111,89 @@ def run_region_pipeline(
         )
     logger.info("dry run for region %s: %d clean rows", region.name, clean.count())
     return -1
+
+
+def main(argv: list[str] | None = None) -> int:
+    """Operational entry — the reference's Airflow-DAG surface as a
+    submit-able command:
+
+        spark-submit [...] -m etl_property_rumah123_spark.runner \\
+            --extract-config configs/extract.yaml \\
+            --load-config configs/load.yaml \\
+            [--region jakarta ...] [--dry-run] [--stage-dir DIR] \\
+            [--run-date YYYYMMDD] [--source-option k=v ...]
+
+    One invocation per schedule tick (cron/Airflow own the cadence,
+    exactly like the reference's per-region DAGs); each selected
+    region runs its own isolated lazy plan. Without --jdbc-url the run
+    is a dry run (extract+transform only, optional staged Parquet).
+    Returns a process exit code: 0 on success.
+    """
+    import argparse
+
+    from etl_property_rumah123_spark.config import (
+        extract_config,
+        load_config,
+        read_config,
+    )
+    from etl_property_rumah123_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(prog="etl_property_rumah123_spark.runner")
+    ap.add_argument("--extract-config", required=True)
+    ap.add_argument("--load-config", required=True)
+    ap.add_argument(
+        "--region", action="append", default=None,
+        help="region name(s) to run; default: all configured regions",
+    )
+    ap.add_argument("--jdbc-url", default=None)
+    ap.add_argument("--stage-dir", default=None)
+    ap.add_argument("--run-date", default=None, help="YYYYMMDD, injected (O3)")
+    ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument(
+        "--source-option", action="append", default=[], metavar="K=V",
+        help="reader options (e.g. fixture_dir=..., base_sleep=0.5)",
+    )
+    args = ap.parse_args(argv)
+
+    cfg = extract_config(read_config(args.extract_config))
+    lc = load_config(read_config(args.load_config))
+    opts = dict(kv.split("=", 1) for kv in args.source_option)
+    wanted = set(args.region) if args.region else None
+    regions = [r for r in cfg.regions if wanted is None or r.name in wanted]
+    if wanted and len(regions) != len(wanted):
+        missing = wanted - {r.name for r in regions}
+        ap.error(f"unknown region(s): {sorted(missing)}")
+
+    connection_factory = None
+    if args.jdbc_url and not args.dry_run:
+        import psycopg2  # deferred: not needed for dry runs
+
+        def connection_factory():
+            return psycopg2.connect(args.jdbc_url)
+
+    # get_spark is getOrCreate: only stop a session WE created, so an
+    # embedding host's (or test harness's) session survives main().
+    preexisting = SparkSession.getActiveSession()
+    spark = get_spark(app_name="rumah123-runner")
+    try:
+        for region in regions:
+            rc = run_region_pipeline(
+                spark,
+                cfg,
+                lc,
+                region,
+                jdbc_url=args.jdbc_url if not args.dry_run else None,
+                connection_factory=connection_factory,
+                stage_dir=args.stage_dir,
+                run_date=args.run_date,
+                source_options=opts or None,
+            )
+            logger.info("region %s -> %s", region.name, rc)
+    finally:
+        if preexisting is None:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

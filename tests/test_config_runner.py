@@ -119,3 +119,54 @@ def test_run_region_pipeline_dry_run_and_checkpoint(spark, tmp_path):
     assert ckpt.count() > 0
     links = [r["link"] for r in ckpt.select("link").collect()]
     assert len(links) == len(set(links))  # transform deduped before checkpoint
+
+
+def test_runner_cli_dry_run(tmp_path):
+    """The CLI surface end-to-end in-process: fixture-backed source,
+    two regions, staged parquet, no sink. (Uses its own SparkSession
+    via get_spark, like a spark-submit invocation would.)"""
+    from etl_property_rumah123_spark import runner
+
+    fixture_dir = str(tmp_path / "pages")
+    write_fixture_pages(fixture_dir, num_pages=2, cards_per_page=8, seed=3)
+    # CLI reads the reference-shaped YAML; write a 2-region copy with
+    # the fixture's page count.
+    cfg_path = str(tmp_path / "extract.yaml")
+    with open(os.path.join(REPO, "configs/extract.yaml")) as f:
+        text = f.read()
+    with open(cfg_path, "w") as f:
+        f.write(text.replace("num_pages: 20", "num_pages: 2"))
+
+    rc = runner.main(
+        [
+            "--extract-config", cfg_path,
+            "--load-config", os.path.join(REPO, "configs/load.yaml"),
+            "--region", "jakarta",
+            "--dry-run",
+            "--stage-dir", str(tmp_path / "stage"),
+            "--run-date", "20260813",
+            "--source-option", f"fixture_dir={fixture_dir}",
+            "--source-option", "pages_per_partition=1",
+            "--source-option", "base_sleep=0.0001",
+            "--source-option", "min_sleep=0.0",
+        ]
+    )
+    assert rc == 0
+    import glob as _glob
+
+    staged = _glob.glob(str(tmp_path / "stage" / "listings_jakarta_*"))
+    assert staged, "stage checkpoint written"
+
+
+def test_runner_cli_rejects_unknown_region(tmp_path):
+    from etl_property_rumah123_spark import runner
+
+    with pytest.raises(SystemExit):
+        runner.main(
+            [
+                "--extract-config", os.path.join(REPO, "configs/extract.yaml"),
+                "--load-config", os.path.join(REPO, "configs/load.yaml"),
+                "--region", "atlantis",
+                "--dry-run",
+            ]
+        )
