@@ -206,3 +206,30 @@ def shard_order(
     return df.withColumn("__h", h).withColumn(
         "shard", (F.col("__h") % n_shards).cast("long")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "|cap42",
+) -> DataFrame:
+    """Per-group document cap — the per-domain cap every web-scale
+    corpus applies (no single domain may dominate training data):
+    keep at most ``k`` rows per ``group_col``, chosen in deterministic
+    salted-hash order (so the kept set is a reproducible pseudo-random
+    sample, not scrape order, and survives any repartitioning).
+
+    Returns the input plus ``__keep`` (1/0) so callers can filter or
+    account. One shuffle on the group column (window rank). For a
+    pathological mega-group where even ranking its members is too much
+    state, pre-thin with :func:`hash_gate` at rate ~k/|group| first —
+    the gate is shuffle-free — then apply the exact cap to the
+    survivors.
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return df.withColumn(
+        "__keep", (F.row_number().over(w) <= k).cast("int")
+    )

@@ -1197,6 +1197,46 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@part(
+    "corpus_source_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR) || '|cap42'),
+                                         doc_id) AS rn
+      FROM documents)
+    SELECT source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE rn <= 10) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) FILTER (WHERE rn <= 10) AS BIGINT) AS kept_id_sum
+    FROM ranked GROUP BY source
+    """,
+    doc="Per-source document cap (the per-domain cap of web-scale "
+    "corpus curation: no source may dominate the training mix): keep "
+    "at most 10 docs per source in deterministic salted-md5 order, "
+    "account (n_docs, n_kept, sum of kept ids) per source — the id "
+    "sum pins EXACTLY which docs survived, so a hash or window-order "
+    "divergence between engines fails the value check. One shuffle "
+    "on source; mega-group pre-thinning via the shuffle-free hash "
+    "gate is documented in operators/sampling.py:cap_per_group.",
+)
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = sampling.cap_per_group(
+        table(spark, sf_dir, "documents").select("doc_id", "source"),
+        group_col="source",
+        key_col="doc_id",
+        k=10,
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__keep").cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("__keep") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("kept_id_sum"),
+    )
+
+
 _SEMDEDUP_PLANES, _SEMDEDUP_DIM, _SEMDEDUP_THRESHOLD = 6, 64, 0.3
 _SEMDEDUP_SEED = "semdedup-42"
 

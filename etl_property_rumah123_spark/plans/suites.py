@@ -558,6 +558,7 @@ _suite(
         "shuffle": {"part": "corpus_shuffle_shards", "n1": "shard", "n2": "n_docs", "n3": "head_doc"},
         "spans": {"part": "corpus_repeated_spans", "n1": "doc_id", "n2": "n_windows", "n3": "n_repeated"},
         "semdedup": {"part": "corpus_semantic_dedup", "n1": "bucket", "n2": "n_vecs", "n3": "n_dropped"},
+        "source_cap": {"part": "corpus_source_cap", "s1": "source", "n1": "n_docs", "n2": "n_kept", "n3": "kept_id_sum"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],
     doc="Corpus preparation: the full gate->dedup->split->account "
@@ -570,8 +571,10 @@ _suite(
     "RefinedWeb-style boilerplate-segment removal (df >= 3 sentences "
     "dropped, survivors re-joined in order), the deterministic "
     "training-order shuffle/shard accounting (salted-hash epoch "
-    "order), and SemDeDup-style semantic dedup accounting "
-    "(hyperplane buckets + in-bucket cosine keep-lowest-id).",
+    "order), SemDeDup-style semantic dedup accounting "
+    "(hyperplane buckets + in-bucket cosine keep-lowest-id), and the "
+    "per-source document cap (deterministic salted-hash keep-set, "
+    "kept-id-sum pinned).",
 )
 
 
