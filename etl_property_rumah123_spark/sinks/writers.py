@@ -233,12 +233,18 @@ def merge_into_partitioned(
             out = out | p
         return out
 
-    try:
-        existing = spark.read.parquet(path).filter(tuple_pred(touched))
-        first_write = False
-    except Exception:  # path does not exist yet -> plain partitioned write
-        existing = None
-        first_write = True
+    # Missing path -> first write. Checked explicitly (Hadoop FS API,
+    # so file:// hdfs:// s3a:// all work) rather than by catching the
+    # read error: a CORRUPT existing dataset must fail loudly, not be
+    # silently treated as absent and overwritten.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    first_write = not fs.exists(hpath)
+    existing = (
+        None if first_write
+        else spark.read.parquet(path).filter(tuple_pred(touched))
+    )
 
     stats = {"path": path, "n_partitions": len(touched)}
     if first_write:
