@@ -429,3 +429,28 @@ def test_repeated_spans_within_doc_repeat_not_counted(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in dedup.repeated_spans(df).collect()}
     assert got[1]["n_repeated"] == 0  # cross-doc criterion only
+
+
+def test_cap_per_group_deterministic_under_repartition(spark):
+    """The kept set must be a pure function of (key, salt) — identical
+    under any physical partitioning, and exactly k per full group."""
+    from etl_property_rumah123_spark.operators import sampling
+
+    rows = [(i, f"src{i % 4}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def kept(d):
+        out = sampling.cap_per_group(d, "source", "doc_id", k=5)
+        return {
+            (r["source"], r["doc_id"])
+            for r in out.filter(out["__keep"] == 1).collect()
+        }
+
+    a = kept(df)
+    b = kept(df.repartition(13))
+    c = kept(df.repartition(1).sortWithinPartitions("doc_id"))
+    assert a == b == c
+    per_group = {}
+    for s, _ in a:
+        per_group[s] = per_group.get(s, 0) + 1
+    assert per_group == {f"src{i}": 5 for i in range(4)}
