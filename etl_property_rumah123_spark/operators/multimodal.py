@@ -275,6 +275,65 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.select("sample_id", "payload").mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
+#: Output schema of the resize stage: re-encoded payload + both dims.
+RESIZE_SCHEMA = (
+    "sample_id long, payload binary, out_width int, out_height int, "
+    "in_width int, in_height int"
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize stage (the pre-training 'normalize resolution'
+    step): decode each BMP payload with the real parser,
+    nearest-neighbor resample to ``width x height`` in numpy (exact
+    integer index mapping — on uncompressed bitmaps this IS a real
+    resize, no image library involved), and re-encode to BMP.
+
+    Non-image and undecodable rows pass through with NULL payload and
+    dims — downstream filters decide, the kernel never fails a batch.
+    Nearest-neighbor keeps the op deterministic across platforms
+    (no float filter kernels), so output payload digests are stable
+    test pins. Swap the resampler (and decode_compressed) for the
+    production codec stack to handle JPEG/PNG.
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_property_rumah123_spark.functions import codecs
+
+        for pdf in batches:
+            rows = {
+                "sample_id": [], "payload": [], "out_width": [],
+                "out_height": [], "in_width": [], "in_height": [],
+            }
+            for sid, mime, b in zip(
+                pdf["sample_id"], pdf["mime_type"], pdf["payload"]
+            ):
+                out = iw = ih = None
+                if b is not None and mime == "image/bmp":
+                    try:
+                        px = codecs.decode_bmp24(bytes(b))
+                        ih, iw = px.shape[0], px.shape[1]
+                        ri = (np.arange(height) * ih) // height
+                        ci = (np.arange(width) * iw) // width
+                        out = codecs.encode_bmp24(px[ri][:, ci])
+                    except ValueError:
+                        out = iw = ih = None
+                rows["sample_id"].append(sid)
+                rows["payload"].append(out)
+                rows["out_width"].append(width if out is not None else None)
+                rows["out_height"].append(height if out is not None else None)
+                rows["in_width"].append(iw)
+                rows["in_height"].append(ih)
+            yield pd.DataFrame(rows)
+
+    return df.select("sample_id", "mime_type", "payload").mapInPandas(
+        kernel, schema=RESIZE_SCHEMA
+    )
+
+
 def decode_compressed(payload: bytes) -> "np.ndarray":  # noqa: F821
     """Placeholder for compressed-format decode (JPEG/PNG/H.264/MP3).
 

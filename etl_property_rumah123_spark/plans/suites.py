@@ -590,9 +590,11 @@ _suite(
     "(text/BMP/WAV payloads synthesized from documents), tagged "
     "union: Arrow-batched decode — REAL BMP and PCM-WAV parsers "
     "(functions/codecs.py) extracting true width/height/duration — "
-    "feature extraction over decoded content (vector summarized as "
-    "dim + sum), and 1:N frame sampling. Compressed codecs remain "
-    "the documented production swap (operators/multimodal.py).",
+    "nearest-neighbor 16x16 image resize (real numpy resample + BMP "
+    "re-encode, payload digest carried), feature extraction over "
+    "decoded content (vector summarized as dim + sum), and 1:N frame "
+    "sampling. Compressed codecs remain the documented production "
+    "swap (operators/multimodal.py).",
 )
 def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_property_rumah123_spark.operators import multimodal
@@ -609,6 +611,7 @@ def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.synthesize_media(table(spark, sf_dir, "documents"))
     )
     decode = multimodal.decode_media(media)
+    resized = multimodal.resize_images(media, width=16, height=16)
     feats = multimodal.extract_features(media).select(
         "sample_id",
         F.size("feat").alias("feat_dim"),
@@ -620,6 +623,7 @@ def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _union(
         [
             _align(decode, "decode", schema, k1="sample_id", s1="modality", s2="payload_digest", n1="payload_bytes", n2="decoded_width", n3="decoded_height", v1="decoded_ms"),
+            _align(resized, "resize", schema, k1="sample_id", s2="md5(payload)", n1="out_width", n2="out_height", n3="in_width"),
             _align(feats, "features", schema, k1="sample_id", n1="feat_dim", v1="feat_sum"),
             _align(frames, "frames", schema, k1="sample_id", n1="frame_idx", s1="frame_digest"),
         ]

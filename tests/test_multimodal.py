@@ -257,3 +257,35 @@ def test_frame_sampling_expands_rows(spark):
     again = {(r["sample_id"], r["frame_idx"]): r["frame_digest"]
              for r in multimodal.sample_frames(m, n_frames=4).collect()}
     assert {(r["sample_id"], r["frame_idx"]): r["frame_digest"] for r in rows} == again
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """Resize output is the exact nearest-neighbor index mapping of
+    the decoded source pixels (verified pixel-for-pixel driver-side),
+    re-encoded as a valid BMP; non-image and corrupt rows pass
+    through with NULLs."""
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    good = codecs.encode_bmp24(px)
+    df = spark.createDataFrame(
+        [
+            (1, "image", "image/bmp", bytearray(good)),
+            (2, "text", "text/plain", bytearray(b"hello")),
+            (3, "image", "image/bmp", bytearray(b"BMnope")),
+        ],
+        "sample_id long, modality string, mime_type string, payload binary",
+    )
+    out = {
+        r["sample_id"]: r
+        for r in multimodal.resize_images(df, width=2, height=3).collect()
+    }
+    r1 = out[1]
+    assert (r1["in_width"], r1["in_height"]) == (4, 6)
+    assert (r1["out_width"], r1["out_height"]) == (2, 3)
+    got = codecs.decode_bmp24(bytes(r1["payload"]))
+    ri = (np.arange(3) * 6) // 3
+    ci = (np.arange(2) * 4) // 2
+    assert np.array_equal(got, px[ri][:, ci])
+    for sid in (2, 3):
+        r = out[sid]
+        assert r["payload"] is None and r["out_width"] is None
+        assert r["in_width"] is None
