@@ -708,6 +708,97 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @part(
+    "events_interpolate",
+    """
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS h, value
+      FROM events WHERE event_type = 'purchase'
+    ), bounds AS (
+      SELECT MIN(h) AS lo, MAX(h) AS hi FROM e
+    ), cal AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ), hourly AS (
+      SELECT cal.h AS h, a.v AS v
+      FROM cal LEFT JOIN (SELECT h, ROUND(AVG(value), 6) AS v
+                          FROM e GROUP BY h) a USING (h)
+    ), marked AS (
+      SELECT h, v,
+        last_value(v IGNORE NULLS) OVER w_prev AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER w_prev AS ph,
+        first_value(v IGNORE NULLS) OVER w_next AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER w_next AS nh
+      FROM hourly
+      WINDOW
+        w_prev AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS known,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (date_diff('hour', ph, h) * 1.0
+                                 / date_diff('hour', ph, nh))
+             ELSE NULL END, 6) AS v_interp
+    FROM marked
+    """,
+    doc="Time-series linear interpolation: dense hourly calendar of "
+    "mean purchase value with gaps filled by lerp between the last "
+    "and next KNOWN hours (carried via last/first IGNORE NULLS window "
+    "pairs — value AND its hour). Leading/trailing gaps stay NULL (no "
+    "extrapolation). The global window runs over the CALENDAR (rows = "
+    "time range in hours), never the event volume — the hourly "
+    "aggregate upstream is the only data-sized shuffle. Both engines "
+    "evaluate the identical lerp expression on identical rounded "
+    "inputs, so the result is hash-exact.",
+)
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "value")
+    )
+    bounds = e.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    actual = e.groupBy("h").agg(F.round(F.avg("value"), 6).alias("v"))
+    hourly = F.broadcast(cal).join(actual, "h", "left")
+    w_prev = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    known_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    m = hourly.select(
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_h, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    hours = lambda a, b: (  # noqa: E731 — integer hour distance
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / F.lit(3600)
+    ).cast("long")
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        hours(F.col("ph"), F.col("h")) * F.lit(1.0)
+        / hours(F.col("ph"), F.col("nh"))
+    )
+    return m.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.col("v").isNotNull().cast("int").alias("known"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                F.when(
+                    F.col("pv").isNotNull() & F.col("nv").isNotNull(), lerp
+                )
+            ),
+            6,
+        ).alias("v_interp"),
+    )
+
+
+@part(
     "funnel_conversion",
     """
     WITH firsts AS (

@@ -325,10 +325,14 @@ _suite(
     {
         "tumbling_15min": {"part": "events_tumbling_15min", "s1": "window_start", "n1": "n", "n2": "n_users"},
         "gap_fill": {"part": "events_gap_fill", "s1": "hour_start", "n1": "n"},
+        "interpolate": {"part": "events_interpolate", "s1": "hour_start", "n1": "known", "v1": "v_interp"},
     },
-    [("s1", "string"), ("n1", "bigint"), ("n2", "bigint")],
-    doc="Time windows: tumbling 15-minute aggregation (F.window) and "
-    "calendar gap-filling of hourly error counts.",
+    [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
+    doc="Time windows: tumbling 15-minute aggregation (F.window), "
+    "calendar gap-filling of hourly error counts, and linear "
+    "interpolation of hourly mean purchase value across gaps "
+    "(last/first IGNORE NULLS carry pairs + lerp; the global window "
+    "is calendar-sized, not data-sized).",
 )
 
 
