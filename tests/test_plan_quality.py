@@ -162,3 +162,19 @@ def test_new_corpus_parts_stay_jvm_side_and_join_hashed(spark):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} degenerated to a nested-loop join"
         )
+
+
+def test_new_tpch_shapes_plan_pins(spark):
+    """The optimizer-shape guarantees of the round-2 TPC-H parts:
+    Q13's join-condition predicate must keep the join LeftOuter (a
+    refactor moving it to WHERE silently drops zero-order customers),
+    Q16's NOT IN must decorrelate to LeftAnti, Q2's equality-to-
+    correlated-MAX must decorrelate fully (joins, no per-row
+    subquery)."""
+    p13 = plan_of(PARTS["q13_order_distribution"].fn(spark, SF_SMOKE))
+    assert "LeftOuter" in p13, "q13 outer join collapsed"
+    p16 = plan_of(PARTS["q16_supplier_variety"].fn(spark, SF_SMOKE))
+    assert "LeftAnti" in p16, "q16 NOT IN did not become an anti join"
+    p2 = plan_of(PARTS["q2_max_bal_supplier"].fn(spark, SF_SMOKE))
+    assert "Subquery" not in p2, "q2 scalar subquery not decorrelated"
+    assert "Join" in p2
