@@ -306,3 +306,40 @@ def test_streaming_profile_matches_batch(spark, events_stream_dir):
         assert s["min_v"] == b["min_v"] and s["max_v"] == b["max_v"]
         exact = b["n_distinct"]
         assert abs(s["approx_distinct"] - exact) <= max(3, 0.05 * exact)
+
+
+def test_foreach_batch_merge_into_partitioned_lake(spark, events_stream_dir, tmp_path):
+    """The streaming L3 path against the FILE-NATIVE sink: each
+    micro-batch upserts into a hive-partitioned parquet lake via
+    merge_into_partitioned. Replayed rows (stream unioned with
+    itself) must collapse on the merge key — the same
+    idempotence-makes-it-exactly-once argument as the DuckDB path."""
+    from etl_property_rumah123_spark.sinks import writers
+
+    lake = str(tmp_path / "lake")
+
+    def upsert(batch_df, batch_id):
+        writers.merge_into_partitioned(
+            batch_df.select("event_id", "event_type", "value"),
+            lake,
+            key_cols=["event_id"],
+            partition_cols=["event_type"],
+            with_stats=False,
+        )
+
+    dup = stream_events(spark, events_stream_dir).union(
+        stream_events(spark, events_stream_dir)
+    )
+    q = (
+        dup.writeStream.foreachBatch(pipelines.foreach_batch_upsert(upsert))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    truth = spark.read.parquet(events_stream_dir)
+    got = spark.read.parquet(lake)
+    assert got.count() == truth.count()  # replays collapsed by key
+    assert round(got.agg(F.sum("value")).first()[0], 3) == round(
+        truth.agg(F.sum("value")).first()[0], 3
+    )
