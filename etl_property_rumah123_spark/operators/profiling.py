@@ -55,3 +55,36 @@ def profile_columns(
         "(col, n_rows, n_null, n_distinct, min_s, max_s, min_v, max_v)"
     )
     return one.select(F.expr(stack))
+
+
+def check_expectations(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
+    """Declarative data-quality gate: ``rules`` maps a rule name to a
+    boolean Column every row SHOULD satisfy (not-null, range, enum,
+    regex, cross-column). ALL rules evaluate in ONE groupless
+    aggregation pass (map-side combine, no per-rule re-scan — at
+    100 TB that is the difference between one job and #rules jobs),
+    reshaped long via ``stack``.
+
+    Output, one row per rule: rule, n_rows, n_violations, pass_rate
+    (rounded 6). Rows where the predicate is NULL count as violations
+    (unknown is not a pass — same stance as SQL CHECK constraints
+    would take with NOT ENFORCED semantics reversed).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.count_if(~F.coalesce(pred, F.lit(False))).alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    # CAST ... AS DOUBLE: bare 1.0 literals are DECIMAL in Spark SQL,
+    # and the oracle comparison (and callers) expect double.
+    groups = [
+        f"'{name}', CAST(__n AS BIGINT), CAST(__v_{name} AS BIGINT), "
+        f"ROUND(CAST(1.0 AS DOUBLE) - __v_{name} * CAST(1.0 AS DOUBLE) / __n, 6)"
+        for name in rules
+    ]
+    stack = (
+        f"stack({len(rules)}, {', '.join(groups)}) AS "
+        "(rule, n_rows, n_violations, pass_rate)"
+    )
+    return one.select(F.expr(stack))

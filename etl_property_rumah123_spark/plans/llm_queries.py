@@ -1735,6 +1735,49 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@part(
+    "dq_lineitem_checks",
+    """
+    WITH one AS (
+      SELECT COUNT(*) AS n,
+        COUNT(*) FILTER (WHERE NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)) AS v_qty,
+        COUNT(*) FILTER (WHERE NOT COALESCE(l_discount BETWEEN 0 AND 0.1, FALSE)) AS v_disc,
+        COUNT(*) FILTER (WHERE NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)) AS v_flag,
+        COUNT(*) FILTER (WHERE NOT COALESCE(l_extendedprice > 0, FALSE)) AS v_price,
+        COUNT(*) FILTER (WHERE NOT COALESCE(l_shipdate >= TIMESTAMP '1995-06-01', FALSE)) AS v_ship
+      FROM lineitem)
+    SELECT 'qty_in_range' AS rule, CAST(n AS BIGINT) AS n_rows,
+           CAST(v_qty AS BIGINT) AS n_violations,
+           ROUND(1.0 - v_qty * 1.0 / n, 6) AS pass_rate FROM one
+    UNION ALL SELECT 'discount_band', n, v_disc, ROUND(1.0 - v_disc * 1.0 / n, 6) FROM one
+    UNION ALL SELECT 'returnflag_enum', n, v_flag, ROUND(1.0 - v_flag * 1.0 / n, 6) FROM one
+    UNION ALL SELECT 'positive_price', n, v_price, ROUND(1.0 - v_price * 1.0 / n, 6) FROM one
+    UNION ALL SELECT 'shipped_after_1995h2', n, v_ship, ROUND(1.0 - v_ship * 1.0 / n, 6) FROM one
+    """,
+    doc="Declarative data-quality expectations over lineitem — range, "
+    "band, enum, positivity, and a date floor (deliberately violated "
+    "by ~6% of rows so the counting path is exercised) — ALL checked "
+    "in one groupless aggregation pass (operators/profiling.py:"
+    "check_expectations): map-side conditional counts, stack-reshaped "
+    "long; NULL predicate = violation.",
+)
+def dq_lineitem_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators.profiling import check_expectations
+
+    l = table(spark, sf_dir, "lineitem")
+    return check_expectations(
+        l,
+        {
+            "qty_in_range": F.col("l_quantity").between(1, 50),
+            "discount_band": F.col("l_discount").between(0.0, 0.1),
+            "returnflag_enum": F.col("l_returnflag").isin("A", "N", "R"),
+            "positive_price": F.col("l_extendedprice") > 0,
+            "shipped_after_1995h2": F.col("l_shipdate")
+            >= F.lit("1995-06-01").cast("timestamp"),
+        },
+    )
+
+
 @register(
     "profile_table",
     """

@@ -277,3 +277,29 @@ def test_approx_distinct_error_envelope(spark):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.05 * r["exact"])
+
+
+def test_check_expectations_null_predicate_is_violation(spark):
+    """NULL rule outcomes count as violations (unknown is not a pass),
+    and all rules evaluate in one pass with exact counts."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.operators.profiling import (
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id long, v double"
+    )
+    out = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["pass_rate"])
+        for r in check_expectations(
+            df,
+            {
+                "v_positive": F.col("v") > 0,   # NULL for id=2 -> violation
+                "id_nonnull": F.col("id").isNotNull(),
+            },
+        ).collect()
+    }
+    assert out["v_positive"] == (3, 2, round(1 - 2 / 3, 6))
+    assert out["id_nonnull"] == (3, 0, 1.0)
