@@ -708,6 +708,59 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @part(
+    "events_time_rollup",
+    """
+    SELECT CASE WHEN GROUPING(y) = 1 THEN NULL ELSE y END AS y,
+           CASE WHEN GROUPING(m) = 1 THEN NULL ELSE m END AS m,
+           CASE WHEN GROUPING(d) = 1 THEN NULL ELSE d END AS d,
+           CAST(GROUPING(y) * 4 + GROUPING(m) * 2 + GROUPING(d) AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(value), 0) AS BIGINT) AS total
+    FROM (SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+                 CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,
+                 CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,
+                 value
+          FROM events)
+    GROUP BY ROLLUP (y, m, d)
+    """,
+    doc="Hypertable-style time-hierarchy rollup: one pass over events "
+    "producing day, month, year, and grand-total grains via "
+    "ROLLUP(y, m, d) with GROUPING() disambiguation (lvl encodes the "
+    "grain; NULL group keys normalized so real NULLs and subtotal "
+    "markers cannot collide). This is the continuous-aggregate shape "
+    "time-series stores maintain incrementally — here Spark computes "
+    "every grain in one shuffle with map-side partial aggregation; "
+    "the incremental-maintenance analog is merge_into_partitioned "
+    "over the day grain plus re-aggregation of coarser grains.",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        "value",
+    )
+    g = e.rollup("y", "m", "d").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 0).cast("long").alias("total"),
+        F.grouping("y").alias("__gy"),
+        F.grouping("m").alias("__gm"),
+        F.grouping("d").alias("__gd"),
+    )
+    lvl = (
+        F.col("__gy") * 4 + F.col("__gm") * 2 + F.col("__gd")
+    ).cast("long")
+    return g.select(
+        F.when(F.col("__gy") == 1, F.lit(None)).otherwise(F.col("y")).alias("y"),
+        F.when(F.col("__gm") == 1, F.lit(None)).otherwise(F.col("m")).alias("m"),
+        F.when(F.col("__gd") == 1, F.lit(None)).otherwise(F.col("d")).alias("d"),
+        lvl.alias("lvl"),
+        "n",
+        "total",
+    )
+
+
+@part(
     "events_interpolate",
     """
     WITH e AS (

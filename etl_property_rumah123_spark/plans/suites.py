@@ -329,13 +329,16 @@ _suite(
         "tumbling_15min": {"part": "events_tumbling_15min", "s1": "window_start", "n1": "n", "n2": "n_users"},
         "gap_fill": {"part": "events_gap_fill", "s1": "hour_start", "n1": "n"},
         "interpolate": {"part": "events_interpolate", "s1": "hour_start", "n1": "known", "v1": "v_interp"},
+        "time_rollup": {"part": "events_time_rollup", "n1": "lvl", "n2": "n", "n3": ("coalesce(y * 10000 + coalesce(m, 0) * 100 + coalesce(d, 0), -1)", "coalesce(y * 10000 + coalesce(m, 0) * 100 + coalesce(d, 0), -1)"), "v1": ("CAST(total AS DOUBLE)", "CAST(total AS DOUBLE)")},
     },
-    [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
+    [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double")],
     doc="Time windows: tumbling 15-minute aggregation (F.window), "
-    "calendar gap-filling of hourly error counts, and linear "
+    "calendar gap-filling of hourly error counts, linear "
     "interpolation of hourly mean purchase value across gaps "
     "(last/first IGNORE NULLS carry pairs + lerp; the global window "
-    "is calendar-sized, not data-sized).",
+    "is calendar-sized, not data-sized), and the hypertable-style "
+    "ROLLUP(y,m,d) time-hierarchy aggregate (date key packed as "
+    "y*10000+m*100+d, -1 at subtotal grains).",
 )
 
 
