@@ -530,3 +530,26 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     assert mean_span_product(z_path) <= mean_span_product(sorted_path) * 1.5
     # content unchanged
     assert spark.read.parquet(z_path).count() == 64 * 64
+
+
+def test_merge_existing_read_partition_prunes(spark, tmp_path):
+    """The merge's claim 'untouched partitions are never listed or
+    read' at the plan level: the existing-side scan must carry a
+    PartitionFilters entry on the touched partition values."""
+    path = str(tmp_path / "lakeplan")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "link long, region string, price long",
+    )
+    writers.write_partitioned_dataset(base, path, ["region"])
+    existing = spark.read.parquet(path).filter(F.col("region") == "a")
+    plan = existing._sc._jvm.PythonSQLUtils.explainString(
+        existing._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan and "region" in plan
+    # and the merge itself only rewrites the touched partition
+    batch = spark.createDataFrame(
+        [(9, "a", 90)], "link long, region string, price long"
+    )
+    stats = writers.merge_into_partitioned(batch, path, ["link"], ["region"])
+    assert stats["n_partitions"] == 1 and stats["n_inserted"] == 1
