@@ -83,3 +83,42 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """
     for name, df in tables(spark, sf_dir, *names).items():
         df.createOrReplaceTempView(name)
+
+
+def read_stage_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    capture_corrupt: bool = True,
+) -> DataFrame:
+    """Stage-handoff CSV read with an EXPLICIT schema (op S7) — the
+    reference re-inferred types at every stage boundary
+    (/root/reference/dags/dags.py:84,102), which is how a column of
+    digit-like strings silently becomes an int in one run and a string
+    in the next. Here the declared StructType is the contract, and
+    type inference never runs.
+
+    ``capture_corrupt`` adds the PERMISSIVE-mode ``_corrupt_record``
+    column: malformed lines land there as raw text instead of either
+    failing the job (FAILFAST) or silently vanishing (DROPMALFORMED) —
+    the same corrupt-rows-are-data stance as the multimodal decode
+    path. Filter ``_corrupt_record IS NOT NULL`` to quarantine them.
+
+    Note the Spark caveat: a bare ``count()``/aggregate over only the
+    corrupt column can be answered without parsing; select the data
+    columns (or cache) before counting corrupt rows.
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    if capture_corrupt:
+        if not isinstance(schema, StructType):
+            raise TypeError("capture_corrupt requires a StructType schema")
+        schema = StructType(schema.fields[:]).add("_corrupt_record", StringType())
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    return reader.csv(path)

@@ -60,3 +60,66 @@ def test_events_ts_nanos(spark, tmp_path):
 def test_events_ts_micros_utc(spark, tmp_path):
     sf = write_events(tmp_path, pa.timestamp("us", tz="UTC"))
     assert_normalized(spark, sf)
+
+
+def test_read_stage_csv_explicit_schema_roundtrip(spark, tmp_path):
+    """S7 literal form: writers.save_csv -> read_stage_csv with the
+    declared schema. Types come from the contract, not inference, and
+    the array column survives as its documented JSON stringification."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_property_rumah123_spark.sinks import writers
+    from etl_property_rumah123_spark.sources.catalog import read_stage_csv
+
+    df = spark.createDataFrame(
+        [("rumah123.com/a", 450, ["Garasi", "KPR"]), ("rumah123.com/b", None, [])],
+        "link string, price_rp int, additional_features array<string>",
+    )
+    path = writers.save_csv(df, "listings", str(tmp_path), "20260813")
+
+    schema = T.StructType(
+        [
+            T.StructField("link", T.StringType()),
+            T.StructField("price_rp", T.IntegerType()),
+            T.StructField("additional_features", T.StringType()),
+        ]
+    )
+    back = read_stage_csv(spark, path, schema)
+    assert [f.name for f in back.schema.fields] == [
+        "link", "price_rp", "additional_features", "_corrupt_record",
+    ]
+    assert back.schema["price_rp"].dataType == T.IntegerType()  # contract, not inference
+    rows = {r["link"]: r for r in back.collect()}
+    assert rows["rumah123.com/a"]["price_rp"] == 450
+    assert rows["rumah123.com/a"]["additional_features"] == '["Garasi","KPR"]'
+    assert all(r["_corrupt_record"] is None for r in rows.values())
+
+
+def test_read_stage_csv_quarantines_corrupt_rows(spark, tmp_path):
+    """Malformed lines land in _corrupt_record as raw text; well-formed
+    rows parse normally — corrupt rows are data, not job failures."""
+    from pyspark.sql import types as T
+
+    from etl_property_rumah123_spark.sources.catalog import read_stage_csv
+
+    p = tmp_path / "stage.csv"
+    p.mkdir()
+    (p / "part-00000.csv").write_text(
+        "link,price_rp\nok-row,100\nbad-row,not_an_int\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("link", T.StringType()),
+            T.StructField("price_rp", T.IntegerType()),
+        ]
+    )
+    back = read_stage_csv(spark, str(p), schema).cache()
+    try:
+        good = back.filter("_corrupt_record IS NULL").collect()
+        bad = back.filter("_corrupt_record IS NOT NULL").collect()
+        assert [(r["link"], r["price_rp"]) for r in good] == [("ok-row", 100)]
+        assert len(bad) == 1 and bad[0]["_corrupt_record"] == "bad-row,not_an_int"
+        assert bad[0]["price_rp"] is None
+    finally:
+        back.unpersist()
