@@ -165,6 +165,7 @@ def merge_into_partitioned(
     order_col: str | None = None,
     files_per_partition: int = 1,
     with_stats: bool = True,
+    allow_schema_evolution: bool = False,
 ) -> dict:
     """MERGE (upsert) a batch into a hive-partitioned Parquet dataset —
     the reference's L3 full-row last-write-wins semantics
@@ -195,6 +196,18 @@ def merge_into_partitioned(
     (keep-max, the cross-run analog of T2's keep-first-within-run);
     without it duplicates are dropped arbitrarily (documented, same
     as ``dropDuplicates``).
+
+    ``allow_schema_evolution``: columns the batch adds (or drops)
+    relative to the table are reconciled additively — the existing
+    slice is read with ``mergeSchema`` and the union fills either
+    side's missing columns with NULL (Delta's ``mergeSchema``
+    semantics). Off by default: an unexpected batch schema should
+    fail loudly unless drift is an accepted fact of the feed. Only
+    the REWRITTEN partitions gain the new column's values; untouched
+    partitions' files are schema-narrower until their next rewrite,
+    which is why reads of an evolving table must also use
+    ``mergeSchema`` (documented Delta/Iceberg behavior too — their
+    manifests just hide it better).
 
     Returns ``{"path", "n_upserted", "n_carried", "n_partitions"}``
     (and, when ``with_stats``, ``n_updated``/``n_inserted`` — the
@@ -241,10 +254,21 @@ def merge_into_partitioned(
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     first_write = not fs.exists(hpath)
-    existing = (
-        None if first_write
-        else spark.read.parquet(path).filter(tuple_pred(touched))
-    )
+    if first_write:
+        existing = None
+    else:
+        reader = spark.read
+        if allow_schema_evolution:
+            reader = reader.option("mergeSchema", "true")
+        existing = reader.parquet(path).filter(tuple_pred(touched))
+        if not allow_schema_evolution:
+            if sorted(existing.columns) != sorted(batch.columns):
+                raise ValueError(
+                    "batch schema drifted from table schema "
+                    f"(batch: {sorted(batch.columns)}, table: "
+                    f"{sorted(existing.columns)}); pass "
+                    "allow_schema_evolution=True to reconcile additively"
+                )
 
     stats = {"path": path, "n_partitions": len(touched)}
     if first_write:
@@ -261,7 +285,9 @@ def merge_into_partitioned(
                 existing.join(batch.select(*key_cols), on=key_cols, how="left_semi")
                 .count()
             )
-        merged = carried.unionByName(batch)
+        merged = carried.unionByName(
+            batch, allowMissingColumns=allow_schema_evolution
+        )
 
     # Materialize off the input files before overwriting them.
     merged = merged.localCheckpoint(eager=True)

@@ -553,3 +553,30 @@ def test_merge_existing_read_partition_prunes(spark, tmp_path):
     )
     stats = writers.merge_into_partitioned(batch, path, ["link"], ["region"])
     assert stats["n_partitions"] == 1 and stats["n_inserted"] == 1
+
+
+def test_merge_schema_evolution_adds_column_additively(spark, tmp_path):
+    """A batch carrying a NEW column merges when evolution is opted
+    in: carried rows get NULL for it, rewritten partitions carry it,
+    and strict mode (default) fails loudly on the drift."""
+    path = str(tmp_path / "lake_evo")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20)], "link long, region string, price long"
+    )
+    writers.write_partitioned_dataset(base, path, ["region"])
+    batch = spark.createDataFrame(
+        [(2, "a", 200, "agent-x"), (3, "a", 30, "agent-y")],
+        "link long, region string, price long, listed_by string",
+    )
+    with pytest.raises(ValueError, match="schema drifted"):
+        writers.merge_into_partitioned(batch, path, ["link"], ["region"])
+
+    stats = writers.merge_into_partitioned(
+        batch, path, ["link"], ["region"], allow_schema_evolution=True
+    )
+    assert stats["n_updated"] == 1 and stats["n_inserted"] == 1
+    got = {
+        r["link"]: (r["price"], r["listed_by"])
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got == {1: (10, None), 2: (200, "agent-x"), 3: (30, "agent-y")}
