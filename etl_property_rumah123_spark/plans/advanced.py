@@ -179,6 +179,59 @@ def range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@part(
+    "interval_containment_join",
+    """
+    SELECT o.o_orderkey AS o_orderkey,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_shipped_in_window
+    FROM orders o LEFT JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderkey
+    """,
+    doc="Arbitrary-interval containment join, UNcorrelated (no shared "
+    "key): every finished order defines a 7-day window and counts ALL "
+    "lineitem shipments falling inside it. The oracle is DuckDB's "
+    "genuine inequality join (IEJoin); the Spark plan is the grid "
+    "rewrite — intervals exploded to the (at most two) 7-day grid "
+    "buckets they overlap, probe points bucketed once, hash equi-join "
+    "on the bucket, exact containment filter after, then a LEFT join "
+    "back so empty windows keep their zero. Candidate volume is "
+    "bucket density x probes, never |intervals| x |probes|; a longer "
+    "max interval just raises buckets-per-interval (ceil(len/grid)+1) "
+    "— the generalization of the fixed-60s range join above.",
+)
+def interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    GRID_S = 7 * 86400  # grid = max interval length -> <=2 buckets each
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    b0 = F.floor(F.unix_timestamp("o_orderdate") / GRID_S)
+    intervals = o.withColumn("bucket", F.explode(F.array(b0, b0 + 1)))
+    probes = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.floor(F.unix_timestamp("l_shipdate") / GRID_S).alias("bucket"),
+    )
+    contained = (
+        intervals.join(probes, "bucket")
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (
+                F.col("l_shipdate")
+                < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")
+            )
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("__n"))
+    )
+    return o.join(contained, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_shipped_in_window"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time-range window frame (rolling 30-day spend)
 # ---------------------------------------------------------------------------

@@ -301,10 +301,13 @@ _suite(
     {
         "range_join": {"part": "range_join_followups", "k1": "click_id", "k2": "followup_id", "n1": "delta_us"},
         "rolling": {"part": "rolling_30d_spend", "k1": "o_orderkey", "n1": "spend_30d"},
+        "interval": {"part": "interval_containment_join", "k1": "o_orderkey", "n1": "n_shipped_in_window"},
     },
     [("k1", "bigint"), ("k2", "bigint"), ("n1", "bigint")],
-    doc="Temporal patterns: bucketed range join (60s pairs) and the "
-    "RANGE-frame rolling 30-day window.",
+    doc="Temporal patterns: bucketed range join (60s pairs), the "
+    "RANGE-frame rolling 30-day window, and the uncorrelated "
+    "arbitrary-interval containment join (grid-bucket rewrite, "
+    "zero-count windows preserved via LEFT join-back).",
 )
 
 _suite(
