@@ -93,6 +93,14 @@ def main() -> None:
         out["registry_sweep"] = sweep
         out["registry_total_sec"] = round(sum(v for v in sweep.values() if v > 0), 3)
 
+    # Drop Python-side refs from the sweep before the sf1 section:
+    # localCheckpoint blocks are freed only when their DataFrame is
+    # GC'd (ContextCleaner), and 50 queries of accumulated state is
+    # exactly the heap pressure that made sf1 LSH numbers swing 2-3x.
+    import gc
+
+    gc.collect()
+
     if os.path.isdir(SF1_DIR) and abs(sf_of(SF_DIR) - 0.1) < 1e-9:
         sf1: dict[str, float] = {}
         for name, spec in headline.items():
