@@ -232,6 +232,75 @@ def interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@part(
+    "pit_dimension_join",
+    """
+    WITH versions AS (
+      SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+             TIMESTAMP '1992-01-01' AS valid_from,
+             CASE WHEN c_custkey % 2 = 0 THEN TIMESTAMP '1996-07-01' END AS valid_to,
+             CAST(1 AS BIGINT) AS version
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 100.0, 2),
+             TIMESTAMP '1996-07-01', NULL, 2
+      FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT o.o_orderkey AS o_orderkey, v.version AS version,
+           v.acctbal AS acctbal_at_order
+    FROM orders o JOIN versions v
+      ON o.o_custkey = v.c_custkey
+     AND o.o_orderdate >= v.valid_from
+     AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    """,
+    doc="Point-in-time (PIT) dimension join — the warehouse temporal "
+    "lookup: each fact row joins the SCD2 version whose validity "
+    "interval contains the fact timestamp. The dimension here is a "
+    "deterministic two-version history (even customers change balance "
+    "at 1996-07-01). Plan shape: hash equi-join on the customer key "
+    "with the interval predicate as a post-join filter — correct "
+    "because versions-per-key is bounded and non-overlapping (each "
+    "fact keeps exactly one), so candidate fan-out is versions-per-"
+    "key, never data-sized; this is how Delta/Iceberg PIT lookups "
+    "execute too. Exactly one output row per order, plan-gated "
+    "against nested-loop degeneration.",
+)
+def pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.lit("1996-07-01").cast("timestamp"),
+        ).alias("valid_to"),
+        F.lit(1).cast("long").alias("version"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+        F.lit("1996-07-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(2).cast("long").alias("version"),
+    )
+    versions = v1.unionByName(v2)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    active = (
+        (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to")))
+    )
+    return (
+        o.join(versions, o["o_custkey"] == versions["c_custkey"])
+        .filter(active)
+        .select(
+            "o_orderkey", "version", F.col("acctbal").alias("acctbal_at_order")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time-range window frame (rolling 30-day spend)
 # ---------------------------------------------------------------------------

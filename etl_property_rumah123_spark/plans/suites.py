@@ -302,12 +302,15 @@ _suite(
         "range_join": {"part": "range_join_followups", "k1": "click_id", "k2": "followup_id", "n1": "delta_us"},
         "rolling": {"part": "rolling_30d_spend", "k1": "o_orderkey", "n1": "spend_30d"},
         "interval": {"part": "interval_containment_join", "k1": "o_orderkey", "n1": "n_shipped_in_window"},
+        "pit": {"part": "pit_dimension_join", "k1": "o_orderkey", "n1": "version", "v1": "acctbal_at_order"},
     },
-    [("k1", "bigint"), ("k2", "bigint"), ("n1", "bigint")],
+    [("k1", "bigint"), ("k2", "bigint"), ("n1", "bigint"), ("v1", "double")],
     doc="Temporal patterns: bucketed range join (60s pairs), the "
-    "RANGE-frame rolling 30-day window, and the uncorrelated "
+    "RANGE-frame rolling 30-day window, the uncorrelated "
     "arbitrary-interval containment join (grid-bucket rewrite, "
-    "zero-count windows preserved via LEFT join-back).",
+    "zero-count windows preserved via LEFT join-back), and the "
+    "point-in-time SCD2 dimension lookup (equi-join on key + "
+    "validity-interval filter, one version per fact).",
 )
 
 _suite(
