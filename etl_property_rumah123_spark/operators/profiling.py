@@ -88,3 +88,17 @@ def check_expectations(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame
         "(rule, n_rows, n_violations, pass_rate)"
     )
     return one.select(F.expr(stack))
+
+
+def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key-uniqueness check — the engine counterpart of the reference
+    schema's PRIMARY KEY (init.sql:2), which was its last-line dedup
+    guarantee. Returns the violating keys with their multiplicities
+    (empty = unique). One shuffle on the key columns; ``limit(1)``
+    the result to use it as a cheap boolean gate.
+    """
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )

@@ -89,13 +89,31 @@ def run_region_pipeline(
     stage_dir: str | None = None,
     run_date: str | None = None,
     source_options: dict[str, str] | None = None,
+    assert_unique_key: bool = False,
 ) -> int:
     """extract >> transform >> load for one region, as one lazy plan
     (the reference's 4-task chain, /root/reference/dags/dags.py:136-143,
     without the CSV/XCom handoffs). Returns fresh-insert count, or -1
-    when no sink is configured (dry runs / tests)."""
+    when no sink is configured (dry runs / tests).
+
+    ``assert_unique_key`` replays the guarantee the reference got from
+    its PRIMARY KEY (init.sql:2): after transform, any duplicate
+    ``unique_key`` fails the run BEFORE the sink — where the reference
+    would have failed mid-insert. Off by default (T2 dedup makes
+    in-run duplicates impossible by construction; the check is one
+    extra shuffle of the key column, turn it on when the source is
+    untrusted)."""
     raw = extract_region(spark, cfg, region, source_options)
     clean = transform_data(raw)
+    if assert_unique_key:
+        from etl_property_rumah123_spark.operators.profiling import check_unique
+
+        dup = check_unique(clean, [load_cfg.unique_key]).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"duplicate {load_cfg.unique_key} after transform: "
+                f"{dup[0][load_cfg.unique_key]!r} x{dup[0]['n_rows']}"
+            )
     if stage_dir and run_date:
         # optional debug checkpoint, the CSV-handoff observability analog
         writers.save_parquet(clean, f"listings_{region.name}", stage_dir, run_date)

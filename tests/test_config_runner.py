@@ -170,3 +170,24 @@ def test_runner_cli_rejects_unknown_region(tmp_path):
                 "--dry-run",
             ]
         )
+
+
+def test_check_unique_and_runner_pk_assertion(spark, tmp_path):
+    """check_unique surfaces duplicated keys; the runner's opt-in PK
+    assertion passes on the deduped pipeline (T2 guarantees it) and
+    fails loudly on a planted duplicate."""
+    from etl_property_rumah123_spark.config import LoadConfig
+    from etl_property_rumah123_spark.operators.profiling import check_unique
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "link string, v long"
+    )
+    dups = check_unique(df, ["link"]).collect()
+    assert [(r["link"], r["n_rows"]) for r in dups] == [("a", 2)]
+
+    cfg, opts = fixture_cfg(tmp_path)
+    rc = run_region_pipeline(
+        spark, cfg, LoadConfig(), cfg.regions[0],
+        source_options=opts, assert_unique_key=True,
+    )
+    assert rc == -1  # dry run completed: T2 output passed the PK gate
