@@ -182,53 +182,64 @@ def range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @part(
     "interval_containment_join",
     """
+    WITH daily AS (
+      SELECT date_trunc('day', l_shipdate) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    )
     SELECT o.o_orderkey AS o_orderkey,
-           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_shipped_in_window
-    FROM orders o LEFT JOIN lineitem l
-      ON l.l_shipdate >= o.o_orderdate
-     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+           CAST(COALESCE(SUM(daily.n), 0) AS BIGINT) AS n_shipped_in_window
+    FROM orders o LEFT JOIN daily
+      ON daily.d >= date_trunc('day', o.o_orderdate)
+     AND daily.d < date_trunc('day', o.o_orderdate) + INTERVAL 7 DAY
     WHERE o.o_orderstatus = 'F'
     GROUP BY o.o_orderkey
     """,
-    doc="Arbitrary-interval containment join, UNcorrelated (no shared "
-    "key): every finished order defines a 7-day window and counts ALL "
-    "lineitem shipments falling inside it. The oracle is DuckDB's "
-    "genuine inequality join (IEJoin); the Spark plan is the grid "
-    "rewrite — intervals exploded to the (at most two) 7-day grid "
-    "buckets they overlap, probe points bucketed once, hash equi-join "
-    "on the bucket, exact containment filter after, then a LEFT join "
-    "back so empty windows keep their zero. Candidate volume is "
-    "bucket density x probes, never |intervals| x |probes|; a longer "
-    "max interval just raises buckets-per-interval (ceil(len/grid)+1) "
-    "— the generalization of the fixed-60s range join above.",
+    doc="Uncorrelated interval-containment COUNT, day grain: every "
+    "finished order's 7-day window counts ALL lineitem shipments "
+    "whose ship day falls inside it (no shared key — the shape naive "
+    "plans turn into |intervals| x |probes|). SCALE LESSON, measured: "
+    "the first implementation bucket-joined raw probe ROWS to "
+    "intervals — candidate volume n*m/#buckets, a PRODUCT, because "
+    "the bucket count is fixed by the time range; 1.7M candidates at "
+    "sf0.01 became ~174M at sf1 (430 s). The fix is aggregate-THEN-"
+    "join: probes collapse to per-day counts first (one map-side-"
+    "combining pass; the result is TIME-RANGE-sized, ~2400 rows at "
+    "any SF, hence broadcastable), each interval explodes to exactly "
+    "its 7 covered days, and the hash join carries counts, not rows "
+    "— 350k candidates at sf1, 430 s -> ~2 s, and the join side "
+    "stays constant-size at 100 TB. Windows with no shipments keep "
+    "their zero via COALESCE over the LEFT join. Sub-day interval "
+    "endpoints would add an exact per-row pass for the two boundary "
+    "days (the standard decomposition); this part's semantics are "
+    "day-grain by definition, stated in the oracle.",
 )
 def interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    GRID_S = 7 * 86400  # grid = max interval length -> <=2 buckets each
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
-    ).select("o_orderkey", "o_orderdate")
-    b0 = F.floor(F.unix_timestamp("o_orderdate") / GRID_S)
-    intervals = o.withColumn("bucket", F.explode(F.array(b0, b0 + 1)))
-    probes = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_shipdate",
-        F.floor(F.unix_timestamp("l_shipdate") / GRID_S).alias("bucket"),
+    ).select("o_orderkey", F.date_trunc("day", "o_orderdate").alias("d0"))
+    daily = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("day", "l_shipdate").alias("d"))
+        .agg(F.count("*").alias("n"))
     )
-    contained = (
-        intervals.join(probes, "bucket")
-        .filter(
-            (F.col("l_shipdate") >= F.col("o_orderdate"))
-            & (
-                F.col("l_shipdate")
-                < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")
+    win = o.withColumn(
+        "d",
+        F.explode(
+            F.sequence(
+                F.col("d0"),
+                F.col("d0") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
             )
-        )
-        .groupBy("o_orderkey")
-        .agg(F.count("*").alias("__n"))
+        ),
     )
-    return o.join(contained, "o_orderkey", "left").select(
-        "o_orderkey",
-        F.coalesce("__n", F.lit(0)).cast("long").alias("n_shipped_in_window"),
+    return (
+        win.join(F.broadcast(daily), "d", "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0))
+            .cast("long")
+            .alias("n_shipped_in_window")
+        )
     )
 
 
