@@ -102,3 +102,46 @@ def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") > 1)
     )
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Programmatic plan-quality audit — the checks this repo's CI
+    runs over every registered query (tests/test_plan_quality.py),
+    exposed so users can gate THEIR queries the same way before
+    shipping them to a cluster:
+
+      scans            number of parquet scans
+      pushed_filters   every non-empty PushedFilters list, verbatim
+      exchanges        shuffle exchange count (each is a full
+                       network/disk cycle of its input)
+      broadcasts       broadcast exchange count
+      adaptive         AQE wraps the plan (runtime re-planning active)
+      cartesian / bnlj    scale-killer join nodes present
+      python_evals     row-at-a-time Python UDF nodes (BatchEvalPython
+                       — Arrow mapInPandas/applyInPandas do NOT count)
+
+    Reads the FORMATTED physical plan (post-optimization, pre-AQE
+    re-planning; AQE may further coalesce at runtime, so counts are
+    upper bounds. WholeStageCodegen spans are not reported — under
+    AQE they only exist per-stage at execution time; the
+    python_evals=0 check is the anti-interpretation gate instead).
+    """
+    qe = df._jdf.queryExecution()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    import re
+
+    pushed = [
+        m.group(1)
+        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan)
+        if m.group(1).strip()
+    ]
+    return {
+        "scans": len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)),
+        "pushed_filters": pushed,
+        "exchanges": len(re.findall(r"^\(\d+\) Exchange", plan, re.M)),
+        "broadcasts": len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M)),
+        "adaptive": "AdaptiveSparkPlan" in plan,
+        "cartesian": "CartesianProduct" in plan,
+        "bnlj": "BroadcastNestedLoopJoin" in plan,
+        "python_evals": len(re.findall(r"BatchEvalPython", plan)),
+    }

@@ -303,3 +303,25 @@ def test_check_expectations_null_predicate_is_violation(spark):
     }
     assert out["v_positive"] == (3, 2, round(1 - 2 / 3, 6))
     assert out["id_nonnull"] == (3, 0, 1.0)
+
+
+def test_plan_report_reads_real_plans(spark):
+    """plan_report on a known-good query reports pushdown, broadcast,
+    codegen, and no scale-killers; on a deliberate cross join it
+    flags the cartesian."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.operators.profiling import plan_report
+    from etl_property_rumah123_spark.plans import load_all
+
+    REG = load_all()
+    r = plan_report(REG["q5_region_volume"].fn(spark, SF_SMOKE))
+    assert r["scans"] >= 4 and r["pushed_filters"]
+    assert r["broadcasts"] >= 1  # region/nation dims
+    assert not r["cartesian"] and not r["bnlj"] and r["python_evals"] == 0
+    assert r["adaptive"]
+
+    a = spark.range(3)
+    b = spark.range(3).withColumnRenamed("id", "id2")
+    bad = plan_report(a.crossJoin(b).filter(F.col("id") + F.col("id2") > 2))
+    assert bad["cartesian"] or bad["bnlj"]
