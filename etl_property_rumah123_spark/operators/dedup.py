@@ -74,42 +74,50 @@ def shingle_rows(
     id_col: str = "doc_id",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(doc_id, shingle) rows — word n-grams in fully codegen'd form.
+    """(doc_id, shingle) rows — word n-grams in fully codegen'd,
+    SHUFFLE-FREE form.
 
-    posexplode the tokens, window ``lead`` assembles each n-gram —
-    every operator here whole-stage-codegens, unlike the per-row
-    higher-order ``transform(sequence, slice)`` form whose interpreted
-    inner loop is O(tokens^2) per document and dominated the LSH
-    pipeline's runtime (77s -> 4s at sf0.1 for the full candidate
-    join after this rewrite).
+    Each of the n alignment slices (``slice(tokens, j+1, n_shingles)``)
+    is zipped positionally (``arrays_zip``) and exploded — pure narrow
+    expressions, no exchange at all. Two predecessors were worse,
+    measured: the per-row higher-order ``transform(sequence, slice)``
+    form's interpreted inner loop is O(tokens^2) per document (77s ->
+    4s at sf0.1 after leaving it), and the posexplode + window-``lead``
+    form it was first replaced with still SHUFFLED AND SORTED every
+    raw token row on doc_id just to assemble neighbors. With shingles
+    narrow, the downstream signature groupBy's map-side partial
+    combine runs before anything shuffles, so the only exchange in
+    the signature pipeline carries ~16 partial mins per doc per
+    partition instead of every raw shingle row (~10x the corpus
+    bytes).
 
-    Docs too short for any shingle keep exactly one row with a NULL
-    shingle (the ``pos == 0`` marker), so downstream aggregations see
-    every doc without a restore join. One shuffle on doc_id; the
-    groupBys that follow reuse its partitioning.
+    Honest A/B, interleaved same-JVM (signature pipeline, warm/cold):
+    sf0.1 old 1.7-2.0 s vs new 2.1-2.2 s; sf1 old 2.0-2.3 s vs new
+    2.4-2.5 s warm, but 11.1 s vs 3.8 s COLD (no big sort to warm
+    up). Local mode slightly favors the window form warm because its
+    'shuffle' is an in-process copy — the zip form's struct
+    materialization costs more than a free shuffle saves. The
+    zero-exchange form is kept because on a real cluster the avoided
+    wide shingle shuffle+sort is network+disk, not memcpy, and the
+    cold-path behavior is what one-shot pipeline runs see.
 
-    NULL text is canonically treated as '' (coalesced here), so a
-    null-text doc keeps its marker row and aggregates to a k-null
-    signature — identical to the per-row HOF reference form instead of
-    silently vanishing through the non-outer posexplode.
+    Docs too short for any shingle keep exactly one NULL-shingle
+    marker row (``explode_outer`` of the empty zip), so downstream
+    aggregations see every doc without a restore join. NULL text is
+    canonically '' (coalesced), aggregating to a k-null signature —
+    identical to the per-row HOF reference form instead of silently
+    vanishing.
     """
-    words = df.select(
+    toks = hashing.word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n_sh = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(0))
+    slices = [F.slice(toks, j + 1, n_sh) for j in range(shingle_n)]
+    rows = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            hashing.word_tokens(F.coalesce(F.col(text_col), F.lit("")))
-        ).alias("pos", "w"),
+        F.explode_outer(F.arrays_zip(*slices)).alias("__z"),
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("w")] + [
-        F.lead("w", j).over(win) for j in range(1, shingle_n)
-    ]
-    last = parts[-1]
-    shingle = F.when(last.isNotNull(), F.concat_ws(" ", *parts))
-    return (
-        words.withColumn("shingle", shingle)
-        .filter(F.col("shingle").isNotNull() | (F.col("pos") == 0))
-        .select("doc_id", "shingle")
-    )
+    parts = [F.col("__z").getField(str(j)) for j in range(shingle_n)]
+    shingle = F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts))
+    return rows.select("doc_id", shingle.alias("shingle"))
 
 
 def minhash_signatures(
