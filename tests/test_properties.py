@@ -134,3 +134,23 @@ def test_int_coercion_never_throws_and_truncates(spark, texts):
                 assert v == expect
         except (ValueError, OverflowError):
             assert v is None
+
+
+def test_zorder_interleave_is_bijective_on_grid():
+    """Pure-python mirror of zorder_layout's scale+interleave: on a
+    b-bit grid the Morton code must be a bijection (no two cells
+    collide, every code reversible) — the property that makes the
+    curve a valid sort key."""
+    bits = 5
+    top = (1 << bits) - 1
+
+    def z(x, y):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (i * 2)
+            out |= ((y >> i) & 1) << (i * 2 + 1)
+        return out
+
+    codes = {z(x, y) for x in range(top + 1) for y in range(top + 1)}
+    assert len(codes) == (top + 1) ** 2
+    assert max(codes) < 1 << (2 * bits)
