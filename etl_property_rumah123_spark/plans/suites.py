@@ -731,14 +731,18 @@ _suite(
         "distinct": {"part": "approx_distinct_users", "s1": "event_type", "n1": "exact_users", "n2": "within_bound"},
         "heavy": {"part": "sketch_heavy_hitters", "s1": "item", "n1": "est_count"},
         "hll_union": {"part": "sketch_hll_union", "n1": "exact_global", "n2": "within_bound"},
+        "bitmap": {"part": "bitmap_distinct_users", "s1": "event_type", "n1": "n_users"},
     },
     [("s1", "string"), ("n1", "bigint"), ("n2", "int")],
     doc="Approximate-aggregation sketches, all single-pass and "
     "mergeable (the 100 TB property): HLL++ distinct-per-group with "
     "an error-envelope flag, approx_top_k heavy hitters (exact in "
-    "the under-capacity regime, hence exact-count oracle), and "
+    "the under-capacity regime, hence exact-count oracle), "
     "DataSketches HLL built per-group then UNIONED into a global "
-    "estimate — merge-don't-rescan, envelope-checked.",
+    "estimate — merge-don't-rescan, envelope-checked — and the "
+    "bitmap-index EXACT distinct (bitmap_construct_agg per id "
+    "bucket, bitmap_or_agg merge, bitmap_count; exact COUNT "
+    "DISTINCT oracle).",
 )
 
 _suite(
