@@ -105,6 +105,7 @@ def main() -> None:
         sf1: dict[str, float] = {}
         for name, spec in headline.items():
             try:
+                gc.collect()  # free prior queries' checkpoint blocks
                 run_once(spec, spark, SF1_DIR)  # warm
                 sf1[name] = round(run_once(spec, spark, SF1_DIR), 3)
             except Exception:

@@ -229,6 +229,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df_fraction: float | None = None,
+    pair_sample: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join.
 
@@ -237,6 +238,15 @@ def jaccard_pairs(
     aggregation, then Jaccard = inter / (|A| + |B| - inter).
 
     Only ids + counts shuffle after the index join.
+
+    ``pair_sample`` turns the exact join into a SPOT-AUDIT: a
+    deterministic salted-md5 gate keeps ~that fraction of candidate
+    PAIRS, applied right after the index join and before the
+    intersection aggregation (the expensive stage), so cost scales
+    with the fraction. The kept pairs' scores are still exact and the
+    sample is unbiased over pairs — dup-rate estimates from a 1%
+    audit of a 100 TB corpus extrapolate directly, which is how the
+    exact path stays useful where full O(pairs) output is not.
 
     ``max_df_fraction`` is the 100 TB hot-shingle guard: shingles
     appearing in more than that fraction of documents (boilerplate —
@@ -264,12 +274,33 @@ def jaccard_pairs(
     sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = tokens.alias("a")
     b = tokens.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    joined = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    if pair_sample is not None:
+        gate = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("a.doc_id").cast("string"),
+                        F.col("b.doc_id").cast("string"),
+                        F.lit("pair-audit"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        joined = joined.filter(
+            gate < F.lit(int(float(pair_sample) * (1 << 48)))
         )
+    inter = (
+        joined
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )

@@ -193,3 +193,31 @@ def test_price_parse_monotone(spark):
     prices = {r["link"]: r["price_rp"] for r in out.collect()}
     ordered = [prices[f"rumah123.com/p/{i}"] for i in range(len(vals))]
     assert ordered == sorted(ordered) and all(p is not None for p in ordered)
+
+
+def test_jaccard_pair_sample_is_deterministic_unbiased_subset(spark):
+    """pair_sample keeps a deterministic subset of the full pair
+    output with EXACT scores (same rows, fewer of them), and the kept
+    fraction lands near the requested rate."""
+    from etl_property_rumah123_spark.operators import dedup
+    from etl_property_rumah123_spark.sources.catalog import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["na"], r["nb"])
+        for r in dedup.jaccard_pairs(d, threshold=0.02).collect()
+    }
+    kept = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["na"], r["nb"])
+        for r in dedup.jaccard_pairs(d, threshold=0.02, pair_sample=0.5).collect()
+    }
+    again = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["na"], r["nb"])
+        for r in dedup.jaccard_pairs(d, threshold=0.02, pair_sample=0.5).collect()
+    }
+    assert kept == again  # deterministic across runs
+    assert set(kept) <= set(full)
+    for k, v in kept.items():
+        assert full[k] == v  # exact scores on the kept pairs
+    frac = len(kept) / max(1, len(full))
+    assert 0.25 < frac < 0.75, frac  # ~0.5 on a few-hundred-pair set
