@@ -222,6 +222,29 @@ def lsh_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _pair_gate(id_a, id_b, fraction: float):
+    """Deterministic salted-md5 pair gate: True for ~``fraction`` of
+    (id_a, id_b) pairs, stable across runs/partitionings — the
+    spot-audit sampler shared by the exact pair joins."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    id_a.cast("string"),
+                    id_b.cast("string"),
+                    F.lit("pair-audit"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h < F.lit(int(float(fraction) * (1 << 48)))
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -280,24 +303,8 @@ def jaccard_pairs(
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     if pair_sample is not None:
-        gate = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.col("a.doc_id").cast("string"),
-                        F.col("b.doc_id").cast("string"),
-                        F.lit("pair-audit"),
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long")
         joined = joined.filter(
-            gate < F.lit(int(float(pair_sample) * (1 << 48)))
+            _pair_gate(F.col("a.doc_id"), F.col("b.doc_id"), pair_sample)
         )
     inter = (
         joined
@@ -429,8 +436,14 @@ def simhash_near_dups(
     hash_fn=F.xxhash64,
     bits: int = 64,
     max_block_size: int | None = None,
+    pair_sample: float | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: the standard rotate-and-block scheme.
+
+    ``pair_sample``: deterministic spot-audit gate over candidate
+    pairs, applied before the cross-rotation distinct and the popcount
+    verify — same contract as ``jaccard_pairs(pair_sample=...)``:
+    kept pairs score exactly, the sample is unbiased and stable.
 
     Each signature is bit-rotated ``rotations`` ways (evenly spaced
     steps); candidates are pairs agreeing on the top ``prefix_bits``
@@ -493,13 +506,20 @@ def simhash_near_dups(
         blocks = blocks.join(keep, ["rot", "block"])
     a = blocks.alias("a")
     b = blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.rot") == F.col("b.rot"))
-            & (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    joined = a.join(
+        b,
+        (F.col("a.rot") == F.col("b.rot"))
+        & (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    if pair_sample is not None:
+        # gate is a pure function of the pair, so every rotation keeps
+        # or drops the same pair and the distinct below stays correct
+        joined = joined.filter(
+            _pair_gate(F.col("a.doc_id"), F.col("b.doc_id"), pair_sample)
         )
+    cand = (
+        joined
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),

@@ -221,3 +221,26 @@ def test_jaccard_pair_sample_is_deterministic_unbiased_subset(spark):
         assert full[k] == v  # exact scores on the kept pairs
     frac = len(kept) / max(1, len(full))
     assert 0.25 < frac < 0.75, frac  # ~0.5 on a few-hundred-pair set
+
+
+def test_simhash_pair_sample_mirrors_jaccard_contract(spark):
+    """Same audit contract on the SimHash path: deterministic subset,
+    exact hamming on kept pairs."""
+    from etl_property_rumah123_spark.operators import dedup
+    from etl_property_rumah123_spark.sources.catalog import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    kw = dict(max_hamming=24, prefix_bits=12)
+    full = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(d, **kw).collect()
+    }
+    kept = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(d, pair_sample=0.5, **kw).collect()
+    }
+    assert set(kept) <= set(full)
+    for k, v in kept.items():
+        assert full[k] == v
+    frac = len(kept) / max(1, len(full))
+    assert 0.3 < frac < 0.7, frac
