@@ -244,3 +244,26 @@ def test_simhash_pair_sample_mirrors_jaccard_contract(spark):
         assert full[k] == v
     frac = len(kept) / max(1, len(full))
     assert 0.3 < frac < 0.7, frac
+
+
+def test_pair_gate_algorithm_is_pinned(spark):
+    """The audit gate's exact keep-set for a fixed input is pinned:
+    any change to the salt, hash, or threshold arithmetic (which
+    would silently reshuffle every recorded audit) fails here."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.operators.dedup import _pair_gate
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(1, 6) for b in range(a + 1, 7)], "a long, b long"
+    )
+    kept = sorted(
+        (r["a"], r["b"])
+        for r in df.filter(_pair_gate(F.col("a"), F.col("b"), 0.5)).collect()
+    )
+    # recorded from the current salted-md5 gate ('|'-joined, salt
+    # 'pair-audit', top-48-bit threshold)
+    assert kept == [
+        (1, 3), (1, 4), (1, 6), (2, 3), (2, 4), (2, 6),
+        (3, 4), (3, 5), (3, 6), (4, 5), (5, 6),
+    ]
