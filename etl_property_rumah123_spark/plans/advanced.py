@@ -497,6 +497,44 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @part(
+    "lateral_topn_orders",
+    """
+    SELECT c.c_custkey AS c_custkey, t.o_orderkey AS o_orderkey,
+           t.o_totalprice AS o_totalprice
+    FROM customer c JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t ON TRUE
+    """,
+    doc="Correlated LATERAL top-N: each customer's two largest orders "
+    "via a correlated ORDER BY ... LIMIT subquery — the lateral-join "
+    "shape engines must decorrelate into a per-key ranked join "
+    "(Catalyst rewrites the correlated limit; the naive plan would "
+    "re-run the subquery per outer row). Deterministic (price, "
+    "orderkey) tiebreak; same text runs verbatim on DuckDB's native "
+    "LATERAL. The window row_number form elsewhere in the registry "
+    "is the equivalent hand-rewrite — this part checks the engine's "
+    "OWN decorrelation produces identical rows.",
+)
+def lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS c_custkey, t.o_orderkey AS o_orderkey,
+               t.o_totalprice AS o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t ON TRUE
+        """
+    )
+
+
+@part(
     "bitmap_distinct_users",
     """
     SELECT event_type AS event_type,

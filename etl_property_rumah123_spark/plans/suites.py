@@ -264,10 +264,13 @@ _suite(
     {
         "exists": {"part": "exists_subquery_sql", "k1": "c_custkey", "s1": "c_name"},
         "corr_scalar": {"part": "correlated_above_nation_avg", "k1": "c_custkey", "v1": "c_acctbal"},
+        "lateral_topn": {"part": "lateral_topn_orders", "k1": "c_custkey", "k2": "o_orderkey", "v1": "o_totalprice"},
     },
-    [("k1", "bigint"), ("s1", "string"), ("v1", "double")],
+    [("k1", "bigint"), ("k2", "bigint"), ("s1", "string"), ("v1", "double")],
     doc="Correlated subqueries: EXISTS/NOT EXISTS through the SQL "
-    "parser path and a decorrelated scalar subquery.",
+    "parser path, a decorrelated scalar subquery, and the correlated "
+    "LATERAL ORDER BY ... LIMIT top-N join (the engine's own "
+    "decorrelation checked against DuckDB's native LATERAL).",
 )
 
 _suite(
