@@ -580,3 +580,35 @@ def test_merge_schema_evolution_adds_column_additively(spark, tmp_path):
         for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
     }
     assert got == {1: (10, None), 2: (200, "agent-x"), 3: (30, "agent-y")}
+
+
+def test_compact_partitions_respects_partition_filter(spark, tmp_path):
+    """Filtered compaction rewrites only matching partitions; others
+    keep their (fragmented) files byte-for-byte."""
+    path = str(tmp_path / "frag2")
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i) for i in range(20)],
+        "link long, region string, price long",
+    )
+    for i in range(4):
+        base.filter(F.col("link") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("region").parquet(path)
+    import glob as _glob
+
+    def files(part):
+        return sorted(_glob.glob(f"{path}/region={part}/*.parquet"))
+
+    b_before = [(f, os.path.getmtime(f)) for f in files("b")]
+    assert len(files("a")) > 1 and len(b_before) > 1
+    writers.compact_partitions(
+        path, ["region"], spark,
+        partition_filter=F.col("region") == "a",
+    )
+    assert len(files("a")) == 1  # compacted
+    assert [(f, os.path.getmtime(f)) for f in files("b")] == b_before  # untouched
+    got = {
+        (r["link"], r["region"], r["price"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(i, "a" if i % 2 else "b", i) for i in range(20)}
