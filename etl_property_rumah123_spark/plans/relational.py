@@ -432,6 +432,43 @@ def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @part(
+    "nullsafe_join_counts",
+    """
+    WITH a AS (
+      SELECT NULLIF(c_nationkey % 7, 0) AS k, CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY 1
+    ), b AS (
+      SELECT NULLIF(s_nationkey % 7, 0) AS k, CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT a.k AS k, a.n_cust AS n_cust, b.n_supp AS n_supp
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): both "
+    "sides carry a planted NULL key group (NULLIF of bucket 0) that "
+    "MUST match — plain equality would silently drop it. Null-safe "
+    "equality is hashable, so the plan stays a hash/sort-merge "
+    "equi-join, not a nested loop; the NULL row surviving into the "
+    "output is what the oracle pins.",
+)
+def nullsafe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "supplier")
+    a = (
+        t["customer"]
+        .groupBy(F.nullif(F.col("c_nationkey") % 7, F.lit(0)).alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    b = (
+        t["supplier"]
+        .groupBy(F.nullif(F.col("s_nationkey") % 7, F.lit(0)).alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_cust", "n_supp"
+    )
+
+
+@part(
     "full_outer_nation_presence",
     """
     WITH cn AS (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust

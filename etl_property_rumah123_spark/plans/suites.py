@@ -149,11 +149,13 @@ _suite(
         "left": {"part": "left_join_order_counts", "k1": "c_custkey", "n1": "n_orders"},
         "fullouter": {"part": "full_outer_nation_presence", "k1": "nationkey", "n1": "n_cust", "n2": "n_supp"},
         "bcast": {"part": "broadcast_dim_join", "s1": "n_name", "s2": "r_name", "n1": "n_customers", "n2": "total_bal"},
+        "nullsafe": {"part": "nullsafe_join_counts", "k1": "k", "n1": "n_cust", "n2": "n_supp"},
     },
     [("k1", "bigint"), ("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint")],
     doc="Join-type suite: LEFT SEMI, LEFT ANTI, LEFT OUTER + agg, FULL "
-    "OUTER of pre-aggregated sides, and the zero-shuffle broadcast "
-    "star join.",
+    "OUTER of pre-aggregated sides, the zero-shuffle broadcast "
+    "star join, and the null-safe equality join (planted NULL key "
+    "group must match; stays a hash equi-join).",
 )
 
 _suite(
