@@ -40,15 +40,19 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     app_id = sc.applicationId
     if app_id in _SHIPPED_TO:
         return
+    import tempfile
     import zipfile
 
     # Rebuilt once per session (not cached on disk: a stale zip would
-    # shadow edited sources); atomic rename so concurrent drivers can't
-    # observe a half-written archive.
-    pkg_zip = os.path.join("/tmp", "etl_property_rumah123_spark_pyfiles.zip")
-    tmp_zip = f"{pkg_zip}.{os.getpid()}.tmp"
+    # shadow edited sources). Built in a fresh private tempdir — a
+    # fixed world-writable path could be pre-created/symlinked by
+    # another local user, and two concurrent drivers with different
+    # source trees would race on it. addPyFile copies the file into
+    # Spark's own staging dir, so the private path needs no sharing.
+    zip_dir = tempfile.mkdtemp(prefix="etl_property_rumah123_spark_pyfiles_")
+    pkg_zip = os.path.join(zip_dir, "etl_property_rumah123_spark.zip")
     pkg_dir = os.path.join(_REPO_DIR, "etl_property_rumah123_spark")
-    with zipfile.ZipFile(tmp_zip, "w", zipfile.ZIP_DEFLATED) as zf:
+    with zipfile.ZipFile(pkg_zip, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:
                 continue
@@ -56,7 +60,6 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, _REPO_DIR))
-    os.replace(tmp_zip, pkg_zip)
     sc.addPyFile(pkg_zip)
     _SHIPPED_TO.add(app_id)
 

@@ -110,12 +110,18 @@ def shingle_rows(
     """
     toks = hashing.word_tokens(F.coalesce(F.col(text_col), F.lit("")))
     n_sh = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(0))
-    slices = [F.slice(toks, j + 1, n_sh) for j in range(shingle_n)]
+    # Explicit aliases pin the zip's struct field names; unaliased
+    # slices would get analyzer-default names ("0".."n-1"), which is
+    # undocumented Catalyst behavior a refactor or Spark upgrade could
+    # silently change out from under the getField below.
+    slices = [
+        F.slice(toks, j + 1, n_sh).alias(f"s{j}") for j in range(shingle_n)
+    ]
     rows = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(F.arrays_zip(*slices)).alias("__z"),
     )
-    parts = [F.col("__z").getField(str(j)) for j in range(shingle_n)]
+    parts = [F.col("__z").getField(f"s{j}") for j in range(shingle_n)]
     shingle = F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts))
     return rows.select("doc_id", shingle.alias("shingle"))
 

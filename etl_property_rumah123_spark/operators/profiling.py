@@ -68,8 +68,25 @@ def check_expectations(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame
     Output, one row per rule: rule, n_rows, n_violations, pass_rate
     (rounded 6). Rows where the predicate is NULL count as violations
     (unknown is not a pass — same stance as SQL CHECK constraints
-    would take with NOT ENFORCED semantics reversed).
+    would take with NOT ENFORCED semantics reversed). An empty input
+    yields pass_rate 1.0 (vacuously satisfied), not NULL.
+
+    Rule names are interpolated into generated SQL (`stack`) and
+    column aliases, so they must be plain identifiers — validated
+    here rather than escaped, because a rule name is an API-level
+    label, not data.
     """
+    import re as _re
+
+    if not rules:
+        raise ValueError("rules must not be empty")
+    for name in rules:
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"rule name {name!r} is not a valid identifier "
+                "([A-Za-z_][A-Za-z0-9_]*); quotes/spaces/punctuation "
+                "would break the generated stack() SQL"
+            )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, pred in rules.items():
         aggs.append(
@@ -80,7 +97,8 @@ def check_expectations(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame
     # and the oracle comparison (and callers) expect double.
     groups = [
         f"'{name}', CAST(__n AS BIGINT), CAST(__v_{name} AS BIGINT), "
-        f"ROUND(CAST(1.0 AS DOUBLE) - __v_{name} * CAST(1.0 AS DOUBLE) / __n, 6)"
+        f"CASE WHEN __n = 0 THEN CAST(1.0 AS DOUBLE) ELSE "
+        f"ROUND(CAST(1.0 AS DOUBLE) - __v_{name} * CAST(1.0 AS DOUBLE) / __n, 6) END"
         for name in rules
     ]
     stack = (

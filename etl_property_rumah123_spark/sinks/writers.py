@@ -235,11 +235,16 @@ def merge_into_partitioned(
         return out
 
     def tuple_pred(values):
+        # Null-safe per value: a batch row with a NULL partition value
+        # lands in the __HIVE_DEFAULT_PARTITION__ directory, and dynamic
+        # overwrite WILL rewrite that directory — so its existing rows
+        # must be read and carried like any other touched partition.
+        # `==` never matches NULL and would silently drop them.
         preds = []
         for vals in values:
             p = F.lit(True)
             for c, v in zip(partition_cols, vals):
-                p = p & (F.col(c) == F.lit(v))
+                p = p & (F.col(c).isNull() if v is None else F.col(c).eqNullSafe(F.lit(v)))
             preds.append(p)
         out = preds[0]
         for p in preds[1:]:

@@ -305,6 +305,29 @@ def test_check_expectations_null_predicate_is_violation(spark):
     assert out["id_nonnull"] == (3, 0, 1.0)
 
 
+def test_check_expectations_guards_names_empty_and_zero_rows(spark):
+    """Rule names are interpolated into generated stack() SQL, so
+    non-identifier names must be rejected (injection surface), empty
+    rules must raise, and an empty input yields pass_rate 1.0."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.operators.profiling import (
+        check_expectations,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="empty"):
+        check_expectations(df, {})
+    for bad in ("a b", "a'b", "a-b", "a,b", 'a"b'):
+        with pytest.raises(ValueError, match="identifier"):
+            check_expectations(df, {bad: F.col("id").isNotNull()})
+    empty = df.filter(F.col("id") < 0)
+    rows = check_expectations(empty, {"ok": F.col("id") > 0}).collect()
+    assert [(r["rule"], r["n_rows"], r["n_violations"], r["pass_rate"])
+            for r in rows] == [("ok", 0, 0, 1.0)]
+
+
 def test_plan_report_reads_real_plans(spark):
     """plan_report on a known-good query reports pushdown, broadcast,
     codegen, and no scale-killers; on a deliberate cross join it

@@ -415,6 +415,31 @@ def test_merge_into_partitioned_is_idempotent(spark, tmp_path):
     assert got == [(1, "a", 11), (2, "b", 20), (3, "a", 30)]
 
 
+def test_merge_into_partitioned_null_partition_value_carries(spark, tmp_path):
+    """A batch row with a NULL partition value touches the
+    __HIVE_DEFAULT_PARTITION__ directory; the merge must read and
+    carry that partition's unmatched existing rows (null-safe tuple
+    predicate), not silently rewrite it with batch-only rows."""
+    path = str(tmp_path / "lake_null")
+    base = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "a", 30)],
+        "link long, region string, price long",
+    )
+    writers.write_partitioned_dataset(base, path, ["region"])
+    batch = spark.createDataFrame(
+        [(2, None, 99), (9, None, 90)], "link long, region string, price long"
+    )
+    stats = writers.merge_into_partitioned(batch, path, ["link"], ["region"])
+    assert stats["n_partitions"] == 1
+    assert stats["n_carried"] == 1  # link=1 in the NULL partition kept
+    assert stats["n_updated"] == 1 and stats["n_inserted"] == 1
+    got = sorted(
+        (r["link"], r["region"], r["price"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(1, None, 10), (2, None, 99), (3, "a", 30), (9, None, 90)]
+
+
 def test_merge_into_partitioned_first_write_and_order_col(spark, tmp_path):
     """No existing dataset -> plain partitioned write; in-batch dup
     keys resolved keep-max(order_col) — the cross-run analog of T2."""
