@@ -59,7 +59,9 @@ def drop_null_keys(df: DataFrame, key: str = "link") -> DataFrame:
 
 
 def dedupe_keep_first(
-    df: DataFrame, key: str = "link", order_col: str = "ingest_seq"
+    df: DataFrame,
+    key: str | list[str] = "link",
+    order_col: str = "ingest_seq",
 ) -> DataFrame:
     """Op T2 — deterministic keep-first dedup by key.
 
@@ -76,8 +78,14 @@ def dedupe_keep_first(
     window is preferable to ``groupBy(key).agg(min_by(...))`` only for
     wide rows; both shuffle once. AQE skew-join/partition-split handles
     hot keys (duplicate-heavy links).
+
+    ``key`` may be a composite (list): the multi-region fan-out dedups
+    per (link, region) because the reference's regions are independent
+    DAG runs — dedup never crosses a region boundary
+    (/root/reference/dags/dags.py:40-149, one DAG per region).
     """
-    w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -233,7 +241,11 @@ def positional_pick(arr: Column, idx: int) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def transform_data(df: DataFrame, drop_order_col: bool = True) -> DataFrame:
+def transform_data(
+    df: DataFrame,
+    drop_order_col: bool = True,
+    dedup_keys: list[str] | None = None,
+) -> DataFrame:
     """The reference's transform_data as ONE lazy plan.
 
     Steps (same order as /root/reference/src/transform.py:87-90):
@@ -248,7 +260,7 @@ def transform_data(df: DataFrame, drop_order_col: bool = True) -> DataFrame:
     deduped columns, nothing else.
     """
     out = drop_null_keys(df)
-    out = dedupe_keep_first(out)
+    out = dedupe_keep_first(out, key=dedup_keys or "link")
     out = extract_numeric_sizes(out)
     out = clean_price_column(out)
     out = coerce_int_columns(out)

@@ -26,10 +26,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: Output schema of the decode stage (DDL form for mapInPandas).
+#: ``payload_digest`` is md5 over the raw bytes (the production
+#: content-address); ``portable_digest`` is md5 over the UPPERCASE HEX
+#: encoding of the same bytes — the cross-engine form, because common
+#: SQL engines (DuckDB included) can only hash text, so an external
+#: auditor can recompute it as ``md5(hex(payload))``. Same duality as
+#: SimHash's md5-portable / xxhash64-fast signature pair.
 DECODE_SCHEMA = (
     "sample_id long, modality string, payload_bytes long, "
-    "payload_digest string, decoded_width int, decoded_height int, "
-    "decoded_ms long"
+    "payload_digest string, portable_digest string, "
+    "decoded_width int, decoded_height int, decoded_ms long"
 )
 
 #: Synthesized-media sample rate (Hz) for WAV payloads.
@@ -143,8 +149,8 @@ def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame
     for pdf in batches:
         rows = {
             "sample_id": [], "modality": [], "payload_bytes": [],
-            "payload_digest": [], "decoded_width": [],
-            "decoded_height": [], "decoded_ms": [],
+            "payload_digest": [], "portable_digest": [],
+            "decoded_width": [], "decoded_height": [], "decoded_ms": [],
         }
         for sid, mod, mime, b in zip(
             pdf["sample_id"], pdf["modality"], pdf["mime_type"], pdf["payload"]
@@ -168,6 +174,11 @@ def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame
             rows["payload_bytes"].append(len(raw))
             rows["payload_digest"].append(
                 hashlib.md5(raw).hexdigest() if b is not None else None
+            )
+            rows["portable_digest"].append(
+                hashlib.md5(raw.hex().upper().encode("ascii")).hexdigest()
+                if b is not None
+                else None
             )
             rows["decoded_width"].append(width)
             rows["decoded_height"].append(height)
@@ -240,14 +251,22 @@ def extract_features(df: DataFrame, feat_dim: int = 8) -> DataFrame:
     )
 
 
-def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, digest: str = "raw"
+) -> DataFrame:
     """Frame sampling for video-like payloads: emit ``n_frames`` evenly
     spaced 'frames' per sample (one output row each — a 1:N expansion
     inside mapInPandas, the shape real video pipelines need).
 
     STUB kernel: each frame is the md5 of its byte slice; a real
     implementation seeks the container's keyframes instead.
+
+    ``digest``: 'raw' hashes the slice bytes (production); 'hex'
+    hashes the slice's UPPERCASE HEX encoding — the cross-engine
+    portable form a SQL auditor can recompute (see DECODE_SCHEMA).
     """
+    if digest not in ("raw", "hex"):
+        raise ValueError(f"digest must be 'raw' or 'hex', got {digest!r}")
 
     def kernel(batches):
         import hashlib
@@ -267,7 +286,13 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                         break
                     out_id.append(sid)
                     out_idx.append(i)
-                    out_digest.append(hashlib.md5(sl).hexdigest())
+                    out_digest.append(
+                        hashlib.md5(
+                            sl.hex().upper().encode("ascii")
+                            if digest == "hex"
+                            else sl
+                        ).hexdigest()
+                    )
             yield pd.DataFrame(
                 {"sample_id": out_id, "frame_idx": out_idx, "frame_digest": out_digest}
             )

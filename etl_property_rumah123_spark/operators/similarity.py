@@ -323,6 +323,229 @@ def pq_topk(
     )
 
 
+def _hash_sample_rows(
+    corpus: DataFrame, n: int, salt: str, vec_col: str, id_col: str
+) -> list[tuple]:
+    """``n`` corpus rows picked by md5(salt || id) order — a
+    deterministic, engine-portable 'random' sample (md5 of the id is
+    uniform; no RNG state, so DuckDB reproduces the pick with the same
+    one-line ORDER BY). Bounded driver collect, same contract as the
+    KMeans/codebook sample fits. Returns [(idx, id, [float,...])]."""
+    rows = (
+        corpus.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("v"))
+        .withColumn(
+            "__h", F.md5(F.concat(F.lit(salt), F.col("sid").cast("string")))
+        )
+        .orderBy("__h", "sid")
+        .limit(n)
+        .collect()
+    )
+    return [(i, r["sid"], [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
+
+
+def ivf_topk_seeded(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "ivf|",
+) -> DataFrame:
+    """IVF with a SEEDED coarse quantizer: the ``n_lists`` 'centroids'
+    are hash-picked corpus vectors (the 0-iteration-KMeans baseline)
+    instead of fitted KMeans centers.
+
+    Why it exists alongside :func:`ivf_topk`: the serving structure is
+    identical (assign corpus rows to their nearest cell once, probe a
+    query's ``n_probe`` nearest cells, exact-score inside), but with
+    zero fitted state the whole index is a pure function of the data —
+    deterministic across runs AND reproducible by an independent SQL
+    engine, so the driver value-checks the full ANN serving path
+    (ann_suite oracle) rather than rows-only. Recall is a few points
+    below fitted centroids at equal n_probe (seeds are corpus points,
+    not means); the KMeans variant remains the production tuning.
+
+    All distance folds are left-to-right (functions/vector.py), so
+    cell assignments and rankings are bit-identical to the DuckDB
+    mirror.
+    """
+    seeds = _hash_sample_rows(corpus, n_lists, salt, vec_col, id_col)
+    cent_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(i, v) for i, _sid, v in seeds], "cell int, centroid array<double>"
+        )
+    )
+
+    def d2_to(centroid_col):
+        return F.aggregate(
+            F.zip_with(
+                F.col("__v"),
+                centroid_col,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(df, id_alias, keep_n):
+        w = Window.partitionBy(id_alias).orderBy(F.col("d2").asc(), F.col("cell"))
+        return (
+            df.select(
+                F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v")
+            )
+            .crossJoin(cent_df)
+            .withColumn("d2", d2_to(F.col("centroid")))
+            .withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= keep_n)
+            .select(id_alias, F.col("__v"), "cell")
+        )
+
+    c_assigned = assign(corpus, "neighbor_id", 1).select(
+        "neighbor_id", F.col("__v").alias("cv"), "cell"
+    )
+    probes = assign(queries, "query_id", n_probe).select(
+        "query_id", F.col("__v").alias("qv"), "cell"
+    )
+    scored = (
+        probes.join(c_assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def pq_topk_seeded(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "pq|",
+    refine_factor: int = 8,
+) -> DataFrame:
+    """PQ-ADC with SEEDED codebooks: per-subspace codewords are the
+    subspace slices of ``2**nbits`` hash-picked corpus vectors instead
+    of per-subspace KMeans centroids.
+
+    Same rationale as :func:`ivf_topk_seeded`: identical serving
+    pipeline (encode corpus to m small codes -> per-query ADC lookup
+    scoring -> exact re-rank of the top ``k * refine_factor``), zero
+    fitted state, every float derived by the shared left-to-right
+    fold — so the DuckDB oracle reproduces codes, ADC scores, and the
+    final ranking bit-for-bit. The KMeans-codebook variant
+    (:func:`pq_topk`) stays as the production path (tighter codebooks
+    => smaller ADC error at equal m/nbits).
+
+    Implementation is DataFrame-native (explode subspaces, window
+    argmin, conditional-max pivot + explicit left-to-right ADC sum) —
+    no driver-side numpy in the scoring path at all.
+    """
+    ksub = 2 ** nbits
+    samples = _hash_sample_rows(corpus, ksub, salt, vec_col, id_col)
+    dim = len(samples[0][2])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    spark = corpus.sparkSession
+    # codebook rows: (j, c, codeword[dsub])
+    cb_rows = [
+        (j, c, v[j * dsub : (j + 1) * dsub])
+        for j in range(m)
+        for c, _sid, v in samples
+    ]
+    cb = F.broadcast(
+        spark.createDataFrame(cb_rows, "j int, c int, w array<double>")
+    )
+
+    def sub_fold(vec_col_name, mul):
+        """Left fold over the j-th subspace: (v[j*dsub+d] op w[d])."""
+        sub = F.slice(F.col(vec_col_name), F.col("j") * dsub + 1, dsub)
+        if mul:
+            prods = F.zip_with(
+                sub, F.col("w"), lambda a, b: a.cast("double") * b
+            )
+        else:
+            prods = F.zip_with(
+                sub,
+                F.col("w"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    # encode: per (vec, j) the argmin-d2 codeword (tiebreak smallest c)
+    c_side = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    wenc = Window.partitionBy("neighbor_id", "j").orderBy(
+        F.col("d2").asc(), F.col("c")
+    )
+    codes = (
+        c_side.crossJoin(cb)
+        .withColumn("d2", sub_fold("cv", mul=False))
+        .withColumn("__r", F.row_number().over(wenc))
+        .filter(F.col("__r") == 1)
+        .select("neighbor_id", "j", "c")
+    )
+    # per-query LUT: dot(q_sub_j, codeword_{j,c})
+    q_side = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    lut = (
+        F.broadcast(q_side)
+        .crossJoin(cb)
+        .withColumn("val", sub_fold("qv", mul=True))
+        .select("query_id", "j", "c", "val")
+    )
+    # ADC score: conditional-max pivot to one column per subspace, then
+    # an EXPLICIT left-to-right sum — bit-identical across engines
+    # (a plain SUM() aggregate has engine-chosen addition order).
+    joined = codes.join(F.broadcast(lut), ["j", "c"])
+    pivoted = joined.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("val"))).alias(f"__t{j}")
+            for j in range(m)
+        ]
+    )
+    score = F.col("__t0")
+    for j in range(1, m):
+        score = score + F.col(f"__t{j}")
+    approx = pivoted.withColumn("approx_sim", score).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("ar", F.row_number().over(wa))
+        .filter(F.col("ar") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+    rescored = (
+        cand.join(F.broadcast(q_side), "query_id")
+        .join(c_side, "neighbor_id")
+        .withColumn("sim", dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

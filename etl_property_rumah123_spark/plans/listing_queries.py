@@ -27,6 +27,139 @@ from etl_property_rumah123_spark.sources.catalog import table
 from etl_property_rumah123_spark.sources.fixtures import ADMINS, write_fixture_pages
 from etl_property_rumah123_spark.sources.listing_source import ListingDataSource
 
+#: Fixture pages are deterministic (pure function of seed 42) and
+#: sf-independent; written at import so the DuckDB oracle — which
+#: reads them via read_text() — works no matter whether the driver
+#: runs the oracle or the Spark query first.
+_FIXTURE_DIR = os.path.join(
+    tempfile.gettempdir(), "spark_graft_listing_fixtures_v1"
+)
+write_fixture_pages(_FIXTURE_DIR, num_pages=4, cards_per_page=12, seed=42)
+
+# Shared SQL fragments for the end-to-end oracle. The price parse and
+# int coercion mirror operators/cleaning.py exactly (elif unit order,
+# leading-space unit strip, round-then-try_cast, truncate-via-double).
+_PRICE_SQL = """TRY_CAST(ROUND(CASE
+      WHEN contains({p}, 'triliun') THEN TRY_CAST(trim(replace({p}, ' triliun', '')) AS DOUBLE) * 1000000000000.0
+      WHEN contains({p}, 'miliar')  THEN TRY_CAST(trim(replace({p}, ' miliar', ''))  AS DOUBLE) * 1000000000.0
+      WHEN contains({p}, 'juta')    THEN TRY_CAST(trim(replace({p}, ' juta', ''))    AS DOUBLE) * 1000000.0
+      WHEN contains({p}, 'ribu')    THEN TRY_CAST(trim(replace({p}, ' ribu', ''))    AS DOUBLE) * 1000.0
+    END, 0) AS BIGINT)"""
+
+_INT_SQL = "CAST(TRUNC(TRY_CAST(NULLIF(regexp_extract({x}, '(\\d+)', 1), '') AS DOUBLE)) AS INT)"
+
+# An independent DuckDB implementation of the WHOLE extract->transform
+# pipeline: read_text() over the same fixture page files the Python
+# DataSource reads, regexp card split (the fixture's cards end with
+# the only adjacent '</div></div>' pair, so the non-greedy match is
+# exact here; the Spark source uses a full div-depth walker), field
+# extraction with the same RE2-portable patterns as
+# operators/listing_parse.py, the 4-regex badge splitter (lookbehind
+# rewritten capture-both — RE2 has no lookbehind), keep-first dedup
+# via QUALIFY, and the per-region fan-out counts with per-(link,
+# region) dedup.
+_PIPELINE_ORACLE = r"""
+WITH pages AS (
+  SELECT CAST(regexp_extract(filename, 'page_(\d+)', 1) AS INT) AS page_num, content
+  FROM read_text('__FIXTURE_GLOB__')
+), cardlist AS (
+  SELECT page_num,
+         regexp_extract_all(content,
+           '(?s)<div class="card-featured__middle-section">.*?</div></div>') AS cards
+  FROM pages
+), cards AS (
+  SELECT page_num,
+         generate_subscripts(cards, 1) - 1 AS card_idx,
+         unnest(cards) AS card
+  FROM cardlist
+), fields AS (
+  SELECT page_num, card_idx,
+    page_num * 10000 + card_idx AS ingest_seq,
+    'rumah123.com' || NULLIF(regexp_extract(
+        COALESCE(list_filter(regexp_extract_all(card, '<a[^>]*>'),
+                             a -> NOT contains(a, 'quick-label-badge'))[1], ''),
+        'href="([^"]*)"', 1), '') AS link,
+    NULLIF(trim(regexp_replace(regexp_replace(
+        regexp_extract(card, '(?s)<h2[^>]*>(.*?)</h2>', 1),
+        '<[^>]+>', '', 'g'), '\s+', ' ', 'g')), '') AS name,
+    NULLIF(regexp_extract(card,
+        '(?s)class="card-featured__middle-section__price"[^>]*>.*?<strong[^>]*>(.*?)</strong>',
+        1), '') AS price_raw,
+    list_transform(regexp_extract_all(card, '(?s)<span[^>]*>(.*?)</span>', 1),
+        x -> trim(regexp_replace(regexp_replace(x, '<[^>]+>', '', 'g'), '\s+', ' ', 'g'))) AS spans,
+    list_transform(regexp_extract_all(card, '(?s)<div class="attribute-info"[^>]*>(.*?)</div>', 1),
+        x -> trim(regexp_replace(regexp_replace(x, '<[^>]+>', '', 'g'), '\s+', ' ', 'g'))) AS sizes,
+    list_transform(regexp_extract_all(card, '(?s)<span class="attribute-text"[^>]*>(.*?)</span>', 1),
+        x -> trim(regexp_replace(regexp_replace(x, '<[^>]+>', '', 'g'), '\s+', ' ', 'g'))) AS attrs,
+    trim(regexp_replace(regexp_replace(
+        regexp_extract(card, '(?s)<div class="card-featured__middle-section__header-badge"[^>]*>(.*?)</div>', 1),
+        '<[^>]+>', '', 'g'), '\s+', ' ', 'g')) AS badge_text
+  FROM cards
+), badges AS (
+  SELECT *, string_split(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        badge_text,
+        '([a-z])([A-Z])', '\1, \2', 'g'),
+        '([A-Z]{2,})([A-Z][a-z])', '\1, \2', 'g'),
+        '([^\w\s])([A-Za-z])', '\1, \2', 'g'),
+        '\s*,\s*', ', ', 'g'),
+        '^[, ]+|[, ]+$', '', 'g'),
+      ', ') AS badge_parts
+  FROM fields
+), parsed AS (
+  SELECT page_num, card_idx, ingest_seq, link, name, price_raw,
+    COALESCE(list_filter(spans, x -> len(list_filter(
+        ['jakarta selatan', 'jakarta timur', 'bogor', 'depok', 'bekasi'],
+        a -> contains(lower(x), a))) > 0)[1], '') AS location,
+    sizes[1] AS lot_raw, sizes[2] AS building_raw,
+    attrs[1] AS bed_raw,
+    array_to_string(badge_parts[2:], '|') AS features
+  FROM badges
+), priced AS (
+  SELECT *, trim(replace(replace(lower(price_raw), 'rp ', ''), ',', '.')) AS pnorm
+  FROM parsed
+), transformed AS (
+  SELECT ingest_seq, link, name, location, features,
+    __PRICE_PNORM__ AS price_rp,
+    __LOT_INT__ AS lot_size,
+    __BUILDING_INT__ AS building_size,
+    __BED_INT__ AS n_bedroom
+  FROM priced
+  WHERE link IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY link ORDER BY ingest_seq) = 1
+), fan AS (
+  SELECT r.region, t.link, __PRICE_TNORM__ AS price_rp
+  FROM priced t CROSS JOIN (VALUES ('jakarta'), ('bogor')) r(region)
+  WHERE t.link IS NOT NULL AND t.page_num <= 2
+  QUALIFY row_number() OVER (PARTITION BY r.region, t.link ORDER BY t.ingest_seq) = 1
+), fanagg AS (
+  SELECT region, COUNT(*) AS n_listings, COUNT(price_rp) AS n_priced
+  FROM fan GROUP BY region
+)
+SELECT 'listing' AS part,
+  CAST(link AS VARCHAR) AS link, CAST(name AS VARCHAR) AS name,
+  CAST(price_rp AS VARCHAR) AS price_rp, CAST(location AS VARCHAR) AS location,
+  CAST(lot_size AS VARCHAR) AS lot_size, CAST(building_size AS VARCHAR) AS building_size,
+  CAST(n_bedroom AS VARCHAR) AS n_bedroom, CAST(features AS VARCHAR) AS features,
+  CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2
+FROM transformed
+UNION ALL
+SELECT 'region_fanout', region, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+  CAST(n_listings AS BIGINT), CAST(n_priced AS BIGINT)
+FROM fanagg
+"""
+# Token replacement, not str.format: the SQL itself contains regex
+# quantifier braces ({2,}) that format() would try to interpret.
+_PIPELINE_ORACLE = (
+    _PIPELINE_ORACLE
+    .replace("__FIXTURE_GLOB__", os.path.join(_FIXTURE_DIR, "page_*.html"))
+    .replace("__PRICE_PNORM__", _PRICE_SQL.format(p="pnorm"))
+    .replace("__PRICE_TNORM__", _PRICE_SQL.format(p="t.pnorm"))
+    .replace("__LOT_INT__", _INT_SQL.format(x="lot_raw"))
+    .replace("__BUILDING_INT__", _INT_SQL.format(x="building_raw"))
+    .replace("__BED_INT__", _INT_SQL.format(x="bed_raw"))
+)
+
 
 @register(
     "listing_parse_cards",
@@ -111,11 +244,15 @@ def _parse_with_key(cards: DataFrame) -> DataFrame:
 
 @register(
     "listing_pipeline_end_to_end",
-    None,  # Spark Python DataSource — not runnable in DuckDB
+    _PIPELINE_ORACLE,
     doc="Ops S1/S2/S4/S5 + S3 + F1/T2/P6-P9 + U2 — full extract->"
     "transform over fixture HTML through the rumah123_listings "
     "DataSource, with the multi-region fan-out's per-region counts "
-    "appended as 'region_fanout'-tagged rows. Ref: src/__init__.py:1-3 "
+    "appended as 'region_fanout'-tagged rows. Oracle: an independent "
+    "DuckDB implementation of the ENTIRE pipeline — read_text() over "
+    "the same fixture pages, regexp card split + field extraction, "
+    "badge splitter, price/size transforms, QUALIFY keep-first dedup, "
+    "per-region fan-out counts. Ref: src/__init__.py:1-3 "
     "(the library API surface) + dags/dags.py:40-149.",
 )
 def listing_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +350,13 @@ def listing_region_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_sleep": "0.0",
         },
     )
-    out = cleaning.transform_data(raw, drop_order_col=False)
+    # Per-(link, region) dedup: the reference's regions are independent
+    # DAG runs, so dedup never crosses regions — which also makes the
+    # fan-out deterministic (cross-region dedup would tie on ingest_seq
+    # for identical fixture cards and keep an arbitrary region's row).
+    out = cleaning.transform_data(
+        raw, drop_order_col=False, dedup_keys=["link", "region"]
+    )
     return out.groupBy("region").agg(
         F.count("*").alias("n_listings"),
         F.count("price_rp").alias("n_priced"),

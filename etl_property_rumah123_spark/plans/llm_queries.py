@@ -1756,18 +1756,139 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# The ANN oracle reproduces all three index families end-to-end in
+# DuckDB: the md5-derived +-1 hyperplanes (bit expansion from the hex
+# digest), the hash-seeded IVF coarse quantizer (seed pick is a
+# one-line ORDER BY md5), and the hash-seeded PQ codebooks including
+# corpus encoding, ADC lookup scoring with an EXPLICIT left-to-right
+# subspace sum, and the exact re-rank. Every float comes from the
+# same left-fold (functions/vector.py <-> list_reduce), so buckets,
+# cells, codes, and rankings are bit-identical — the driver value-
+# checks the full approximate serving path, not just its row count.
+_ANN_ORACLE = """
+WITH phex AS (
+  SELECT p, md5('rp-lsh-42|' || CAST(p AS VARCHAR) || '|0') AS hx
+  FROM (SELECT unnest(range(6)) AS p)
+), vb AS (
+  SELECT e.vec_id,
+    CAST(SUM(CASE WHEN list_reduce(
+      [CASE WHEN ((16*(strpos('0123456789abcdef', substr(ph.hx, 2*(d//8)+1, 1))-1)
+                  + strpos('0123456789abcdef', substr(ph.hx, 2*(d//8)+2, 1))-1) >> (d%8)) & 1 = 1
+            THEN CAST(e.embedding[d+1] AS DOUBLE) ELSE -CAST(e.embedding[d+1] AS DOUBLE) END
+       FOR d IN range(64)], (x, y) -> x + y) >= 0 THEN 1<<ph.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e, phex ph
+  GROUP BY e.vec_id
+), qprobe AS (
+  SELECT vec_id AS query_id,
+         unnest(list_prepend(bucket, [xor(bucket, CAST(1<<p AS BIGINT)) FOR p IN range(6)])) AS bucket
+  FROM vb WHERE vec_id < 10
+), lsh_cand AS (
+  SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id
+  FROM qprobe qp JOIN vb c ON qp.bucket = c.bucket AND c.vec_id <> qp.query_id
+), lsh_scored AS (
+  SELECT lc.query_id, lc.neighbor_id, __DOT_QC__ AS sim
+  FROM lsh_cand lc
+  JOIN embeddings q ON q.vec_id = lc.query_id
+  JOIN embeddings c ON c.vec_id = lc.neighbor_id
+), lsh_top AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM lsh_scored) WHERE rnk <= 5
+), ivf_seeds AS (
+  SELECT rn - 1 AS cell, embedding AS centroid FROM (
+    SELECT embedding, row_number() OVER (ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings) WHERE rn <= 16
+), ivf_d2 AS (
+  SELECT e.vec_id, s.cell, e.embedding,
+    list_reduce([(CAST(e.embedding[d+1] AS DOUBLE) - CAST(s.centroid[d+1] AS DOUBLE))
+                 * (CAST(e.embedding[d+1] AS DOUBLE) - CAST(s.centroid[d+1] AS DOUBLE))
+                 FOR d IN range(64)], (x, y) -> x + y) AS d2
+  FROM embeddings e, ivf_seeds s
+), ivf_cassign AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell) AS rn
+    FROM ivf_d2) WHERE rn = 1
+), ivf_probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell) AS rn
+    FROM ivf_d2 WHERE vec_id < 10) WHERE rn <= 2
+), ivf_scored AS (
+  SELECT p.query_id, ca.neighbor_id, __DOT_QC__ AS sim
+  FROM ivf_probes p
+  JOIN ivf_cassign ca ON ca.cell = p.cell AND ca.neighbor_id <> p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.vec_id = ca.neighbor_id
+), ivf_top AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM ivf_scored) WHERE rnk <= 5
+), pq_cb AS (
+  SELECT j.j, s.c, s.w[j.j*8+1 : j.j*8+8] AS w FROM (
+    SELECT rn - 1 AS c, embedding AS w FROM (
+      SELECT embedding, row_number() OVER (ORDER BY md5('pq|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM embeddings) WHERE rn <= 16) s,
+    (SELECT unnest(range(8)) AS j) j
+), pq_codes AS (
+  SELECT neighbor_id, j, c FROM (
+    SELECT e.vec_id AS neighbor_id, cb.j, cb.c, row_number() OVER (
+        PARTITION BY e.vec_id, cb.j ORDER BY
+        list_reduce([(CAST(e.embedding[cb.j*8+d+1] AS DOUBLE) - CAST(cb.w[d+1] AS DOUBLE))
+                     * (CAST(e.embedding[cb.j*8+d+1] AS DOUBLE) - CAST(cb.w[d+1] AS DOUBLE))
+                     FOR d IN range(8)], (x, y) -> x + y) ASC, cb.c) AS rn
+    FROM embeddings e, pq_cb cb) WHERE rn = 1
+), pq_lut AS (
+  SELECT q.vec_id AS query_id, cb.j, cb.c,
+    list_reduce([CAST(q.embedding[cb.j*8+d+1] AS DOUBLE) * CAST(cb.w[d+1] AS DOUBLE)
+                 FOR d IN range(8)], (x, y) -> x + y) AS val
+  FROM embeddings q, pq_cb cb WHERE q.vec_id < 10
+), pq_adc AS (
+  SELECT l.query_id, co.neighbor_id,
+    max(CASE WHEN l.j=0 THEN l.val END) + max(CASE WHEN l.j=1 THEN l.val END)
+    + max(CASE WHEN l.j=2 THEN l.val END) + max(CASE WHEN l.j=3 THEN l.val END)
+    + max(CASE WHEN l.j=4 THEN l.val END) + max(CASE WHEN l.j=5 THEN l.val END)
+    + max(CASE WHEN l.j=6 THEN l.val END) + max(CASE WHEN l.j=7 THEN l.val END) AS approx_sim
+  FROM pq_codes co JOIN pq_lut l ON l.j = co.j AND l.c = co.c
+  WHERE co.neighbor_id <> l.query_id
+  GROUP BY l.query_id, co.neighbor_id
+), pq_cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id) AS ar
+    FROM pq_adc) WHERE ar <= 40
+), pq_top AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT pc.query_id, pc.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY pc.query_id ORDER BY __DOT_QC__ DESC, pc.neighbor_id) AS rnk
+    FROM pq_cand pc
+    JOIN embeddings q ON q.vec_id = pc.query_id
+    JOIN embeddings c ON c.vec_id = pc.neighbor_id) WHERE rnk <= 5
+)
+SELECT 'rp_lsh' AS method, CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(rnk AS BIGINT) AS rank FROM lsh_top
+UNION ALL
+SELECT 'ivf', query_id, neighbor_id, CAST(rnk AS BIGINT) FROM ivf_top
+UNION ALL
+SELECT 'pq_adc', query_id, neighbor_id, CAST(rnk AS BIGINT) FROM pq_top
+""".replace("__DOT_QC__", _DUCK_DOT.format(a="q.embedding", b="c.embedding"))
+
+
 @register(
     "ann_suite",
-    None,  # approximate + engine-specific state: rows-only check;
-    # recall >= 0.8 asserted per family in test_similarity_recall.py
+    _ANN_ORACLE,
     doc="Approximate nearest-neighbor suite, tagged union of the three "
     "index families over the same 10-query workload: 'rp_lsh' "
-    "(random-hyperplane buckets + multi-probe), 'ivf' (KMeans coarse "
-    "cells, n_probe=2), 'pq_adc' (product quantization: sampled "
-    "codebooks -> Arrow-batched corpus encode -> asymmetric-distance "
-    "lookup scoring -> exact re-rank of the candidate set). All three "
-    "share the (query_id, neighbor_id, rank) contract of "
-    "knn_bruteforce, which remains the oracle-checked ground truth.",
+    "(md5-derived random-hyperplane buckets + multi-probe), 'ivf' "
+    "(hash-seeded coarse cells — the 0-iteration-KMeans baseline — "
+    "n_probe=2), 'pq_adc' (product quantization with hash-seeded "
+    "codebooks: corpus encode -> asymmetric-distance lookup scoring "
+    "-> exact re-rank of the candidate set). Zero fitted state, so "
+    "the DuckDB oracle reproduces buckets/cells/codes/rankings "
+    "bit-for-bit and the driver value-checks the whole serving path; "
+    "the KMeans-fitted ivf_topk/pq_topk remain the production tuning "
+    "(recall-tested in test_similarity_recall.py). All three share "
+    "the (query_id, neighbor_id, rank) contract of knn_bruteforce.",
 )
 def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
@@ -1775,10 +1896,10 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = similarity.ann_topk(
         q, e, dim=64, k=5, num_planes=6, hamming_probes=1
     ).withColumn("method", F.lit("rp_lsh"))
-    ivf = similarity.ivf_topk(q, e, k=5, n_lists=16, n_probe=2).withColumn(
-        "method", F.lit("ivf")
-    )
-    pq = similarity.pq_topk(q, e, k=5, m=8, nbits=4).withColumn(
+    ivf = similarity.ivf_topk_seeded(
+        q, e, k=5, n_lists=16, n_probe=2
+    ).withColumn("method", F.lit("ivf"))
+    pq = similarity.pq_topk_seeded(q, e, k=5, m=8, nbits=4).withColumn(
         "method", F.lit("pq_adc")
     )
     return (

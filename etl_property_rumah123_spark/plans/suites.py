@@ -604,9 +604,116 @@ _suite(
 # ---------------------------------------------------------------------------
 
 
+# The multimodal oracle is a DuckDB REIMPLEMENTATION OF THE CODECS:
+# it rebuilds every BMP/WAV payload's exact file bytes as an uppercase
+# hex string straight from documents.text (BITMAPFILEHEADER/INFOHEADER
+# + bottom-up BGR rows via an index permutation; RIFF/fmt/data headers
+# + the (b-128)*256 int16-LE sample transform), then compares portable
+# digests (md5 over the hex — DuckDB md5 only hashes VARCHAR, hence
+# the convention; see operators/multimodal.py DECODE_SCHEMA). A single
+# flipped bit anywhere in encode OR decode fails the hash, so the real
+# codec round-trip is value-checked by the driver, not just unit-
+# tested. Validated byte-exact against functions/codecs.py on
+# boundary fixtures (empty/unicode/pad-47/48/49) before wiring.
+_MM_BASE_SQL = """
+WITH base AS (
+  SELECT doc_id AS sample_id, COALESCE(text,'') AS t,
+         octet_length(encode(COALESCE(text,''))) AS n,
+         hex(encode(COALESCE(text,''))) AS thex,
+         doc_id % 3 AS kind
+  FROM documents
+), b2 AS (
+  SELECT *, CASE WHEN kind=1 AND n>0 THEN 'image'
+                 WHEN kind=2 AND n>0 THEN 'audio' ELSE 'text' END AS modality,
+         CASE WHEN kind=1 AND n>0 THEN (n+47)//48 END AS h
+  FROM base
+), fh AS (
+  SELECT *, CASE
+    WHEN modality='image' THEN
+      '424D' || printf('%02X%02X%02X%02X',(54+h*48)%256,((54+h*48)//256)%256,((54+h*48)//65536)%256,((54+h*48)//16777216)%256)
+      || '00000000' || '36000000' || '28000000' || '10000000'
+      || printf('%02X%02X%02X%02X', h%256,(h//256)%256,(h//65536)%256,(h//16777216)%256)
+      || '01001800' || '00000000'
+      || printf('%02X%02X%02X%02X',(h*48)%256,((h*48)//256)%256,((h*48)//65536)%256,((h*48)//16777216)%256)
+      || '130B0000130B00000000000000000000'
+      || array_to_string(list_transform(range(h*48), k ->
+           substr(thex || repeat('00', h*48 - n),
+                  2*((h-1-(k//48))*48 + ((k%48)//3)*3 + (2 - k%3)) + 1, 2)), '')
+    WHEN modality='audio' THEN
+      '52494646' || printf('%02X%02X%02X%02X',(36+2*n)%256,((36+2*n)//256)%256,((36+2*n)//65536)%256,((36+2*n)//16777216)%256)
+      || '57415645666D74201000000001000100401F0000803E00000200100064617461'
+      || printf('%02X%02X%02X%02X',(2*n)%256,((2*n)//256)%256,((2*n)//65536)%256,((2*n)//16777216)%256)
+      || array_to_string(list_transform(regexp_extract_all(thex, '..'), p ->
+           '00' || printf('%02X', (16*(strpos('0123456789ABCDEF', substr(p,1,1))-1)
+                   + strpos('0123456789ABCDEF', substr(p,2,1)) - 1 + 128) % 256)), '')
+    ELSE thex END AS fhex
+  FROM b2
+)
+"""
+
+_MM_ORACLE_SQL = _MM_BASE_SQL + """
+, vals AS (
+  SELECT sample_id, modality, h, n,
+    list_transform(regexp_extract_all(thex, '..'), p ->
+      16*(strpos('0123456789ABCDEF', substr(p,1,1))-1)
+      + strpos('0123456789ABCDEF', substr(p,2,1)) - 1) AS bv
+  FROM fh
+), hist AS (
+  SELECT sample_id,
+    CASE WHEN modality='audio' THEN n
+         ELSE len(list_filter(bv, v -> v%8=0))
+              + CASE WHEN modality='image' THEN h*48 - n ELSE 0 END END AS c0,
+    """ + ",\n    ".join(
+        f"CASE WHEN modality='audio' THEN 0 ELSE len(list_filter(bv, v -> v%8={k})) END AS c{k}"
+        for k in range(1, 8)
+    ) + """,
+    CASE WHEN modality='image' THEN h*48 ELSE n END AS tot
+  FROM vals
+), fr AS (
+  SELECT sample_id, fhex, length(fhex)//2 AS L,
+         greatest(length(fhex)//8, 1) AS step
+  FROM fh
+), frames AS (
+  SELECT sample_id, fhex, step,
+         unnest(list_filter(range(4), i -> i*step < L)) AS frame_idx
+  FROM fr
+)
+SELECT 'decode' AS part, CAST(sample_id AS BIGINT) AS k1,
+       CAST(modality AS VARCHAR) AS s1, CAST(md5(fhex) AS VARCHAR) AS s2,
+       CAST(length(fhex)//2 AS BIGINT) AS n1,
+       CAST(CASE WHEN modality='image' THEN 16 END AS BIGINT) AS n2,
+       CAST(CASE WHEN modality='image' THEN h END AS BIGINT) AS n3,
+       CAST(CASE WHEN modality='audio' THEN n*1000//8000 END AS DOUBLE) AS v1
+FROM fh
+UNION ALL
+SELECT 'resize', sample_id, NULL,
+       CASE WHEN modality='image' THEN md5(
+         '424D360300000000000036000000280000001000000010000000010018000000000000030000130B0000130B00000000000000000000'
+         || array_to_string(list_transform(range(768), k ->
+              substr(thex || repeat('00', h*48 - n),
+                2*( (((15-(k//48))*h)//16)*48 + ((k%48)//3)*3 + (2 - k%3) ) + 1, 2)), '')) END,
+       CASE WHEN modality='image' THEN 16 END,
+       CASE WHEN modality='image' THEN 16 END,
+       CASE WHEN modality='image' THEN 16 END,
+       CAST(NULL AS DOUBLE)
+FROM fh
+UNION ALL
+SELECT 'features', sample_id, NULL, NULL, 8, NULL, NULL,
+  CASE WHEN tot = 0 THEN 0.0 ELSE ROUND(
+    """ + " + ".join(
+        f"CAST(CAST(c{k} AS REAL)/CAST(tot AS REAL) AS DOUBLE)" for k in range(8)
+    ) + """, 6) END
+FROM hist
+UNION ALL
+SELECT 'frames', sample_id, md5(substr(fhex, 2*frame_idx*step + 1, 2*step)),
+       NULL, frame_idx, NULL, NULL, CAST(NULL AS DOUBLE)
+FROM frames
+"""
+
+
 @register(
     "multimodal_process_suite",
-    None,  # mapInPandas stages — not runnable in DuckDB
+    _MM_ORACLE_SQL,
     doc="Multimodal processing stages over mixed-modality media "
     "(text/BMP/WAV payloads synthesized from documents), tagged "
     "union: Arrow-batched decode — REAL BMP and PCM-WAV parsers "
@@ -614,8 +721,11 @@ _suite(
     "nearest-neighbor 16x16 image resize (real numpy resample + BMP "
     "re-encode, payload digest carried), feature extraction over "
     "decoded content (vector summarized as dim + sum), and 1:N frame "
-    "sampling. Compressed codecs remain the documented production "
-    "swap (operators/multimodal.py).",
+    "sampling. Oracle: a pure-SQL DuckDB reimplementation of the BMP/"
+    "WAV encoders reconstructs every payload's exact bytes from "
+    "documents.text and matches portable (hex-text) md5 digests, so "
+    "codec round-trips are driver-value-checked. Compressed codecs "
+    "remain the documented production swap (operators/multimodal.py).",
 )
 def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_property_rumah123_spark.operators import multimodal
@@ -640,11 +750,11 @@ def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("feat", F.lit(0.0), lambda a, x: a + x.cast("double")), 6
         ).alias("feat_sum"),
     )
-    frames = multimodal.sample_frames(media)
+    frames = multimodal.sample_frames(media, digest="hex")
     return _union(
         [
-            _align(decode, "decode", schema, k1="sample_id", s1="modality", s2="payload_digest", n1="payload_bytes", n2="decoded_width", n3="decoded_height", v1="decoded_ms"),
-            _align(resized, "resize", schema, k1="sample_id", s2="md5(payload)", n1="out_width", n2="out_height", n3="in_width"),
+            _align(decode, "decode", schema, k1="sample_id", s1="modality", s2="portable_digest", n1="payload_bytes", n2="decoded_width", n3="decoded_height", v1="decoded_ms"),
+            _align(resized, "resize", schema, k1="sample_id", s2="md5(hex(payload))", n1="out_width", n2="out_height", n3="in_width"),
             _align(feats, "features", schema, k1="sample_id", n1="feat_dim", v1="feat_sum"),
             _align(frames, "frames", schema, k1="sample_id", n1="frame_idx", s1="frame_digest"),
         ]

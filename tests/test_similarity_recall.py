@@ -76,6 +76,22 @@ def test_pq_adc_recall_with_refine(spark, clustered):
     assert recall(pq, truth) >= 0.8
 
 
+def test_seeded_ivf_and_pq_recall(spark, clustered):
+    """The zero-fitted-state (hash-seeded) IVF and PQ variants that the
+    ann_suite oracle reproduces in DuckDB: same serving structure as
+    the KMeans-fitted paths, recall still >= 0.8 on clustered vectors
+    (seeds are corpus points, so a query's own cluster dominates its
+    nearest cells/codewords)."""
+    q = clustered.filter(F.col("vec_id") % 40 == 0)
+    truth = similarity.brute_force_topk(q, clustered, k=5)
+    ivf = similarity.ivf_topk_seeded(q, clustered, k=5, n_lists=8, n_probe=2)
+    assert recall(ivf, truth) >= 0.8
+    pq = similarity.pq_topk_seeded(
+        q, clustered, k=5, m=4, nbits=4, refine_factor=8
+    )
+    assert recall(pq, truth) >= 0.8
+
+
 def test_pq_encode_shape_and_determinism(spark, clustered):
     books = similarity.train_pq_codebooks(clustered, m=4, nbits=4)
     assert books.shape == (4, 16, 4)
