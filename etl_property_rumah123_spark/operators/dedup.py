@@ -73,6 +73,7 @@ def shingle_rows(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    words_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, shingle) rows — word n-grams in fully codegen'd,
     SHUFFLE-FREE form.
@@ -107,8 +108,19 @@ def shingle_rows(
     canonically '' (coalesced), aggregating to a k-null signature —
     identical to the per-row HOF reference form instead of silently
     vanishing.
+
+    ``words_col``: use an already-tokenized array column instead of
+    re-tokenizing ``text_col`` — the seam the shared tokenized
+    documents view (plans/llm_queries.py:tokenized_docs) plugs into so
+    a multi-branch corpus pipeline tokenizes the corpus ONCE. The
+    only admissible difference from in-place tokenization is blank
+    text ([] vs ['']), which both fall below any shingle_n and hit
+    the same NULL-marker path.
     """
-    toks = hashing.word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    if words_col is not None:
+        toks = F.col(words_col)
+    else:
+        toks = hashing.word_tokens(F.coalesce(F.col(text_col), F.lit("")))
     n_sh = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(0))
     # Explicit aliases pin the zip's struct field names; unaliased
     # slices would get analyzer-default names ("0".."n-1"), which is
@@ -335,6 +347,8 @@ def ngram_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 8,
+    corpus_words_col: str | None = None,
+    eval_words_col: str | None = None,
 ) -> DataFrame:
     """Training/eval decontamination: corpus documents sharing at least
     one word ``shingle_n``-gram with the eval set (the standard exact
@@ -352,11 +366,13 @@ def ngram_contamination(
     for every contaminated corpus doc; dropping them is a left-anti
     join on this result.
     """
-    c = shingle_rows(corpus, text_col, id_col, shingle_n).filter(
-        F.col("shingle").isNotNull()
-    )
+    c = shingle_rows(
+        corpus, text_col, id_col, shingle_n, words_col=corpus_words_col
+    ).filter(F.col("shingle").isNotNull())
     e = (
-        shingle_rows(eval_df, text_col, id_col, shingle_n)
+        shingle_rows(
+            eval_df, text_col, id_col, shingle_n, words_col=eval_words_col
+        )
         .filter(F.col("shingle").isNotNull())
         .select("shingle")
         .distinct()
@@ -791,6 +807,7 @@ def repeated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_n: int = 16,
+    words_col: str | None = None,
 ) -> DataFrame:
     """Cross-document repeated token-window detection — the span-level
     exact-substring dedup primitive (a verbatim passage shared by two
@@ -813,7 +830,7 @@ def repeated_spans(
     nothing is ever all-pairs, and a pathological span shared by p% of
     docs costs p% linear join output, not a quadratic bucket.
     """
-    s = shingle_rows(df, text_col, id_col, span_n)
+    s = shingle_rows(df, text_col, id_col, span_n, words_col=words_col)
     pos = s.select(
         "doc_id",
         F.when(F.col("shingle").isNotNull(), F.md5("shingle")).alias("h"),

