@@ -314,6 +314,9 @@ def zorder_layout(
     zorder_cols: list[str],
     target_files: int = 8,
     bits: int = 16,
+    scaling: str = "linear",
+    rank_buckets: int = 256,
+    rank_rel_err: float = 0.001,
 ) -> str:
     """Write ``df`` as Parquet laid out along a Z-order (Morton) curve
     over ``zorder_cols`` — the multi-dimensional data-skipping layout
@@ -327,36 +330,70 @@ def zorder_layout(
     via Parquet footer statistics.
 
     Mechanics, all JVM-side expressions: each (numeric) column is
-    min-max scaled to a ``bits``-bit integer (driver fetches one tiny
-    min/max agg row — the same range sampling Delta does), the bits
-    are interleaved with shift/or expressions into a single long, and
-    rows are range-partitioned + sorted by it, one file per range.
-    Nulls scale to 0 (sort first). Linear min-max scaling is the
-    documented simplification vs rank-based scaling: heavy skew
-    concentrates the curve, at which point pre-bucketing the skewed
-    column is the fix. ``bits * len(cols)`` must stay < 63.
+    scaled to a ``bits``-bit integer, the bits are interleaved with
+    shift/or expressions into a single long, and rows are
+    range-partitioned + sorted by it, one file per range. Nulls scale
+    to 0 (sort first). ``bits * len(cols)`` must stay < 63.
+
+    ``scaling``:
+    - ``'linear'`` — min-max scale (driver fetches one tiny min/max
+      agg row). Cheap, but heavy skew concentrates the Morton curve:
+      a lognormal column maps almost all rows to bucket 0 and data
+      skipping on the OTHER columns collapses exactly when it matters.
+    - ``'rank'`` — scale by the value's quantile bucket (Delta's
+      OPTIMIZE ZORDER approach: each dimension range-partitioned on
+      SAMPLED boundaries). ``rank_buckets - 1`` quantile cuts per
+      column come from one ``approxQuantile`` pass (the driver holds
+      a bounded boundary list, never the data); the per-row bucket is
+      a codegen'd count over the literal boundary array. Equal-depth
+      buckets are skew-immune by construction, so every dimension
+      keeps tight per-file ranges under any distribution. ``bits``
+      is derived from ``rank_buckets`` in this mode.
     """
     n = len(zorder_cols)
+    if scaling not in ("linear", "rank"):
+        raise ValueError(f"scaling must be 'linear' or 'rank', got {scaling!r}")
+    if scaling == "rank":
+        if rank_buckets < 2 or rank_buckets & (rank_buckets - 1):
+            raise ValueError(
+                f"rank_buckets must be a power of two >= 2, got {rank_buckets}"
+            )
+        bits = rank_buckets.bit_length() - 1
     if bits * n >= 63:
         raise ValueError(f"bits*cols = {bits * n} must stay < 63")
-    bounds = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in zorder_cols],
-        *[F.max(c).alias(f"mx_{c}") for c in zorder_cols],
-    ).first()
     top = (1 << bits) - 1
     scaled = []
-    for c in zorder_cols:
-        mn = float(bounds[f"mn_{c}"]) if bounds[f"mn_{c}"] is not None else 0.0
-        mx = float(bounds[f"mx_{c}"]) if bounds[f"mx_{c}"] is not None else 0.0
-        span = (mx - mn) or 1.0
-        scaled.append(
-            F.coalesce(
-                F.floor(
-                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(top)
-                ).cast("long"),
-                F.lit(0),
+    if scaling == "rank":
+        probs = [i / rank_buckets for i in range(1, rank_buckets)]
+        for c in zorder_cols:
+            cuts = df.select(F.col(c).cast("double").alias("__v")).approxQuantile(
+                "__v", probs, rank_rel_err
             )
-        )
+            # Strictly increasing boundaries: ties collapse buckets,
+            # which is correct — a heavy-hitter value owns one bucket
+            # and its neighbors stay equal-depth.
+            barr = F.array(*[F.lit(float(b)) for b in sorted(set(cuts))])
+            bucket = F.size(
+                F.filter(barr, lambda b: b <= F.col(c).cast("double"))
+            ).cast("long")
+            scaled.append(F.coalesce(bucket, F.lit(0)))
+    else:
+        bounds = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in zorder_cols],
+            *[F.max(c).alias(f"mx_{c}") for c in zorder_cols],
+        ).first()
+        for c in zorder_cols:
+            mn = float(bounds[f"mn_{c}"]) if bounds[f"mn_{c}"] is not None else 0.0
+            mx = float(bounds[f"mx_{c}"]) if bounds[f"mx_{c}"] is not None else 0.0
+            span = (mx - mn) or 1.0
+            scaled.append(
+                F.coalesce(
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(top)
+                    ).cast("long"),
+                    F.lit(0),
+                )
+            )
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, s in enumerate(scaled):

@@ -557,6 +557,50 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     assert spark.read.parquet(z_path).count() == 64 * 64
 
 
+def test_zorder_rank_scaling_survives_skew(spark, tmp_path):
+    """Lognormal-skewed x: linear min-max scaling maps ~all rows into
+    the bottom x-buckets, so every file's x-range covers the bulk and
+    a selective mid-quantile x-predicate can skip almost nothing.
+    Rank (quantile) scaling is equal-depth by construction, so the
+    same predicate prunes most files from the footer stats alone."""
+    import random as _r
+
+    rng = _r.Random(42)
+    rows = [
+        (_i, rng.lognormvariate(0, 2.5), float(rng.uniform(0, 1000)))
+        for _i in range(4096)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    lin, rnk = str(tmp_path / "zlin"), str(tmp_path / "zrank")
+    writers.zorder_layout(df, lin, ["x", "y"], target_files=16, bits=8)
+    writers.zorder_layout(
+        df, rnk, ["x", "y"], target_files=16, scaling="rank", rank_buckets=256
+    )
+
+    # a 15%-selectivity band INSIDE one x-quartile: with 16 files the
+    # Morton top bits give each file one x-quartile, so rank scaling
+    # confines the band to ~1/4 of the files (+ boundary noise)
+    xs = sorted(v for _, v, _ in rows)
+    q55, q70 = xs[int(0.55 * len(xs))], xs[int(0.70 * len(xs))]
+
+    def files_hit(path):
+        ranges = _file_ranges(path, "x")
+        assert ranges
+        return sum(1 for lo, hi in ranges if hi >= q55 and lo <= q70), len(ranges)
+
+    lin_hit, lin_n = files_hit(lin)
+    rnk_hit, rnk_n = files_hit(rnk)
+    # linear: the bulk sits in bucket ~0, nearly every file overlaps
+    assert lin_hit >= 0.8 * lin_n
+    # rank: equal-depth buckets -> the band touches a minority of files
+    assert rnk_hit <= 0.5 * rnk_n
+    assert rnk_hit < lin_hit
+    # content identical either way
+    assert spark.read.parquet(rnk).count() == 4096
+    got = sorted(r["id"] for r in spark.read.parquet(rnk).collect())
+    assert got == list(range(4096))
+
+
 def test_merge_existing_read_partition_prunes(spark, tmp_path):
     """The merge's claim 'untouched partitions are never listed or
     read' at the plan level: the existing-side scan must carry a
