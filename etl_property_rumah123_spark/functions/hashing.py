@@ -62,20 +62,30 @@ def minhash_signature(shingle_arr: Column, k: int) -> Column:
     return F.array(*[minhash_one(shingle_arr, i) for i in range(k)])
 
 
-def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+def lsh_band_keys(
+    signature: Column, bands: int, rows_per_band: int, band_hash: str = "md5"
+) -> Column:
     """LSH banding: hash each band of the signature to a bucket key.
 
     Two documents land in the same bucket for band b iff their
     signatures agree on all ``rows_per_band`` positions of that band —
     the standard S-curve knob (bands x rows = k).
-    Returns array<string> of '<band>:<md5 of band slice>'.
+    Returns array<string> of '<band>:<hash of band slice>'.
+
+    ``band_hash``: 'md5' (portable — DuckDB recomputes it, the oracle
+    path) or 'xxhash64' (one JVM 64-bit hash instead of a 128-bit
+    digest + hex formatting — the production fast path).
     """
     keys = []
     for b in range(bands):
         band_slice = F.slice(signature, b * rows_per_band + 1, rows_per_band)
-        keys.append(
-            F.concat(F.lit(f"{b}:"), F.md5(F.concat_ws("", band_slice)))
+        joined = F.concat_ws("", band_slice)
+        h = (
+            F.md5(joined)
+            if band_hash == "md5"
+            else F.xxhash64(joined).cast("string")
         )
+        keys.append(F.concat(F.lit(f"{b}:"), h))
     return F.array(*keys)
 
 

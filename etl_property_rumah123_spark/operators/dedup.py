@@ -144,10 +144,11 @@ def minhash_signatures(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_hashes: int = 16,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """(id, signature) — k md5-string min-hashes over word shingles.
+    """(id, signature) — k min-hashes over word shingles.
 
-    Formulated as shingle rows + k ``min(md5(seed|shingle))``
+    Formulated as shingle rows + k ``min(hash(seed|shingle))``
     **aggregates**: identical definition to a per-row HOF minhash (min
     over a set ignores duplicates and ordering) but the mins run
     inside WholeStageCodegen with map-side partial combine — the
@@ -155,14 +156,30 @@ def minhash_signatures(
     is also the formulation that survives 100 TB (nothing per-row is
     O(tokens^2), no interpreted expression trees).
 
+    ``hash_family`` (the SimHash md5/xxhash64 duality,
+    :func:`md5_hash60`):
+    - 'md5'     — 32-hex-char string mins; portable, so the DuckDB
+      oracle recomputes the signatures exactly. The oracled registry
+      query uses this.
+    - 'xxhash64' — native 64-bit integer mins; one JVM hash per
+      (shingle, seed) with no digest/hex materialization, ~2x
+      cheaper on the signature stage (see BASELINE.md round-3 A/B).
+      Same min-over-set semantics, same S-curve; collision odds rise
+      from 2^-128 to 2^-64 per band comparison — irrelevant at any
+      corpus size. The production path.
+
     Short docs yield a signature of k nulls (their single NULL-shingle
     marker row aggregates to null mins), matching array_min-of-empty.
     """
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_family must be 'md5' or 'xxhash64', got {hash_family!r}")
     rows = shingle_rows(df, text_col, id_col, shingle_n)
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
+
+    def h(i):
+        seeded = F.concat(F.lit(f"{i}|"), F.col("shingle"))
+        return F.md5(seeded) if hash_family == "md5" else F.xxhash64(seeded)
+
+    mins = [F.min(h(i)).alias(f"__h{i}") for i in range(num_hashes)]
     return (
         rows.groupBy("doc_id")
         .agg(*mins)
@@ -184,6 +201,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     materialize: bool = True,
     max_bucket_size: int | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (i < j) sharing >= 1 band bucket.
 
@@ -207,14 +225,22 @@ def lsh_candidate_pairs(
     a near-dup cluster that large is better handled by exact dedup of
     its dominant content, and its members still collide in other
     (discriminative) bands.
+
+    ``hash_family``: 'md5' (portable, oracle-checkable) or 'xxhash64'
+    (the production fast path — native 64-bit mins and band keys, see
+    :func:`minhash_signatures`). Same banding semantics either way.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes)
+    sigs = minhash_signatures(
+        df, text_col, id_col, shingle_n, num_hashes, hash_family=hash_family
+    )
     buckets = sigs.select(
         "doc_id",
-        F.explode(hashing.lsh_band_keys(F.col("signature"), bands, rows)).alias(
-            "bucket"
-        ),
+        F.explode(
+            hashing.lsh_band_keys(
+                F.col("signature"), bands, rows, band_hash=hash_family
+            )
+        ).alias("bucket"),
     )
     if max_bucket_size is not None:
         sizes = buckets.groupBy("bucket").agg(F.count("*").alias("__bn"))

@@ -279,6 +279,48 @@ def test_approx_distinct_error_envelope(spark):
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.05 * r["exact"])
 
 
+def test_minhash_xxhash64_family_matches_md5_candidates(spark):
+    """The production xxhash64 MinHash family (native 64-bit mins +
+    band keys) must find the same planted near-dup candidate pairs as
+    the portable md5 family — same min-over-set semantics, same
+    S-curve, only the hash space differs."""
+    import random
+
+    from etl_property_rumah123_spark.operators import dedup
+
+    rng = random.Random(11)
+    vocab = [f"t{i:03d}" for i in range(300)]
+    rows, planted = [], []
+    did = 0
+    for _ in range(30):
+        words = [rng.choice(vocab) for _ in range(30)]
+        near = list(words)
+        near[5] = rng.choice(vocab)
+        rows.append((did, " ".join(words)))
+        rows.append((did + 1, " ".join(near)))
+        planted.append((did, did + 1))
+        did += 2
+    for _ in range(40):
+        rows.append((did, " ".join(rng.choice(vocab) for _ in range(30))))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(family):
+        out = dedup.lsh_candidate_pairs(
+            docs, shingle_n=3, num_hashes=16, bands=4, hash_family=family
+        )
+        return {(r["id_a"], r["id_b"]) for r in out.collect()}
+
+    md5_pairs, xx_pairs = pairs("md5"), pairs("xxhash64")
+    md5_rec = sum(1 for p in planted if p in md5_pairs) / len(planted)
+    xx_rec = sum(1 for p in planted if p in xx_pairs) / len(planted)
+    # both families are the same MinHash estimator; recall parity on
+    # planted pairs (tiny slack: the hash permutations differ)
+    assert xx_rec >= md5_rec - 0.1 and xx_rec >= 0.8
+    # deterministic across invocations
+    assert xx_pairs == pairs("xxhash64")
+
+
 def test_check_expectations_null_predicate_is_violation(spark):
     """NULL rule outcomes count as violations (unknown is not a pass),
     and all rules evaluate in one pass with exact counts."""
