@@ -244,6 +244,40 @@ def interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @part(
+    "interval_subday_count",
+    """
+    WITH iv AS (
+      SELECT user_id, MIN(ts) AS s, MIN(ts) + INTERVAL 36 HOUR AS e
+      FROM events GROUP BY user_id
+    )
+    SELECT iv.user_id AS user_id,
+           CAST(COUNT(p.ts) AS BIGINT) AS n_in_window
+    FROM iv LEFT JOIN events p ON p.ts >= iv.s AND p.ts < iv.e
+    GROUP BY iv.user_id
+    """,
+    doc="Interval containment with SUB-DAY endpoints: each user's "
+    "[first_event, +36h) window counts ALL events inside it (no "
+    "shared key). The day-grain part above defines sub-day endpoints "
+    "away; this one resolves them exactly via the boundary-day "
+    "decomposition (operators/temporal.py): interior days from the "
+    "broadcastable per-day aggregate, the <= 2 partial boundary days "
+    "row-exactly after a day-bucketed join — candidate volume stays "
+    "linear where the oracle's theta-join (DuckDB IEJoin) is free to "
+    "be quadratic.",
+)
+def interval_subday_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators import temporal
+
+    e = table(spark, sf_dir, "events")
+    iv = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+        .withColumn("e", F.col("s") + F.expr("INTERVAL 36 HOURS"))
+    )
+    return temporal.interval_count_join(iv, e, "user_id", "s", "e", "ts")
+
+
+@part(
     "pit_dimension_join",
     """
     WITH versions AS (

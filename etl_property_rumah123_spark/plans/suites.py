@@ -307,13 +307,16 @@ _suite(
         "range_join": {"part": "range_join_followups", "k1": "click_id", "k2": "followup_id", "n1": "delta_us"},
         "rolling": {"part": "rolling_30d_spend", "k1": "o_orderkey", "n1": "spend_30d"},
         "interval": {"part": "interval_containment_join", "k1": "o_orderkey", "n1": "n_shipped_in_window"},
+        "subday": {"part": "interval_subday_count", "k1": "user_id", "n1": "n_in_window"},
         "pit": {"part": "pit_dimension_join", "k1": "o_orderkey", "n1": "version", "v1": "acctbal_at_order"},
     },
     [("k1", "bigint"), ("k2", "bigint"), ("n1", "bigint"), ("v1", "double")],
     doc="Temporal patterns: bucketed range join (60s pairs), the "
     "RANGE-frame rolling 30-day window, the uncorrelated "
     "arbitrary-interval containment join (grid-bucket rewrite, "
-    "zero-count windows preserved via LEFT join-back), and the "
+    "zero-count windows preserved via LEFT join-back), its SUB-DAY-"
+    "endpoint sibling (exact boundary-day decomposition, "
+    "operators/temporal.py, vs a DuckDB IEJoin oracle), and the "
     "point-in-time SCD2 dimension lookup (equi-join on key + "
     "validity-interval filter, one version per fact).",
 )

@@ -279,6 +279,48 @@ def test_approx_distinct_error_envelope(spark):
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.05 * r["exact"])
 
 
+def test_interval_count_join_subday_matches_bruteforce(spark):
+    """The boundary-day decomposition must equal the naive theta-join
+    on every edge: same-day window, exact-midnight endpoints, ts == s
+    (inclusive), ts == e (exclusive), empty window (e <= s), interval
+    with zero probes, multi-interior-day spans."""
+    import datetime as dt
+    import random
+
+    from etl_property_rumah123_spark.operators.temporal import (
+        interval_count_join,
+    )
+
+    T = dt.datetime(2024, 3, 1)
+    H = dt.timedelta(hours=1)
+    intervals = [
+        (1, T + 5 * H, T + 9 * H),            # same-day partial
+        (2, T, T + 48 * H),                   # exact midnight start+end
+        (3, T + 30 * H, T + 30 * H),          # empty (e == s)
+        (4, T + 3 * H, T + 99 * H),           # 4 days, 2 interior
+        (5, T + 200 * H, T + 210 * H),        # window beyond all probes
+        (6, T + 26 * H, T + 27 * H),          # 1-hour sub-day window
+    ]
+    rng = random.Random(5)
+    probes = [(i, T + dt.timedelta(minutes=rng.randrange(0, 7 * 24 * 60)))
+              for i in range(600)]
+    # planted edge probes: exactly at starts/ends of interval 1
+    probes += [(9001, T + 5 * H), (9002, T + 9 * H)]
+    iv = spark.createDataFrame(intervals, "k long, s timestamp, e timestamp")
+    p = spark.createDataFrame(probes, "pid long, ts timestamp")
+
+    got = {
+        r["k"]: r["n_in_window"]
+        for r in interval_count_join(iv, p, "k", "s", "e", "ts").collect()
+    }
+    expect = {
+        k: sum(1 for _, ts in probes if s <= ts < e)
+        for k, s, e in intervals
+    }
+    assert got == expect
+    assert got[3] == 0 and got[5] == 0  # zero-count intervals kept
+
+
 def test_minhash_xxhash64_family_matches_md5_candidates(spark):
     """The production xxhash64 MinHash family (native 64-bit mins +
     band keys) must find the same planted near-dup candidate pairs as
