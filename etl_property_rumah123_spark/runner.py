@@ -90,6 +90,7 @@ def run_region_pipeline(
     run_date: str | None = None,
     source_options: dict[str, str] | None = None,
     assert_unique_key: bool = False,
+    pg_dsn: str | None = None,
 ) -> int:
     """extract >> transform >> load for one region, as one lazy plan
     (the reference's 4-task chain, /root/reference/dags/dags.py:136-143,
@@ -117,6 +118,27 @@ def run_region_pipeline(
     if stage_dir and run_date:
         # optional debug checkpoint, the CSV-handoff observability analog
         writers.save_parquet(clean, f"listings_{region.name}", stage_dir, run_date)
+    if pg_dsn:
+        # wire-protocol path: real Postgres with no JDBC jar/psycopg2
+        # (sinks/pgwire.py) — per-partition staged inserts + the
+        # driver-transaction merge with xmax accounting
+        from etl_property_rumah123_spark.sinks.pgwire import (
+            load_to_postgres_wire,
+        )
+        from etl_property_rumah123_spark.sinks.writers import (
+            _stringify_arrays,
+        )
+
+        # array<string> -> JSON text at the VARCHAR sink boundary
+        # (SURVEY §1.4: arrays stay native in-engine, render at sinks)
+        return load_to_postgres_wire(
+            _stringify_arrays(clean),
+            pg_dsn,
+            load_cfg.stg_table,
+            load_cfg.main_table,
+            load_cfg.unique_key,
+            batch_size=load_cfg.batch_size,
+        )
     if jdbc_url and connection_factory:
         return jdbc_merge.load_to_postgres(
             clean,
@@ -164,6 +186,11 @@ def main(argv: list[str] | None = None) -> int:
         help="region name(s) to run; default: all configured regions",
     )
     ap.add_argument("--jdbc-url", default=None)
+    ap.add_argument(
+        "--pg-dsn", default=None,
+        help="Postgres unix-socket dir or host:port for the built-in "
+        "wire-protocol sink (no JDBC jar/psycopg2 required)",
+    )
     ap.add_argument("--stage-dir", default=None)
     ap.add_argument("--run-date", default=None, help="YYYYMMDD, injected (O3)")
     ap.add_argument("--dry-run", action="store_true")
@@ -205,6 +232,7 @@ def main(argv: list[str] | None = None) -> int:
                 stage_dir=args.stage_dir,
                 run_date=args.run_date,
                 source_options=opts or None,
+                pg_dsn=args.pg_dsn if not args.dry_run else None,
             )
             logger.info("region %s -> %s", region.name, rc)
     finally:

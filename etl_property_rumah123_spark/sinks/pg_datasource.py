@@ -1,0 +1,152 @@
+"""``df.write.format("pgwire")`` — the Postgres load path as a Spark 4
+Python DataSource WRITER with a real commit protocol.
+
+This packages the reference's truncate-staging -> batched-INSERT ->
+ON CONFLICT merge flow (/root/reference/src/load.py:6-96) behind
+Spark's native writer API, so the exactly-once story lives where
+Spark expects it:
+
+- driver, job start (writer construction): TRUNCATE the staging table
+  — a retried/replayed JOB starts from clean staging;
+- executors, ``write(partition)``: each task opens its own wire
+  connection (sinks/pgwire.py — no JDBC jar or psycopg2 needed) and
+  streams its rows as multi-row INSERTs of ``batch_size``, committing
+  per task; the returned commit message carries the task row count;
+- driver, ``commit(messages)``: ONE transaction merges staging into
+  the main table with the reference's full-row last-write-wins
+  ON CONFLICT and ``xmax = 0`` fresh-insert accounting. Nothing is
+  visible in the main table until this commit — Spark task retries
+  can at worst re-insert a task's identical rows into staging, which
+  the merge's ``SELECT DISTINCT`` collapses (task partition content
+  is deterministic, so retry duplicates are full-row duplicates);
+- driver, ``abort(messages)``: truncate staging; the main table was
+  never touched.
+
+Options: ``dsn`` (unix-socket dir or host:port), ``stg_table``,
+``main_table``, ``unique_key``, ``batch_size`` (default 500),
+``database``, ``pg_user``. With no ``main_table`` the writer is a
+plain staging append (truncate + insert only).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class PgWriteCommit(WriterCommitMessage):
+    n_rows: int
+
+
+class PgWireWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        self.dsn = options["dsn"]
+        self.stg_table = options["stg_table"]
+        self.main_table = options.get("main_table")
+        self.unique_key = options.get("unique_key", "link")
+        self.batch_size = int(options.get("batch_size", "500"))
+        self.database = options.get("database", "postgres")
+        self.user = options.get("pg_user", "postgres")
+        self.columns = [f.name for f in schema.fields]
+        self.truncate_main = overwrite
+        # job-start staging truncate (driver side — runs once per job,
+        # before any task writes)
+        conn = self._connect()
+        try:
+            conn.run(f"TRUNCATE TABLE {self.stg_table}")
+        finally:
+            conn.close()
+
+    def _connect(self):
+        from etl_property_rumah123_spark.sinks.pgwire import PgConnection
+
+        return PgConnection(self.dsn, user=self.user, database=self.database)
+
+    def write(self, iterator) -> PgWriteCommit:
+        from etl_property_rumah123_spark.sinks.pgwire import quote_literal
+
+        conn = self._connect()
+        n = 0
+        try:
+            cur = conn.cursor()
+            prefix = (
+                f"INSERT INTO {self.stg_table} "
+                f"({', '.join(self.columns)}) VALUES "
+            )
+            batch = []
+            for row in iterator:
+                batch.append(
+                    "("
+                    + ", ".join(quote_literal(row[c]) for c in self.columns)
+                    + ")"
+                )
+                n += 1
+                if len(batch) >= self.batch_size:
+                    cur.execute(prefix + ",\n".join(batch))
+                    batch = []
+            if batch:
+                cur.execute(prefix + ",\n".join(batch))
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+        return PgWriteCommit(n_rows=n)
+
+    def commit(self, messages) -> None:
+        if self.main_table is None:
+            return
+        conn = self._connect()
+        try:
+            cur = conn.cursor()
+            if self.truncate_main:
+                cur.execute(f"TRUNCATE TABLE {self.main_table}")
+            cols = ", ".join(self.columns)
+            updates = ", ".join(
+                f"{c} = EXCLUDED.{c}"
+                for c in self.columns
+                if c != self.unique_key
+            )
+            # DISTINCT collapses full-row duplicates a retried task may
+            # have re-staged; the reference's plain SELECT is kept in
+            # jdbc_merge.build_merge_sql for the non-retrying path.
+            cur.execute(
+                f"INSERT INTO {self.main_table} ({cols})\n"
+                f"SELECT DISTINCT {cols} FROM {self.stg_table}\n"
+                f"ON CONFLICT ({self.unique_key}) DO UPDATE SET\n{updates}\n"
+                f"RETURNING xmax = 0"
+            )
+            inserted = sum(1 for r in cur.fetchall() if r[0])
+            conn.commit()
+            self.n_fresh_inserts = inserted
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    def abort(self, messages) -> None:
+        conn = self._connect()
+        try:
+            conn.run(f"TRUNCATE TABLE {self.stg_table}")
+        finally:
+            conn.close()
+
+
+class PgWireDataSource(DataSource):
+    """Register with ``spark.dataSource.register(PgWireDataSource)``,
+    then ``df.write.format("pgwire").option("dsn", ...).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgwire"
+
+    def writer(self, schema, overwrite: bool) -> PgWireWriter:
+        return PgWireWriter(dict(self.options), schema, overwrite)

@@ -220,6 +220,125 @@ def test_staging_truncated_between_runs(spark, pg_sock):
         conn.close()
 
 
+def test_runner_pipeline_to_real_postgres(spark, pg_sock):
+    """The reference's whole per-region DAG against real infra: fixture
+    extract -> transform -> wire-sink load through
+    run_region_pipeline(pg_dsn=...), twice — second run is a pure
+    replay, so xmax accounting must report zero fresh inserts."""
+    import os as _os
+    import tempfile as _tf
+
+    from etl_property_rumah123_spark.config import (
+        ExtractConfig,
+        LoadConfig,
+        RegionConfig,
+    )
+    from etl_property_rumah123_spark.runner import run_region_pipeline
+    from etl_property_rumah123_spark.sources.fixtures import (
+        ADMINS,
+        write_fixture_pages,
+    )
+
+    fixture_dir = _os.path.join(
+        _tf.gettempdir(), "spark_graft_listing_fixtures_v1"
+    )
+    write_fixture_pages(fixture_dir, num_pages=4, cards_per_page=12, seed=42)
+    conn = PgConnection(pg_sock)
+    try:
+        conn.run("TRUNCATE TABLE property_rumah")
+    finally:
+        conn.close()
+    cfg = ExtractConfig(
+        regions=[RegionConfig(name="jakarta", id="dki-jakarta", admins=ADMINS)],
+        num_pages=4,
+    )
+    lc = LoadConfig(
+        stg_table="stg_property_rumah",
+        main_table="property_rumah",
+        unique_key="link",
+        batch_size=7,
+    )
+    kw = dict(
+        source_options={
+            "fixture_dir": fixture_dir,
+            "base_sleep": "0.001",
+            "min_sleep": "0.0",
+        },
+        pg_dsn=pg_sock,
+    )
+    n1 = run_region_pipeline(spark, cfg, lc, cfg.regions[0], **kw)
+    assert n1 > 0
+    n2 = run_region_pipeline(spark, cfg, lc, cfg.regions[0], **kw)
+    assert n2 == 0  # pure replay: every row is an update, none fresh
+    conn = PgConnection(pg_sock)
+    try:
+        rows = conn.run(
+            "SELECT COUNT(*), COUNT(additional_features) FROM property_rumah"
+        )
+    finally:
+        conn.close()
+    assert rows[0][0] == n1 and rows[0][1] == n1
+
+
+def test_pgwire_datasource_writer_end_to_end(spark, pg_sock):
+    """The native writer surface: df.write.format('pgwire') stages
+    per-partition over the wire and merges on driver commit. Two
+    overlapping jobs converge with last-write-wins; mode('overwrite')
+    truncates main first."""
+    from etl_property_rumah123_spark.sinks.pg_datasource import (
+        PgWireDataSource,
+    )
+
+    try:
+        spark.dataSource.register(PgWireDataSource)
+    except Exception:
+        pass  # already registered in this session
+    conn = PgConnection(pg_sock)
+    try:
+        conn.run("TRUNCATE TABLE property_rumah")
+    finally:
+        conn.close()
+
+    def write(df, mode="append"):
+        (
+            df.repartition(2)
+            .write.format("pgwire")
+            .option("dsn", pg_sock)
+            .option("stg_table", "stg_property_rumah")
+            .option("main_table", "property_rumah")
+            .option("unique_key", "link")
+            .option("batch_size", "2")
+            .mode(mode)
+            .save()
+        )
+
+    write(
+        spark.createDataFrame(
+            [_row("w1", 10, "a"), _row("w2", 20, "b"), _row("w3", 30, "c")],
+            ROW_SCHEMA,
+        )
+    )
+    write(
+        spark.createDataFrame(
+            [_row("w2", 99, "B!"), _row("w4", 40, "d")], ROW_SCHEMA
+        )
+    )
+    assert _main_state(pg_sock) == sorted(
+        [
+            ("w1", "a", 10, None),
+            ("w2", "B!", 99, None),
+            ("w3", "c", 30, None),
+            ("w4", "d", 40, None),
+        ]
+    )
+    # overwrite mode replaces the main table with just this batch
+    write(
+        spark.createDataFrame([_row("w9", 90, "z")], ROW_SCHEMA),
+        mode="overwrite",
+    )
+    assert _main_state(pg_sock) == [("w9", "z", 90, None)]
+
+
 def test_listing_pipeline_to_real_postgres(spark, pg_sock):
     """The reference's library surface end-to-end against real
     Postgres: fixture extract -> transform -> load (src/__init__.py:1-3),
