@@ -1,17 +1,23 @@
-"""Real codecs for uncompressed public media formats, numpy/stdlib
-only: 24-bit BI_RGB Windows BMP (BITMAPINFOHEADER) and 16-bit PCM WAV
-(RIFF, via the stdlib ``wave`` module).
+"""Real codecs for public media formats, numpy/stdlib only: 24-bit
+BI_RGB Windows BMP (BITMAPINFOHEADER), 16-bit PCM WAV (RIFF, via the
+stdlib ``wave`` module), and 8-bit truecolor PNG (DEFLATE via the
+stdlib ``zlib``, all five scanline filters on decode).
 
 These exist so the multimodal decode stage can run a *genuine* parse
 of real-format bytes end-to-end in this container — no image/audio
-libraries required. Compressed codecs (JPEG/PNG/H.264/MP3) are out of
-scope here and remain a documented production swap in
+libraries required. PNG is a real COMPRESSED format (zlib/DEFLATE
+entropy coding over predictive scanline filtering) and round-trips
+pixel-exactly because it is lossless; the lossy transform codecs
+(JPEG/H.264/MP3) remain the documented production swap in
 ``operators/multimodal.py``.
 
-Both formats are public specifications:
+All formats are public specifications:
 - BMP: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes),
   bottom-up BGR rows padded to 4-byte boundaries, biCompression=0.
 - WAV: RIFF/WAVE container, fmt + data chunks, little-endian PCM.
+- PNG: W3C PNG spec / RFC 2083 — 8-byte signature, CRC-checked
+  chunks (IHDR/IDAT/IEND), zlib-compressed scanlines with a per-row
+  filter byte (None/Sub/Up/Average/Paeth), color type 2, bit depth 8.
 """
 
 from __future__ import annotations
@@ -19,6 +25,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -100,6 +107,145 @@ def decode_bmp24(data: bytes) -> np.ndarray:
     if bottom_up:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 1) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG.
+
+    ``filter_type`` applies one scanline filter to every row (real
+    encoders pick per-row; a fixed choice is spec-valid and keeps the
+    output deterministic): 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth.
+    zlib level 6, single IDAT. Lossless: decode_png round-trips
+    pixel-exactly.
+    """
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"bad filter type {filter_type}")
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.uint8)
+    rows = px.reshape(h, w * 3).astype(np.int16)
+    prior = np.vstack([np.zeros((1, w * 3), np.int16), rows[:-1]])
+    left = np.zeros_like(rows)
+    left[:, 3:] = rows[:, :-3]
+    ul = np.zeros_like(rows)
+    ul[1:, 3:] = rows[:-1, :-3]
+    if filter_type == 0:
+        filtered = rows
+    elif filter_type == 1:  # Sub
+        filtered = rows - left
+    elif filter_type == 2:  # Up
+        filtered = rows - prior
+    elif filter_type == 3:  # Average
+        filtered = rows - (left + prior) // 2
+    else:  # Paeth
+        p = left + prior - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+        )
+        filtered = rows - pred
+    raw = b"".join(
+        bytes([filter_type]) + (filtered[r] & 0xFF).astype(np.uint8).tobytes()
+        for r in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor (color type 2, no interlace) PNG into
+    an (H, W, 3) uint8 RGB array. Implements all five scanline
+    unfilters and verifies chunk CRCs; raises ``ValueError`` for
+    non-PNG bytes, unsupported color modes, or corrupt streams."""
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat, seen_end = 8, None, b"", False
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = payload
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_end:
+        raise ValueError("missing IHDR/IEND")
+    w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or ctype_i != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit truecolor non-interlaced supported "
+            f"(depth={depth}, color={ctype_i}, interlace={interlace})"
+        )
+    if w == 0 or h == 0:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT zlib stream: {e}") from e
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int16)
+        prior = out[r - 1].astype(np.int16) if r else np.zeros(stride, np.int16)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up
+            rec = line + prior
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left scan
+            rec = np.zeros(stride, np.int16)
+            for i in range(stride):
+                left = rec[i - 3] if i >= 3 else 0
+                up = prior[i]
+                ul = out[r - 1][i - 3] if (r and i >= 3) else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (int(left) + int(up)) // 2
+                else:
+                    p = int(left) + int(up) - int(ul)
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                rec[i] = (int(line[i]) + int(pred)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype} on row {r}")
+        out[r] = (rec & 0xFF).astype(np.uint8)
+    return out.reshape(h, w, 3).copy()
 
 
 def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:

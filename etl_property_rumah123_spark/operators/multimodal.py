@@ -133,12 +133,14 @@ def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame
 
     Dispatches on mime type: ``image/bmp`` runs the real BMP parser
     (true width/height from the BITMAPINFOHEADER, validated against
-    the pixel array), ``audio/wav`` runs the real PCM WAV parser
+    the pixel array), ``image/png`` runs the real PNG decoder (zlib
+    inflate + scanline unfiltering — a genuinely compressed format,
+    functions/codecs.py), ``audio/wav`` runs the real PCM WAV parser
     (true duration from frame count / rate); anything else (text,
-    compressed formats) yields byte-level metadata with NULL
-    dimensions. Undecodable bytes of a claimed media type also fall
-    back to NULLs rather than failing the batch — corrupt samples are
-    a data-quality fact, not a pipeline error.
+    lossy codecs) yields byte-level metadata with NULL dimensions.
+    Undecodable bytes of a claimed media type also fall back to NULLs
+    rather than failing the batch — corrupt samples are a
+    data-quality fact, not a pipeline error.
     """
     import hashlib
 
@@ -157,9 +159,13 @@ def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame
         ):
             raw = bytes(b) if b is not None else b""
             width = height = ms = None
-            if raw and mime == "image/bmp":
+            if raw and mime in ("image/bmp", "image/png"):
                 try:
-                    px = codecs.decode_bmp24(raw)
+                    px = (
+                        codecs.decode_bmp24(raw)
+                        if mime == "image/bmp"
+                        else codecs.decode_png(raw)
+                    )
                     height, width = px.shape[0], px.shape[1]
                 except ValueError:
                     pass
@@ -221,9 +227,14 @@ def extract_features(df: DataFrame, feat_dim: int = 8) -> DataFrame:
 
         def content_array(mime, raw):
             """Decoded content when a real codec applies, else bytes."""
-            if raw and mime == "image/bmp":
+            if raw and mime in ("image/bmp", "image/png"):
                 try:
-                    return codecs.decode_bmp24(raw).ravel()
+                    px = (
+                        codecs.decode_bmp24(raw)
+                        if mime == "image/bmp"
+                        else codecs.decode_png(raw)
+                    )
+                    return px.ravel()
                 except ValueError:
                     pass
             elif raw and mime == "audio/wav":
@@ -337,13 +348,23 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 pdf["sample_id"], pdf["mime_type"], pdf["payload"]
             ):
                 out = iw = ih = None
-                if b is not None and mime == "image/bmp":
+                if b is not None and mime in ("image/bmp", "image/png"):
                     try:
-                        px = codecs.decode_bmp24(bytes(b))
+                        raw = bytes(b)
+                        px = (
+                            codecs.decode_bmp24(raw)
+                            if mime == "image/bmp"
+                            else codecs.decode_png(raw)
+                        )
                         ih, iw = px.shape[0], px.shape[1]
                         ri = (np.arange(height) * ih) // height
                         ci = (np.arange(width) * iw) // width
-                        out = codecs.encode_bmp24(px[ri][:, ci])
+                        resized = px[ri][:, ci]
+                        out = (
+                            codecs.encode_bmp24(resized)
+                            if mime == "image/bmp"
+                            else codecs.encode_png(resized)
+                        )
                     except ValueError:
                         out = iw = ih = None
                 rows["sample_id"].append(sid)
@@ -360,15 +381,20 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def decode_compressed(payload: bytes) -> "np.ndarray":  # noqa: F821
-    """Placeholder for compressed-format decode (JPEG/PNG/H.264/MP3).
-
-    Uncompressed BMP and PCM WAV decode for real via
-    ``functions/codecs.py``; compressed codecs need a library
+    """Compressed-format image decode. PNG decodes FOR REAL — the
+    pure stdlib-zlib + numpy decoder in ``functions/codecs.py``
+    (DEFLATE inflate, CRC checks, all five scanline unfilters) — so
+    the compressed path is exercised end-to-end with no image library.
+    The LOSSY transform codecs (JPEG/H.264/MP3) still need a library
     (PIL / torchvision / ffmpeg) that is not installed in this
-    container, so this raises until one is swapped in.
+    container; swap this router's fallback for one in production.
     """
+    from etl_property_rumah123_spark.functions import codecs
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return codecs.decode_png(payload)
     raise NotImplementedError(
-        "compressed-format codecs (JPEG/PNG/H.264) are not available "
-        "in this environment; BMP/WAV decode natively via "
-        "functions/codecs.py — swap this for PIL/ffmpeg in production"
+        "lossy codecs (JPEG/H.264/MP3) are not available in this "
+        "environment; PNG decodes natively via functions/codecs.py — "
+        "swap this fallback for PIL/ffmpeg in production"
     )

@@ -51,6 +51,82 @@ def test_bmp_decoder_rejects_garbage_and_unsupported():
         codecs.decode_bmp24(codecs.encode_bmp24(px)[:30])  # truncated
 
 
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_exact_every_filter(filter_type):
+    """encode->decode is pixel-exact for each of the five PNG scanline
+    filters — a REAL compressed format (stdlib zlib DEFLATE) with no
+    image library involved."""
+    rng = np.random.default_rng(7 + filter_type)
+    for h, w in [(1, 1), (4, 16), (9, 3)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        data = codecs.encode_png(px, filter_type=filter_type)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        out = codecs.decode_png(data)
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, px)
+    # filtering + DEFLATE actually compress redundant content
+    flat = np.full((32, 32, 3), 200, dtype=np.uint8)
+    assert len(codecs.encode_png(flat)) < flat.size // 4
+
+
+def test_png_decoder_rejects_garbage_crc_and_unsupported():
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"definitely not a png")
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = codecs.encode_png(px)
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # flip a byte inside a CRC-protected chunk
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(corrupt))
+    with pytest.raises(ValueError):
+        codecs.decode_png(good[:30])  # truncated
+    gray = bytearray(good)
+    gray[25] = 0  # IHDR color type 2 -> 0 (grayscale, unsupported)
+    # (CRC now mismatches -> still ValueError, which is the contract)
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(gray))
+
+
+def test_decode_compressed_routes_png_and_refuses_lossy():
+    px = np.random.default_rng(3).integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    out = multimodal.decode_compressed(codecs.encode_png(px))
+    assert np.array_equal(out, px)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_compressed(b"\xff\xd8\xff\xe0JFIF-ish")
+
+
+def test_decode_and_resize_stages_handle_png(spark):
+    """The Arrow decode stage extracts true dims from PNG payloads
+    (corrupt PNGs -> NULL dims, not failures), and resize re-encodes
+    PNG as PNG with exact nearest-neighbor content."""
+    rng = np.random.default_rng(11)
+    px_a = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    px_b = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(codecs.encode_png(px_a)), "image/png"),
+        (2, "image", bytearray(codecs.encode_png(px_b)), "image/png"),
+        (3, "image", bytearray(b"\x89PNG\r\n\x1a\nbroken"), "image/png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "sample_id long, modality string, payload binary, mime_type string"
+    )
+    got = {
+        r["sample_id"]: (r["decoded_width"], r["decoded_height"])
+        for r in multimodal.decode_media(df).collect()
+    }
+    assert got == {1: (6, 8), 2: (32, 32), 3: (None, None)}
+
+    resized = {
+        r["sample_id"]: r
+        for r in multimodal.resize_images(df, width=16, height=16).collect()
+    }
+    assert (resized[1]["out_width"], resized[1]["in_width"]) == (16, 6)
+    out_px = codecs.decode_png(bytes(resized[2]["payload"]))
+    ri = (np.arange(16) * 32) // 16
+    assert np.array_equal(out_px, px_b[ri][:, ri])
+    assert resized[3]["payload"] is None  # corrupt passes through as NULL
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -68,6 +144,23 @@ try:
             0, 256, size=(h, w, 3), dtype=np.uint8
         )
         assert np.array_equal(codecs.decode_bmp24(codecs.encode_bmp24(px)), px)
+
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 6),
+        ft=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_png_roundtrip_property(w, h, ft, seed):
+        """Any (H, W, 3) uint8 array survives PNG encode->decode
+        exactly under every scanline filter."""
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        assert np.array_equal(
+            codecs.decode_png(codecs.encode_png(px, filter_type=ft)), px
+        )
 
     @given(
         n=st.integers(0, 4096),
