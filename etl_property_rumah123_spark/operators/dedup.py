@@ -261,6 +261,91 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """The (doc_id, bucket) band-bucket table — the REUSABLE index
+    artifact of the LSH dedup family. Computed once per corpus (or
+    per ingest batch) and persisted; every later near-dup probe is a
+    bucket equi-join against it, so per-batch cost is proportional to
+    the batch, never the corpus."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, shingle_n, num_hashes, hash_family=hash_family
+    )
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            hashing.lsh_band_keys(
+                F.col("signature"), bands, rows, band_hash=hash_family
+            )
+        ).alias("bucket"),
+    )
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    **lsh_kwargs,
+) -> str:
+    """Persist the LSH bucket table as Parquet. ``mode='append'`` is
+    the incremental-ingest path: a new crawl batch's buckets are added
+    to the standing index after probing (so the NEXT batch dedups
+    against this one too). Parameters (shingle_n/num_hashes/bands/
+    hash_family) must match across appends — they define the bucket
+    space."""
+    lsh_bucket_table(df, **lsh_kwargs).write.mode(mode).parquet(path)
+    return path
+
+
+def probe_lsh_index(
+    new_docs: DataFrame,
+    index: "DataFrame | str",
+    max_bucket_size: int | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup candidates (new_id, indexed_id) between a new batch
+    and a standing LSH index (a bucket DataFrame or a parquet path
+    written by :func:`write_lsh_index`).
+
+    Only the BATCH is shingled/hashed; the corpus side is one parquet
+    scan + a bucket equi-join. ``max_bucket_size`` drops hot index
+    buckets before the join (same guard, and same soundness argument,
+    as lsh_candidate_pairs). Self-pairs (a doc probing an index that
+    already contains it) are excluded.
+    """
+    if isinstance(index, str):
+        spark = new_docs.sparkSession
+        # Spark's session-lifetime FileStatusCache serves stale
+        # listings for a path read before an append; an appendable
+        # index must be re-listed or newly-appended batches are
+        # silently invisible to later probes.
+        spark.catalog.refreshByPath(index)
+        index = spark.read.parquet(index)
+    if max_bucket_size is not None:
+        sizes = index.groupBy("bucket").agg(F.count("*").alias("__bn"))
+        keep = sizes.filter(F.col("__bn") <= max_bucket_size).select("bucket")
+        index = index.join(keep, "bucket")
+    probe = lsh_bucket_table(new_docs, **lsh_kwargs)
+    return (
+        probe.alias("p")
+        .join(index.alias("i"), "bucket")
+        .filter(F.col("p.doc_id") != F.col("i.doc_id"))
+        .select(
+            F.col("p.doc_id").alias("new_id"),
+            F.col("i.doc_id").alias("indexed_id"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------

@@ -279,6 +279,61 @@ def test_approx_distinct_error_envelope(spark):
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.05 * r["exact"])
 
 
+def test_lsh_index_artifact_probe_and_append(spark, tmp_path):
+    """The persisted LSH index: build on history, probe a batch (pairs
+    equal the freshly-computed cross pairs), append the batch, and
+    verify a later batch now collides with it too — the
+    incremental-ingest loop with per-batch cost only."""
+    import random
+
+    from etl_property_rumah123_spark.operators import dedup
+
+    rng = random.Random(3)
+    vocab = [f"v{i:03d}" for i in range(200)]
+
+    def doc(did, words):
+        return (did, " ".join(words))
+
+    hist_rows, b1_rows, b2_rows = [], [], []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(25)]
+        hist_rows.append(doc(i, words))
+        if i < 10:  # batch1 docs 100+i are near-dups of history docs
+            near = list(words)
+            near[3] = rng.choice(vocab)
+            b1_rows.append(doc(100 + i, near))
+    for i in range(5):  # batch2 docs near-dup batch1 docs (not history)
+        base = dict(b1_rows)[100 + i].split()
+        base[7] = rng.choice(vocab)
+        b2_rows.append(doc(200 + i, base))
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    b1 = spark.createDataFrame(b1_rows, "doc_id long, text string")
+    b2 = spark.createDataFrame(b2_rows, "doc_id long, text string")
+
+    path = str(tmp_path / "lsh_index")
+    dedup.write_lsh_index(hist, path)
+    got1 = {
+        (r["new_id"], r["indexed_id"])
+        for r in dedup.probe_lsh_index(b1, path).collect()
+    }
+    # identical to probing the in-memory bucket table directly
+    fresh = {
+        (r["new_id"], r["indexed_id"])
+        for r in dedup.probe_lsh_index(b1, dedup.lsh_bucket_table(hist)).collect()
+    }
+    assert got1 == fresh and got1  # artifact round-trip, non-trivial
+    assert sum(1 for n, i in got1 if n == i + 100) >= 8  # planted recall
+
+    dedup.write_lsh_index(b1, path, mode="append")
+    got2 = {
+        (r["new_id"], r["indexed_id"])
+        for r in dedup.probe_lsh_index(b2, path).collect()
+    }
+    # batch2's planted near-dups are of batch1 docs, visible only
+    # because the index was appended
+    assert sum(1 for n, i in got2 if n == i + 100) >= 4
+
+
 def test_interval_count_join_subday_matches_bruteforce(spark):
     """The boundary-day decomposition must equal the naive theta-join
     on every edge: same-day window, exact-midnight endpoints, ts == s
