@@ -204,6 +204,80 @@ def value_ema_by_user(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     )
 
 
+#: Output schema of the streaming dedup admission gate.
+DEDUP_GATE_SCHEMA = "user_id long, event_id long, digest string"
+
+
+def streaming_dedup_admission(
+    events: DataFrame, n_recent: int = 128
+) -> DataFrame:
+    """Bounded-MEMORY streaming dedup gate: per user, an event is
+    ADMITTED iff its content digest is not among that user's last
+    ``n_recent`` admitted digests (FIFO eviction).
+
+    Why this operator exists next to the built-ins:
+    ``dropDuplicates`` keeps unbounded state, and
+    ``dropDuplicatesWithinWatermark`` bounds state by TIME — neither
+    can promise a per-key MEMORY bound. This gate's state is exactly
+    ``n_recent`` digests per active user, the admission contract a
+    production ingest gate runs with: a user replaying content within
+    their recent horizon is dropped, and state never grows past
+    n_recent x #active-users regardless of stream age.
+
+    Implemented on ``applyInPandasWithState`` (state: one
+    array<string> per key). Spark 4's successor API
+    (``transformWithStateInPandas`` — typed state handles, timers,
+    TTL) requires the ``protobuf`` package for its state-server
+    protocol, which this container does not ship; the gate's logic
+    moves over verbatim when it is available (the state becomes a
+    ListState and eviction can use TTL instead of FIFO).
+    """
+
+    def update(key, pdfs, state):
+        from collections import deque
+
+        import pandas as pd
+
+        (seen,) = state.get if state.exists else ([],)
+        seen = deque(seen, maxlen=n_recent)
+        sset = set(seen)
+        out_e, out_d = [], []
+        for pdf in pdfs:
+            for eid, dg in zip(pdf["event_id"], pdf["digest"]):
+                if dg in sset:
+                    continue
+                if len(seen) == n_recent:  # FIFO eviction, inline so
+                    sset.discard(seen[0])  # the bound holds mid-batch
+                sset.add(dg)
+                seen.append(dg)
+                out_e.append(int(eid))
+                out_d.append(dg)
+        state.update((list(seen),))
+        if out_e:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_e),
+                    "event_id": out_e,
+                    "digest": out_d,
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.md5(F.coalesce(F.col("props"), F.lit(""))).alias("digest"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_GATE_SCHEMA,
+        stateStructType="digests array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_profile(
     df: DataFrame, columns: dict[str, str], table_name: str = "stream"
 ) -> DataFrame:
