@@ -1,5 +1,16 @@
-"""``df.write.format("pgwire")`` — the Postgres load path as a Spark 4
-Python DataSource WRITER with a real commit protocol.
+"""``df.write.format("pgwire")`` / ``spark.read.format("pgwire")`` —
+Postgres as a Spark 4 Python DataSource over the pure wire-protocol
+client, no JDBC jar or psycopg2 required.
+
+READ side: schema inferred from the server's RowDescription type OIDs
+(``SELECT ... LIMIT 0``), optionally partition-parallel — give
+``partition_column`` (integer) and ``num_partitions`` and each Spark
+task scans one contiguous key range over its own connection, the same
+stride-partitioning contract as Spark's JDBC reader. ``table`` or an
+arbitrary ``query`` can be the source.
+
+WRITE side: the Postgres load path as a Spark writer with a real
+commit protocol.
 
 This packages the reference's truncate-staging -> batched-INSERT ->
 ON CONFLICT merge flow (/root/reference/src/load.py:6-96) behind
@@ -34,9 +45,89 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
+
+
+def _source_sql(options: dict) -> str:
+    if "query" in options:
+        return f"({options['query']}) AS __src"
+    return options["table"]
+
+
+def _connect_opts(options: dict):
+    from etl_property_rumah123_spark.sinks.pgwire import PgConnection
+
+    return PgConnection(
+        options["dsn"],
+        user=options.get("pg_user", "postgres"),
+        database=options.get("database", "postgres"),
+    )
+
+
+@dataclass
+class PgRange(InputPartition):
+    lo: int | None  # inclusive; None = open
+    hi: int | None  # exclusive; None = open
+
+
+class PgWireReader(DataSourceReader):
+    def __init__(self, options: dict, schema) -> None:
+        self.options = dict(options)
+        self.columns = [f.name for f in schema.fields]
+        self.pcol = options.get("partition_column")
+        self.n_parts = int(options.get("num_partitions", "1"))
+
+    def partitions(self):
+        if not self.pcol or self.n_parts <= 1:
+            return [PgRange(None, None)]
+        conn = _connect_opts(self.options)
+        try:
+            (mn, mx), = conn.run(
+                f"SELECT MIN({self.pcol}), MAX({self.pcol}) "
+                f"FROM {_source_sql(self.options)}"
+            )
+        finally:
+            conn.close()
+        if mn is None:
+            return [PgRange(None, None)]
+        mn, mx = int(mn), int(mx)
+        step = max(1, (mx - mn + 1 + self.n_parts - 1) // self.n_parts)
+        out = []
+        lo = mn
+        for i in range(self.n_parts):
+            hi = lo + step
+            # first/last ranges open-ended so concurrent inserts outside
+            # the sampled min/max are still read (JDBC reader contract)
+            out.append(
+                PgRange(None if i == 0 else lo,
+                        None if i == self.n_parts - 1 else hi)
+            )
+            lo = hi
+            if lo > mx:
+                out[-1] = PgRange(out[-1].lo, None)
+                break
+        return out
+
+    def read(self, partition: PgRange):
+        conn = _connect_opts(self.options)
+        try:
+            preds = []
+            if partition.lo is not None:
+                preds.append(f"{self.pcol} >= {partition.lo}")
+            if partition.hi is not None:
+                preds.append(f"{self.pcol} < {partition.hi}")
+            where = f" WHERE {' AND '.join(preds)}" if preds else ""
+            rows = conn.run(
+                f"SELECT {', '.join(self.columns)} "
+                f"FROM {_source_sql(self.options)}{where}"
+            )
+            yield from rows
+        finally:
+            conn.close()
 
 
 @dataclass
@@ -147,6 +238,29 @@ class PgWireDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "pgwire"
+
+    def schema(self) -> str:
+        """Infer the Spark schema from the server's RowDescription
+        type OIDs — one ``LIMIT 0`` round trip, no rows."""
+        from etl_property_rumah123_spark.sinks.pgwire import PG_OID_TO_SPARK
+
+        conn = _connect_opts(dict(self.options))
+        try:
+            cur = conn.cursor()
+            cur.execute(
+                f"SELECT * FROM {_source_sql(dict(self.options))} LIMIT 0"
+            )
+            conn.rollback()
+            fields = [
+                f"{name} {PG_OID_TO_SPARK.get(oid, 'string')}"
+                for name, oid, *_ in cur.description
+            ]
+        finally:
+            conn.close()
+        return ", ".join(fields)
+
+    def reader(self, schema) -> PgWireReader:
+        return PgWireReader(dict(self.options), schema)
 
     def writer(self, schema, overwrite: bool) -> PgWireWriter:
         return PgWireWriter(dict(self.options), schema, overwrite)

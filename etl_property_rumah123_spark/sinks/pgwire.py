@@ -34,11 +34,34 @@ import struct
 
 PROTOCOL_3_0 = 196608  # (3 << 16) | 0
 
-#: text-format decoders by type OID (the handful the sink meets).
+def _parse_ts(s: str):
+    import datetime as _dt
+
+    fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in s else "%Y-%m-%d %H:%M:%S"
+    return _dt.datetime.strptime(s, fmt)
+
+
+def _parse_date(s: str):
+    import datetime as _dt
+
+    return _dt.date.fromisoformat(s)
+
+
+#: text-format decoders by type OID (sink accounting + reader types).
 _DECODERS = {
     16: lambda s: s == "t",  # bool — xmax=0 accounting needs real bools
     20: int, 21: int, 23: int, 26: int,  # int8/2/4, oid
     700: float, 701: float, 1700: float,  # float4/8, numeric
+    1114: _parse_ts,  # timestamp (no tz)
+    1082: _parse_date,  # date
+}
+
+#: OID -> Spark DDL type, for reader schema inference.
+PG_OID_TO_SPARK = {
+    16: "boolean", 21: "short", 23: "int", 20: "long",
+    700: "float", 701: "double", 1700: "double",
+    1043: "string", 25: "string", 1042: "string",  # varchar/text/char
+    1114: "timestamp", 1082: "date",
 }
 
 

@@ -339,6 +339,68 @@ def test_pgwire_datasource_writer_end_to_end(spark, pg_sock):
     assert _main_state(pg_sock) == [("w9", "z", 90, None)]
 
 
+def test_pgwire_datasource_reader_partitioned(spark, pg_sock):
+    """spark.read.format('pgwire'): schema inferred from RowDescription
+    OIDs, values (incl. NULL/bool/float/timestamp/date) round-trip,
+    and partition_column/num_partitions gives each task its own
+    key-range scan over its own connection."""
+    from etl_property_rumah123_spark.sinks.pg_datasource import (
+        PgWireDataSource,
+    )
+
+    try:
+        spark.dataSource.register(PgWireDataSource)
+    except Exception:
+        pass
+    conn = PgConnection(pg_sock)
+    try:
+        conn.run("DROP TABLE IF EXISTS rt")
+        conn.run(
+            "CREATE TABLE rt (id BIGINT PRIMARY KEY, name VARCHAR, "
+            "price DOUBLE PRECISION, ok BOOLEAN, seen TIMESTAMP, d DATE)"
+        )
+        conn.run(
+            "INSERT INTO rt SELECT i, 'n' || i, i * 1.5, i % 2 = 0, "
+            "TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '1 hour', "
+            "DATE '2024-01-01' + i FROM generate_series(0, 99) g(i)"
+        )
+        conn.run("INSERT INTO rt VALUES (100, NULL, NULL, NULL, NULL, NULL)")
+    finally:
+        conn.close()
+
+    df = (
+        spark.read.format("pgwire")
+        .option("dsn", pg_sock)
+        .option("table", "rt")
+        .option("partition_column", "id")
+        .option("num_partitions", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert dict(df.dtypes) == {
+        "id": "bigint", "name": "string", "price": "double",
+        "ok": "boolean", "seen": "timestamp", "d": "date",
+    }
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 101
+    import datetime as dt
+
+    assert rows[3]["name"] == "n3" and rows[3]["price"] == 4.5
+    assert rows[4]["ok"] is True and rows[5]["ok"] is False
+    assert rows[2]["seen"] == dt.datetime(2024, 1, 1, 2, 0)
+    assert rows[2]["d"] == dt.date(2024, 1, 3)
+    assert rows[100]["name"] is None and rows[100]["seen"] is None
+
+    # arbitrary query source, single partition
+    q = (
+        spark.read.format("pgwire")
+        .option("dsn", pg_sock)
+        .option("query", "SELECT COUNT(*) AS n, SUM(id) AS s FROM rt")
+        .load()
+    )
+    assert q.collect() == [(101, 5050)]
+
+
 def test_listing_pipeline_to_real_postgres(spark, pg_sock):
     """The reference's library surface end-to-end against real
     Postgres: fixture extract -> transform -> load (src/__init__.py:1-3),
