@@ -18,6 +18,10 @@ All formats are public specifications:
 - PNG: W3C PNG spec / RFC 2083 — 8-byte signature, CRC-checked
   chunks (IHDR/IDAT/IEND), zlib-compressed scanlines with a per-row
   filter byte (None/Sub/Up/Average/Paeth), color type 2, bit depth 8.
+- JPEG: ITU-T T.81 baseline sequential — re-exported from
+  ``functions/jpeg.py``, a from-the-spec numpy implementation
+  (DCT + Annex K quant/Huffman tables, byte-stuffed entropy coding).
+  Lossy by design: quality-100 round trips within ±2/channel.
 """
 
 from __future__ import annotations
@@ -28,6 +32,11 @@ import wave
 import zlib
 
 import numpy as np
+
+from etl_property_rumah123_spark.functions.jpeg import (  # noqa: F401
+    decode_jpeg,
+    encode_jpeg,
+)
 
 _BMP_FILE_HEADER = struct.Struct("<2sIHHI")  # magic, size, res1, res2, offset
 _BMP_INFO_HEADER = struct.Struct("<IiiHHIIiiII")

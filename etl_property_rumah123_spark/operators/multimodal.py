@@ -8,13 +8,14 @@ of metadata-only queries payload-free. Decode and feature extraction
 run as ``mapInPandas`` — Arrow batches in, Arrow batches out, one
 Python worker per core, no driver involvement.
 
-Codecs: uncompressed formats are decoded FOR REAL — 24-bit BMP images
-and 16-bit PCM WAV audio parse through ``functions/codecs.py``
-(numpy + stdlib implementations of the public specs), so the decode
-stage extracts genuine width/height/duration from genuine format
-bytes. Compressed codecs (JPEG/PNG/H.264) are not available in this
-container and remain a documented production swap
-(:func:`decode_compressed` below); text payloads carry no decodable
+Codecs: every image/audio format here decodes FOR REAL through
+``functions/codecs.py`` — 24-bit BMP, 16-bit PCM WAV, 8-bit truecolor
+PNG (stdlib-zlib DEFLATE + scanline unfiltering), and baseline JPEG
+(``functions/jpeg.py``: a from-the-spec T.81 implementation — DCT,
+Annex K quantization/Huffman tables, byte-stuffed entropy coding) —
+numpy + stdlib implementations of the public specs, no image/audio
+library. Only the remaining lossy codecs (H.264/MP3) need an external
+library (:func:`decode_compressed`); text payloads carry no decodable
 dimensions and report NULLs.
 """
 
@@ -24,6 +25,20 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _decode_image(mime: str, raw: bytes):
+    """Dispatch one image payload to its real decoder; raises
+    ``ValueError`` on corrupt bytes (callers degrade to NULLs)."""
+    from etl_property_rumah123_spark.functions import codecs
+
+    if mime == "image/bmp":
+        return codecs.decode_bmp24(raw)
+    if mime == "image/png":
+        return codecs.decode_png(raw)
+    if mime == "image/jpeg":
+        return codecs.decode_jpeg(raw)
+    raise ValueError(f"not an image mime type: {mime}")
 
 #: Output schema of the decode stage (DDL form for mapInPandas).
 #: ``payload_digest`` is md5 over the raw bytes (the production
@@ -131,16 +146,15 @@ def synthesize_media(df: DataFrame) -> DataFrame:
 def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
     """mapInPandas kernel: per-batch decode of payload bytes.
 
-    Dispatches on mime type: ``image/bmp`` runs the real BMP parser
-    (true width/height from the BITMAPINFOHEADER, validated against
-    the pixel array), ``image/png`` runs the real PNG decoder (zlib
-    inflate + scanline unfiltering — a genuinely compressed format,
-    functions/codecs.py), ``audio/wav`` runs the real PCM WAV parser
-    (true duration from frame count / rate); anything else (text,
-    lossy codecs) yields byte-level metadata with NULL dimensions.
-    Undecodable bytes of a claimed media type also fall back to NULLs
-    rather than failing the batch — corrupt samples are a
-    data-quality fact, not a pipeline error.
+    Dispatches on mime type: ``image/bmp``/``image/png``/
+    ``image/jpeg`` run the real parsers (true width/height from the
+    actual decode — BITMAPINFOHEADER, inflated scanlines, or the
+    T.81 entropy-decoded frame), ``audio/wav`` runs the real PCM WAV
+    parser (true duration from frame count / rate); anything else
+    (text, A/V codecs) yields byte-level metadata with NULL
+    dimensions. Undecodable bytes of a claimed media type also fall
+    back to NULLs rather than failing the batch — corrupt samples are
+    a data-quality fact, not a pipeline error.
     """
     import hashlib
 
@@ -159,13 +173,9 @@ def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame
         ):
             raw = bytes(b) if b is not None else b""
             width = height = ms = None
-            if raw and mime in ("image/bmp", "image/png"):
+            if raw and mime in ("image/bmp", "image/png", "image/jpeg"):
                 try:
-                    px = (
-                        codecs.decode_bmp24(raw)
-                        if mime == "image/bmp"
-                        else codecs.decode_png(raw)
-                    )
+                    px = _decode_image(mime, raw)
                     height, width = px.shape[0], px.shape[1]
                 except ValueError:
                     pass
@@ -227,14 +237,9 @@ def extract_features(df: DataFrame, feat_dim: int = 8) -> DataFrame:
 
         def content_array(mime, raw):
             """Decoded content when a real codec applies, else bytes."""
-            if raw and mime in ("image/bmp", "image/png"):
+            if raw and mime in ("image/bmp", "image/png", "image/jpeg"):
                 try:
-                    px = (
-                        codecs.decode_bmp24(raw)
-                        if mime == "image/bmp"
-                        else codecs.decode_png(raw)
-                    )
-                    return px.ravel()
+                    return _decode_image(mime, raw).ravel()
                 except ValueError:
                     pass
             elif raw and mime == "audio/wav":
@@ -348,23 +353,20 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 pdf["sample_id"], pdf["mime_type"], pdf["payload"]
             ):
                 out = iw = ih = None
-                if b is not None and mime in ("image/bmp", "image/png"):
+                if b is not None and mime in ("image/bmp", "image/png", "image/jpeg"):
                     try:
                         raw = bytes(b)
-                        px = (
-                            codecs.decode_bmp24(raw)
-                            if mime == "image/bmp"
-                            else codecs.decode_png(raw)
-                        )
+                        px = _decode_image(mime, raw)
                         ih, iw = px.shape[0], px.shape[1]
                         ri = (np.arange(height) * ih) // height
                         ci = (np.arange(width) * iw) // width
                         resized = px[ri][:, ci]
-                        out = (
-                            codecs.encode_bmp24(resized)
-                            if mime == "image/bmp"
-                            else codecs.encode_png(resized)
-                        )
+                        if mime == "image/bmp":
+                            out = codecs.encode_bmp24(resized)
+                        elif mime == "image/png":
+                            out = codecs.encode_png(resized)
+                        else:
+                            out = codecs.encode_jpeg(resized, quality=90)
                     except ValueError:
                         out = iw = ih = None
                 rows["sample_id"].append(sid)
@@ -381,20 +383,26 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def decode_compressed(payload: bytes) -> "np.ndarray":  # noqa: F821
-    """Compressed-format image decode. PNG decodes FOR REAL — the
-    pure stdlib-zlib + numpy decoder in ``functions/codecs.py``
-    (DEFLATE inflate, CRC checks, all five scanline unfilters) — so
-    the compressed path is exercised end-to-end with no image library.
-    The LOSSY transform codecs (JPEG/H.264/MP3) still need a library
-    (PIL / torchvision / ffmpeg) that is not installed in this
-    container; swap this router's fallback for one in production.
+    """Compressed-format image decode, by magic bytes. PNG and
+    baseline JPEG decode FOR REAL — PNG via the stdlib-zlib + numpy
+    decoder (DEFLATE inflate, CRC checks, all five scanline
+    unfilters), JPEG via the from-the-spec T.81 baseline
+    implementation in ``functions/jpeg.py`` (Huffman entropy decode,
+    dequantize, IDCT, YCbCr) — so the compressed path runs end-to-end
+    with no image library. Only the remaining lossy A/V codecs
+    (H.264/MP3, progressive/subsampled JPEG) need a library
+    (PIL / torchvision / ffmpeg); swap this router's fallback in
+    production.
     """
     from etl_property_rumah123_spark.functions import codecs
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return codecs.decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return codecs.decode_jpeg(payload)
     raise NotImplementedError(
-        "lossy codecs (JPEG/H.264/MP3) are not available in this "
-        "environment; PNG decodes natively via functions/codecs.py — "
-        "swap this fallback for PIL/ffmpeg in production"
+        "video/audio codecs (H.264/MP3) are not available in this "
+        "environment; PNG and baseline JPEG decode natively via "
+        "functions/codecs.py + functions/jpeg.py — swap this fallback "
+        "for PIL/ffmpeg in production"
     )

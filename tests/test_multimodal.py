@@ -87,12 +87,77 @@ def test_png_decoder_rejects_garbage_crc_and_unsupported():
         codecs.decode_png(bytes(gray))
 
 
-def test_decode_compressed_routes_png_and_refuses_lossy():
+def test_decode_compressed_routes_png_jpeg_and_refuses_av():
     px = np.random.default_rng(3).integers(0, 256, (5, 4, 3), dtype=np.uint8)
     out = multimodal.decode_compressed(codecs.encode_png(px))
     assert np.array_equal(out, px)
+    jout = multimodal.decode_compressed(codecs.encode_jpeg(px, quality=100))
+    assert jout.shape == px.shape
+    assert np.abs(jout.astype(int) - px.astype(int)).max() <= 2
     with pytest.raises(NotImplementedError):
-        multimodal.decode_compressed(b"\xff\xd8\xff\xe0JFIF-ish")
+        multimodal.decode_compressed(b"\x00\x00\x01\xbaMPEG-PS-ish")
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (24, 16), (9, 13), (1, 1)])
+def test_jpeg_roundtrip_bounds(w, h):
+    """Baseline JPEG from the T.81 spec: at quality 100 the Annex K
+    tables scale to all-ones, so the only loss is DCT float rounding —
+    round trips within +-2 per channel; lossy qualities stay sane and
+    flat content survives exactly."""
+    rng = np.random.default_rng(77 + w + h)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = codecs.encode_jpeg(px, quality=100)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    out = codecs.decode_jpeg(data)
+    assert out.shape == (h, w, 3)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+    flat = np.full((h, w, 3), 130, dtype=np.uint8)
+    assert np.array_equal(
+        codecs.decode_jpeg(codecs.encode_jpeg(flat, quality=75)), flat
+    )
+    # lossy quality actually compresses noise below quality-100 size
+    assert len(codecs.encode_jpeg(px, quality=50)) < len(data)
+
+
+def test_jpeg_decoder_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"definitely not a jpeg")
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = codecs.encode_jpeg(px)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(good[:40])  # truncated mid-segment
+    # progressive (SOF2) must be refused, not mis-decoded
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(prog)
+
+
+def test_decode_stage_handles_jpeg(spark):
+    """The Arrow decode stage extracts true dims from JPEG payloads
+    (frame header + full entropy decode); corrupt scans -> NULLs."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    good = codecs.encode_jpeg(px, quality=90)
+    rows = [
+        (1, "image", bytearray(good), "image/jpeg"),
+        (2, "image", bytearray(good[:60]), "image/jpeg"),
+    ]
+    df = spark.createDataFrame(
+        rows, "sample_id long, modality string, payload binary, mime_type string"
+    )
+    got = {
+        r["sample_id"]: (r["decoded_width"], r["decoded_height"])
+        for r in multimodal.decode_media(df).collect()
+    }
+    assert got == {1: (24, 16), 2: (None, None)}
+    resized = {
+        r["sample_id"]: r
+        for r in multimodal.resize_images(df, width=16, height=16).collect()
+    }
+    assert (resized[1]["out_width"], resized[1]["in_width"]) == (16, 24)
+    # re-encoded as JPEG, decodable, right shape
+    assert codecs.decode_jpeg(bytes(resized[1]["payload"])).shape == (16, 16, 3)
+    assert resized[2]["payload"] is None
 
 
 def test_decode_and_resize_stages_handle_png(spark):
