@@ -252,69 +252,106 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as baseline JFIF JPEG."""
+_ZZ_R = [p[0] for p in ZIGZAG]
+_ZZ_C = [p[1] for p in ZIGZAG]
+
+
+def _encode_block(writer, block, quant, dc_codes, ac_codes, prev_dc):
+    """FDCT + quantize + entropy-code one 8x8 block; returns the new
+    DC predictor."""
+    coef = _A @ block @ _A.T
+    q = np.round(coef / quant).astype(np.int64)
+    zz = q[_ZZ_R, _ZZ_C]
+    diff = int(zz[0]) - prev_dc
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        run = 0
+    if last_nz != 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as baseline JFIF JPEG.
+
+    ``subsampling``: '444' (full-resolution chroma) or '420' (chroma
+    averaged 2x2 — the dominant layout of real-world JPEGs; MCUs
+    interleave four Y blocks with one Cb and one Cr block)."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling}")
     h, w, _ = pixels.shape
     qlum, qchrom = scaled_quant_tables(quality)
-    # edge-replicate pad to 8x8 blocks
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(
-        pixels, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
-    )
+    mcu = 8 if subsampling == "444" else 16
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    padded = np.pad(pixels, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
     ycc = _rgb_to_ycbcr(padded) - np.array([128.0, 128.0, 128.0])
 
     dc_codes = [_build_codes(DC_LUM_BITS, DC_LUM_VALS),
                 _build_codes(DC_CHROM_BITS, DC_CHROM_VALS)]
     ac_codes = [_build_codes(AC_LUM_BITS, AC_LUM_VALS),
                 _build_codes(AC_CHROM_BITS, AC_CHROM_VALS)]
-    quants = [qlum, qchrom, qchrom]
-    tsel = [0, 1, 1]
 
     writer = _BitWriter()
     prev_dc = [0, 0, 0]
-    zz_r = [p[0] for p in ZIGZAG]
-    zz_c = [p[1] for p in ZIGZAG]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for comp in range(3):
-                block = ycc[by : by + 8, bx : bx + 8, comp]
-                coef = _A @ block @ _A.T
-                q = np.round(coef / quants[comp]).astype(np.int64)
-                zz = q[zz_r, zz_c]
-                # DC
-                diff = int(zz[0]) - prev_dc[comp]
-                prev_dc[comp] = int(zz[0])
-                size, bits = _magnitude(diff)
-                code, length = dc_codes[tsel[comp]][size]
-                writer.write(code, length)
-                if size:
-                    writer.write(bits, size)
-                # AC: run-length of zeros + size, ZRL, EOB
-                run = 0
-                last_nz = 0
-                for i in range(63, 0, -1):
-                    if zz[i]:
-                        last_nz = i
-                        break
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[tsel[comp]][0xF0]  # ZRL
-                        writer.write(code, length)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    code, length = ac_codes[tsel[comp]][(run << 4) | size]
-                    writer.write(code, length)
-                    writer.write(bits, size)
-                    run = 0
-                if last_nz != 63:
-                    code, length = ac_codes[tsel[comp]][0x00]  # EOB
-                    writer.write(code, length)
+    if subsampling == "444":
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for comp in range(3):
+                    t = 0 if comp == 0 else 1
+                    prev_dc[comp] = _encode_block(
+                        writer, ycc[by : by + 8, bx : bx + 8, comp],
+                        qlum if comp == 0 else qchrom,
+                        dc_codes[t], ac_codes[t], prev_dc[comp],
+                    )
+    else:  # 4:2:0 — chroma planes are 2x2 means at half resolution
+        yplane = ycc[..., 0]
+        chroma = [
+            ycc[..., c].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            for c in (1, 2)
+        ]
+        for by in range(0, ph, 16):
+            for bx in range(0, pw, 16):
+                for dy in (0, 8):  # 4 luma blocks, raster order
+                    for dx in (0, 8):
+                        prev_dc[0] = _encode_block(
+                            writer,
+                            yplane[by + dy : by + dy + 8, bx + dx : bx + dx + 8],
+                            qlum, dc_codes[0], ac_codes[0], prev_dc[0],
+                        )
+                cy, cx = by // 2, bx // 2
+                for comp in (1, 2):
+                    prev_dc[comp] = _encode_block(
+                        writer,
+                        chroma[comp - 1][cy : cy + 8, cx : cx + 8],
+                        qchrom, dc_codes[1], ac_codes[1], prev_dc[comp],
+                    )
     writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -329,10 +366,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
             0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
         )
 
+    y_sampling = 0x11 if subsampling == "444" else 0x22
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     sos = seg(
         0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
@@ -399,9 +437,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, sampling, qsel = payload[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise ValueError("chroma subsampling unsupported (4:4:4 only)")
-                comps.append((cid, qsel))
+                hs, vs = sampling >> 4, sampling & 0xF
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(
+                        f"sampling factors {hs}x{vs} unsupported (1 or 2 only)"
+                    )
+                comps.append((cid, hs, vs, qsel))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline sequential (SOF0) supported")
@@ -426,45 +467,67 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("missing EOI")
     reader = _BitReader(data[scan_start:end])
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    out = np.zeros((ph, pw, 3), dtype=np.float64)
-    prev_dc = [0, 0, 0]
-    zz_r = [p[0] for p in ZIGZAG]
-    zz_c = [p[1] for p in ZIGZAG]
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * vs, mcux * 8 * hs), dtype=np.float64)
+        for _, hs, vs, _ in comps
+    ]
+    prev_dc = [0] * len(comps)
+
+    def decode_block(dc_t, ac_t, ci, qsel):
+        zz = np.zeros(64, dtype=np.int64)
+        size = _decode_symbol(reader, dc_t)
+        diff = _extend(reader.read(size), size) if size else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        i = 1
+        while i < 64:
+            rs = _decode_symbol(reader, ac_t)
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                i += 16
+                continue
+            i += run
+            if i > 63:
+                raise ValueError("AC coefficient index overflow")
+            zz[i] = _extend(reader.read(size), size)
+            i += 1
+        coef = np.zeros((8, 8), dtype=np.float64)
+        coef[_ZZ_R, _ZZ_C] = zz
+        coef *= qtables[qsel]
+        return _A.T @ coef @ _A + 128.0
+
     try:
-        for by in range(0, ph, 8):
-            for bx in range(0, pw, 8):
-                for ci, (cid, qsel) in enumerate(comps):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, hs, vs, qsel) in enumerate(comps):
                     if qsel not in qtables or cid not in sel:
                         raise ValueError("scan references missing tables")
                     dc_t = htables.get((0, sel[cid][0]))
                     ac_t = htables.get((1, sel[cid][1]))
                     if dc_t is None or ac_t is None:
                         raise ValueError("missing Huffman tables")
-                    zz = np.zeros(64, dtype=np.int64)
-                    size = _decode_symbol(reader, dc_t)
-                    diff = _extend(reader.read(size), size) if size else 0
-                    prev_dc[ci] += diff
-                    zz[0] = prev_dc[ci]
-                    i = 1
-                    while i < 64:
-                        rs = _decode_symbol(reader, ac_t)
-                        run, size = rs >> 4, rs & 0xF
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            i += 16
-                            continue
-                        i += run
-                        if i > 63:
-                            raise ValueError("AC coefficient index overflow")
-                        zz[i] = _extend(reader.read(size), size)
-                        i += 1
-                    coef = np.zeros((8, 8), dtype=np.float64)
-                    coef[zz_r, zz_c] = zz
-                    coef *= qtables[qsel]
-                    block = _A.T @ coef @ _A
-                    out[by : by + 8, bx : bx + 8, ci] = block + 128.0
+                    for vy in range(vs):
+                        for hx in range(hs):
+                            block = decode_block(dc_t, ac_t, ci, qsel)
+                            r0 = (my * vs + vy) * 8
+                            c0 = (mx * hs + hx) * 8
+                            planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
     except IndexError as e:
         raise ValueError(f"corrupt scan: {e}") from e
+
+    # upsample subsampled components to full resolution (nearest)
+    full = []
+    for plane, (_cid, hs, vs, _q) in zip(planes, comps):
+        if vs < vmax:
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        if hs < hmax:
+            plane = np.repeat(plane, hmax // hs, axis=1)
+        full.append(plane[: mcuy * 8 * vmax, : mcux * 8 * hmax])
+    out = np.stack(full, axis=-1)
     return _ycbcr_to_rgb(out[:h, :w])

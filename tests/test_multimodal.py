@@ -119,6 +119,33 @@ def test_jpeg_roundtrip_bounds(w, h):
     assert len(codecs.encode_jpeg(px, quality=50)) < len(data)
 
 
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 — the dominant real-world JPEG layout: interleaved MCUs
+    of four Y blocks + averaged chroma. Grayscale content (constant
+    chroma) survives subsampling almost exactly; colored noise
+    compresses well below the 4:4:4 size; smooth color stays close."""
+    rng = np.random.default_rng(21)
+    gray = np.repeat(rng.integers(0, 256, (24, 24, 1), dtype=np.uint8), 3, axis=2)
+    out = codecs.decode_jpeg(
+        codecs.encode_jpeg(gray, quality=100, subsampling="420")
+    )
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 2
+    noise = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    d444 = codecs.encode_jpeg(noise, quality=90)
+    d420 = codecs.encode_jpeg(noise, quality=90, subsampling="420")
+    assert len(d420) < len(d444)
+    assert codecs.decode_jpeg(d420).shape == noise.shape
+    # smooth color: chroma varies slowly, 4:2:0 stays close everywhere
+    xx, yy = np.meshgrid(np.arange(40), np.arange(40))
+    smooth = np.stack(
+        [(xx * 3) % 256, (yy * 3) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    out = codecs.decode_jpeg(
+        codecs.encode_jpeg(smooth, quality=95, subsampling="420")
+    )
+    assert np.abs(out.astype(int) - smooth.astype(int)).mean() < 8
+
+
 def test_jpeg_decoder_rejects_garbage_and_unsupported():
     with pytest.raises(ValueError):
         codecs.decode_jpeg(b"definitely not a jpeg")

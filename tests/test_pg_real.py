@@ -131,6 +131,32 @@ def _main_state(sock):
         conn.close()
 
 
+def test_wire_quoting_roundtrips_hostile_text(pg_sock):
+    """quote_literal must round-trip arbitrary text through a real
+    server byte-for-byte — quotes, backslashes, unicode, newlines,
+    dollar-quoting lookalikes, and SQL fragments stay DATA."""
+    cases = [
+        "it's", "two''quotes", "back\\slash", "c:\\x\\y",
+        "line\nbreak\r\n", "tab\there", "ünïcode ☃ 中文",
+        "'; DROP TABLE property_rumah; --", "$tag$not dollar quoting$tag$",
+        "%s %(name)s {braces}", " leading and trailing ", "",
+    ]
+    conn = PgConnection(pg_sock)
+    try:
+        conn.run("DROP TABLE IF EXISTS qt")
+        conn.run("CREATE TABLE qt (id INT, t VARCHAR)")
+        cur = conn.cursor()
+        for i, s in enumerate(cases):
+            cur.execute(
+                f"INSERT INTO qt VALUES ({i}, {pgwire.quote_literal(s)})"
+            )
+        conn.commit()
+        got = dict(conn.run("SELECT id, t FROM qt ORDER BY id"))
+    finally:
+        conn.close()
+    assert got == dict(enumerate(cases))
+
+
 def test_wire_client_types_and_quoting(pg_sock):
     conn = PgConnection(pg_sock)
     try:
