@@ -61,6 +61,14 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, _REPO_DIR))
     sc.addPyFile(pkg_zip)
+    # Executors fetch the file from the driver's file server LAZILY (in
+    # local mode straight from this path), so the zip must outlive the
+    # session — clean it at process exit instead of leaking one tempdir
+    # per driver run on /tmp.
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, zip_dir, ignore_errors=True)
     _SHIPPED_TO.add(app_id)
 
 

@@ -101,10 +101,20 @@ def interval_count_join(
     """Count probe rows with ``ts in [start, end)`` per interval, with
     exact sub-day endpoint semantics. Output: (key_col, n_in_window)
     — one row per interval, zero-count intervals kept; end <= start
-    yields 0. Interval rows must be unique per ``key_col``.
+    yields 0, and so does a NULL endpoint (SQL semantics: ts >= NULL
+    / ts < NULL is never true — greatest/least would otherwise skip
+    the NULL and silently clamp to the data edge). Interval rows must
+    be unique per ``key_col``.
     """
     day_cum, hour_cum, mn_day, mx_day = _prefix_tables(probes, ts_col)
     sentinel = F.lit(mx_day) + F.expr("INTERVAL 1 DAY")
+
+    null_ended = intervals.filter(
+        F.col(start_col).isNull() | F.col(end_col).isNull()
+    ).select(F.col(key_col), F.lit(0).cast("long").alias("n_in_window"))
+    intervals = intervals.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
 
     # endpoint rows: (key, sign, t) with t clamped to [min_day, sentinel]
     ends = intervals.select(
@@ -167,9 +177,7 @@ def interval_count_join(
             * (F.col("__DH") + F.coalesce(F.col("__R"), F.lit(0)))
         ).alias("__c"),
     )
-    return (
-        per_end.groupBy(key_col)
-        .agg(
-            F.greatest(F.sum("__c"), F.lit(0)).cast("long").alias("n_in_window")
-        )
+    counted = per_end.groupBy(key_col).agg(
+        F.greatest(F.sum("__c"), F.lit(0)).cast("long").alias("n_in_window")
     )
+    return counted.unionByName(null_ended)

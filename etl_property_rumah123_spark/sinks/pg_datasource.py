@@ -160,29 +160,13 @@ class PgWireWriter(DataSourceWriter):
         return PgConnection(self.dsn, user=self.user, database=self.database)
 
     def write(self, iterator) -> PgWriteCommit:
-        from etl_property_rumah123_spark.sinks.pgwire import quote_literal
+        from etl_property_rumah123_spark.sinks.pgwire import insert_rows
 
         conn = self._connect()
-        n = 0
         try:
-            cur = conn.cursor()
-            prefix = (
-                f"INSERT INTO {self.stg_table} "
-                f"({', '.join(self.columns)}) VALUES "
+            n = insert_rows(
+                conn, self.stg_table, self.columns, iterator, self.batch_size
             )
-            batch = []
-            for row in iterator:
-                batch.append(
-                    "("
-                    + ", ".join(quote_literal(row[c]) for c in self.columns)
-                    + ")"
-                )
-                n += 1
-                if len(batch) >= self.batch_size:
-                    cur.execute(prefix + ",\n".join(batch))
-                    batch = []
-            if batch:
-                cur.execute(prefix + ",\n".join(batch))
             conn.commit()
         except Exception:
             conn.rollback()
@@ -216,7 +200,15 @@ class PgWireWriter(DataSourceWriter):
             )
             inserted = sum(1 for r in cur.fetchall() if r[0])
             conn.commit()
-            self.n_fresh_inserts = inserted
+            # Spark discards the writer after commit, so the count is
+            # surfaced via logging (callers needing it programmatically
+            # use load_to_postgres_wire, which returns it).
+            import logging
+
+            logging.getLogger(__name__).info(
+                "pgwire commit: merged %s -> %s, %d fresh inserts",
+                self.stg_table, self.main_table, inserted,
+            )
         except Exception:
             conn.rollback()
             raise

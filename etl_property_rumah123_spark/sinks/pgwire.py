@@ -80,12 +80,22 @@ def quote_literal(value) -> str:
     """Render a Python value as a SQL literal (standard_conforming_
     strings semantics: '' is the only escape). Used by the staging
     INSERT builder; arrays are stringified upstream at the sink
-    boundary (SURVEY §1.4)."""
+    boundary (SURVEY §1.4). Non-finite floats render as the quoted
+    spellings Postgres requires ('NaN'/'Infinity'/'-Infinity') —
+    bare nan/inf tokens would be a syntax error."""
     if value is None:
         return "NULL"
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
-    if isinstance(value, (int, float)):
+    if isinstance(value, float):
+        if value != value:
+            return "'NaN'"
+        if value == float("inf"):
+            return "'Infinity'"
+        if value == float("-inf"):
+            return "'-Infinity'"
+        return str(value)
+    if isinstance(value, int):
         return str(value)
     if isinstance(value, str):
         return "'" + value.replace("'", "''") + "'"
@@ -282,6 +292,36 @@ class PgConnection:
         return rows
 
 
+def insert_rows(
+    conn: PgConnection,
+    table: str,
+    columns: list[str],
+    rows,
+    batch_size: int,
+) -> int:
+    """Stream rows into ``table`` as multi-row INSERTs of
+    ``batch_size`` on an open connection (no commit — the caller owns
+    the transaction). Shared by the foreachPartition staging writer
+    and the pgwire DataSource writer so the batching/quoting logic
+    has one home. Rows are mappings/Row objects indexable by column
+    name. Returns the row count."""
+    cur = conn.cursor()
+    prefix = f"INSERT INTO {table} ({', '.join(columns)}) VALUES "
+    batch = []
+    n = 0
+    for row in rows:
+        batch.append(
+            "(" + ", ".join(quote_literal(row[c]) for c in columns) + ")"
+        )
+        n += 1
+        if len(batch) >= batch_size:
+            cur.execute(prefix + ",\n".join(batch))
+            batch = []
+    if batch:
+        cur.execute(prefix + ",\n".join(batch))
+    return n
+
+
 def write_staging_wire(
     df,
     dsn: str,
@@ -314,18 +354,7 @@ def write_staging_wire(
     def insert_partition(rows_iter):
         pconn = PgConnection(dsn, user=user, database=database)
         try:
-            cur = pconn.cursor()
-            batch = []
-            prefix = f"INSERT INTO {stg_table} ({', '.join(columns)}) VALUES "
-            for row in rows_iter:
-                batch.append(
-                    "(" + ", ".join(quote_literal(row[c]) for c in columns) + ")"
-                )
-                if len(batch) >= batch_size:
-                    cur.execute(prefix + ",\n".join(batch))
-                    batch = []
-            if batch:
-                cur.execute(prefix + ",\n".join(batch))
+            insert_rows(pconn, stg_table, columns, rows_iter, batch_size)
             pconn.commit()
         except Exception:
             pconn.rollback()

@@ -365,10 +365,15 @@ def zorder_layout(
     scaled = []
     if scaling == "rank":
         probs = [i / rank_buckets for i in range(1, rank_buckets)]
-        for c in zorder_cols:
-            cuts = df.select(F.col(c).cast("double").alias("__v")).approxQuantile(
-                "__v", probs, rank_rel_err
-            )
+        # ONE pass for all dimensions: approxQuantile takes a column
+        # list, so N z-order columns still cost a single data scan.
+        casts = df.select(
+            *[F.col(c).cast("double").alias(f"__v{i}") for i, c in enumerate(zorder_cols)]
+        )
+        all_cuts = casts.approxQuantile(
+            [f"__v{i}" for i in range(n)], probs, rank_rel_err
+        )
+        for c, cuts in zip(zorder_cols, all_cuts):
             # Strictly increasing boundaries: ties collapse buckets,
             # which is correct — a heavy-hitter value owns one bucket
             # and its neighbors stay equal-depth.

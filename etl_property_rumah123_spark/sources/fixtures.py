@@ -98,6 +98,23 @@ def write_fixture_pages(
                     )
                 )
         page_html = "<html><body>" + "".join(cards) + "</body></html>"
-        with open(os.path.join(out_dir, f"page_{page}.html"), "w") as f:
+        path = os.path.join(out_dir, f"page_{page}.html")
+        # Atomic per-file publish: the fixture dir is shared (the
+        # DuckDB oracle and the listing DataSource both read it, and
+        # parallel sessions re-generate it at import), so a reader
+        # must never observe a truncated page. Content is a pure
+        # function of the seed, so an existing identical file is
+        # left untouched (no mtime churn, no window at all).
+        try:
+            with open(path) as f:
+                if f.read() == page_html:
+                    continue
+        except OSError:
+            pass
+        import tempfile as _tf
+
+        fd, tmp = _tf.mkstemp(dir=out_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
             f.write(page_html)
+        os.replace(tmp, path)
     return out_dir

@@ -355,6 +355,8 @@ def test_interval_count_join_subday_matches_bruteforce(spark):
         (4, T + 3 * H, T + 99 * H),           # 4 days, 2 interior
         (5, T + 200 * H, T + 210 * H),        # window beyond all probes
         (6, T + 26 * H, T + 27 * H),          # 1-hour sub-day window
+        (7, None, T + 9 * H),                 # NULL start -> 0 (SQL)
+        (8, T + 5 * H, None),                 # NULL end -> 0 (SQL)
     ]
     rng = random.Random(5)
     probes = [(i, T + dt.timedelta(minutes=rng.randrange(0, 7 * 24 * 60)))
@@ -369,11 +371,16 @@ def test_interval_count_join_subday_matches_bruteforce(spark):
         for r in interval_count_join(iv, p, "k", "s", "e", "ts").collect()
     }
     expect = {
-        k: sum(1 for _, ts in probes if s <= ts < e)
+        k: (
+            0
+            if s is None or e is None
+            else sum(1 for _, ts in probes if s <= ts < e)
+        )
         for k, s, e in intervals
     }
     assert got == expect
-    assert got[3] == 0 and got[5] == 0  # zero-count intervals kept
+    # zero-count and NULL-endpoint intervals all kept, all 0
+    assert got[3] == got[5] == got[7] == got[8] == 0
 
 
 def test_minhash_xxhash64_family_matches_md5_candidates(spark):

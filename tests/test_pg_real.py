@@ -167,6 +167,18 @@ def test_wire_client_types_and_quoting(pg_sock):
         assert pgwire.quote_literal("a'b; DROP TABLE x") == "'a''b; DROP TABLE x'"
         assert pgwire.quote_literal(None) == "NULL"
         assert pgwire.quote_literal(True) == "TRUE"
+        # non-finite doubles need Postgres' quoted spellings
+        import math
+
+        conn.run("DROP TABLE IF EXISTS ft")
+        conn.run("CREATE TABLE ft (v DOUBLE PRECISION)")
+        cur = conn.cursor()
+        for v in (float("nan"), float("inf"), float("-inf"), 1.25):
+            cur.execute(f"INSERT INTO ft VALUES ({pgwire.quote_literal(v)})")
+        conn.commit()
+        got = [r[0] for r in conn.run("SELECT v FROM ft ORDER BY v")]
+        assert got[0] == float("-inf") and got[2] == float("inf")
+        assert math.isnan(got[3]) and got[1] == 1.25
     finally:
         conn.close()
 
