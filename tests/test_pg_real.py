@@ -27,6 +27,8 @@ import tempfile
 import pytest
 
 from etl_property_rumah123_spark.sinks import pgwire
+from etl_property_rumah123_spark.sources.catalog import table
+from tests.conftest import SF_SMOKE
 from etl_property_rumah123_spark.sinks.jdbc_merge import merge_staging_to_main
 from etl_property_rumah123_spark.sinks.pgwire import (
     PgConnection,
@@ -256,6 +258,85 @@ def test_staging_truncated_between_runs(spark, pg_sock):
         assert conn.run("SELECT link FROM stg_property_rumah") == [("s3",)]
     finally:
         conn.close()
+
+
+def test_streaming_foreach_batch_into_real_postgres(spark, pg_sock):
+    """Structured Streaming -> real Postgres: each micro-batch runs
+    the idempotent staged merge over the wire client (foreachBatch),
+    so the final table equals the batch truth and a full replay of
+    the stream changes nothing — the production exactly-once story
+    executed against the actual target system."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks.pgwire import (
+        load_to_postgres_wire,
+    )
+
+    conn = PgConnection(pg_sock)
+    try:
+        conn.run("DROP TABLE IF EXISTS stream_agg")
+        conn.run("DROP TABLE IF EXISTS stg_stream_agg")
+        for t in ("stream_agg", "stg_stream_agg"):
+            conn.run(
+                f"CREATE TABLE {t} (user_id BIGINT PRIMARY KEY, "
+                "n BIGINT, total DOUBLE PRECISION)"
+            )
+    finally:
+        conn.close()
+
+    src_dir = _tf.mkdtemp(prefix="pg_stream_")
+    events = table(spark, SF_SMOKE, "events")
+    events.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        agg = stream.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total")
+        )
+
+        def sink(batch_df, batch_id):
+            load_to_postgres_wire(
+                batch_df, pg_sock, "stg_stream_agg", "stream_agg",
+                "user_id", batch_size=50,
+            )
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    truth = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+        .collect()
+    }
+    conn = PgConnection(pg_sock)
+    try:
+        got = {
+            r[0]: (r[1], r[2])
+            for r in conn.run("SELECT user_id, n, total FROM stream_agg")
+        }
+    finally:
+        conn.close()
+    assert got == truth
+    run_stream()  # full replay: merge converges, state unchanged
+    conn = PgConnection(pg_sock)
+    try:
+        got2 = {
+            r[0]: (r[1], r[2])
+            for r in conn.run("SELECT user_id, n, total FROM stream_agg")
+        }
+    finally:
+        conn.close()
+    assert got2 == truth
 
 
 def test_runner_pipeline_to_real_postgres(spark, pg_sock):
