@@ -296,6 +296,57 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@part(
+    "corpus_lsh_probe",
+    """
+    WITH hist AS (
+      SELECT * FROM documents WHERE doc_id % 4 <> 0
+    ), batch AS (
+      SELECT * FROM documents WHERE doc_id % 4 = 0
+    ), bsh AS (
+      SELECT doc_id, CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w) - 2)]
+                  ELSE [] END AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM batch)
+    ), hsh AS (
+      SELECT doc_id, CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w) - 2)]
+                  ELSE [] END AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM hist)
+    ), bsig AS (
+      SELECT doc_id, [list_min([md5(CAST(k AS VARCHAR) || '|' || s) FOR s IN sh])
+                      FOR k IN generate_series(0, 15)] AS sig FROM bsh
+    ), hsig AS (
+      SELECT doc_id, [list_min([md5(CAST(k AS VARCHAR) || '|' || s) FOR s IN sh])
+                      FOR k IN generate_series(0, 15)] AS sig FROM hsh
+    ), bband AS (
+      SELECT doc_id, CAST(b AS VARCHAR) || ':' || md5(array_to_string(sig[b*4+1:b*4+4], '')) AS bucket
+      FROM bsig, (SELECT unnest(generate_series(0, 3)) AS b)
+    ), hband AS (
+      SELECT doc_id, CAST(b AS VARCHAR) || ':' || md5(array_to_string(sig[b*4+1:b*4+4], '')) AS bucket
+      FROM hsig, (SELECT unnest(generate_series(0, 3)) AS b)
+    )
+    SELECT DISTINCT b.doc_id AS new_id, h.doc_id AS indexed_id
+    FROM bband b JOIN hband h ON b.bucket = h.bucket AND b.doc_id <> h.doc_id
+    """,
+    doc="LSH index probe at PAIR grain: a new batch (doc_id %% 4 == 0) "
+    "probed against the standing corpus's band-bucket index — the "
+    "serving join of the persistable index artifact "
+    "(operators/dedup.py: lsh_bucket_table / write_lsh_index / "
+    "probe_lsh_index; artifact write/append round-trip is pinned in "
+    "tests/test_advanced.py). Per-batch cost only: the corpus side is "
+    "one bucket-table scan, the batch side is the only thing hashed.",
+)
+def corpus_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    index = dedup.lsh_bucket_table(
+        docs.filter(F.col("doc_id") % 4 != 0), hash_family="md5"
+    )
+    return dedup.probe_lsh_index(
+        docs.filter(F.col("doc_id") % 4 == 0), index, hash_family="md5"
+    )
+
+
 @register(
     "dedup_components",
     """

@@ -583,6 +583,7 @@ _suite(
         "spans": {"part": "corpus_repeated_spans", "n1": "doc_id", "n2": "n_windows", "n3": "n_repeated"},
         "semdedup": {"part": "corpus_semantic_dedup", "n1": "bucket", "n2": "n_vecs", "n3": "n_dropped"},
         "source_cap": {"part": "corpus_source_cap", "s1": "source", "n1": "n_docs", "n2": "n_kept", "n3": "kept_id_sum"},
+        "lsh_probe": {"part": "corpus_lsh_probe", "n1": "new_id", "n2": "indexed_id"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],
     doc="Corpus preparation: the full gate->dedup->split->account "

@@ -154,3 +154,46 @@ def test_zorder_interleave_is_bijective_on_grid():
     codes = {z(x, y) for x in range(top + 1) for y in range(top + 1)}
     assert len(codes) == (top + 1) ** 2
     assert max(codes) < 1 << (2 * bits)
+
+
+@given(
+    st.lists(  # intervals: (key implicit, start minute, length minutes)
+        st.tuples(
+            st.integers(min_value=-2000, max_value=12000),
+            st.integers(min_value=-100, max_value=5000),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(  # probe timestamps as minute offsets
+        st.integers(min_value=0, max_value=10000), min_size=1, max_size=120
+    ),
+)
+@settings(**SETTINGS)
+def test_interval_count_join_matches_bruteforce_property(spark, ivs, probe_mins):
+    """The prefix-count decomposition equals the naive theta-join for
+    ARBITRARY sub-day intervals and probe times — including negative
+    lengths (empty windows), intervals straddling or outside the probe
+    range, and exact-endpoint collisions."""
+    import datetime as dt
+
+    from etl_property_rumah123_spark.operators.temporal import (
+        interval_count_join,
+    )
+
+    T = dt.datetime(2024, 5, 1)
+    intervals = [
+        (k, T + dt.timedelta(minutes=s), T + dt.timedelta(minutes=s + ln))
+        for k, (s, ln) in enumerate(ivs)
+    ]
+    probes = [(i, T + dt.timedelta(minutes=m)) for i, m in enumerate(probe_mins)]
+    iv = spark.createDataFrame(intervals, "k long, s timestamp, e timestamp")
+    p = spark.createDataFrame(probes, "pid long, ts timestamp")
+    got = {
+        r["k"]: r["n_in_window"]
+        for r in interval_count_join(iv, p, "k", "s", "e", "ts").collect()
+    }
+    expect = {
+        k: sum(1 for _, ts in probes if s <= ts < e) for k, s, e in intervals
+    }
+    assert got == expect
