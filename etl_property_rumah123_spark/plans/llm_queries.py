@@ -475,6 +475,65 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@part(
+    "embedding_int8_quant",
+    """
+    SELECT vec_id AS vec_id,
+           ROUND(scale, 6) AS scale,
+           ROUND(CASE WHEN scale = 0 THEN 0.0 ELSE
+             list_max([abs(floor(CAST(x AS DOUBLE) / scale + 0.5) * scale
+                           - CAST(x AS DOUBLE)) FOR x IN embedding])
+           END, 6) AS max_abs_err,
+           ROUND(CASE WHEN scale = 0 THEN 0.0 ELSE
+             list_reduce([abs(floor(CAST(x AS DOUBLE) / scale + 0.5) * scale
+                              - CAST(x AS DOUBLE)) FOR x IN embedding],
+                         (a, b) -> a + b) / len(embedding)
+           END, 6) AS mean_abs_err
+    FROM (
+      SELECT vec_id, embedding,
+             list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) / 127.0 AS scale
+      FROM embeddings
+    )
+    """,
+    doc="Int8 embedding quantization accounting — the 4x storage "
+    "compression every 100 TB embedding table runs: per-vector "
+    "max-abs symmetric scale (max|v|/127), codes floor(v/scale + 0.5) "
+    "(explicit floor form so both engines round identically — ROUND "
+    "half-rule differs between them), and the reconstruction-error "
+    "profile (max / mean absolute error) of dequantize(quantize(v)). "
+    "Pure Column HOFs over the vector; the error folds are the shared "
+    "left-to-right form. Zero vectors quantize to scale 0 / error 0.",
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    absd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    scale = F.array_max(absd) / F.lit(127.0)
+    err = F.transform(
+        F.col("embedding"),
+        lambda x: F.abs(
+            F.floor(x.cast("double") / F.col("__scale") + F.lit(0.5))
+            * F.col("__scale")
+            - x.cast("double")
+        ),
+    )
+    with_scale = e.withColumn("__scale", scale).withColumn("__err", err)
+    fold = F.aggregate(F.col("__err"), F.lit(0.0), lambda a, x: a + x)
+    zero = F.col("__scale") == 0.0
+    return with_scale.select(
+        "vec_id",
+        F.round(F.col("__scale"), 6).alias("scale"),
+        F.round(
+            F.when(zero, F.lit(0.0)).otherwise(F.array_max(F.col("__err"))), 6
+        ).alias("max_abs_err"),
+        F.round(
+            F.when(zero, F.lit(0.0)).otherwise(
+                fold / F.size(F.col("embedding"))
+            ),
+            6,
+        ).alias("mean_abs_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -294,6 +294,7 @@ _suite(
         "array_fns": {"part": "array_functions_embeddings", "k1": "vec_id", "n1": "dim", "n2": "n_positive", "v1": "vmax", "v2": "vmin", "v3": "first_val", "v4": "last_val"},
         "map_fns": {"part": "map_functions_events", "k1": "event_id", "n1": "n_keys", "s1": "type_val", "s2": "keys_csv"},
         "norm_stats": {"part": "embedding_norm_stats", "s1": "label", "n1": "n", "v1": "avg_norm"},
+        "int8_quant": {"part": "embedding_int8_quant", "k1": "vec_id", "v1": "scale", "v2": "max_abs_err", "v3": "mean_abs_err"},
     },
     [("k1", "bigint"), ("k2", "bigint"), ("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double"), ("v2", "double"), ("v3", "double"), ("v4", "double")],
     doc="Complex-type functions: posexplode with ordinality, the "
