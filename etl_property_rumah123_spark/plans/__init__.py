@@ -1,10 +1,12 @@
 """Query registry: every engine capability exposed as a named query.
 
 Each entry pairs a Spark plan builder ``(spark, sf_dir) -> DataFrame``
-with an optional ANSI-SQL oracle string DuckDB can run on the same
-parquet tables — the driver's correctness gate (SURVEY §5.1). Ops that
-are not SQL-expressible (LSH candidate generation, streaming state)
-register with ``oracle=None`` and get rows-only checks.
+with an ANSI-SQL oracle string DuckDB can run on the same parquet
+tables — the driver's correctness gate (SURVEY §5.1). As of round 3
+EVERY registered query carries an oracle (``oracle=None`` rows-only
+checks remain supported for future non-SQL-expressible entries; the
+streaming layer, which the driver cannot check, lives outside the
+registry with its own integration tests).
 
 Parity conventions (Spark vs DuckDB value-hash):
 - money/double SUMs  -> ROUND(x, 0) cast BIGINT (fractional rounding of
