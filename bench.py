@@ -115,7 +115,29 @@ def main() -> None:
             sum(v for v in sf1.values() if v > 0), 3
         )
 
-    print(json.dumps(out))
+    # The driver records a bounded slice of stdout; round 3's artifact
+    # truncated the head of the (long) JSON line and lost the headline
+    # numbers. Keep stdout to ONE COMPACT line (metric/value/queries/
+    # totals) and write the full detail — per-query sweep + sf1 series —
+    # to BENCH_DETAILS.json next to this script.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+    }
+    if "registry_total_sec" in out:
+        compact["registry_total_sec"] = out["registry_total_sec"]
+    if "sf1_headline_total_sec" in out:
+        compact["sf1_headline_total_sec"] = out["sf1_headline_total_sec"]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -387,9 +387,28 @@ def encode_jpeg(
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG (8-bit, 4:4:4 or identical sampling,
+    """Decode a baseline JPEG (8-bit, sampling factors 1-2 per axis,
     single interleaved scan) into an (H, W, 3) uint8 RGB array.
-    Raises ``ValueError`` for non-JPEG bytes or unsupported modes."""
+
+    Raises ``ValueError`` — and ONLY ``ValueError`` — for non-JPEG
+    bytes, truncated/corrupt streams, or unsupported modes. The
+    ``mapInPandas`` stages in ``operators/multimodal.py`` catch
+    ``ValueError`` to turn a corrupt sample into NULLs instead of
+    failing the whole Spark task, so every malformed-input failure
+    mode (short segment indexing, ``struct.unpack`` on truncated
+    payloads, oversized Huffman magnitudes overflowing int64) must
+    surface as ``ValueError`` here. Fuzz-pinned in
+    ``tests/test_multimodal.py::test_decode_jpeg_only_raises_valueerror``.
+    """
+    try:
+        return _decode_jpeg_impl(data)
+    except ValueError:
+        raise
+    except (IndexError, OverflowError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

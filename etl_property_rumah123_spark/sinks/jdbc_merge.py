@@ -41,6 +41,7 @@ def build_merge_sql(
     main_table: str,
     unique_key: str,
     count_inserts: bool = True,
+    distinct: bool = False,
 ) -> str:
     """The ON CONFLICT upsert statement (all columns overwritten from
     EXCLUDED — full-row last-write-wins, /root/reference/src/load.py:33-39).
@@ -48,6 +49,15 @@ def build_merge_sql(
     ``count_inserts`` appends the Postgres-specific ``RETURNING
     xmax = 0`` fresh-insert accounting; disable for ANSI targets
     (DuckDB, SQLite) that support ON CONFLICT but not xmax.
+
+    ``distinct`` selects ``SELECT DISTINCT`` from staging. REQUIRED on
+    any path where a retried/speculative Spark task may have committed
+    its partition's inserts before being retried (per-partition-commit
+    staging writers): duplicate same-key staging rows make Postgres
+    fail the merge with "ON CONFLICT DO UPDATE command cannot affect
+    row a second time". Identical full rows collapse under DISTINCT,
+    so the merge stays idempotent. (``pg_datasource.PgWireWriter.commit``
+    hand-writes the same DISTINCT for the same reason.)
     """
     cols = ", ".join(columns)
     # The reference overwrites every column incl. the key
@@ -58,9 +68,10 @@ def build_merge_sql(
     updates = ", ".join(
         f"{c} = EXCLUDED.{c}" for c in columns if c != unique_key
     )
+    select = "SELECT DISTINCT" if distinct else "SELECT"
     sql = (
         f"INSERT INTO {main_table} ({cols})\n"
-        f"SELECT {cols} FROM {stg_table}\n"
+        f"{select} {cols} FROM {stg_table}\n"
         f"ON CONFLICT ({unique_key}) DO UPDATE SET\n"
         f"{updates}"
     )
@@ -103,12 +114,17 @@ def merge_staging_to_main(
     main_table: str,
     unique_key: str,
     count_inserts: bool = True,
+    distinct: bool = False,
 ) -> int:
     """L3+L4: run the merge in one driver-side transaction; returns the
     count of freshly inserted rows (xmax = 0 accounting,
     /root/reference/src/load.py:38-42), or -1 when ``count_inserts`` is
-    off (non-Postgres targets). Rolls back on any error."""
-    sql = build_merge_sql(columns, stg_table, main_table, unique_key, count_inserts)
+    off (non-Postgres targets). Rolls back on any error. Pass
+    ``distinct=True`` when staging may hold task-retry duplicates (see
+    ``build_merge_sql``)."""
+    sql = build_merge_sql(
+        columns, stg_table, main_table, unique_key, count_inserts, distinct
+    )
     conn = connection_factory()
     try:
         cur = conn.cursor()

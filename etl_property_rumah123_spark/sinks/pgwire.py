@@ -193,9 +193,15 @@ class PgConnection:
         return fields
 
     def _startup(self, user: str, database: str) -> None:
+        # standard_conforming_strings is pinned ON in the startup packet:
+        # quote_literal's ''-doubling is only injection-safe when
+        # backslashes are inert, which a server/session configured with
+        # the (legacy) off value would break. Startup-packet GUCs apply
+        # before any query we send.
         params = (
             f"user\x00{user}\x00database\x00{database}\x00"
-            "client_encoding\x00UTF8\x00\x00"
+            "client_encoding\x00UTF8\x00"
+            "standard_conforming_strings\x00on\x00\x00"
         ).encode()
         payload = struct.pack(">i", PROTOCOL_3_0) + params
         self._sock.sendall(struct.pack(">i", len(payload) + 4) + payload)
@@ -393,10 +399,16 @@ def load_to_postgres_wire(
     write_staging_wire(
         df, dsn, stg_table, batch_size, num_partitions, database, user
     )
+    # distinct=True: write_staging_wire commits per PARTITION, so a
+    # retried/speculative task whose commit already landed leaves exact
+    # duplicate rows in staging; DISTINCT collapses them so the merge
+    # stays idempotent instead of failing with "ON CONFLICT DO UPDATE
+    # command cannot affect row a second time".
     return merge_staging_to_main(
         lambda: PgConnection(dsn, user=user, database=database),
         df.columns,
         stg_table,
         main_table,
         unique_key,
+        distinct=True,
     )

@@ -159,6 +159,52 @@ def test_jpeg_decoder_rejects_garbage_and_unsupported():
         codecs.decode_jpeg(prog)
 
 
+def test_decode_jpeg_only_raises_valueerror():
+    """Fuzz pin for the corrupt-sample-becomes-NULLs contract: the
+    mapInPandas stages catch ONLY ValueError, so any other exception
+    type escaping decode_jpeg (IndexError on short DQT/DHT payloads,
+    struct.error on truncated SOF, OverflowError on oversized Huffman
+    magnitudes hitting the int64 coefficient array) would fail a whole
+    Spark task for one bad payload. Mutate valid JPEGs every way and
+    assert the only raised type is ValueError."""
+    rng = np.random.RandomState(7)
+    base = [
+        codecs.encode_jpeg(
+            rng.randint(0, 256, (h, w, 3)).astype(np.uint8), quality=q, subsampling=sub
+        )
+        for (h, w, q, sub) in [(16, 16, 90, "444"), (24, 8, 60, "420"), (8, 40, 100, "444")]
+    ]
+    n_mutations = 0
+    for good in base:
+        buf = bytearray(good)
+        for trial in range(400):
+            kind = trial % 4
+            b = bytearray(buf)
+            if kind == 0:  # single byte flip anywhere
+                i = rng.randint(0, len(b))
+                b[i] ^= 1 << rng.randint(0, 8)
+            elif kind == 1:  # truncate at arbitrary point
+                b = b[: rng.randint(2, len(b))]
+            elif kind == 2:  # corrupt a marker byte
+                i = rng.randint(2, len(b) - 1)
+                b[i - 1 : i + 1] = b"\xff" + bytes([rng.randint(0, 256)])
+            else:  # slam random bytes into a random window
+                i = rng.randint(0, len(b) - 4)
+                ln = rng.randint(1, 16)
+                b[i : i + ln] = bytes(rng.randint(0, 256, ln).tolist())
+            n_mutations += 1
+            try:
+                codecs.decode_jpeg(bytes(b))
+            except ValueError:
+                pass  # the one allowed failure type
+            except Exception as e:  # pragma: no cover - the assertion
+                raise AssertionError(
+                    f"decode_jpeg raised {type(e).__name__} ({e!r}) on "
+                    f"mutation kind={kind} of a valid JPEG"
+                ) from e
+    assert n_mutations == 1200
+
+
 def test_decode_stage_handles_jpeg(spark):
     """The Arrow decode stage extracts true dims from JPEG payloads
     (frame header + full entropy decode); corrupt scans -> NULLs."""

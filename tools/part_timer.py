@@ -39,12 +39,23 @@ def main(argv: list[str]) -> int:
         ).stdout
         import re
 
-        names = sorted(
-            set(re.findall(r'^\+@(?:part|register)\(\s*$', diff, re.M))
-        )
-        names = sorted(
-            set(re.findall(r'^\+\s*"([a-z0-9_]+)",\s*$', diff, re.M))
-        )
+        # Anchor extraction to decorator call sites: a name only counts
+        # when the added line IMMEDIATELY follows an added @part(/
+        # @register( line (matching any quoted identifier in the diff
+        # produced spurious NOT-FOUND hits from select-list columns).
+        found = set()
+        lines = diff.splitlines()
+        for i, line in enumerate(lines):
+            if re.match(r"^\+@(?:part|register)\($", line) and i + 1 < len(lines):
+                m = re.match(r'^\+\s*"([a-z0-9_]+)",\s*$', lines[i + 1])
+                if m:
+                    found.add(m.group(1))
+            else:
+                # one-line form: +@part("name", ...) / +@register("name", ...)
+                m = re.match(r'^\+@(?:part|register)\(\s*"([a-z0-9_]+)"', line)
+                if m:
+                    found.add(m.group(1))
+        names = sorted(found)
         print(f"parts added since {argv[1]}: {names}")
     if not names:
         print(__doc__)
