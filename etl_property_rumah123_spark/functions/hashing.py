@@ -72,19 +72,25 @@ def lsh_band_keys(
     the standard S-curve knob (bands x rows = k).
     Returns array<string> of '<band>:<hash of band slice>'.
 
-    ``band_hash``: 'md5' (portable — DuckDB recomputes it, the oracle
-    path) or 'xxhash64' (one JVM 64-bit hash instead of a 128-bit
-    digest + hex formatting — the production fast path).
+    ``band_hash``: 'md5' (portable, string-concat digest — the legacy
+    oracle family) or 'xxhash64' (the production fast path: the band's
+    elements feed one CHAINED multi-column ``xxhash64(e1..er)`` —
+    Spark folds each long through hashLong with the running hash as
+    seed, so no string concat is materialized at all; since round 4
+    the DuckDB oracle reproduces the chain bit-for-bit via
+    functions/xxh64_sql.py).
     """
     keys = []
     for b in range(bands):
-        band_slice = F.slice(signature, b * rows_per_band + 1, rows_per_band)
-        joined = F.concat_ws("", band_slice)
-        h = (
-            F.md5(joined)
-            if band_hash == "md5"
-            else F.xxhash64(joined).cast("string")
-        )
+        if band_hash == "md5":
+            band_slice = F.slice(signature, b * rows_per_band + 1, rows_per_band)
+            h = F.md5(F.concat_ws("", band_slice))
+        else:
+            els = [
+                F.element_at(signature, b * rows_per_band + j + 1)
+                for j in range(rows_per_band)
+            ]
+            h = F.xxhash64(*els).cast("string")
         keys.append(F.concat(F.lit(f"{b}:"), h))
     return F.array(*keys)
 

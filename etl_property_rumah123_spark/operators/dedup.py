@@ -158,26 +158,41 @@ def minhash_signatures(
 
     ``hash_family`` (the SimHash md5/xxhash64 duality,
     :func:`md5_hash60`):
-    - 'md5'     — 32-hex-char string mins; portable, so the DuckDB
-      oracle recomputes the signatures exactly. The oracled registry
-      query uses this.
-    - 'xxhash64' — native 64-bit integer mins; one JVM hash per
-      (shingle, seed) with no digest/hex materialization, ~2x
-      cheaper on the signature stage (see BASELINE.md round-3 A/B).
-      Same min-over-set semantics, same S-curve; collision odds rise
-      from 2^-128 to 2^-64 per band comparison — irrelevant at any
-      corpus size. The production path.
+    - 'md5'     — 32-hex-char string mins of ``md5('<k>|' ||
+      shingle)``; portable, the legacy oracle family (kept as the
+      ``minhash_lsh_md5`` suite part).
+    - 'xxhash64' — ONE JVM string hash per shingle (``xxhash64(
+      shingle)``), then k seeded values derived arithmetically as
+      ``xxhash64(base, k)`` = hashLong(k, hashLong(base, 42)) — two
+      fixed-width mixes instead of k full UTF-8 hashes, so the
+      signature stage does 1 variable-length + 2k fixed-width hashes
+      per shingle vs the md5 family's k digest+hex materializations.
+      Same min-over-set semantics, same S-curve; deriving the k
+      functions from one 64-bit base is the standard one-permutation
+      k-mix construction. Since round 4 this family is ALSO
+      oracle-checked bit-for-bit: functions/xxh64_sql.py expands
+      Spark's XXH64 into pure DuckDB SQL. The production AND headline
+      path.
 
-    Short docs yield a signature of k nulls (their single NULL-shingle
-    marker row aggregates to null mins), matching array_min-of-empty.
+    Short docs: md5 family yields k nulls (NULL marker row -> null
+    mins); xxhash64 family yields the constant seed chain (Spark hash
+    functions SKIP null children, so the marker hashes to seed 42) —
+    all short docs share one signature and pair together, same
+    behavior both families (md5's k-null signature also collapses to
+    one band key via concat_ws null-skipping).
     """
     if hash_family not in ("md5", "xxhash64"):
         raise ValueError(f"hash_family must be 'md5' or 'xxhash64', got {hash_family!r}")
     rows = shingle_rows(df, text_col, id_col, shingle_n)
 
-    def h(i):
-        seeded = F.concat(F.lit(f"{i}|"), F.col("shingle"))
-        return F.md5(seeded) if hash_family == "md5" else F.xxhash64(seeded)
+    if hash_family == "md5":
+        def h(i):
+            return F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+    else:
+        rows = rows.withColumn("__hbase", F.xxhash64(F.col("shingle")))
+
+        def h(i):
+            return F.xxhash64(F.col("__hbase"), F.lit(i).cast("long"))
 
     mins = [F.min(h(i)).alias(f"__h{i}") for i in range(num_hashes)]
     return (

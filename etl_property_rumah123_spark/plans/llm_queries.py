@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_property_rumah123_spark.functions import hashing
+from etl_property_rumah123_spark.functions import hashing, xxh64_sql
 from etl_property_rumah123_spark.functions.vector import l2_norm
 from etl_property_rumah123_spark.operators import (
     common,
@@ -56,6 +56,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
+    xxh64_sql.minhash_lsh_xxhash64_oracle(shingle_n=3, num_hashes=16, bands=4),
+    doc="MinHash(16 xxhash64-derived hashes over 3-word shingles) + "
+    "LSH(4 bands x 4 rows) candidate pairs — the PRODUCTION fast "
+    "family as the oracled headline (round-4 upgrade: the md5 pin is "
+    "gone; functions/xxh64_sql.py expands Spark's XXH64 into DuckDB "
+    "SQL so the oracle recomputes every signature and band key "
+    "bit-for-bit). Bucket self-join: work ~ sum(bucket^2), not n^2.",
+    headline=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(
+        table(spark, sf_dir, "documents"),
+        shingle_n=3,
+        num_hashes=16,
+        bands=4,
+        hash_family="xxhash64",
+    )
+
+
+@part(
+    "minhash_lsh_md5",
     """
     WITH w AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
@@ -78,17 +99,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
     """,
-    doc="MinHash(16 md5 hashes over 3-word shingles) + LSH(4 bands x 4 "
-    "rows) candidate pairs. Bucket self-join: work ~ sum(bucket^2), "
-    "not n^2.",
-    headline=True,
+    doc="The legacy md5 MinHash family (round 1-3 headline), kept "
+    "oracled as a corpus-suite part so both hash families stay "
+    "driver-checked.",
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(
         table(spark, sf_dir, "documents"),
         shingle_n=3,
         num_hashes=16,
         bands=4,
+        hash_family="md5",
     )
 
 

@@ -585,6 +585,7 @@ _suite(
         "semdedup": {"part": "corpus_semantic_dedup", "n1": "bucket", "n2": "n_vecs", "n3": "n_dropped"},
         "source_cap": {"part": "corpus_source_cap", "s1": "source", "n1": "n_docs", "n2": "n_kept", "n3": "kept_id_sum"},
         "lsh_probe": {"part": "corpus_lsh_probe", "n1": "new_id", "n2": "indexed_id"},
+        "minhash_md5": {"part": "minhash_lsh_md5", "n1": "id_a", "n2": "id_b"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],
     doc="Corpus preparation: the full gate->dedup->split->account "
@@ -598,9 +599,11 @@ _suite(
     "dropped, survivors re-joined in order), the deterministic "
     "training-order shuffle/shard accounting (salted-hash epoch "
     "order), SemDeDup-style semantic dedup accounting "
-    "(hyperplane buckets + in-bucket cosine keep-lowest-id), and the "
+    "(hyperplane buckets + in-bucket cosine keep-lowest-id), the "
     "per-source document cap (deterministic salted-hash keep-set, "
-    "kept-id-sum pinned).",
+    "kept-id-sum pinned), and the legacy md5 MinHash/LSH family "
+    "(the round-1-3 headline, kept oracled now that the headline "
+    "runs the xxhash64 production family).",
 )
 
 

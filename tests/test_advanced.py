@@ -295,8 +295,13 @@ def test_lsh_index_artifact_probe_and_append(spark, tmp_path):
         return (did, " ".join(words))
 
     hist_rows, b1_rows, b2_rows = [], [], []
+    # 45-word docs with a single word changed: shingle Jaccard ~0.87,
+    # per-pair LSH hit probability (4 bands x 4 rows) ~0.96 — so the
+    # >= 8/10 planted-recall floor tests recall, not hash-family luck
+    # (25-word docs sat at J~0.77 -> p~0.82, which the round-4 family
+    # swap exposed as a knife-edge).
     for i in range(40):
-        words = [rng.choice(vocab) for _ in range(25)]
+        words = [rng.choice(vocab) for _ in range(45)]
         hist_rows.append(doc(i, words))
         if i < 10:  # batch1 docs 100+i are near-dups of history docs
             near = list(words)

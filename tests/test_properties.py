@@ -197,3 +197,85 @@ def test_interval_count_join_matches_bruteforce_property(spark, ivs, probe_mins)
         k: sum(1 for _, ts in probes if s <= ts < e) for k, s, e in intervals
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# XXH64 triple parity: Spark xxhash64 == Python reference == generated
+# DuckDB SQL (functions/xxh64_sql.py) — the contract the round-4
+# fast-family oracle stands on.
+# ---------------------------------------------------------------------------
+
+
+def test_xxh64_python_reference_matches_spark(spark):
+    """Pin hash_str_py / hash_long_py / the multi-column seed chain to
+    the live Spark engine across every code path: empty, <8, 8, <32,
+    32, stripes+words+tail, multibyte UTF-8, long edge values."""
+    from etl_property_rumah123_spark.functions import xxh64_sql as X
+
+    strs = ["", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+            "abcdefghi", "0123456789abcde", "0123456789abcdef", "x" * 31,
+            "x" * 32, "y" * 33, "z" * 40, "w" * 63, "v" * 64, "u" * 65,
+            "t" * 100, "héllo wörld ünïcode ☃ test", "3|foo bar baz"]
+    df = spark.createDataFrame([(s,) for s in strs], ["s"])
+    for r in df.select("s", F.xxhash64("s").alias("h")).collect():
+        assert r["h"] == X.signed(X.hash_str_py(r["s"])), r["s"]
+
+    longs = [0, 1, -1, 42, 2**63 - 1, -(2**63), 123456789123456789]
+    dfl = spark.createDataFrame([(x,) for x in longs], "x long")
+    for r in dfl.select("x", F.xxhash64("x").alias("h")).collect():
+        assert r["h"] == X.signed(X.hash_long_py(r["x"], X.SEED)), r["x"]
+
+    # multi-column chain threads the running hash as the next seed
+    dfc = spark.createDataFrame([(5, 7)], "a long, b long")
+    row = dfc.select(
+        F.xxhash64("a", "b").alias("ab"),
+        F.xxhash64(F.lit(None).cast("string")).alias("null_only"),
+        F.xxhash64("a", F.lit(None).cast("string")).alias("null_skip"),
+        F.xxhash64(F.lit("abc"), F.col("b")).alias("str_long"),
+    ).collect()[0]
+    hl = X.hash_long_py
+    assert row["ab"] == X.signed(hl(7, hl(5, X.SEED)))
+    assert row["null_only"] == X.SEED  # null children leave the seed
+    assert row["null_skip"] == X.signed(hl(5, X.SEED))
+    assert row["str_long"] == X.signed(hl(7, X.hash_str_py("abc")))
+
+
+def test_xxh64_generated_sql_matches_reference_fuzz():
+    """The generated DuckDB expansion is bit-exact with the (Spark-
+    pinned) Python reference over 500 random strings covering every
+    length regime and multibyte chars, plus hash_long chains."""
+    import random
+
+    import duckdb
+
+    from etl_property_rumah123_spark.functions import xxh64_sql as X
+
+    rng = random.Random(99)
+    alpha = "abcdefghijklmnop qrstuvwxyz0123456789|éü☃"
+    fuzz = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 150)))
+        for _ in range(500)
+    ] + [None, ""]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE f (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO f VALUES (?, ?)", list(enumerate(fuzz)))
+    sql = X.xxh64_str_sql("SELECT i, s FROM f", "s", "h")
+    for i, h in con.execute(f"SELECT i, h FROM ({sql})").fetchall():
+        want = X.SEED if fuzz[i] is None else X.hash_str_py(fuzz[i])
+        assert h == want, (i, fuzz[i])
+
+    # hash_long chain levels (the seeded-min + band-key building block)
+    con.execute("CREATE TABLE g AS SELECT * FROM (VALUES (0::HUGEINT), "
+                "(42::HUGEINT), (9223372036854775807::HUGEINT), "
+                "(9223372036854775808::HUGEINT), "
+                "(18446744073709551615::HUGEINT)) v(u)")
+    chain = X.wrap_levels(
+        "SELECT u FROM g",
+        X.hash_long_levels("h1", "u", X.SEED)
+        + X.hash_long_levels("h2", 3, "h1"),
+    )
+    for u, h1, h2 in con.execute(
+        f"SELECT u, h1, h2 FROM ({chain})"
+    ).fetchall():
+        assert h1 == X.hash_long_py(int(u), X.SEED)
+        assert h2 == X.hash_long_py(3, h1)
