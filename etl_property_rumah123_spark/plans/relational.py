@@ -1231,3 +1231,429 @@ def q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@part(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 0) AS BIGINT) AS revenue
+    FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-pair volume — the "
+    "disjunctive cross-side pair predicate can only be applied after "
+    "both nation joins, but each arm's nation membership (3 or 7) "
+    "still prunes each broadcast side to 2 of 25 rows; the fact scan "
+    "keeps its date range pushed down.",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    names = ("NATION_3", "NATION_7")
+    n1 = F.broadcast(
+        t["nation"].filter(F.col("n_name").isin(*names))
+        .select(F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = F.broadcast(
+        t["nation"].filter(F.col("n_name").isin(*names))
+        .select(F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation"))
+    )
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("__sn_key"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("__cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_bigint_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@part(
+    "q8_market_share",
+    """
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: national market share — an 8-way join where "
+    "ONE nation role (customer's, via region) filters rows while the "
+    "OTHER (supplier's) only labels them for the conditional "
+    "numerator; region/nation broadcast, the two nation joins must "
+    "stay distinct aliases.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    r = F.broadcast(t["region"].filter(F.col("r_name") == "ASIA"))
+    n_cust = F.broadcast(
+        t["nation"].select(F.col("n_nationkey").alias("__cn_key"), "n_regionkey")
+    )
+    n_supp = F.broadcast(
+        t["nation"].select(F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("nation"))
+    )
+    p = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(n_cust, F.col("c_nationkey") == F.col("__cn_key"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("__sn_key"))
+        .select(F.year("o_orderdate").cast("long").alias("o_year"), volume.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@part(
+    "q9_profit_by_nation_year",
+    """
+    SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(amount), 0) AS BIGINT) AS profit
+    FROM (
+      SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.1 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape: product-line profit by supplier nation and "
+    "order year. The testdata has no partsupp, so supply cost is "
+    "proxied as 0.1 * p_retailprice * quantity — same plan shape "
+    "(substring part filter feeding a 5-way join, profit expression "
+    "mixing three tables' columns, two-level rollup key).",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    n = F.broadcast(
+        t["nation"].select(F.col("n_nationkey").alias("__n_key"), F.col("n_name").alias("nation"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t["lineitem"]
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, F.col("s_nationkey") == F.col("__n_key"))
+        .select("nation", F.year("o_orderdate").cast("long").alias("o_year"), amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(_bigint_sum(F.col("amount"), "profit"))
+    )
+
+
+@part(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+           CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 0) AS BIGINT) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: lost-revenue-from-returns top-20 — quarter "
+    "date range pushed to orders, returnflag pushed to lineitem, "
+    "3-way join, per-customer aggregate, deterministic (revenue, "
+    "custkey) top-k via TakeOrderedAndProject.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(rev, 0).cast("long").alias("revenue"),
+            rev.alias("__rev_exact"),
+        )
+        .orderBy(F.col("__rev_exact").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue")
+    )
+
+
+@part(
+    "q11_important_parts",
+    """
+    SELECT l.l_partkey AS p_partkey,
+           CAST(ROUND(SUM(p.p_retailprice * l.l_quantity), 0) AS BIGINT) AS value
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_2'
+    GROUP BY l.l_partkey
+    HAVING SUM(p.p_retailprice * l.l_quantity) > (
+      SELECT 0.005 * SUM(p2.p_retailprice * l2.l_quantity)
+      FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      WHERE n2.n_name = 'NATION_2')
+    """,
+    doc="TPC-H Q11 shape: per-part value with HAVING against an "
+    "UNCORRELATED scalar subquery that re-aggregates the same "
+    "filtered join (the important-stock fraction test; partsupp value "
+    "proxied as retailprice x shipped quantity). The scalar side runs "
+    "once and broadcasts into the HAVING filter — never per group. "
+    "Runs through spark.sql so Catalyst's own scalar-subquery "
+    "planning is what's exercised.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    return spark.sql(
+        """
+        SELECT l.l_partkey AS p_partkey,
+               CAST(ROUND(SUM(p.p_retailprice * l.l_quantity), 0) AS BIGINT) AS value
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_2'
+        GROUP BY l.l_partkey
+        HAVING SUM(p.p_retailprice * l.l_quantity) > (
+          SELECT 0.005 * SUM(p2.p_retailprice * l2.l_quantity)
+          FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
+            JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+            JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          WHERE n2.n_name = 'NATION_2')
+        """
+    )
+
+
+@part(
+    "q12_late_priority_counts",
+    """
+    SELECT l.l_returnflag AS l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 shape: shipping-delay priority accounting — the "
+    "single-side ship-year range pushes into the scan while the "
+    "cross-side lateness inequality (ship > order+45d; the testdata "
+    "has no commit/receipt dates) evaluates post-join, feeding the "
+    "classic dual conditional counts.",
+)
+def q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "orders", "lineitem")
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = t["orders"]
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@part(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 6) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND p.p_type = 'ECONOMY'
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17 shape: small-quantity-order revenue — the scalar "
+    "AVG subquery is CORRELATED on the join side's part key, the "
+    "canonical decorrelation stress: Catalyst must rewrite it to a "
+    "per-part aggregate joined back on l_partkey, never a per-row "
+    "subquery. Quantities are integer-valued doubles, so avg = "
+    "sum/count is bit-identical across engines and the 0.5x "
+    "threshold comparison is exact.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 6) AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13' AND p.p_type = 'ECONOMY'
+          AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@part(
+    "q20_part_promotion_suppliers",
+    """
+    SELECT s.s_name AS s_name, CAST(s.s_suppkey AS BIGINT) AS s_suppkey
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'small%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey
+        HAVING SUM(l.l_quantity) > 100)
+    """,
+    doc="TPC-H Q20 shape: the nested IN chain — suppliers IN "
+    "(aggregated lineitem HAVING qty threshold, itself filtered by "
+    "parts IN (name-prefix subquery)); no partsupp, so the available-"
+    "quantity gate becomes the shipped-quantity HAVING. Two stacked "
+    "semi joins where the inner one must run before the aggregate; "
+    "runs through spark.sql so Catalyst's own IN-to-semi-join "
+    "decorrelation is exercised.",
+)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT s.s_name AS s_name, CAST(s.s_suppkey AS BIGINT) AS s_suppkey
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          AND s.s_suppkey IN (
+            SELECT l.l_suppkey FROM lineitem l
+            WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'small%')
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l.l_suppkey
+            HAVING SUM(l.l_quantity) > 100)
+        """
+    )
+
+
+@part(
+    "q22_global_sales_opportunity",
+    """
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(ROUND(SUM(c_acctbal), 0) AS BIGINT) AS totacctbal
+    FROM (
+      SELECT substr(c.c_name, length(c.c_name) - 1, 2) AS cntrycode,
+             c.c_acctbal
+      FROM customer c
+      WHERE substr(c.c_name, length(c.c_name) - 1, 2)
+              IN ('01', '12', '23', '34', '45')
+        AND c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_acctbal > 0.0
+                             AND substr(c2.c_name, length(c2.c_name) - 1, 2)
+                                   IN ('01', '12', '23', '34', '45'))
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey)
+    ) custsale
+    GROUP BY cntrycode
+    """,
+    doc="TPC-H Q22 shape: customers-without-orders by country code — "
+    "code derived from the customer-name suffix (the testdata has no "
+    "phone column), filtered to a code set, balance above an "
+    "UNCORRELATED scalar AVG over the same code set, NOT EXISTS "
+    "anti-join against orders. All three decorrelations (scalar agg, "
+    "anti join, derived-key grouping) in one statement via spark.sql.",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(ROUND(SUM(c_acctbal), 0) AS BIGINT) AS totacctbal
+        FROM (
+          SELECT substr(c.c_name, length(c.c_name) - 1, 2) AS cntrycode,
+                 c.c_acctbal
+          FROM customer c
+          WHERE substr(c.c_name, length(c.c_name) - 1, 2)
+                  IN ('01', '12', '23', '34', '45')
+            AND c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                               WHERE c2.c_acctbal > 0.0
+                                 AND substr(c2.c_name, length(c2.c_name) - 1, 2)
+                                       IN ('01', '12', '23', '34', '45'))
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey)
+        ) custsale
+        GROUP BY cntrycode
+        """
+    )

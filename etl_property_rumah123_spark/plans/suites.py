@@ -204,26 +204,45 @@ _suite(
         "q2_maxbal": {"part": "q2_max_bal_supplier", "s1": "s_name", "n1": "s_suppkey", "n2": "s_nationkey", "v1": "s_acctbal"},
         "q4_exists": {"part": "q4_priority_exists", "s1": "o_orderpriority", "n1": "order_count"},
         "q6_scan": {"part": "q6_forecast_revenue", "n1": "revenue", "n2": "n"},
+        "q7_volume": {"part": "q7_nation_volume", "s1": "supp_nation", "s2": "cust_nation", "n1": "l_year", "n2": "revenue"},
+        "q8_share": {"part": "q8_market_share", "n1": "o_year", "v1": "mkt_share"},
+        "q9_profit": {"part": "q9_profit_by_nation_year", "s1": "nation", "n1": "o_year", "n2": "profit"},
+        "q10_returns": {"part": "q10_returned_items", "s1": "c_name", "n1": "c_custkey", "n2": "revenue"},
+        "q11_value": {"part": "q11_important_parts", "n1": "p_partkey", "n2": "value"},
+        "q12_late": {"part": "q12_late_priority_counts", "s1": "l_returnflag", "n1": "high_count", "n2": "low_count"},
         "q13_dist": {"part": "q13_order_distribution", "n1": "c_count", "n2": "custdist"},
         "q14_ratio": {"part": "q14_promo_ratio", "v1": "promo_ratio"},
         "q15_top": {"part": "q15_top_supplier", "s1": "s_name", "n1": "s_suppkey", "n2": "total_rev"},
         "q16_variety": {"part": "q16_supplier_variety", "s1": "p_brand", "n1": "p_size", "n2": "supplier_cnt"},
+        "q17_smallqty": {"part": "q17_small_quantity_revenue", "v1": "avg_yearly"},
         "q18_volume": {"part": "q18_large_volume", "s1": "c_name", "n1": "o_orderkey", "n2": "total_qty"},
         "q19_brackets": {"part": "q19_bracket_revenue", "n1": "revenue", "n2": "n"},
+        "q20_promo": {"part": "q20_part_promotion_suppliers", "s1": "s_name", "n1": "s_suppkey"},
         "q21_wait": {"part": "q21_late_sole_supplier", "s1": "s_name", "n1": "numwait"},
+        "q22_optour": {"part": "q22_global_sales_opportunity", "s1": "cntrycode", "n1": "numcust", "n2": "totacctbal"},
     },
-    [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
+    [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
     doc="TPC-H optimizer-stress shapes adapted to the testdata "
-    "columns: Q2 equality-to-correlated-scalar-MAX (parser path, "
-    "Catalyst decorrelation), Q4 correlated EXISTS with a cross-side "
-    "inequality, Q6 range-predicate scan, Q13 outer join with a "
+    "columns — 19 of the 22 queries (Q1/Q3/Q5 are standalone "
+    "headline entries): Q2 equality-to-correlated-scalar-MAX (parser "
+    "path, Catalyst decorrelation), Q4 correlated EXISTS with a "
+    "cross-side inequality, Q6 range-predicate scan, Q7 "
+    "bidirectional nation-pair volume (cross-side disjunctive pair "
+    "predicate), Q8 market share (two distinct nation roles, "
+    "conditional numerator), Q9 profit rollup (substring part filter "
+    "into a 5-way join), Q10 returned-item top-20, Q11 HAVING vs "
+    "uncorrelated scalar re-aggregation, Q12 cross-side lateness "
+    "inequality + dual conditional counts, Q13 outer join with a "
     "join-condition predicate + count-of-counts double aggregation, "
     "Q14 conditional-revenue ratio, Q15 aggregated view consumed as "
     "both join side and scalar-MAX subquery, Q16 NOT IN exclusion + "
-    "COUNT DISTINCT, Q18 IN over grouped HAVING + deterministic "
-    "top-k, Q19 disjunctive per-bracket predicate that must split "
-    "across the join, Q21 EXISTS/NOT EXISTS sole-late-supplier "
-    "semi/anti self-joins.",
+    "COUNT DISTINCT, Q17 correlated scalar AVG against the join side "
+    "(the decorrelation stress), Q18 IN over grouped HAVING + "
+    "deterministic top-k, Q19 disjunctive per-bracket predicate that "
+    "must split across the join, Q20 nested IN chain with HAVING, "
+    "Q21 EXISTS/NOT EXISTS sole-late-supplier semi/anti self-joins, "
+    "Q22 no-order customers vs scalar-AVG floor by derived country "
+    "code.",
 )
 
 _suite(

@@ -178,3 +178,29 @@ def test_new_tpch_shapes_plan_pins(spark):
     p2 = plan_of(PARTS["q2_max_bal_supplier"].fn(spark, SF_SMOKE))
     assert "Subquery" not in p2, "q2 scalar subquery not decorrelated"
     assert "Join" in p2
+
+
+def test_round4_tpch_decorrelation_plan_pins(spark):
+    """The round-4 decorrelation stress shapes: Q17's correlated
+    scalar AVG must become a per-part aggregate joined back on the
+    part key (no per-row subquery execution), Q20's nested IN chain
+    must become stacked LeftSemi joins, Q22's NOT EXISTS must become
+    LeftAnti with its scalar-AVG floor decorrelated, and Q7's
+    cross-side pair disjunction must not degrade the nation joins to
+    nested loops."""
+    p17 = plan_of(PARTS["q17_small_quantity_revenue"].fn(spark, SF_SMOKE))
+    assert "Subquery" not in p17, "q17 correlated AVG not decorrelated"
+    assert "Join" in p17
+    # the decorrelated form aggregates lineitem per part key
+    assert "l_partkey" in p17 and "avg(" in p17.lower()
+
+    p20 = plan_of(PARTS["q20_part_promotion_suppliers"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in p20, "q20 IN chain did not become semi joins"
+    assert "CartesianProduct" not in p20
+
+    p22 = plan_of(PARTS["q22_global_sales_opportunity"].fn(spark, SF_SMOKE))
+    assert "LeftAnti" in p22, "q22 NOT EXISTS did not become anti join"
+
+    p7 = plan_of(PARTS["q7_nation_volume"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p7
+    assert "BroadcastNestedLoopJoin" not in p7
