@@ -368,6 +368,51 @@ def corpus_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@part(
+    "components_star_chain",
+    """
+    WITH RECURSIVE edges_sym AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE (a.doc_id + 1) // 100 = a.doc_id // 100
+      UNION ALL
+      SELECT b.doc_id AS src, a.doc_id AS dst
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE (a.doc_id + 1) // 100 = a.doc_id // 100
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM documents
+      UNION
+      SELECT e.src AS node, reach.r AS r
+      FROM edges_sym e JOIN reach ON reach.node = e.dst
+    )
+    SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+    doc="Large-star/small-star connected components "
+    "(operators/dedup.py:connected_components_star — O(log n) rounds, "
+    "Kiveris et al. SoCC'14) driven over successor-chain edges "
+    "(doc_id -> doc_id+1 inside each doc_id//100 block): 100-node "
+    "PATH graphs, exactly the diameter-bound case the min-label "
+    "algorithm refuses and the reason this variant exists (URL "
+    "redirect chains produce such shapes). Oracled against DuckDB's "
+    "RECURSIVE transitive closure — fully independent algorithm.",
+)
+def components_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    a = docs.select("doc_id")
+    b = docs.select(F.col("doc_id").alias("__succ"))
+    edges = (
+        a.join(b, F.col("__succ") == F.col("doc_id") + 1)
+        .filter(
+            F.expr("(doc_id + 1) div 100") == F.expr("doc_id div 100")
+        )
+        .select(F.col("doc_id").alias("id_a"), F.col("__succ").alias("id_b"))
+    )
+    return dedup.connected_components_star(docs, edges).select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+
+
 @register(
     "dedup_components",
     """

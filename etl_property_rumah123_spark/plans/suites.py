@@ -605,6 +605,7 @@ _suite(
         "source_cap": {"part": "corpus_source_cap", "s1": "source", "n1": "n_docs", "n2": "n_kept", "n3": "kept_id_sum"},
         "lsh_probe": {"part": "corpus_lsh_probe", "n1": "new_id", "n2": "indexed_id"},
         "minhash_md5": {"part": "minhash_lsh_md5", "n1": "id_a", "n2": "id_b"},
+        "star_cc": {"part": "components_star_chain", "n1": "doc_id", "n2": "component"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],
     doc="Corpus preparation: the full gate->dedup->split->account "

@@ -499,3 +499,74 @@ def test_plan_report_reads_real_plans(spark):
     b = spark.range(3).withColumnRenamed("id", "id2")
     bad = plan_report(a.crossJoin(b).filter(F.col("id") + F.col("id2") > 2))
     assert bad["cartesian"] or bad["bnlj"]
+
+
+def test_star_components_path_clique_and_round_bound(spark):
+    """connected_components_star labels a 100-node path — which the
+    min-label algorithm REFUSES at its default 20-round budget
+    (diameter 99) — within the O(log n) bound (ceil(log2 100) + 4 = 11
+    alternations), and is hash-identical to min-label on clique/mixed
+    fixtures where both converge."""
+    import math
+
+    from etl_property_rumah123_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # --- 100-node path: 0-1-2-...-99 ---
+    n = 100
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    # the O(diameter) algorithm refuses loudly at its default budget
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges).collect()
+    # the star algorithm converges inside the logarithmic bound
+    bound = math.ceil(math.log2(n)) + 4
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components_star(
+            nodes, edges, max_rounds=bound
+        ).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+
+    # --- cliques + singleton + reversed-id chain: parity with min-label ---
+    rows = []
+    for base in (0, 10):
+        ids = list(range(base, base + 5))
+        rows += [(a, b) for a in ids for b in ids if a < b]
+    rows += [(25, 24), (24, 23)]  # descending chain
+    edges2 = spark.createDataFrame(rows, "id_a long, id_b long")
+    nodes2 = spark.createDataFrame(
+        [(i,) for i in list(range(15)) + [23, 24, 25, 99]], "doc_id long"
+    )
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes2, edges2).collect()
+    }
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(nodes2, edges2).collect()
+    }
+    assert got == want
+    assert got[99] == 99 and got[25] == 23  # singleton + chain spot checks
+
+
+def test_star_components_nonconvergence_is_loud(spark):
+    import pytest
+
+    from etl_property_rumah123_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(nodes, edges, max_rounds=1).collect()
