@@ -329,6 +329,84 @@ def streaming_profile(
     return one.select(F.expr(stack))
 
 
+def lsh_dedup_admitter(
+    index_path: str,
+    admitted_path: str | None = None,
+    max_bucket_size: int | None = None,
+    **lsh_kwargs,
+):
+    """foreachBatch handler: streaming corpus near-dup ADMISSION over
+    a persisted LSH index — the production shape of streaming dedup,
+    composing three existing artifacts: the bucket-table index
+    (``dedup.write_lsh_index``), the per-batch probe join
+    (``dedup.probe_lsh_index``), and foreachBatch delivery.
+
+    Per micro-batch of documents (doc_id, text):
+
+    1. **within-batch**: drop any doc sharing a band bucket with a
+       smaller-id doc in the same batch (``lsh_candidate_pairs``; a
+       doc whose only collision partner was itself dropped is still
+       dropped — documented over-drop, conservative for dedup);
+    2. **vs the standing index**: drop docs with any probe hit, AND
+       docs whose doc_id is already indexed — the second clause is
+       what makes REPLAY convergent: a redelivered batch finds its
+       own ids in the index and admits nothing, so at-least-once
+       delivery upgrades to effective exactly-once without any sink
+       transaction;
+    3. append the admitted docs' band buckets to the index
+       (``mode='append'``; ``probe_lsh_index`` refreshes the listing
+       cache, so later batches see the append) and, optionally, the
+       admitted rows to ``admitted_path``.
+
+    Scale: per-batch cost is proportional to the BATCH (only the
+    batch is shingled/hashed; the corpus side is one bucket-table
+    scan), the index grows monotonically by admitted docs only, and
+    ``max_bucket_size`` guards the probe join against hot index
+    buckets. State lives entirely in the index artifact — no
+    streaming state store, so the gate survives query restarts and is
+    shared by any number of ingest streams.
+    """
+    from etl_property_rumah123_spark.operators import common, dedup
+
+    def _path_exists(spark, path: str) -> bool:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(conf).exists(p)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "text")
+        losers = (
+            dedup.lsh_candidate_pairs(docs, **lsh_kwargs)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        keep = docs.join(losers, "doc_id", "left_anti")
+        if _path_exists(spark, index_path):
+            spark.catalog.refreshByPath(index_path)
+            hits = (
+                dedup.probe_lsh_index(
+                    keep, index_path, max_bucket_size, **lsh_kwargs
+                )
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            already = (
+                spark.read.parquet(index_path).select("doc_id").distinct()
+            )
+            keep = keep.join(hits, "doc_id", "left_anti").join(
+                already, "doc_id", "left_anti"
+            )
+        # one computation feeds two writes (index append + admitted rows)
+        admitted = common.materialize(keep)
+        dedup.write_lsh_index(admitted, index_path, mode="append", **lsh_kwargs)
+        if admitted_path is not None:
+            admitted.write.mode("append").parquet(admitted_path)
+
+    return _apply
+
+
 def foreach_batch_upsert(batch_writer):
     """Adapter for exactly-once-ish sink delivery: wrap a batch upsert
     function (e.g. sinks.jdbc_merge.load_to_postgres) for use with

@@ -388,3 +388,105 @@ def test_foreach_batch_merge_into_partitioned_lake(spark, events_stream_dir, tmp
     assert round(got.agg(F.sum("value")).first()[0], 3) == round(
         truth.agg(F.sum("value")).first()[0], 3
     )
+
+
+def test_streaming_lsh_dedup_admission_end_to_end(spark, tmp_path):
+    """The stream-side LSH probe: batches of documents flow through a
+    foreachBatch admitter that (a) drops within-batch near-dups, (b)
+    probes the persisted LSH index and admits only novel docs, (c)
+    appends admitted band buckets so later batches see them. Pins:
+    the admitted set matches the batch-mode LSH decisions, the index
+    grows monotonically by admitted docs only, and a full REPLAY
+    (fresh checkpoint, same files) admits nothing new — convergence
+    without sink transactions."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i:03d}" for i in range(300)]
+
+    def doc(did, words):
+        return (did, " ".join(words))
+
+    # batch 1: 12 distinct docs + one internal near-dup pair (10, 11)
+    base_words = {}
+    b1 = []
+    for i in range(11):
+        words = [rng.choice(vocab) for _ in range(40)]
+        base_words[i] = words
+        b1.append(doc(i, words))
+    near = list(base_words[10])
+    near[5] = rng.choice(vocab)
+    b1.append(doc(11, near))
+    # batch 2: 3 near-dups of batch-1 docs + 3 novel docs
+    b2 = []
+    for i in range(3):
+        near = list(base_words[i])
+        near[7] = rng.choice(vocab)
+        b2.append(doc(100 + i, near))
+    for i in range(3):
+        b2.append(doc(200 + i, [rng.choice(vocab) for _ in range(40)]))
+
+    src = tmp_path / "docs_src"
+    index_path = str(tmp_path / "lsh_index")
+    admitted_path = str(tmp_path / "admitted")
+    schema = "doc_id long, text string"
+    kwargs = dict(shingle_n=3, num_hashes=16, bands=4, hash_family="xxhash64")
+
+    def run_stream(checkpoint):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                pipelines.lsh_dedup_admitter(
+                    index_path, admitted_path, **kwargs
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    from etl_property_rumah123_spark.operators import dedup
+
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream("cp1")
+    admitted1 = {
+        r["doc_id"] for r in spark.read.parquet(admitted_path).collect()
+    }
+    # doc 11 is the within-batch near-dup of 10 and must be dropped
+    assert 11 not in admitted1
+    assert set(range(11)) <= admitted1
+    spark.catalog.refreshByPath(index_path)
+    idx1 = {r["doc_id"] for r in spark.read.parquet(index_path).select("doc_id").distinct().collect()}
+    assert idx1 == admitted1  # index holds exactly the admitted docs
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream("cp1")
+    admitted2 = {
+        r["doc_id"] for r in spark.read.parquet(admitted_path).collect()
+    }
+    new_admits = admitted2 - admitted1
+    # the three near-dups of indexed docs must be rejected by the probe;
+    # admission must match the direct batch-mode probe decision
+    b2_df = spark.createDataFrame(b2, schema)
+    probe_hits = {
+        r["new_id"]
+        for r in dedup.probe_lsh_index(b2_df, index_path, **kwargs).collect()
+    }
+    assert new_admits == {d for d, _ in b2} - probe_hits
+    assert {200, 201, 202} <= new_admits and not ({100, 101, 102} & new_admits)
+    spark.catalog.refreshByPath(index_path)
+    idx2 = {r["doc_id"] for r in spark.read.parquet(index_path).select("doc_id").distinct().collect()}
+    assert idx2 == admitted2  # monotone growth, admitted docs only
+
+    # full replay with a FRESH checkpoint: every doc re-delivered; the
+    # already-indexed clause admits nothing, index and admitted stable
+    n_idx_rows = spark.read.parquet(index_path).count()
+    run_stream("cp_replay")
+    spark.catalog.refreshByPath(index_path)
+    spark.catalog.refreshByPath(admitted_path)
+    assert spark.read.parquet(index_path).count() == n_idx_rows
+    assert {
+        r["doc_id"] for r in spark.read.parquet(admitted_path).collect()
+    } == admitted2
