@@ -1,22 +1,32 @@
-"""Baseline sequential JPEG (ITU-T T.81), numpy/stdlib only.
+"""JPEG (ITU-T T.81), numpy/stdlib only: baseline sequential AND
+progressive (Annex G), from the public specification — no image
+library.
 
-Implements the full baseline pipeline from the public specification —
-no image library:
+  encode (baseline): RGB -> JFIF YCbCr (optional 4:2:0) -> 8x8 blocks
+          (edge-replicated padding) -> orthonormal 2-D DCT ->
+          quantization (Annex K tables, libjpeg quality scaling) ->
+          zigzag -> DC differential + AC run-length -> canonical
+          Huffman (Annex K tables) with 0xFF byte stuffing ->
+          SOI/APP0/DQT/SOF0/DHT/SOS/EOI stream
+  encode (progressive, :func:`encode_jpeg_progressive`): same front
+          half, then a 13-scan Annex G script exercising BOTH
+          progressive dimensions — spectral selection (DC scan, AC
+          bands 1-5 / 6-63 per component) and successive
+          approximation (DC Al=1 + refinement; AC Al=2 + two
+          refinement passes) with EOB-run coding across blocks.
+  decode: sequential marker walk (DQT/DHT may appear between scans)
+          -> per-scan entropy decode into a per-component coefficient
+          store (baseline full-band scans and all four progressive
+          scan kinds: DC first/refine interleaved or not, AC
+          first/refine with EOB runs) -> dequantize -> vectorized
+          IDCT -> upsample -> YCbCr -> RGB, clamp, crop.
 
-  encode: RGB -> JFIF YCbCr -> 8x8 blocks (edge-replicated padding)
-          -> orthonormal 2-D DCT -> quantization (Annex K tables,
-          libjpeg quality scaling) -> zigzag -> DC differential +
-          AC run-length -> canonical Huffman (Annex K tables) with
-          0xFF byte stuffing -> SOI/APP0/DQT/SOF0/DHT/SOS/EOI stream
-  decode: marker parse (DQT/DHT/SOF0/SOS) -> entropy decode ->
-          dequantize -> IDCT -> YCbCr -> RGB, clamp, crop padding
-
-Scope (deliberate): 8-bit, 3-component 4:4:4 (no chroma subsampling),
-single interleaved scan, no restart intervals, no progressive mode —
-the subset the encoder emits, which is a strictly valid baseline JPEG
-any standard decoder reads. JPEG is lossy; the test bound is error
-<= 2/channel at quality 100 (all-ones quant tables leave only DCT
-float rounding) and sane PSNR at lower qualities.
+Round-4 scope: 8-bit 3-component, sampling factors 1-2 per axis
+(4:4:4, 4:2:0, 4:2:2, 4:4:0), SOF0 + SOF2, no restart intervals,
+no arithmetic coding, no hierarchical mode. JPEG is lossy; the test
+bounds are error <= 2/channel at quality 100 and EXACT pixel parity
+between the baseline and progressive decode of the same quantized
+coefficients (the two paths share nothing past quantization).
 """
 
 from __future__ import annotations
@@ -408,25 +418,124 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
 
 
+def _find_scan_end(data: bytes, start: int) -> int:
+    """End offset of an entropy-coded segment: the next 0xFF followed
+    by a real marker (not 0x00 stuffing; restart markers are
+    unsupported and rejected by the scan decoder via _BitReader)."""
+    i = start
+    n = len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF and data[i + 1] != 0x00:
+            return i
+        i += 1
+    raise ValueError("unterminated entropy-coded segment")
+
+
+def _decode_dc_block(reader, dc_t, pred, al):
+    size = _decode_symbol(reader, dc_t)
+    diff = _extend(reader.read(size), size) if size else 0
+    pred += diff
+    return pred, pred << al
+
+
+def _decode_ac_first(reader, ac_t, zz, ss, se, al, eobrun):
+    """Progressive AC initial scan for one block's band (G.1.2.2 /
+    F.2.2.2). Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(reader, ac_t)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index overflow in band")
+        zz[k] = _extend(reader.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _refine_nonzero(reader, zz, k, p1):
+    """Correction bit for an already-nonzero coefficient (G.1.2.3)."""
+    if reader.read(1) and (abs(int(zz[k])) & p1) == 0:
+        zz[k] += p1 if zz[k] > 0 else -p1
+
+
+def _decode_ac_refine(reader, ac_t, zz, ss, se, al, eobrun):
+    """Progressive AC refinement for one block's band. Newly
+    significant coefficients arrive as (run, 1) symbols with a sign
+    bit; already-nonzero coefficients consume one correction bit each
+    as the run advances; EOB runs cover whole blocks whose remaining
+    nonzeros still take correction bits."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(reader, ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                val = 0  # ZRL: 16 zero-history positions, no new coef
+            else:
+                if s != 1:
+                    raise ValueError("invalid magnitude in AC refinement")
+                val = p1 if reader.read(1) else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    _refine_nonzero(reader, zz, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                _refine_nonzero(reader, zz, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
-    frame = None
-    scan = None
-    while pos + 4 <= len(data):
+    frame = None          # (progressive, h, w, comps)
+    coeffs: list[np.ndarray] = []   # per comp: (bh_pad, bw_pad, 64) int32
+    dims: list[tuple] = []          # per comp: (bw_true, bh_true, bw_pad, bh_pad)
+    preds_scan_seen = False
+
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker segment")
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + length]
         if len(payload) != length - 2:
             raise ValueError("truncated segment")
-        if marker == 0xDB:  # DQT (possibly several tables)
+        if marker == 0xDB:  # DQT
             i = 0
             while i < len(payload):
                 prec, tid = payload[i] >> 4, payload[i] & 0xF
@@ -437,7 +546,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     t[r][c] = payload[i + 1 + k]
                 qtables[tid] = t
                 i += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT — may appear BETWEEN scans
             i = 0
             while i < len(payload):
                 tclass, tid = payload[i] >> 4, payload[i] & 0xF
@@ -446,11 +555,13 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 vals = list(payload[i + 17 : i + 17 + n])
                 htables[(tclass, tid)] = _build_decoder(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8 or ncomp != 3:
                 raise ValueError(
-                    f"only 8-bit 3-component baseline supported "
+                    f"only 8-bit 3-component supported "
                     f"(prec={prec}, ncomp={ncomp})"
                 )
             comps = []
@@ -462,91 +573,484 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                         f"sampling factors {hs}x{vs} unsupported (1 or 2 only)"
                     )
                 comps.append((cid, hs, vs, qsel))
-            frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            raise ValueError("only baseline sequential (SOF0) supported")
+            frame = (marker == 0xC2, h, w, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for _cid, hs, vs, _q in comps:
+                bw_pad, bh_pad = mcux * hs, mcuy * vs
+                bw_true = -(-(-(-w * hs // hmax)) // 8)
+                bh_true = -(-(-(-h * vs // vmax)) // 8)
+                coeffs.append(
+                    np.zeros((bh_pad, bw_pad, 64), dtype=np.int64)
+                )
+                dims.append((bw_true, bh_true, bw_pad, bh_pad))
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) supported"
+            )
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan now
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            progressive, h, w, comps = frame
             ns = payload[0]
-            sel = {}
+            scan_comps = []  # (comp_index, dc_tid, ac_tid)
+            cid_index = {c[0]: i for i, c in enumerate(comps)}
             for c in range(ns):
                 cid, tsels = payload[1 + 2 * c], payload[2 + 2 * c]
-                sel[cid] = (tsels >> 4, tsels & 0xF)
-            scan = (sel, pos + 2 + length)
-            break
+                if cid not in cid_index:
+                    raise ValueError("scan references unknown component")
+                scan_comps.append((cid_index[cid], tsels >> 4, tsels & 0xF))
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            end = _find_scan_end(data, pos + 2 + length)
+            reader = _BitReader(data[pos + 2 + length : end])
+            _decode_scan(
+                reader, progressive, comps, scan_comps, ss, se, ah, al,
+                coeffs, dims, htables, qtables,
+            )
+            preds_scan_seen = True
+            pos = end
+            continue
         pos += 2 + length
-    if frame is None or scan is None:
-        raise ValueError("missing SOF0/SOS")
-    h, w, comps = frame
-    sel, scan_start = scan
-    # entropy-coded data runs until EOI
-    end = data.rfind(b"\xff\xd9")
-    if end < scan_start:
-        raise ValueError("missing EOI")
-    reader = _BitReader(data[scan_start:end])
+    if frame is None or not preds_scan_seen:
+        raise ValueError("missing SOF/SOS")
 
-    hmax = max(hs for _, hs, _, _ in comps)
-    vmax = max(vs for _, _, vs, _ in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * 8 * vs, mcux * 8 * hs), dtype=np.float64)
-        for _, hs, vs, _ in comps
-    ]
-    prev_dc = [0] * len(comps)
-
-    def decode_block(dc_t, ac_t, ci, qsel):
-        zz = np.zeros(64, dtype=np.int64)
-        size = _decode_symbol(reader, dc_t)
-        diff = _extend(reader.read(size), size) if size else 0
-        prev_dc[ci] += diff
-        zz[0] = prev_dc[ci]
-        i = 1
-        while i < 64:
-            rs = _decode_symbol(reader, ac_t)
-            run, size = rs >> 4, rs & 0xF
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                i += 16
-                continue
-            i += run
-            if i > 63:
-                raise ValueError("AC coefficient index overflow")
-            zz[i] = _extend(reader.read(size), size)
-            i += 1
-        coef = np.zeros((8, 8), dtype=np.float64)
-        coef[_ZZ_R, _ZZ_C] = zz
-        coef *= qtables[qsel]
-        return _A.T @ coef @ _A + 128.0
-
-    try:
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci, (cid, hs, vs, qsel) in enumerate(comps):
-                    if qsel not in qtables or cid not in sel:
-                        raise ValueError("scan references missing tables")
-                    dc_t = htables.get((0, sel[cid][0]))
-                    ac_t = htables.get((1, sel[cid][1]))
-                    if dc_t is None or ac_t is None:
-                        raise ValueError("missing Huffman tables")
-                    for vy in range(vs):
-                        for hx in range(hs):
-                            block = decode_block(dc_t, ac_t, ci, qsel)
-                            r0 = (my * vs + vy) * 8
-                            c0 = (mx * hs + hx) * 8
-                            planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
-    except IndexError as e:
-        raise ValueError(f"corrupt scan: {e}") from e
-
-    # upsample subsampled components to full resolution (nearest)
-    full = []
-    for plane, (_cid, hs, vs, _q) in zip(planes, comps):
+    progressive, h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for ci, (cid, hs, vs, qsel) in enumerate(comps):
+        if qsel not in qtables:
+            raise ValueError("frame references missing quant table")
+        quant = qtables[qsel].astype(np.float64)
+        bw_true, bh_true, bw_pad, bh_pad = dims[ci]
+        zz = coeffs[ci].astype(np.float64)  # (bh, bw, 64)
+        blocks = np.zeros((bh_pad, bw_pad, 8, 8), dtype=np.float64)
+        blocks[:, :, _ZZ_R, _ZZ_C] = zz
+        blocks *= quant  # dequantize
+        # IDCT all blocks at once: A.T @ B @ A
+        plane = np.einsum("ur,yxrc,cv->yxuv", _A.T, blocks, _A) + 128.0
+        plane = plane.transpose(0, 2, 1, 3).reshape(bh_pad * 8, bw_pad * 8)
         if vs < vmax:
             plane = np.repeat(plane, vmax // vs, axis=0)
         if hs < hmax:
             plane = np.repeat(plane, hmax // hs, axis=1)
-        full.append(plane[: mcuy * 8 * vmax, : mcux * 8 * hmax])
-    out = np.stack(full, axis=-1)
+        planes.append(plane[: -(-h // (8 * vmax)) * 8 * vmax,
+                            : -(-w // (8 * hmax)) * 8 * hmax])
+    out = np.stack(planes, axis=-1)
     return _ycbcr_to_rgb(out[:h, :w])
+
+
+def _decode_scan(
+    reader, progressive, comps, scan_comps, ss, se, ah, al,
+    coeffs, dims, htables, qtables,
+):
+    """Decode one entropy-coded scan into the coefficient store.
+
+    Baseline: single interleaved (or single-component) scan with
+    Ss=0, Se=63, Ah=Al=0 — full blocks. Progressive (T.81 Annex G):
+    DC scans (Ss=Se=0) may be interleaved, AC scans (Ss>=1) are
+    single-component; Ah=0 first scans vs Ah>0 refinements."""
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if ss > se or se > 63:
+            raise ValueError("bad spectral selection")
+        if ah not in range(14) or al not in range(14) or (ah and ah != al + 1):
+            raise ValueError("bad successive approximation")
+    else:
+        if ss != 0 or se != 63 or ah != 0 or al != 0:
+            raise ValueError("baseline scan must cover the full band")
+
+    def tables(ci_pos, tclass):
+        _, dc_tid, ac_tid = scan_comps[ci_pos]
+        t = htables.get((tclass, dc_tid if tclass == 0 else ac_tid))
+        if t is None and not (progressive and ah > 0 and ss == 0):
+            raise ValueError("missing Huffman table for scan")
+        return t
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    if ss == 0:  # DC (or full baseline) scan
+        preds = [0] * len(scan_comps)
+        if len(scan_comps) > 1:  # interleaved MCU order
+            ci0 = scan_comps[0][0]
+            mcux = dims[ci0][2] // comps[ci0][1]
+            mcuy = dims[ci0][3] // comps[ci0][2]
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for pos_in_scan, (ci, _dc, _ac) in enumerate(scan_comps):
+                        _, hs, vs, _q = comps[ci]
+                        for vy in range(vs):
+                            for hx in range(hs):
+                                by, bx = my * vs + vy, mx * hs + hx
+                                _decode_dc_unit(
+                                    reader, progressive, ah, al,
+                                    coeffs[ci][by, bx], preds, pos_in_scan,
+                                    tables(pos_in_scan, 0),
+                                    tables(pos_in_scan, 1),
+                                )
+        else:  # non-interleaved: the component's true block grid
+            ci = scan_comps[0][0]
+            bw_true, bh_true, _, _ = dims[ci]
+            for by in range(bh_true):
+                for bx in range(bw_true):
+                    _decode_dc_unit(
+                        reader, progressive, ah, al,
+                        coeffs[ci][by, bx], preds, 0,
+                        tables(0, 0), tables(0, 1),
+                    )
+    else:  # progressive AC scan, single component, raster block order
+        ci = scan_comps[0][0]
+        ac_t = tables(0, 1)
+        bw_true, bh_true, _, _ = dims[ci]
+        eobrun = 0
+        for by in range(bh_true):
+            for bx in range(bw_true):
+                zz = coeffs[ci][by, bx]
+                if ah == 0:
+                    eobrun = _decode_ac_first(
+                        reader, ac_t, zz, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _decode_ac_refine(
+                        reader, ac_t, zz, ss, se, al, eobrun
+                    )
+
+
+def _decode_dc_unit(reader, progressive, ah, al, zz, preds, pi, dc_t, ac_t):
+    """One block's worth of a DC (or full baseline) scan."""
+    if progressive and ah > 0:  # DC refinement: one raw bit
+        if reader.read(1):
+            zz[0] |= 1 << al
+        return
+    if dc_t is None:
+        raise ValueError("missing DC Huffman table")
+    preds[pi], zz[0] = _decode_dc_block(reader, dc_t, preds[pi], al)
+    if progressive:
+        return
+    # baseline: ACs follow in the same block
+    if ac_t is None:
+        raise ValueError("missing AC Huffman table")
+    i = 1
+    while i < 64:
+        rs = _decode_symbol(reader, ac_t)
+        run, size = rs >> 4, rs & 0xF
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            i += 16
+            continue
+        i += run
+        if i > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[i] = _extend(reader.read(size), size)
+        i += 1
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G): spectral selection + successive
+# approximation, used to produce real progressive fixtures the decoder
+# is pixel-parity-tested against (no image library in this container).
+# ---------------------------------------------------------------------------
+
+
+# Progressive AC Huffman table: the Annex K sequential AC tables have
+# exactly ZERO Kraft slack (the reserved all-ones 16-bit code is the
+# only free slot), so they cannot host the EOBn run-length symbols
+# (0x10..0xE0) progressive scans need. This dedicated table assigns a
+# flat 8-bit code to every symbol the progressive encoder can emit —
+# (run<<4)|size for size 1..10, ZRL, EOB0..EOB14 — 176 symbols x 2^-8
+# = 0.6875 Kraft, a valid (if uncompressed) canonical Huffman table.
+PROG_AC_VALS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+)
+PROG_AC_BITS = [0] * 7 + [len(PROG_AC_VALS)] + [0] * 8
+
+
+def _quantize_planes(pixels: np.ndarray, quality: int, subsampling: str):
+    """Shared front half of encoding: pad, YCbCr, per-component block
+    grids of quantized zigzag coefficients. Returns (h, w, comps,
+    coeff arrays (bh, bw, 64) int64, true block dims)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling}")
+    h, w, _ = pixels.shape
+    qlum, qchrom = scaled_quant_tables(quality)
+    mcu = 8 if subsampling == "444" else 16
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    padded = np.pad(pixels, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded) - np.array([128.0, 128.0, 128.0])
+    if subsampling == "444":
+        samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        planes = [ycc[..., 0]] + [
+            ycc[..., c].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            for c in (1, 2)
+        ]
+    coeff_arrays = []
+    true_dims = []
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    for ci, ((hs, vs), plane) in enumerate(zip(samp, planes)):
+        quant = (qlum if ci == 0 else qchrom).astype(np.float64)
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ur,yxrc,cv->yxuv", _A, blocks, _A.T)
+        q = np.round(coef / quant).astype(np.int64)
+        coeff_arrays.append(q[:, :, _ZZ_R, _ZZ_C])  # (bh, bw, 64) zigzag
+        bw_true = -(-(-(-w * hs // hmax)) // 8)
+        bh_true = -(-(-(-h * vs // vmax)) // 8)
+        true_dims.append((bw_true, bh_true))
+    return h, w, samp, coeff_arrays, true_dims
+
+
+class _ProgScanState:
+    """AC-scan run state shared across blocks. TWO correction-bit
+    buffers with different wire positions (the decoder reads
+    corrections either right after the EOBn symbol, for blocks the
+    run covers, or during the positional advance after the next
+    in-block symbol):
+
+    - ``eob_bits``: corrections belonging to blocks already counted
+      in the pending EOB run — emitted after the EOBn symbol;
+    - ``bits``: the CURRENT block's corrections since its last
+      emitted symbol — emitted after the next ZRL/(run,1) symbol.
+
+    Conflating the two desyncs the stream (caught by the band-level
+    roundtrip fuzz in tests/test_multimodal.py)."""
+
+    def __init__(self, writer, ac_codes):
+        self.w = writer
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.eob_bits: list[int] = []
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        """Emit the pending EOB run and the covered blocks' bits."""
+        if self.eobrun > 0:
+            rr = self.eobrun.bit_length() - 1
+            code, length = self.ac[rr << 4]
+            self.w.write(code, length)
+            if rr:
+                self.w.write(self.eobrun - (1 << rr), rr)
+            self.eobrun = 0
+        for b in self.eob_bits:
+            self.w.write(b, 1)
+        self.eob_bits = []
+
+    def emit_bits(self) -> None:
+        """Emit the current block's pending corrections (post-symbol)."""
+        for b in self.bits:
+            self.w.write(b, 1)
+        self.bits = []
+
+    def count_eob(self) -> None:
+        """End of a block with trailing content: the block joins the
+        EOB run, and its pending corrections move to the run buffer."""
+        self.eob_bits.extend(self.bits)
+        self.bits = []
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF:
+            self.flush()
+
+
+def _enc_ac_first_block(state, zz, ss, se, al):
+    band = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al  # point transform truncates toward zero
+        band.append(t if v >= 0 else -t)
+    last_nz = -1
+    for i in range(len(band) - 1, -1, -1):
+        if band[i]:
+            last_nz = i
+            break
+    if last_nz < 0:
+        state.count_eob()
+        return
+    state.flush()
+    r = 0
+    for i in range(last_nz + 1):
+        v = band[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = state.ac[0xF0]
+            state.w.write(code, length)
+            r -= 16
+        size, bits = _magnitude(v)
+        code, length = state.ac[(r << 4) | size]
+        state.w.write(code, length)
+        state.w.write(bits, size)
+        r = 0
+    if last_nz < len(band) - 1:
+        state.count_eob()
+
+
+def _enc_ac_refine_block(state, zz, ss, se, al):
+    """One block of an AC refinement scan (the G.1.2.3 shape): newly
+    significant coefficients as (zero-history-run, 1) symbols + sign,
+    already-nonzero coefficients as buffered correction bits emitted
+    after the next symbol, trailing content folded into the EOB run."""
+    t = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    sign = [int(zz[k]) > 0 for k in range(ss, se + 1)]
+    r = 0
+    emitted_any = False
+    for i in range(len(t)):
+        if t[i] == 0:
+            r += 1
+            continue
+        # nonzero history or newly significant: fold pending ZRLs first
+        while r > 15:
+            state.flush()
+            code, length = state.ac[0xF0]
+            state.w.write(code, length)
+            r -= 16
+            state.emit_bits()
+        if t[i] > 1:
+            state.bits.append(t[i] & 1)
+            continue
+        state.flush()
+        code, length = state.ac[(r << 4) | 1]
+        state.w.write(code, length)
+        state.w.write(1 if sign[i] else 0, 1)
+        state.emit_bits()
+        r = 0
+        emitted_any = True
+    if r > 0 or state.bits or not emitted_any:
+        state.count_eob()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a PROGRESSIVE JFIF JPEG
+    (SOF2) exercising both Annex G dimensions: spectral selection (DC
+    scan, AC band 1-5, AC band 6-63 per component) and successive
+    approximation (DC at Al=1 then a refinement pass; AC at Al=2 then
+    Ah=2->1 and Ah=1->0 refinement passes). Coefficients are quantized
+    identically to :func:`encode_jpeg`, so decoding both streams
+    yields bit-identical pixels — the decoder pixel-parity test."""
+    h, w, samp, coeffs, true_dims = _quantize_planes(
+        pixels, quality, subsampling
+    )
+    dc_codes = [_build_codes(DC_LUM_BITS, DC_LUM_VALS),
+                _build_codes(DC_CHROM_BITS, DC_CHROM_VALS)]
+    prog_ac = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+    ac_codes = [prog_ac, prog_ac]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            tsel = 0x00 if cid == 1 else 0x11
+            body += bytes([cid, tsel])
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    scans = []
+
+    # --- DC first scan: interleaved, Al=1 ---
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    mcux = coeffs[0].shape[1] // samp[0][0]
+    mcuy = coeffs[0].shape[0] // samp[0][1]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                hs, vs = samp[ci]
+                tbl = dc_codes[0 if ci == 0 else 1]
+                for vy in range(vs):
+                    for hx in range(hs):
+                        dc = int(coeffs[ci][my * vs + vy, mx * hs + hx, 0]) >> 1
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        size, bits = _magnitude(diff)
+                        code, length = tbl[size]
+                        wtr.write(code, length)
+                        if size:
+                            wtr.write(bits, size)
+    wtr.flush()
+    scans.append((sos_header([1, 2, 3], 0, 0, 0, 1), bytes(wtr.out)))
+
+    # --- AC first scans per component: bands 1-5 and 6-63 at Al=2 ---
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(3):
+            wtr = _BitWriter()
+            state = _ProgScanState(wtr, ac_codes[0 if ci == 0 else 1])
+            bw_true, bh_true = true_dims[ci]
+            for by in range(bh_true):
+                for bx in range(bw_true):
+                    _enc_ac_first_block(state, coeffs[ci][by, bx], ss, se, 2)
+            state.flush()
+            wtr.flush()
+            scans.append((sos_header([ci + 1], ss, se, 0, 2), bytes(wtr.out)))
+
+    # --- DC refinement: one raw bit per block, Ah=1 Al=0 ---
+    wtr = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                hs, vs = samp[ci]
+                for vy in range(vs):
+                    for hx in range(hs):
+                        wtr.write(int(coeffs[ci][my * vs + vy, mx * hs + hx, 0]) & 1, 1)
+    wtr.flush()
+    scans.append((sos_header([1, 2, 3], 0, 0, 1, 0), bytes(wtr.out)))
+
+    # --- AC refinement passes: Ah=2 Al=1, then Ah=1 Al=0, full band ---
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in range(3):
+            wtr = _BitWriter()
+            state = _ProgScanState(wtr, ac_codes[0 if ci == 0 else 1])
+            bw_true, bh_true = true_dims[ci]
+            for by in range(bh_true):
+                for bx in range(bw_true):
+                    _enc_ac_refine_block(state, coeffs[ci][by, bx], 1, 63, al)
+            state.flush()
+            wtr.flush()
+            scans.append((sos_header([ci + 1], 1, 63, ah, al), bytes(wtr.out)))
+
+    qlum, qchrom = scaled_quant_tables(quality)
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        zzb = bytes(int(table[r][c]) for r, c in ZIGZAG)
+        return seg(0xFFDB, bytes([tid]) + zzb)
+
+    def dht(tclass: int, tid: int, bits, vals) -> bytes:
+        return seg(0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    y_sampling = (samp[0][0] << 4) | samp[0][1]
+    sof = seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out = (
+        b"\xff\xd8" + app0 + dqt(0, qlum) + dqt(1, qchrom)
+        + dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+        + dht(1, 0, PROG_AC_BITS, PROG_AC_VALS)
+        + dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
+        + dht(1, 1, PROG_AC_BITS, PROG_AC_VALS)
+        + sof
+    )
+    for header, body in scans:
+        out += header + body
+    return out + b"\xff\xd9"

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_property_rumah123_spark.functions import codecs
+from etl_property_rumah123_spark.functions import jpeg as jpeg_mod
 from etl_property_rumah123_spark.operators import multimodal
 from etl_property_rumah123_spark.sources.catalog import table
 from tests.conftest import SF_SMOKE
@@ -153,7 +154,9 @@ def test_jpeg_decoder_rejects_garbage_and_unsupported():
     good = codecs.encode_jpeg(px)
     with pytest.raises(ValueError):
         codecs.decode_jpeg(good[:40])  # truncated mid-segment
-    # progressive (SOF2) must be refused, not mis-decoded
+    # a baseline stream with the SOF marker swapped to SOF2 carries a
+    # scan header (Ss=0, Se=63) that is INVALID in progressive mode —
+    # must be refused as corrupt, never mis-decoded
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError):
         codecs.decode_jpeg(prog)
@@ -173,6 +176,13 @@ def test_decode_jpeg_only_raises_valueerror():
             rng.randint(0, 256, (h, w, 3)).astype(np.uint8), quality=q, subsampling=sub
         )
         for (h, w, q, sub) in [(16, 16, 90, "444"), (24, 8, 60, "420"), (8, 40, 100, "444")]
+    ] + [
+        # progressive stream: the Annex G scan paths (EOB runs,
+        # refinement bits, between-scan DHT handling) obey the same
+        # only-ValueError contract
+        jpeg_mod.encode_jpeg_progressive(
+            rng.randint(0, 256, (16, 24, 3)).astype(np.uint8), quality=85
+        )
     ]
     n_mutations = 0
     for good in base:
@@ -202,7 +212,7 @@ def test_decode_jpeg_only_raises_valueerror():
                     f"decode_jpeg raised {type(e).__name__} ({e!r}) on "
                     f"mutation kind={kind} of a valid JPEG"
                 ) from e
-    assert n_mutations == 1200
+    assert n_mutations == 1600
 
 
 def test_decode_stage_handles_jpeg(spark):
@@ -520,3 +530,75 @@ def test_resize_images_nearest_neighbor_exact(spark):
         r = out[sid]
         assert r["payload"] is None and r["out_width"] is None
         assert r["in_width"] is None
+
+
+def test_progressive_jpeg_pixel_parity_with_baseline():
+    """Progressive (SOF2) decode — spectral selection + successive
+    approximation + EOB runs — must reconstruct EXACTLY the pixels the
+    baseline path produces from the same quantized coefficients, for
+    4:4:4 and 4:2:0 and non-multiple-of-MCU sizes."""
+    rng = np.random.RandomState(11)
+    for shape, q, sub in [
+        ((16, 16), 100, "444"), ((24, 40), 80, "444"), ((17, 23), 90, "444"),
+        ((32, 16), 75, "420"), ((30, 22), 90, "420"), ((8, 8), 50, "444"),
+    ]:
+        px = rng.randint(0, 256, (*shape, 3)).astype(np.uint8)
+        base = codecs.decode_jpeg(
+            codecs.encode_jpeg(px, quality=q, subsampling=sub)
+        )
+        prog = codecs.decode_jpeg(
+            jpeg_mod.encode_jpeg_progressive(px, quality=q, subsampling=sub)
+        )
+        assert np.array_equal(base, prog), (shape, q, sub)
+
+
+def test_progressive_jpeg_band_roundtrip_fuzz():
+    """The AC first/refine encode<->decode pair at band level: random
+    coefficient blocks through the 3-scan successive-approximation
+    schedule must reproduce every coefficient exactly (this fuzz
+    caught the EOB-run/current-block correction-bit buffer split)."""
+    from etl_property_rumah123_spark.functions.jpeg import (
+        PROG_AC_BITS, PROG_AC_VALS, _BitReader, _BitWriter,
+        _ProgScanState, _build_codes, _build_decoder, _decode_ac_first,
+        _decode_ac_refine, _enc_ac_first_block, _enc_ac_refine_block,
+    )
+
+    code_table = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+    dec_table = _build_decoder(PROG_AC_BITS, PROG_AC_VALS)
+    rng = np.random.RandomState(21)
+    for _ in range(300):
+        blocks = []
+        for _ in range(rng.randint(1, 7)):
+            zz = np.zeros(64, dtype=np.int64)
+            for _ in range(rng.randint(0, 25)):
+                zz[rng.randint(1, 64)] = rng.randint(-100, 101)
+            blocks.append(zz)
+        dec = [np.zeros(64, dtype=np.int64) for _ in blocks]
+        for phase, al in [("first", 2), ("refine", 1), ("refine", 0)]:
+            wtr = _BitWriter()
+            st = _ProgScanState(wtr, code_table)
+            for zz in blocks:
+                if phase == "first":
+                    _enc_ac_first_block(st, zz, 1, 63, al)
+                else:
+                    _enc_ac_refine_block(st, zz, 1, 63, al)
+            st.flush()
+            wtr.flush()
+            rd = _BitReader(bytes(wtr.out))
+            eob = 0
+            for dz in dec:
+                if phase == "first":
+                    eob = _decode_ac_first(rd, dec_table, dz, 1, 63, al, eob)
+                else:
+                    eob = _decode_ac_refine(rd, dec_table, dz, 1, 63, al, eob)
+        for zz, dz in zip(blocks, dec):
+            assert np.array_equal(zz, dz)
+
+
+def test_progressive_jpeg_routes_through_decode_compressed():
+    px = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    data = jpeg_mod.encode_jpeg_progressive(px, quality=95)
+    out = multimodal.decode_compressed(data)
+    assert out.shape == (16, 16, 3)
+    base = multimodal.decode_compressed(codecs.encode_jpeg(px, quality=95))
+    assert np.array_equal(out, base)
