@@ -490,3 +490,93 @@ def test_streaming_lsh_dedup_admission_end_to_end(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(admitted_path).collect()
     } == admitted2
+
+
+def test_tws_dedup_gate_matches_applyinpandaswithstate(spark, events_stream_dir):
+    """transformWithStateInPandas — Spark 4's typed-state API, driven
+    over the protolite state-server protocol shim (the container has
+    no protobuf runtime) — must admit EXACTLY the rows the
+    applyInPandasWithState gate admits. Requires the RocksDB state
+    store provider."""
+    from etl_property_rumah123_spark.streaming import tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = drain(
+            spark,
+            tws.streaming_dedup_admission_tws(
+                stream_events(spark, events_stream_dir), n_recent=100000
+            ),
+            "t_tws_gate",
+        )
+        want = drain(
+            spark,
+            pipelines.streaming_dedup_admission(
+                stream_events(spark, events_stream_dir), n_recent=100000
+            ),
+            "t_tws_gate_ref",
+        )
+        got_rows = {(r["user_id"], r["event_id"], r["digest"]) for r in got.collect()}
+        want_rows = {(r["user_id"], r["event_id"], r["digest"]) for r in want.collect()}
+        assert got_rows and got_rows == want_rows
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+
+def test_protolite_wire_codec_roundtrips():
+    """The minimal protobuf runtime behind the transformWithState
+    shim: varint edges (negative int32/int64 two's-complement 10-byte
+    form), repeated bytes, nested messages, packed repeated parse,
+    unknown-field skipping, proto3 zero-default elision."""
+    from etl_property_rumah123_spark.streaming import protolite as pl
+    from etl_property_rumah123_spark.streaming.state_proto_shim import (
+        _descriptor_blob,
+    )
+
+    mod = pl.build_module(_descriptor_blob(), "statemsg_test")
+    # nested + enum + int fields
+    cmd = mod.StateCallCommand(stateName="seen", schema="a int")
+    call = mod.StatefulProcessorCall(getValueState=cmd)
+    req = mod.StateRequest(version=2, statefulProcessorCall=call)
+    back = mod.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.version == 2
+    assert back.statefulProcessorCall.getValueState.stateName == "seen"
+    assert back.statefulProcessorCall.getValueState.schema == "a int"
+    # zero defaults are elided on the wire and restored on read
+    assert mod.StateRequest(version=0).SerializeToString() == b""
+    assert mod.StateResponse().statusCode == 0
+    # negative int64 round-trips (10-byte varint)
+    resp = mod.StateResponseWithLongTypeVal(statusCode=-3, value=-(2**40))
+    back = mod.StateResponseWithLongTypeVal()
+    back.ParseFromString(resp.SerializeToString())
+    assert back.statusCode == -3 and back.value == -(2**40)
+    # repeated bytes (ListStatePut.value)
+    put = mod.ListStatePut(value=[b"a", b"", b"ccc"], fetchWithArrow=True)
+    back = mod.ListStatePut()
+    back.ParseFromString(put.SerializeToString())
+    assert back.value == [b"a", b"", b"ccc"] and back.fetchWithArrow is True
+    # unknown fields are skipped: append a (number=1000, varint) field
+    extra = bytearray(put.SerializeToString())
+    pl.write_varint(extra, (1000 << 3) | 0)
+    pl.write_varint(extra, 7)
+    back = mod.ListStatePut()
+    back.ParseFromString(bytes(extra))
+    assert back.value == [b"a", b"", b"ccc"]
+    # enum values exported flat at module scope (generated-code shape)
+    assert mod.PRE_INIT == 0 and mod.CLOSED == 5
+    # post-construction field assignment (client does this for schemas)
+    cmd2 = mod.StateCallCommand()
+    cmd2.mapStateValueSchema = "v string"
+    back = mod.StateCallCommand()
+    back.ParseFromString(cmd2.SerializeToString())
+    assert back.mapStateValueSchema == "v string"
