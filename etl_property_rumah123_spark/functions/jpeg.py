@@ -22,8 +22,9 @@ library.
           IDCT -> upsample -> YCbCr -> RGB, clamp, crop.
 
 Round-4 scope: 8-bit 3-component, sampling factors 1-2 per axis
-(4:4:4, 4:2:0, 4:2:2, 4:4:0), SOF0 + SOF2, no restart intervals,
-no arithmetic coding, no hierarchical mode. JPEG is lossy; the test
+(4:4:4, 4:2:0, 4:2:2, 4:4:0), SOF0 + SOF2, restart intervals
+(DRI/RSTn, decode any scan kind + baseline-encode), no arithmetic
+coding, no hierarchical mode. JPEG is lossy; the test
 bounds are error <= 2/channel at quality 100 and EXACT pixel parity
 between the baseline and progressive decode of the same quantized
 coefficients (the two paths share nothing past quantization).
@@ -189,6 +190,20 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
+    def read_restart(self) -> int:
+        """Byte-align (discard partial bits) and consume an RSTn
+        marker; returns n (0-7). Restart markers are the ONLY markers
+        legal inside entropy-coded data, and they are not stuffed."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected restart marker")
+        m = self.data[self.pos + 1]
+        if not 0xD0 <= m <= 0xD7:
+            raise ValueError(f"expected RSTn, got 0xFF{m:02X}")
+        self.pos += 2
+        return m - 0xD0
+
     def read(self, n: int) -> int:
         while self.nbits < n:
             if self.pos >= len(self.data):
@@ -305,17 +320,27 @@ def _encode_block(writer, block, quant, dc_codes, ac_codes, prev_dc):
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as baseline JFIF JPEG.
 
     ``subsampling``: '444' (full-resolution chroma) or '420' (chroma
     averaged 2x2 — the dominant layout of real-world JPEGs; MCUs
-    interleave four Y blocks with one Cb and one Cr block)."""
+    interleave four Y blocks with one Cb and one Cr block).
+
+    ``restart_interval``: if > 0, emit a DRI segment and a
+    byte-aligned RSTn marker every that-many MCUs, resetting the DC
+    predictors — the resync points real-world encoders insert so a
+    corrupted scan loses one interval, not the image."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be '444' or '420', got {subsampling}")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must be 0..65535")
     h, w, _ = pixels.shape
     qlum, qchrom = scaled_quant_tables(quality)
     mcu = 8 if subsampling == "444" else 16
@@ -330,6 +355,25 @@ def encode_jpeg(
 
     writer = _BitWriter()
     prev_dc = [0, 0, 0]
+    n_mcu_total = (ph // mcu) * (pw // mcu)
+    n_mcu = 0
+
+    def emit_restart() -> None:
+        # byte-align, then the cycling RSTn marker (raw — markers are
+        # never stuffed); DC prediction restarts from zero
+        nonlocal n_mcu
+        n_mcu += 1
+        if (
+            restart_interval
+            and n_mcu % restart_interval == 0
+            and n_mcu < n_mcu_total
+        ):
+            writer.flush()
+            writer.out += bytes(
+                [0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8]
+            )
+            prev_dc[0] = prev_dc[1] = prev_dc[2] = 0
+
     if subsampling == "444":
         for by in range(0, ph, 8):
             for bx in range(0, pw, 8):
@@ -340,6 +384,7 @@ def encode_jpeg(
                         qlum if comp == 0 else qchrom,
                         dc_codes[t], ac_codes[t], prev_dc[comp],
                     )
+                emit_restart()
     else:  # 4:2:0 — chroma planes are 2x2 means at half resolution
         yplane = ycc[..., 0]
         chroma = [
@@ -362,6 +407,7 @@ def encode_jpeg(
                         chroma[comp - 1][cy : cy + 8, cx : cx + 8],
                         qchrom, dc_codes[1], ac_codes[1], prev_dc[comp],
                     )
+                emit_restart()
     writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -386,13 +432,18 @@ def encode_jpeg(
         0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     )
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8" + app0 + dqt(0, qlum) + dqt(1, qchrom)
         + dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
         + dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
         + dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
         + dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
-        + sof + sos + bytes(writer.out) + b"\xff\xd9"
+        + sof + dri + sos + bytes(writer.out) + b"\xff\xd9"
     )
 
 
@@ -420,12 +471,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 def _find_scan_end(data: bytes, start: int) -> int:
     """End offset of an entropy-coded segment: the next 0xFF followed
-    by a real marker (not 0x00 stuffing; restart markers are
-    unsupported and rejected by the scan decoder via _BitReader)."""
+    by a real marker — 0x00 stuffing and RSTn restart markers (the
+    only markers legal INSIDE a scan) are part of the segment."""
     i = start
     n = len(data)
     while i + 1 < n:
-        if data[i] == 0xFF and data[i + 1] != 0x00:
+        if data[i] == 0xFF and data[i + 1] != 0x00 and not (
+            0xD0 <= data[i + 1] <= 0xD7
+        ):
             return i
         i += 1
     raise ValueError("unterminated entropy-coded segment")
@@ -522,6 +575,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     coeffs: list[np.ndarray] = []   # per comp: (bh_pad, bw_pad, 64) int32
     dims: list[tuple] = []          # per comp: (bw_true, bh_true, bw_pad, bh_pad)
     preds_scan_seen = False
+    restart_interval = 0
 
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -590,8 +644,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             raise ValueError(
                 "only baseline (SOF0) and progressive (SOF2) supported"
             )
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            if len(payload) != 2:
+                raise ValueError("bad DRI segment")
+            restart_interval = struct.unpack(">H", payload)[0]
         elif marker == 0xDA:  # SOS — decode this scan now
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -610,7 +666,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             reader = _BitReader(data[pos + 2 + length : end])
             _decode_scan(
                 reader, progressive, comps, scan_comps, ss, se, ah, al,
-                coeffs, dims, htables, qtables,
+                coeffs, dims, htables, qtables, restart_interval,
             )
             preds_scan_seen = True
             pos = end
@@ -647,7 +703,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
 
 def _decode_scan(
     reader, progressive, comps, scan_comps, ss, se, ah, al,
-    coeffs, dims, htables, qtables,
+    coeffs, dims, htables, qtables, restart_interval=0,
 ):
     """Decode one entropy-coded scan into the coefficient store.
 
@@ -678,8 +734,24 @@ def _decode_scan(
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
 
+    # Restart handling (T.81 E.2.4 / DRI): after every
+    # ``restart_interval`` MCUs the stream carries a byte-aligned RSTn
+    # marker and DC predictors + EOB run reset. In non-interleaved
+    # scans one MCU is one block.
+    state = {"preds": [0] * len(scan_comps), "eobrun": 0, "n": 0}
+
+    def maybe_restart(total_units: int) -> None:
+        state["n"] += 1
+        if (
+            restart_interval
+            and state["n"] % restart_interval == 0
+            and state["n"] < total_units
+        ):
+            reader.read_restart()
+            state["preds"] = [0] * len(scan_comps)
+            state["eobrun"] = 0
+
     if ss == 0:  # DC (or full baseline) scan
-        preds = [0] * len(scan_comps)
         if len(scan_comps) > 1:  # interleaved MCU order
             ci0 = scan_comps[0][0]
             mcux = dims[ci0][2] // comps[ci0][1]
@@ -693,10 +765,12 @@ def _decode_scan(
                                 by, bx = my * vs + vy, mx * hs + hx
                                 _decode_dc_unit(
                                     reader, progressive, ah, al,
-                                    coeffs[ci][by, bx], preds, pos_in_scan,
+                                    coeffs[ci][by, bx], state["preds"],
+                                    pos_in_scan,
                                     tables(pos_in_scan, 0),
                                     tables(pos_in_scan, 1),
                                 )
+                    maybe_restart(mcux * mcuy)
         else:  # non-interleaved: the component's true block grid
             ci = scan_comps[0][0]
             bw_true, bh_true, _, _ = dims[ci]
@@ -704,25 +778,26 @@ def _decode_scan(
                 for bx in range(bw_true):
                     _decode_dc_unit(
                         reader, progressive, ah, al,
-                        coeffs[ci][by, bx], preds, 0,
+                        coeffs[ci][by, bx], state["preds"], 0,
                         tables(0, 0), tables(0, 1),
                     )
+                    maybe_restart(bw_true * bh_true)
     else:  # progressive AC scan, single component, raster block order
         ci = scan_comps[0][0]
         ac_t = tables(0, 1)
         bw_true, bh_true, _, _ = dims[ci]
-        eobrun = 0
         for by in range(bh_true):
             for bx in range(bw_true):
                 zz = coeffs[ci][by, bx]
                 if ah == 0:
-                    eobrun = _decode_ac_first(
-                        reader, ac_t, zz, ss, se, al, eobrun
+                    state["eobrun"] = _decode_ac_first(
+                        reader, ac_t, zz, ss, se, al, state["eobrun"]
                     )
                 else:
-                    eobrun = _decode_ac_refine(
-                        reader, ac_t, zz, ss, se, al, eobrun
+                    state["eobrun"] = _decode_ac_refine(
+                        reader, ac_t, zz, ss, se, al, state["eobrun"]
                     )
+                maybe_restart(bw_true * bh_true)
 
 
 def _decode_dc_unit(reader, progressive, ah, al, zz, preds, pi, dc_t, ac_t):

@@ -182,7 +182,12 @@ def test_decode_jpeg_only_raises_valueerror():
         # only-ValueError contract
         jpeg_mod.encode_jpeg_progressive(
             rng.randint(0, 256, (16, 24, 3)).astype(np.uint8), quality=85
-        )
+        ),
+        # restart-interval stream: RSTn resync paths too
+        codecs.encode_jpeg(
+            rng.randint(0, 256, (24, 24, 3)).astype(np.uint8),
+            quality=80, restart_interval=2,
+        ),
     ]
     n_mutations = 0
     for good in base:
@@ -212,7 +217,7 @@ def test_decode_jpeg_only_raises_valueerror():
                     f"decode_jpeg raised {type(e).__name__} ({e!r}) on "
                     f"mutation kind={kind} of a valid JPEG"
                 ) from e
-    assert n_mutations == 1600
+    assert n_mutations == 2000
 
 
 def test_decode_stage_handles_jpeg(spark):
@@ -602,3 +607,41 @@ def test_progressive_jpeg_routes_through_decode_compressed():
     assert out.shape == (16, 16, 3)
     base = multimodal.decode_compressed(codecs.encode_jpeg(px, quality=95))
     assert np.array_equal(out, base)
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn (T.81 E.2.4): encoding with restart intervals must
+    decode to EXACTLY the same pixels as the restart-free stream (the
+    entropy payload differs — byte-aligned RSTn markers, DC predictor
+    resets — but the coefficients are identical), for both 4:4:4 and
+    4:2:0 and interval 1 (every MCU) through sparse intervals."""
+    rng = np.random.RandomState(9)
+    for shape, q, sub, ri in [
+        ((24, 16), 100, "444", 1), ((40, 40), 85, "444", 2),
+        ((32, 48), 90, "420", 1), ((30, 22), 75, "420", 2),
+        ((17, 23), 95, "444", 5),
+    ]:
+        px = rng.randint(0, 256, (*shape, 3)).astype(np.uint8)
+        with_rst = codecs.encode_jpeg(
+            px, quality=q, subsampling=sub, restart_interval=ri
+        )
+        plain = codecs.encode_jpeg(px, quality=q, subsampling=sub)
+        assert any(
+            with_rst[i] == 0xFF and 0xD0 <= with_rst[i + 1] <= 0xD7
+            for i in range(len(with_rst) - 1)
+        )
+        assert np.array_equal(
+            codecs.decode_jpeg(with_rst), codecs.decode_jpeg(plain)
+        ), (shape, q, sub, ri)
+    # corrupt restart sequencing must fail loudly, not desync
+    good = codecs.encode_jpeg(
+        rng.randint(0, 256, (24, 24, 3)).astype(np.uint8),
+        quality=90, restart_interval=1,
+    )
+    # replace the first RSTn with a non-restart marker byte
+    for i in range(len(good) - 1):
+        if good[i] == 0xFF and 0xD0 <= good[i + 1] <= 0xD7:
+            bad = good[:i + 1] + bytes([0xC8]) + good[i + 2:]
+            with pytest.raises(ValueError):
+                codecs.decode_jpeg(bad)
+            break
