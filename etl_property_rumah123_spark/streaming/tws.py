@@ -101,3 +101,91 @@ def streaming_dedup_admission_tws(
         outputMode="append",
         timeMode="none",
     )
+
+
+class ListStateGateProcessor(StatefulProcessor):
+    """The same FIFO digest-horizon gate with the state held in a
+    typed ListState — one (digest) row per remembered entry instead of
+    one array blob — exercising the list-state protocol surface
+    (ListStateGet with its iterator paging, ListStatePut, AppendList)
+    through the protolite shim, plus a processing-time TIMER that
+    clears state for keys idle past ``idle_ttl_ms`` (the timer
+    register/expire round-trip: RegisterTimer, DeleteTimer, expiry
+    delivery into handleExpiredTimer).
+
+    Admissions are pinned identical to :class:`DedupGateProcessor` by
+    the integration test; list-vs-value state and timers change only
+    HOW the horizon is stored and aged, never what is admitted.
+    """
+
+    def __init__(self, n_recent: int = 128, idle_ttl_ms: int | None = None):
+        self.n_recent = n_recent
+        self.idle_ttl_ms = idle_ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        state_proto_shim.install()
+        self._handle = handle
+        self._seen = handle.getListState("seen_list", "digest string")
+
+    def handleInputRows(self, key, rows, timer_values):
+        from collections import deque
+
+        import pandas as pd
+
+        seen = deque(
+            (r[0] for r in (self._seen.get() if self._seen.exists() else [])),
+            maxlen=self.n_recent,
+        )
+        sset = set(seen)
+        out_e, out_d = [], []
+        for pdf in rows:
+            for eid, dg in zip(pdf["event_id"], pdf["digest"]):
+                if dg in sset:
+                    continue
+                if len(seen) == self.n_recent:
+                    sset.discard(seen[0])
+                sset.add(dg)
+                seen.append(dg)
+                out_e.append(int(eid))
+                out_d.append(dg)
+        self._seen.put([(d,) for d in seen])
+        if self.idle_ttl_ms is not None:
+            self._handle.registerTimer(
+                timer_values.getCurrentProcessingTimeInMs() + self.idle_ttl_ms
+            )
+        if out_e:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_e),
+                    "event_id": out_e,
+                    "digest": out_d,
+                }
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N803
+        # (pyspark invokes with camelCase keywords)
+        # idle horizon passed with no new batch re-registering: forget
+        self._seen.clear()
+        self._handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_dedup_admission_tws_list(
+    events: DataFrame, n_recent: int = 128, idle_ttl_ms: int | None = None
+) -> DataFrame:
+    """The admission gate over ListState + timers (see
+    :class:`ListStateGateProcessor`)."""
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.md5(F.coalesce(F.col("props"), F.lit(""))).alias("digest"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        ListStateGateProcessor(n_recent, idle_ttl_ms),
+        outputStructType=DEDUP_GATE_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime" if idle_ttl_ms is not None else "none",
+    )

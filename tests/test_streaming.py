@@ -580,3 +580,117 @@ def test_protolite_wire_codec_roundtrips():
     back = mod.StateCallCommand()
     back.ParseFromString(cmd2.SerializeToString())
     assert back.mapStateValueSchema == "v string"
+
+
+def test_tws_list_state_gate_matches_value_state(spark, events_stream_dir):
+    """ListState through the protolite shim: the list-state variant of
+    the gate admits exactly what the ValueState variant admits —
+    exercising ListStateGet (iterator paging), ListStatePut and the
+    list-state call envelope on the wire."""
+    from etl_property_rumah123_spark.streaming import tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = drain(
+            spark,
+            tws.streaming_dedup_admission_tws_list(
+                stream_events(spark, events_stream_dir), n_recent=100000
+            ),
+            "t_tws_list_gate",
+        )
+        want = drain(
+            spark,
+            tws.streaming_dedup_admission_tws(
+                stream_events(spark, events_stream_dir), n_recent=100000
+            ),
+            "t_tws_list_gate_ref",
+        )
+        got_rows = {(r["user_id"], r["event_id"], r["digest"]) for r in got.collect()}
+        want_rows = {(r["user_id"], r["event_id"], r["digest"]) for r in want.collect()}
+        assert got_rows and got_rows == want_rows
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+
+def test_tws_timer_expiry_clears_idle_state(spark, tmp_path):
+    """Processing-time TIMERS through the protolite shim, observable
+    end to end: a key idle past idle_ttl_ms has its digest horizon
+    cleared by handleExpiredTimer, so REPLAYED content that the gate
+    would otherwise reject is re-admitted. (Timers need a continuous
+    query — processing-time timeMode keeps an availableNow trigger
+    alive indefinitely, measured — so this test runs the query live,
+    polls the sink, and stops it.)"""
+    import time
+
+    from etl_property_rumah123_spark.streaming import tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "timer_src"
+    src.mkdir()
+    schema = "event_id long, user_id long, props string"
+
+    def feed(eid_base):
+        # same per-user CONTENT each time -> same digests
+        spark.createDataFrame(
+            [(eid_base + i, i % 3, f'{{"c": {i}}}') for i in range(9)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def wait_rows(n, timeout_s=90):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if spark.table("t_tws_timer").count() >= n:
+                return True
+            time.sleep(1)
+        return False
+
+    q = None
+    try:
+        feed(0)
+        out = tws.streaming_dedup_admission_tws_list(
+            spark.readStream.schema(schema).parquet(str(src)),
+            n_recent=100000,
+            idle_ttl_ms=4000,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tws_timer")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cp_timer"))
+            .start()
+        )
+        assert wait_rows(9), "initial batch not admitted"
+        # replay the SAME content immediately: inside the horizon, all
+        # rejected (poll a few batches to let it process)
+        feed(100)
+        time.sleep(8)  # > idle_ttl: the timer fires and clears state
+        # now replay again: the cleared horizon re-admits everything
+        feed(200)
+        assert wait_rows(18), "post-expiry replay was not re-admitted"
+        rows = spark.table("t_tws_timer").collect()
+        by_base = {b: sum(1 for r in rows if b <= r["event_id"] < b + 100) for b in (0, 100, 200)}
+        assert by_base[0] == 9 and by_base[200] == 9
+        # the immediate replay (still within the horizon) stayed rejected
+        assert by_base[100] == 0
+    finally:
+        if q is not None:
+            q.stop()
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
