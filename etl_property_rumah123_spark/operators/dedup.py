@@ -846,7 +846,7 @@ def connected_components_star(
             .union(smins.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the probe below
         )
         # one action per round: both symmetric-difference probes
         # unioned, each capped at one witness row

@@ -1,4 +1,4 @@
-"""The bounded-memory streaming dedup gate on Spark 4's
+"""Stateful streaming operators on Spark 4's
 ``transformWithStateInPandas`` — the typed-state successor API that
 :func:`pipelines.streaming_dedup_admission` (applyInPandasWithState)
 documented it would move to "when protobuf is available". Round 4
@@ -6,14 +6,26 @@ made it available without the package: the state-server protocol is
 served by ``protolite``/``state_proto_shim`` (a bounded protobuf
 runtime reimplementation, same playbook as sinks/pgwire.py).
 
-Semantics are IDENTICAL to the applyInPandasWithState form (pinned by
-the side-by-side integration test): per user, an event is ADMITTED
-iff its content digest is not among that user's last ``n_recent``
-admitted digests, FIFO-evicted, so state is exactly n_recent digests
-per active key no matter the stream age. The state moves from the old
-API's tuple blob to a typed ValueState handle; with TTL support in
-this API, eviction-by-time becomes a one-line ``ttlDurationMs`` when
-a deployment wants horizon-by-age instead of by-count.
+Coverage of the new API's surface, each integration-tested against
+the real RocksDB state server:
+
+- **ValueState** — :class:`DedupGateProcessor`, the bounded-memory
+  dedup admission gate, admissions pinned IDENTICAL to the
+  applyInPandasWithState form;
+- **ListState** — :class:`ListStateGateProcessor`, the same gate with
+  one state row per remembered digest (list get/put paging on the
+  wire);
+- **processing-time timers** — the list gate's ``idle_ttl_ms``:
+  RegisterTimer/DeleteTimer/expiry delivery, proven observably (idle
+  keys forget their horizon, so replayed content is re-admitted);
+- **MapState** — :class:`TypeCountsProcessor`, per-user per-type
+  running accumulators (ContainsKey/GetValue/UpdateValue + map
+  iterator paging), pinned equal to the batch groupBy.
+
+The gate semantics: per user, an event is ADMITTED iff its content
+digest is not among that user's last ``n_recent`` admitted digests,
+FIFO-evicted, so state is exactly n_recent digests per active key no
+matter the stream age.
 
 Run the owning query with the RocksDB state-store provider
 (``spark.sql.streaming.stateStore.providerClass =
@@ -188,4 +200,70 @@ def streaming_dedup_admission_tws_list(
         outputStructType=DEDUP_GATE_SCHEMA,
         outputMode="append",
         timeMode="processingTime" if idle_ttl_ms is not None else "none",
+    )
+
+
+#: Output schema of the per-(user, event_type) running-count operator.
+TYPE_COUNTS_SCHEMA = "user_id long, event_type string, n long, total double"
+
+
+class TypeCountsProcessor(StatefulProcessor):
+    """Per-user MAP state: running (count, value-sum) per event_type —
+    the canonical map-state shape (sub-keyed accumulators under one
+    grouping key), exercising the remaining third of the typed-state
+    protocol through the protolite shim: ContainsKey, GetValue,
+    UpdateValue, and the map Iterator/Keys/Values paging
+    (StateResponseWithMapIterator / MapKeysOrValues on the wire).
+    Emits the FULL current map each batch (update semantics)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        state_proto_shim.install()
+        self._counts = handle.getMapState(
+            "type_counts", "event_type string", "n long, total double"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        for pdf in rows:
+            for et, v in zip(pdf["event_type"], pdf["value"]):
+                et = str(et)
+                if self._counts.containsKey((et,)):
+                    n, tot = self._counts.getValue((et,))
+                else:
+                    n, tot = 0, 0.0
+                self._counts.updateValue(
+                    (et,), (n + 1, tot + (float(v) if v is not None else 0.0))
+                )
+        types, ns, tots = [], [], []
+        for (et,), (n, tot) in self._counts.iterator():
+            types.append(et)
+            ns.append(n)
+            tots.append(tot)
+        if types:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(types),
+                    "event_type": types,
+                    "n": ns,
+                    "total": tots,
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_type_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-(user, event_type) running counts over MapState (see
+    :class:`TypeCountsProcessor`)."""
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TypeCountsProcessor(),
+            outputStructType=TYPE_COUNTS_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
     )

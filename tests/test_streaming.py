@@ -694,3 +694,49 @@ def test_tws_timer_expiry_clears_idle_state(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_tws_map_state_counts_match_batch_groupby(spark, events_stream_dir):
+    """MapState through the protolite shim: per-(user, event_type)
+    running counts emitted from the map iterator must equal the batch
+    groupBy aggregation of the same data — covering ContainsKey /
+    GetValue / UpdateValue and the map iterator paging messages."""
+    from etl_property_rumah123_spark.streaming import tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = drain(
+            spark,
+            tws.streaming_type_counts_tws(
+                stream_events(spark, events_stream_dir)
+            ),
+            "t_tws_map",
+        )
+        # update-mode memory sink may carry one row per batch per key;
+        # keep the LAST emission per (user, type) = the running total
+        got = {}
+        for r in out.collect():
+            got[(r["user_id"], r["event_type"])] = (r["n"], round(r["total"], 6))
+        want = {
+            (r["user_id"], r["event_type"]): (r["n"], round(r["total"], 6))
+            for r in (
+                spark.read.parquet(events_stream_dir)
+                .groupBy("user_id", "event_type")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.coalesce("value", F.lit(0.0))).alias("total"),
+                )
+            ).collect()
+        }
+        assert got and got == want
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
