@@ -581,8 +581,15 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # 0xFF fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers with no length field
+            pos += 2
+            continue
         if pos + 4 > len(data):
             raise ValueError("truncated marker segment")
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
@@ -727,7 +734,16 @@ def _decode_scan(
     def tables(ci_pos, tclass):
         _, dc_tid, ac_tid = scan_comps[ci_pos]
         t = htables.get((tclass, dc_tid if tclass == 0 else ac_tid))
-        if t is None and not (progressive and ah > 0 and ss == 0):
+        # Which tables a scan actually needs (T.81): baseline needs
+        # both; progressive DC FIRST needs only DC (the AC selector in
+        # a DC scan header is meaningless, and real encoders define AC
+        # tables only before their AC scans); DC REFINEMENT needs
+        # neither (raw bits); AC scans need only AC.
+        if tclass == 0:
+            needed = not (progressive and ah > 0) and ss == 0
+        else:
+            needed = not progressive or ss > 0
+        if t is None and needed:
             raise ValueError("missing Huffman table for scan")
         return t
 

@@ -304,19 +304,95 @@ def lsh_bucket_table(
     )
 
 
+#: Bucket-key format generation. Bump whenever the key derivation
+#: changes incompatibly — round 4 did exactly that (the xxhash64
+#: family moved from string-concat band hashes to chained multi-column
+#: k-mix), which makes an old index SILENTLY match nothing: every
+#: probe misses, every near-dup is admitted, and the corpus corrupts
+#: with no error. The sidecar turns that silence into a loud refusal.
+LSH_INDEX_FORMAT = 2
+
+
+def _lsh_meta(**lsh_kwargs) -> dict:
+    return {
+        "format": LSH_INDEX_FORMAT,
+        "shingle_n": lsh_kwargs.get("shingle_n", 3),
+        "num_hashes": lsh_kwargs.get("num_hashes", 16),
+        "bands": lsh_kwargs.get("bands", 4),
+        "hash_family": lsh_kwargs.get("hash_family", "xxhash64"),
+    }
+
+
+def _check_lsh_meta(spark, path: str, **lsh_kwargs) -> None:
+    """Refuse to probe/append an index whose recorded bucket-space
+    parameters or key format differ from the caller's — mismatches
+    produce zero hits, not errors, so they must be caught here. A
+    missing sidecar (pre-round-4 artifact) is treated as format 1."""
+    import json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_lsh_meta.json")
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        raise ValueError(
+            f"LSH index at {path} has no _lsh_meta.json sidecar — it "
+            "predates the round-4 bucket-key format (or is not a "
+            "write_lsh_index artifact). Rebuild it with "
+            "write_lsh_index; probing would silently match nothing."
+        )
+    stream = fs.open(p)
+    try:
+        raw = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    meta = json.loads(raw.decode("utf-8"))
+    want = _lsh_meta(**lsh_kwargs)
+    if meta != want:
+        raise ValueError(
+            f"LSH index parameter mismatch at {path}: index carries "
+            f"{meta}, caller expects {want}. Same shingle_n/num_hashes/"
+            "bands/hash_family/format are required — differing bucket "
+            "spaces silently match nothing."
+        )
+
+
 def write_lsh_index(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
     **lsh_kwargs,
 ) -> str:
-    """Persist the LSH bucket table as Parquet. ``mode='append'`` is
-    the incremental-ingest path: a new crawl batch's buckets are added
-    to the standing index after probing (so the NEXT batch dedups
-    against this one too). Parameters (shingle_n/num_hashes/bands/
-    hash_family) must match across appends — they define the bucket
-    space."""
+    """Persist the LSH bucket table as Parquet plus a
+    ``_lsh_meta.json`` sidecar recording the bucket-space parameters
+    and key-format generation. ``mode='append'`` is the
+    incremental-ingest path: a new crawl batch's buckets are added to
+    the standing index after probing (so the NEXT batch dedups
+    against this one too); appends VALIDATE the sidecar first — the
+    parameters define the bucket space, and a mismatch would not
+    error, it would silently never collide."""
+    import json
+
+    spark = df.sparkSession
+    if mode == "append":
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        if root.getFileSystem(conf).exists(root):
+            _check_lsh_meta(spark, path, **lsh_kwargs)
     lsh_bucket_table(df, **lsh_kwargs).write.mode(mode).parquet(path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_lsh_meta.json")
+    out = p.getFileSystem(conf).create(p, True)
+    try:
+        out.write(
+            json.dumps(_lsh_meta(**lsh_kwargs), sort_keys=True).encode()
+        )
+    finally:
+        out.close()
     return path
 
 
@@ -338,6 +414,9 @@ def probe_lsh_index(
     """
     if isinstance(index, str):
         spark = new_docs.sparkSession
+        # the sidecar guards against probing an index built with a
+        # different bucket space or key format (zero hits, no error)
+        _check_lsh_meta(spark, index, **lsh_kwargs)
         # Spark's session-lifetime FileStatusCache serves stale
         # listings for a path read before an append; an appendable
         # index must be re-listed or newly-appended batches are

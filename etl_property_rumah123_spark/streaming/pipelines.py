@@ -356,10 +356,16 @@ def lsh_dedup_admitter(
        own ids in the index and admits nothing, so at-least-once
        delivery upgrades to effective exactly-once without any sink
        transaction;
-    3. append the admitted docs' band buckets to the index
-       (``mode='append'``; ``probe_lsh_index`` refreshes the listing
-       cache, so later batches see the append) and, optionally, the
-       admitted rows to ``admitted_path``.
+    3. write the admitted rows (if ``admitted_path``) into a
+       PER-BATCH subdirectory (``batch_id=N``, overwritten on replay
+       — no duplicate rows), THEN append the admitted docs' band
+       buckets to the index. This write order makes the two
+       non-atomic writes convergent under retry: a crash between them
+       re-runs the batch against the unchanged index, recomputes the
+       same admitted set, overwrites the row directory identically,
+       and completes the index append — whereas index-first would
+       permanently lose the rows (the retry would find its ids
+       already indexed and admit nothing).
 
     Scale: per-batch cost is proportional to the BATCH (only the
     batch is shingled/hashed; the corpus side is one bucket-table
@@ -387,25 +393,40 @@ def lsh_dedup_admitter(
         )
         keep = docs.join(losers, "doc_id", "left_anti")
         if _path_exists(spark, index_path):
+            # ONE index read serves both the probe join and the
+            # already-indexed clause (the index is the growing side —
+            # scanning it twice per batch doubles the dominant cost)
             spark.catalog.refreshByPath(index_path)
+            index_df = spark.read.parquet(index_path)
             hits = (
                 dedup.probe_lsh_index(
-                    keep, index_path, max_bucket_size, **lsh_kwargs
+                    keep, index_df, max_bucket_size, **lsh_kwargs
                 )
                 .select(F.col("new_id").alias("doc_id"))
                 .distinct()
             )
-            already = (
-                spark.read.parquet(index_path).select("doc_id").distinct()
-            )
+            already = index_df.select("doc_id").distinct()
             keep = keep.join(hits, "doc_id", "left_anti").join(
                 already, "doc_id", "left_anti"
             )
-        # one computation feeds two writes (index append + admitted rows)
+        # one computation feeds both writes
         admitted = common.materialize(keep)
-        dedup.write_lsh_index(admitted, index_path, mode="append", **lsh_kwargs)
+        if admitted.isEmpty():
+            return  # nothing admitted: no writes, directories untouched
+        # Write ORDER makes the two non-atomic appends convergent under
+        # retry: admitted rows land FIRST, in a per-batch subdirectory
+        # OVERWRITTEN on replay (no duplicate rows), then the index
+        # append. A crash between the two re-runs the batch with the
+        # index unchanged -> the same admitted set is recomputed, the
+        # row directory is overwritten identically, and the index
+        # append completes. (Index-first ordering would instead LOSE
+        # rows forever: the retried batch finds its ids already
+        # indexed and admits nothing.)
         if admitted_path is not None:
-            admitted.write.mode("append").parquet(admitted_path)
+            admitted.write.mode("overwrite").parquet(
+                f"{admitted_path}/batch_id={batch_id}"
+            )
+        dedup.write_lsh_index(admitted, index_path, mode="append", **lsh_kwargs)
 
     return _apply
 

@@ -279,6 +279,7 @@ class Message:
 
     def __init__(self, **kwargs):
         object.__setattr__(self, "_values", {})
+        object.__setattr__(self, "_parent_link", None)
         for k, v in kwargs.items():
             if v is None:
                 continue
@@ -296,7 +297,16 @@ class Message:
         if name in values:
             return values[name]
         if field.type == T_MESSAGE and not field.repeated:
-            return type(self)._REGISTRY[field.type_name]()  # default inst
+            # Default instance carrying a PARENT LINK: real protobuf
+            # semantics let callers write `msg.sub.field = x` and have
+            # the submessage spring into existence on first SET (the
+            # pyspark state clients do exactly this for TTL config:
+            # `state_call_command.ttl.durationMs = ...`). Reading alone
+            # must NOT mark presence, so attachment happens in
+            # __setattr__, recursively up the chain.
+            sub = type(self)._REGISTRY[field.type_name]()
+            object.__setattr__(sub, "_parent_link", (self, name))
+            return sub
         default = _default_for(field, type(self)._REGISTRY)
         if field.repeated:
             values[name] = default  # mutable: persist so appends stick
@@ -308,6 +318,11 @@ class Message:
                 f"{type(self).__name__} has no field {name!r}"
             )
         self._values[name] = value
+        link = self.__dict__.get("_parent_link")
+        if link is not None:
+            parent, pname = link
+            object.__setattr__(self, "_parent_link", None)
+            setattr(parent, pname, self)  # attach (recursive up-chain)
 
     def __repr__(self):
         inner = ", ".join(f"{k}={v!r}" for k, v in self._values.items())

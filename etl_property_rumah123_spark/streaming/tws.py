@@ -162,6 +162,13 @@ class ListStateGateProcessor(StatefulProcessor):
                 out_d.append(dg)
         self._seen.put([(d,) for d in seen])
         if self.idle_ttl_ms is not None:
+            # registerTimer ADDS — it never replaces — so the previous
+            # batch's timer would still fire idle_ttl after THAT batch
+            # and wipe an ACTIVE key's horizon. Delete stale timers
+            # before arming the new idle deadline (this also exercises
+            # the ListTimers protocol path).
+            for expiry_ms in self._handle.listTimers():
+                self._handle.deleteTimer(expiry_ms)
             self._handle.registerTimer(
                 timer_values.getCurrentProcessingTimeInMs() + self.idle_ttl_ms
             )

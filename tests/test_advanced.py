@@ -570,3 +570,32 @@ def test_star_components_nonconvergence_is_loud(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_star(nodes, edges, max_rounds=1).collect()
+
+
+def test_lsh_index_meta_guard_refuses_mismatch(spark, tmp_path):
+    """The _lsh_meta.json sidecar: probing or appending with different
+    bucket-space parameters (or against a sidecar-less pre-round-4
+    artifact) must refuse LOUDLY — mismatched bucket spaces produce
+    zero hits, not errors, which silently corrupts a dedup corpus."""
+    import pytest
+
+    from etl_property_rumah123_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    dedup.write_lsh_index(docs, path, bands=4, num_hashes=16)
+    # matching parameters probe fine
+    dedup.probe_lsh_index(docs, path, bands=4, num_hashes=16).collect()
+    # different band count -> different bucket space -> refuse
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dedup.probe_lsh_index(docs, path, bands=8, num_hashes=16)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dedup.write_lsh_index(docs, path, mode="append", bands=8, num_hashes=16)
+    # a sidecar-less artifact (pre-round-4 or foreign) is refused too
+    bare = str(tmp_path / "bare")
+    dedup.lsh_bucket_table(docs).write.parquet(bare)
+    with pytest.raises(ValueError, match="no _lsh_meta.json"):
+        dedup.probe_lsh_index(docs, bare)
