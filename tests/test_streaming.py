@@ -651,7 +651,7 @@ def test_tws_timer_expiry_clears_idle_state(spark, tmp_path):
             schema,
         ).coalesce(1).write.mode("append").parquet(str(src))
 
-    def wait_rows(n, timeout_s=90):
+    def wait_rows(n, timeout_s=120):
         deadline = time.time() + timeout_s
         while time.time() < deadline:
             if spark.table("t_tws_timer").count() >= n:
@@ -659,13 +659,34 @@ def test_tws_timer_expiry_clears_idle_state(spark, tmp_path):
             time.sleep(1)
         return False
 
+    def wait_consumed(n_inputs, timeout_s=120):
+        # deterministic in-horizon sequencing: confirm the feed was
+        # PROCESSED (input-row accounting) before letting the TTL
+        # elapse — under load, sleeping alone lets the timer fire
+        # first and re-admit the in-horizon replay (observed flake)
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            consumed = sum(
+                int(p["numInputRows"]) for p in q.recentProgress
+            )
+            if consumed >= n_inputs:
+                return True
+            time.sleep(1)
+        return False
+
     q = None
     try:
         feed(0)
+        # idle TTL must DOMINATE micro-batch pickup latency (file-source
+        # polling + batch scheduling is seconds; a too-short TTL makes
+        # the key legitimately idle before the in-horizon replay is even
+        # consumed — the operator then CORRECTLY re-admits, observed as
+        # a flake with ttl=4-6s)
+        ttl_ms = 20_000
         out = tws.streaming_dedup_admission_tws_list(
             spark.readStream.schema(schema).parquet(str(src)),
             n_recent=100000,
-            idle_ttl_ms=4000,
+            idle_ttl_ms=ttl_ms,
         )
         q = (
             out.writeStream.format("memory")
@@ -675,17 +696,20 @@ def test_tws_timer_expiry_clears_idle_state(spark, tmp_path):
             .start()
         )
         assert wait_rows(9), "initial batch not admitted"
-        # replay the SAME content immediately: inside the horizon, all
-        # rejected (poll a few batches to let it process)
+        # replay the SAME content: inside the horizon, all rejected —
+        # confirmed once the batch is actually consumed (which also
+        # re-arms the idle timer from THAT activity)
         feed(100)
-        time.sleep(8)  # > idle_ttl: the timer fires and clears state
+        assert wait_consumed(18, timeout_s=15), "in-horizon replay not consumed"
+        assert spark.table("t_tws_timer").count() == 9  # nothing admitted
+        time.sleep(ttl_ms / 1000 + 5)  # idle past TTL: timers clear state
         # now replay again: the cleared horizon re-admits everything
         feed(200)
         assert wait_rows(18), "post-expiry replay was not re-admitted"
         rows = spark.table("t_tws_timer").collect()
         by_base = {b: sum(1 for r in rows if b <= r["event_id"] < b + 100) for b in (0, 100, 200)}
         assert by_base[0] == 9 and by_base[200] == 9
-        # the immediate replay (still within the horizon) stayed rejected
+        # the in-horizon replay stayed rejected
         assert by_base[100] == 0
     finally:
         if q is not None:
