@@ -189,14 +189,55 @@ def _byte(hx: str, off2_var: str) -> str:
 Level = list[tuple[str, str]]  # one subquery level: [(alias, expr), ...]
 
 
-def wrap_levels(inner: str, levels: list[Level]) -> str:
-    """Nest ``SELECT *, <exprs> FROM (...)`` one level per step group.
+def wrap_levels(
+    inner: str,
+    levels: list[Level],
+    base_cols: list[str] | None = None,
+    keep: list[str] | None = None,
+) -> str:
+    """Nest ``SELECT .., <exprs> FROM (...)`` one level per step group.
     Exprs in a level may reference columns from any EARLIER level (real
-    columns — evaluated once per row, no textual inlining)."""
+    columns — evaluated once per row, no textual inlining).
+
+    With ``base_cols`` (the inner query's column names) and ``keep``
+    (columns the caller needs from the final level), each level
+    projects ONLY the columns still referenced downstream instead of
+    ``SELECT *`` — without this, a ~60-level tower drags every dead
+    intermediate through every projection, which measured as the
+    dominant cost of the minhash oracle (generated aliases contain no
+    word-boundary ambiguity, so \\b-regex liveness is exact)."""
+    import re
+
+    if base_cols is None or keep is None:
+        sql = inner
+        for level in levels:
+            cols = ", ".join(f"{expr} AS {alias}" for alias, expr in level)
+            sql = f"SELECT *, {cols} FROM (\n{sql}\n)"
+        return sql
+
+    # live[i] = columns (existing before level i's outputs) referenced
+    # by level i..end exprs or by the final keep set
+    live_after: list[set[str]] = [set(keep)]
+    for level in reversed(levels):
+        refs = set(live_after[-1])
+        refs -= {alias for alias, _ in level}
+        for _, expr in level:
+            for name in re.findall(r"\b[A-Za-z_][A-Za-z0-9_]*\b", expr):
+                refs.add(name)
+        live_after.append(refs)
+    live_before = list(reversed(live_after))  # live_before[i] for level i
+
     sql = inner
-    for level in levels:
-        cols = ", ".join(f"{expr} AS {alias}" for alias, expr in level)
-        sql = f"SELECT *, {cols} FROM (\n{sql}\n)"
+    avail = list(base_cols)
+    for i, level in enumerate(levels):
+        # live_before[i+1] = columns needed at entry to the NEXT level
+        # (the keep set is seeded into the liveness computation)
+        carry = [c for c in avail if c in live_before[i + 1]]
+        cols = ", ".join(
+            carry + [f"{expr} AS {alias}" for alias, expr in level]
+        )
+        sql = f"SELECT {cols} FROM (\n{sql}\n)"
+        avail = carry + [alias for alias, _ in level]
     return sql
 
 
@@ -445,11 +486,20 @@ def xxh64_str_levels(p: str, hx: str, n: str, seed: int = SEED) -> list[Level]:
     return levels
 
 
-def xxh64_str_sql(inner: str, text_col: str, out_col: str) -> str:
+def xxh64_str_sql(
+    inner: str,
+    text_col: str,
+    out_col: str,
+    carry_cols: list[str] | None = None,
+) -> str:
     """Wrap ``inner`` (any SELECT producing ``text_col``) so the result
     gains unsigned-HUGEINT column ``out_col`` = Spark xxhash64 of the
     VARCHAR. NULL text -> 42 (Spark hash expressions SKIP null children,
-    leaving the seed untouched — pinned by test vectors)."""
+    leaving the seed untouched — pinned by test vectors).
+
+    ``carry_cols``: the inner query's OTHER columns to keep alongside
+    ``out_col``; when given, every level projects only live columns
+    (see :func:`wrap_levels`)."""
     prep: list[Level] = [
         [
             (f"{out_col}_hx", f"hex(encode({text_col}))"),
@@ -466,7 +516,14 @@ def xxh64_str_sql(inner: str, text_col: str, out_col: str) -> str:
             )
         ]
     ]
-    return wrap_levels(inner, prep + body + final)
+    if carry_cols is None:
+        return wrap_levels(inner, prep + body + final)
+    return wrap_levels(
+        inner,
+        prep + body + final,
+        base_cols=list(carry_cols) + [text_col],
+        keep=list(carry_cols) + [out_col],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -524,16 +581,25 @@ FROM (
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
         FROM documents)
 )"""
-    base = xxh64_str_sql(shingle_src, "s", "hb")
-    base = f"SELECT doc_id, hb FROM (\n{base}\n)"
+    base = xxh64_str_sql(shingle_src, "s", "hb", carry_cols=["doc_id"])
     # h1 = hashLong(hb, 42): the shared inner link of every seed chain
-    h1 = wrap_levels(base, hash_long_levels("h1", "hb", SEED))
+    h1 = wrap_levels(
+        base,
+        hash_long_levels("h1", "hb", SEED),
+        base_cols=["doc_id", "hb"],
+        keep=["doc_id", "h1"],
+    )
     # 16 parallel outer links: s{k} = signed(hashLong(k, h1))
     chains = [hash_long_levels(f"s{k}u", k, "h1") for k in range(num_hashes)]
     sign_level: Level = [
         (f"s{k}", _signed_sql(f"s{k}u")) for k in range(num_hashes)
     ]
-    seeded = wrap_levels(h1, merge_parallel(chains) + [sign_level])
+    seeded = wrap_levels(
+        h1,
+        merge_parallel(chains) + [sign_level],
+        base_cols=["doc_id", "h1"],
+        keep=["doc_id"] + [f"s{k}" for k in range(num_hashes)],
+    )
     mins = ", ".join(f"MIN(s{k})" for k in range(num_hashes))
     sig = f"SELECT doc_id, [{mins}] AS sig FROM (\n{seeded}\n) GROUP BY doc_id"
     # band chains over the signed signature elements
@@ -560,9 +626,13 @@ FROM (
             )
         ]
     )
-    bands_sql = (
-        f"SELECT doc_id, bucket FROM (\n{wrap_levels(band_inner, levels)}\n)"
+    band_tower = wrap_levels(
+        band_inner,
+        levels,
+        base_cols=["doc_id", "b"] + [f"be{j + 1}" for j in range(rows)],
+        keep=["doc_id", "bucket"],
     )
+    bands_sql = f"SELECT doc_id, bucket FROM (\n{band_tower}\n)"
     return f"""
 WITH xbands AS (
 {bands_sql}
