@@ -20,7 +20,12 @@ the real RocksDB state server:
   keys forget their horizon, so replayed content is re-admitted);
 - **MapState** — :class:`TypeCountsProcessor`, per-user per-type
   running accumulators (ContainsKey/GetValue/UpdateValue + map
-  iterator paging), pinned equal to the batch groupBy.
+  iterator paging), pinned equal to the batch groupBy;
+- **state TTL** — ``state_ttl_ms`` on the value gate (TTLConfig on
+  the wire): idle horizons expire wholesale, replays re-admit;
+- **initial state** — ``initial_admitted`` bootstraps each key's
+  horizon from a batch DataFrame via ``handleInitialState`` before
+  batch 0 (a restarted/migrated gate keeps its history).
 
 The gate semantics: per user, an event is ADMITTED iff its content
 digest is not among that user's last ``n_recent`` admitted digests,
@@ -55,14 +60,33 @@ from etl_property_rumah123_spark.streaming.pipelines import (  # noqa: E402
 
 
 class DedupGateProcessor(StatefulProcessor):
-    """Per-key FIFO digest-horizon admission (see module docstring)."""
+    """Per-key FIFO digest-horizon admission (see module docstring).
 
-    def __init__(self, n_recent: int = 128):
+    ``state_ttl_ms``: optional STATE TTL (the typed-state API's native
+    aging — TTLConfig on the wire, carried by the protolite
+    nested-assignment semantics): a key's horizon expires wholesale
+    after that long without a write, so long-idle users forget their
+    history without explicit timers. Requires processingTime timeMode.
+
+    ``handleInitialState``: when the query is started with an
+    ``initialState`` GroupedData of (user_id, digest) rows — e.g. the
+    digests of an EXISTING admitted corpus — each key's horizon is
+    bootstrapped before the first batch, so a restarted/migrated gate
+    does not re-admit history it has already passed."""
+
+    def __init__(self, n_recent: int = 128, state_ttl_ms: int | None = None):
         self.n_recent = n_recent
+        self.state_ttl_ms = state_ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         state_proto_shim.install()
-        self._seen = handle.getValueState("seen", "digests array<string>")
+        self._seen = handle.getValueState(
+            "seen", "digests array<string>", ttlDurationMs=self.state_ttl_ms
+        )
+
+    def handleInitialState(self, key, initialState, timerValues):  # noqa: N803
+        digests = [str(d) for d in initialState["digest"]][-self.n_recent:]
+        self._seen.update((digests,))
 
     def handleInputRows(self, key, rows, timer_values):
         from collections import deque
@@ -98,20 +122,36 @@ class DedupGateProcessor(StatefulProcessor):
 
 
 def streaming_dedup_admission_tws(
-    events: DataFrame, n_recent: int = 128
+    events: DataFrame,
+    n_recent: int = 128,
+    state_ttl_ms: int | None = None,
+    initial_admitted: DataFrame | None = None,
 ) -> DataFrame:
     """The admission gate on transformWithStateInPandas. Same input/
-    output contract as ``pipelines.streaming_dedup_admission``."""
+    output contract as ``pipelines.streaming_dedup_admission``; see
+    :class:`DedupGateProcessor` for ``state_ttl_ms`` (native state
+    aging) and ``initial_admitted`` (a batch DataFrame with user_id +
+    props whose digests seed each key's horizon before batch 0)."""
     prepared = events.select(
         "user_id",
         "event_id",
         F.md5(F.coalesce(F.col("props"), F.lit(""))).alias("digest"),
     )
+    initial = None
+    if initial_admitted is not None:
+        initial = (
+            initial_admitted.select(
+                "user_id",
+                F.md5(F.coalesce(F.col("props"), F.lit(""))).alias("digest"),
+            )
+            .groupBy("user_id")
+        )
     return prepared.groupBy("user_id").transformWithStateInPandas(
-        DedupGateProcessor(n_recent),
+        DedupGateProcessor(n_recent, state_ttl_ms),
         outputStructType=DEDUP_GATE_SCHEMA,
         outputMode="append",
-        timeMode="none",
+        timeMode="processingTime" if state_ttl_ms is not None else "none",
+        initialState=initial,
     )
 
 

@@ -764,3 +764,130 @@ def test_tws_map_state_counts_match_batch_groupby(spark, events_stream_dir):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_tws_initial_state_bootstraps_horizon(spark, tmp_path):
+    """handleInitialState through the protolite shim: starting the
+    gate with an initialState of already-admitted content must seed
+    each key's horizon BEFORE batch 0, so a restarted gate rejects
+    history it already passed while still admitting novel content."""
+    from etl_property_rumah123_spark.streaming import tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "init_src"
+    src.mkdir()
+    schema = "event_id long, user_id long, props string"
+    # history: users 0-2 already saw contents c0..c4
+    history = spark.createDataFrame(
+        [(i, u, f'{{"c": {i % 5}}}') for u in range(3) for i in range(5)],
+        schema,
+    )
+    # incoming batch: 5 replays of history content + 4 novel per user
+    rows = []
+    eid = 1000
+    for u in range(3):
+        for c in list(range(5)) + list(range(100, 104)):
+            rows.append((eid, u, f'{{"c": {c}}}'))
+            eid += 1
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    try:
+        out = tws.streaming_dedup_admission_tws(
+            spark.readStream.schema(schema).parquet(str(src)),
+            n_recent=100000,
+            initial_admitted=history,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tws_init")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cp_init"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        admitted = spark.table("t_tws_init").collect()
+        # exactly the 4 novel contents per user; all 5 replays rejected
+        assert len(admitted) == 12
+        digests_hist = {
+            r["digest"]
+            for r in history.select(
+                F.md5(F.coalesce("props", F.lit(""))).alias("digest")
+            ).collect()
+        }
+        assert all(r["digest"] not in digests_hist for r in admitted)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+
+def test_tws_state_ttl_expires_idle_horizon(spark, tmp_path):
+    """Native state TTL (ttlDurationMs -> TTLConfig on the wire — the
+    protolite nested-assignment path): a horizon unwritten for longer
+    than the TTL expires wholesale, so replayed content is re-admitted
+    — no explicit timers in the processor at all."""
+    import time
+
+    from etl_property_rumah123_spark.streaming import tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    schema = "event_id long, user_id long, props string"
+
+    def feed(eid_base):
+        spark.createDataFrame(
+            [(eid_base + i, i % 2, f'{{"c": {i}}}') for i in range(6)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def wait_rows(n, timeout_s=120):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if spark.table("t_tws_ttl").count() >= n:
+                return True
+            time.sleep(1)
+        return False
+
+    q = None
+    try:
+        feed(0)
+        ttl_ms = 20_000  # must dominate micro-batch pickup latency
+        out = tws.streaming_dedup_admission_tws(
+            spark.readStream.schema(schema).parquet(str(src)),
+            n_recent=100000,
+            state_ttl_ms=ttl_ms,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tws_ttl")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cp_ttl"))
+            .start()
+        )
+        assert wait_rows(6), "initial batch not admitted"
+        time.sleep(ttl_ms / 1000 + 8)  # idle past the state TTL
+        feed(100)  # same content -> expired horizon re-admits it
+        assert wait_rows(12), "post-TTL replay was not re-admitted"
+    finally:
+        if q is not None:
+            q.stop()
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
