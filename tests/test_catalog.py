@@ -123,3 +123,64 @@ def test_read_stage_csv_quarantines_corrupt_rows(spark, tmp_path):
         assert bad[0]["price_rp"] is None
     finally:
         back.unpersist()
+
+
+def test_archive_source_reads_zip_and_tar_shards(spark, tmp_path):
+    """The doc_archive DataSource: a directory of zip + tar(.gz)
+    shards becomes (archive, member, size, payload) rows, one
+    partition per shard, payload bytes intact (pinned by decoding a
+    real BMP member), suffix filter and oversized-member guard
+    applied."""
+    import tarfile
+    import zipfile
+
+    import numpy as np
+
+    from etl_property_rumah123_spark.functions import codecs
+    from etl_property_rumah123_spark.sources.archive_source import (
+        ArchiveDataSource,
+    )
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    bmp = codecs.encode_bmp24(px)
+    with zipfile.ZipFile(shard_dir / "shard0.zip", "w") as zf:
+        zf.writestr("docs/a.txt", b"alpha")
+        zf.writestr("img/pic.bmp", bmp)
+        zf.writestr("big.bin", b"x" * 2048)  # above max_bytes below
+    with tarfile.open(shard_dir / "shard1.tar.gz", "w:gz") as tf:
+        import io
+
+        for member, payload in [("docs/b.txt", b"beta"), ("docs/c.txt", b"gamma")]:
+            info = tarfile.TarInfo(member)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+    spark.dataSource.register(ArchiveDataSource)
+    df = (
+        spark.read.format("doc_archive")
+        .option("path", str(shard_dir))
+        .option("max_bytes", "1024")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one per shard
+    rows = {r["member"]: r for r in df.collect()}
+    assert set(rows) == {"docs/a.txt", "img/pic.bmp", "docs/b.txt", "docs/c.txt"}
+    assert bytes(rows["docs/a.txt"]["payload"]) == b"alpha"
+    assert rows["docs/b.txt"]["archive"] == "shard1.tar.gz"
+    assert rows["img/pic.bmp"]["size"] == len(bmp)
+    # payload bytes are intact end-to-end: the BMP member decodes
+    out = codecs.decode_bmp24(bytes(rows["img/pic.bmp"]["payload"]))
+    assert np.array_equal(out, px)
+
+    # suffix filter
+    only_txt = (
+        spark.read.format("doc_archive")
+        .option("path", str(shard_dir))
+        .option("suffix", ".txt")
+        .load()
+    )
+    assert {r["member"] for r in only_txt.collect()} == {
+        "docs/a.txt", "docs/b.txt", "docs/c.txt"
+    }
