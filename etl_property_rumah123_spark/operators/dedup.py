@@ -909,7 +909,10 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+            # no intra-round distinct: duplicate intermediate edges are
+            # harmless (small-star's groupBy-min dedups per node and the
+            # round-final distinct canonicalizes) and dropping it saves
+            # a full shuffle per round
         )
         # small-star on the large-star output: direct each edge
         # large->small, connect the small side (and the center) to m
