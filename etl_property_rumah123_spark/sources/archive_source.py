@@ -20,11 +20,20 @@ directory of shards into (archive, member, size, payload) rows:
 
 Options: ``path`` (a directory or a single archive), ``suffix``
 (member filter, e.g. '.bmp'), ``max_bytes`` (skip oversized members,
-default 64 MiB — one hostile member must not OOM a task).
+default 64 MiB — one hostile member must not OOM a task),
+``warc_type`` (WARC shards only: record-type filter, default
+'response' — the CommonCrawl payload records).
 
-Stdlib ``zipfile``/``tarfile`` over local paths; on a cluster the
-open() seam below is where an fsspec/Hadoop-FS stream plugs in —
-partition planning and row semantics are unchanged.
+WARC shards (``.warc`` / ``.warc.gz`` — the CommonCrawl container,
+ISO 28500) are parsed by a from-spec reader: version line + CRLF
+header block + Content-Length payload + CRLF CRLF separator, gzip
+multi-member streams handled transparently (each record is its own
+gzip member in CC shards; stdlib GzipFile concatenates). Member name
+is WARC-Target-URI (falling back to WARC-Record-ID).
+
+Stdlib ``zipfile``/``tarfile``/``gzip`` over local paths; on a
+cluster the open() seam below is where an fsspec/Hadoop-FS stream
+plugs in — partition planning and row semantics are unchanged.
 """
 
 from __future__ import annotations
@@ -43,10 +52,50 @@ ARCHIVE_SCHEMA = (
 
 _ZIP_SUFFIXES = (".zip",)
 _TAR_SUFFIXES = (".tar", ".tar.gz", ".tgz")
+_WARC_SUFFIXES = (".warc", ".warc.gz")
 
 
 def _is_archive(name: str) -> bool:
-    return name.endswith(_ZIP_SUFFIXES + _TAR_SUFFIXES)
+    return name.endswith(_ZIP_SUFFIXES + _TAR_SUFFIXES + _WARC_SUFFIXES)
+
+
+def iter_warc_records(stream) -> "Iterator[tuple[dict, bytes]]":
+    """Parse WARC records (ISO 28500 / WARC 1.x) from a byte stream:
+    yields (headers, payload). Grammar per spec: a ``WARC/1.x`` version
+    line, CRLF-separated ``Name: value`` headers terminated by a blank
+    line, exactly ``Content-Length`` payload bytes, then CRLF CRLF.
+    Tolerates leading blank lines between records and stops at EOF.
+    Raises ValueError on structural corruption (bad version line,
+    truncated payload, unparseable length) — never desyncs silently."""
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if line in (b"\r\n", b"\n"):
+            continue  # inter-record padding
+        if not line.startswith(b"WARC/"):
+            raise ValueError(f"expected WARC version line, got {line[:40]!r}")
+        headers: dict[str, str] = {}
+        while True:
+            hline = stream.readline()
+            if not hline:
+                raise ValueError("truncated WARC header block")
+            if hline in (b"\r\n", b"\n"):
+                break
+            if b":" not in hline:
+                raise ValueError(f"bad WARC header line {hline[:40]!r}")
+            name, value = hline.split(b":", 1)
+            headers[name.decode("ascii").strip()] = (
+                value.decode("utf-8", "replace").strip()
+            )
+        try:
+            length = int(headers["Content-Length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError("missing/invalid WARC Content-Length") from exc
+        payload = stream.read(length)
+        if len(payload) != length:
+            raise ValueError("truncated WARC payload")
+        yield headers, payload
 
 
 @dataclass
@@ -61,6 +110,7 @@ class ArchiveReader(DataSourceReader):
             raise ValueError("doc_archive requires a 'path' option")
         self.suffix = options.get("suffix", "")
         self.max_bytes = int(options.get("max_bytes", str(64 * 1024 * 1024)))
+        self.warc_type = options.get("warc_type", "response")
 
     def partitions(self) -> Sequence[ArchiveShard]:
         if os.path.isdir(self.path):
@@ -82,6 +132,30 @@ class ArchiveReader(DataSourceReader):
     def read(self, partition: ArchiveShard) -> Iterator[tuple]:
         path = partition.path
         name = os.path.basename(path)
+        if path.endswith(_WARC_SUFFIXES):
+            import gzip
+
+            raw = (
+                gzip.open(path, "rb")  # multi-member streams concatenate
+                if path.endswith(".gz")
+                else open(path, "rb")
+            )
+            with raw:
+                for headers, payload in iter_warc_records(raw):
+                    if (
+                        self.warc_type
+                        and headers.get("WARC-Type") != self.warc_type
+                    ):
+                        continue
+                    member = headers.get(
+                        "WARC-Target-URI", headers.get("WARC-Record-ID", "")
+                    )
+                    if self.suffix and not member.endswith(self.suffix):
+                        continue
+                    if len(payload) > self.max_bytes:
+                        continue
+                    yield (name, member, len(payload), payload)
+            return
         if path.endswith(_ZIP_SUFFIXES):
             with zipfile.ZipFile(path) as zf:
                 for info in zf.infolist():

@@ -184,3 +184,80 @@ def test_archive_source_reads_zip_and_tar_shards(spark, tmp_path):
     assert {r["member"] for r in only_txt.collect()} == {
         "docs/a.txt", "docs/b.txt", "docs/c.txt"
     }
+
+
+def test_archive_source_reads_warc_shards(spark, tmp_path):
+    """WARC shards (the CommonCrawl container) through doc_archive:
+    records parsed per ISO 28500 (version line, CRLF headers,
+    Content-Length payload), response-type filter by default, gzip
+    multi-member shards handled, payload bytes exact; structural
+    corruption raises rather than desyncing."""
+    import gzip
+
+    import pytest
+
+    from etl_property_rumah123_spark.sources.archive_source import (
+        ArchiveDataSource,
+        iter_warc_records,
+    )
+
+    def record(wtype, uri, payload):
+        head = (
+            b"WARC/1.0\r\n"
+            + f"WARC-Type: {wtype}\r\n".encode()
+            + (f"WARC-Target-URI: {uri}\r\n".encode() if uri else b"")
+            + b"WARC-Record-ID: <urn:uuid:x>\r\n"
+            + f"Content-Length: {len(payload)}\r\n".encode()
+            + b"\r\n"
+        )
+        return head + payload + b"\r\n\r\n"
+
+    body1 = b"HTTP/1.1 200 OK\r\n\r\n<html>alpha</html>"
+    body2 = b"HTTP/1.1 200 OK\r\n\r\n<html>beta</html>"
+    shard = (
+        record("warcinfo", None, b"software: test")
+        + record("response", "http://a.example/x", body1)
+        + record("request", "http://a.example/x", b"GET /x")
+        + record("response", "http://b.example/y", body2)
+    )
+    shard_dir = tmp_path / "warcs"
+    shard_dir.mkdir()
+    (shard_dir / "cc0.warc").write_bytes(shard)
+    # gzip shard with each record its own member (the CC layout)
+    with open(shard_dir / "cc1.warc.gz", "wb") as fh:
+        for rec in [
+            record("response", "http://c.example/z", b"gamma-payload")
+        ]:
+            fh.write(gzip.compress(rec))
+
+    spark.dataSource.register(ArchiveDataSource)
+    df = (
+        spark.read.format("doc_archive")
+        .option("path", str(shard_dir))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = {r["member"]: bytes(r["payload"]) for r in df.collect()}
+    # only response records survive the default filter
+    assert rows == {
+        "http://a.example/x": body1,
+        "http://b.example/y": body2,
+        "http://c.example/z": b"gamma-payload",
+    }
+    # warc_type filter override
+    reqs = (
+        spark.read.format("doc_archive")
+        .option("path", str(shard_dir))
+        .option("warc_type", "request")
+        .load()
+        .collect()
+    )
+    assert [r["member"] for r in reqs] == ["http://a.example/x"]
+    # corruption is loud, never a silent desync
+    import io
+
+    with pytest.raises(ValueError, match="version line"):
+        list(iter_warc_records(io.BytesIO(b"NOT-WARC\r\n")))
+    truncated = record("response", "u", b"abcdef")[:-10]
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_warc_records(io.BytesIO(truncated)))
