@@ -2,7 +2,7 @@
 progressive (Annex G), from the public specification — no image
 library.
 
-  encode (baseline): RGB -> JFIF YCbCr (optional 4:2:0) -> 8x8 blocks
+  encode (baseline): RGB -> JFIF YCbCr (4:4:4/4:2:0/4:2:2/4:4:0) -> 8x8 blocks
           (edge-replicated padding) -> orthonormal 2-D DCT ->
           quantization (Annex K tables, libjpeg quality scaling) ->
           zigzag -> DC differential + AC run-length -> canonical
@@ -126,6 +126,15 @@ _A = np.array([
     ]
     for u in range(8)
 ])
+
+
+#: luma (hs, vs) per subsampling name; chroma is always 1x1
+SUBSAMPLING_FACTORS = {
+    "444": (1, 1),
+    "420": (2, 2),
+    "422": (2, 1),  # chroma halved horizontally
+    "440": (1, 2),  # chroma halved vertically
+}
 
 
 def scaled_quant_tables(quality: int):
@@ -337,14 +346,18 @@ def encode_jpeg(
     corrupted scan loses one interval, not the image."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got {subsampling}")
+    if subsampling not in SUBSAMPLING_FACTORS:
+        raise ValueError(
+            f"subsampling must be one of {sorted(SUBSAMPLING_FACTORS)}, "
+            f"got {subsampling}"
+        )
     if not 0 <= restart_interval <= 0xFFFF:
         raise ValueError("restart_interval must be 0..65535")
     h, w, _ = pixels.shape
     qlum, qchrom = scaled_quant_tables(quality)
-    mcu = 8 if subsampling == "444" else 16
-    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    hs, vs = SUBSAMPLING_FACTORS[subsampling]
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
     padded = np.pad(pixels, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
     ycc = _rgb_to_ycbcr(padded) - np.array([128.0, 128.0, 128.0])
 
@@ -355,7 +368,7 @@ def encode_jpeg(
 
     writer = _BitWriter()
     prev_dc = [0, 0, 0]
-    n_mcu_total = (ph // mcu) * (pw // mcu)
+    n_mcu_total = (ph // mcu_h) * (pw // mcu_w)
     n_mcu = 0
 
     def emit_restart() -> None:
@@ -385,22 +398,22 @@ def encode_jpeg(
                         dc_codes[t], ac_codes[t], prev_dc[comp],
                     )
                 emit_restart()
-    else:  # 4:2:0 — chroma planes are 2x2 means at half resolution
+    else:  # subsampled: chroma planes are vs x hs means
         yplane = ycc[..., 0]
         chroma = [
-            ycc[..., c].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            ycc[..., c].reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
             for c in (1, 2)
         ]
-        for by in range(0, ph, 16):
-            for bx in range(0, pw, 16):
-                for dy in (0, 8):  # 4 luma blocks, raster order
-                    for dx in (0, 8):
+        for by in range(0, ph, mcu_h):
+            for bx in range(0, pw, mcu_w):
+                for dy in range(0, mcu_h, 8):  # vs x hs luma blocks, raster
+                    for dx in range(0, mcu_w, 8):
                         prev_dc[0] = _encode_block(
                             writer,
                             yplane[by + dy : by + dy + 8, bx + dx : bx + dx + 8],
                             qlum, dc_codes[0], ac_codes[0], prev_dc[0],
                         )
-                cy, cx = by // 2, bx // 2
+                cy, cx = by // vs, bx // hs
                 for comp in (1, 2):
                     prev_dc[comp] = _encode_block(
                         writer,
@@ -422,7 +435,7 @@ def encode_jpeg(
             0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
         )
 
-    y_sampling = 0x11 if subsampling == "444" else 0x22
+    y_sampling = (hs << 4) | vs
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
@@ -874,21 +887,25 @@ def _quantize_planes(pixels: np.ndarray, quality: int, subsampling: str):
     coeff arrays (bh, bw, 64) int64, true block dims)."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got {subsampling}")
+    if subsampling not in SUBSAMPLING_FACTORS:
+        raise ValueError(
+            f"subsampling must be one of {sorted(SUBSAMPLING_FACTORS)}, "
+            f"got {subsampling}"
+        )
     h, w, _ = pixels.shape
     qlum, qchrom = scaled_quant_tables(quality)
-    mcu = 8 if subsampling == "444" else 16
-    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    hs, vs = SUBSAMPLING_FACTORS[subsampling]
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
     padded = np.pad(pixels, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
     ycc = _rgb_to_ycbcr(padded) - np.array([128.0, 128.0, 128.0])
     if subsampling == "444":
         samp = [(1, 1), (1, 1), (1, 1)]
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
     else:
-        samp = [(2, 2), (1, 1), (1, 1)]
+        samp = [(hs, vs), (1, 1), (1, 1)]
         planes = [ycc[..., 0]] + [
-            ycc[..., c].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            ycc[..., c].reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
             for c in (1, 2)
         ]
     coeff_arrays = []

@@ -645,3 +645,31 @@ def test_jpeg_restart_intervals_roundtrip():
             with pytest.raises(ValueError):
                 codecs.decode_jpeg(bad)
             break
+
+
+def test_jpeg_422_and_440_layouts_roundtrip():
+    """One-axis chroma subsampling (4:2:2 horizontal, 4:4:0 vertical):
+    encode in each layout, decode through the general sampling-factor
+    path (previously only reachable for 4:4:4/4:2:0 fixtures), with
+    progressive pixel-parity and restart intervals in both layouts;
+    grayscale content (constant chroma) survives near-exactly."""
+    rng = np.random.RandomState(17)
+    for sub in ("422", "440"):
+        px = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+        base = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=90, subsampling=sub))
+        assert base.shape == px.shape
+        prog = codecs.decode_jpeg(
+            jpeg_mod.encode_jpeg_progressive(px, quality=90, subsampling=sub)
+        )
+        assert np.array_equal(prog, base), sub
+        rst = codecs.decode_jpeg(
+            codecs.encode_jpeg(px, quality=90, subsampling=sub, restart_interval=2)
+        )
+        assert np.array_equal(rst, base), sub
+        gray = np.repeat(
+            rng.randint(0, 256, (24, 24, 1), dtype=np.uint8), 3, axis=2
+        )
+        out = codecs.decode_jpeg(
+            codecs.encode_jpeg(gray, quality=100, subsampling=sub)
+        )
+        assert np.abs(out.astype(int) - gray.astype(int)).max() <= 2, sub
