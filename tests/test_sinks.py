@@ -681,3 +681,71 @@ def test_compact_partitions_respects_partition_filter(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert got == {(i, "a" if i % 2 else "b", i) for i in range(20)}
+
+
+def test_snapshot_table_time_travel_and_vacuum(spark, tmp_path):
+    """The snapshot log: append/overwrite commits are atomic via the
+    manifest rename, every version stays readable (time travel), a
+    crashed commit's orphan data is invisible, history records the
+    operations, and vacuum drops exactly the unreferenced versions
+    while keeping the survivors byte-identical."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "snap_table")
+    df1 = spark.range(0, 5).withColumnRenamed("id", "k")
+    df2 = spark.range(5, 8).withColumnRenamed("id", "k")
+    df3 = spark.range(100, 102).withColumnRenamed("id", "k")
+
+    v0 = table_log.commit_snapshot(df1, t, mode="append")
+    v1 = table_log.commit_snapshot(df2, t, mode="append")
+    v2 = table_log.commit_snapshot(df3, t, mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    def ks(df):
+        return sorted(r["k"] for r in df.collect())
+
+    # time travel: each version exactly as committed
+    assert ks(table_log.read_snapshot(spark, t, 0)) == list(range(5))
+    assert ks(table_log.read_snapshot(spark, t, 1)) == list(range(8))
+    assert ks(table_log.read_snapshot(spark, t, 2)) == [100, 101]
+    assert ks(table_log.read_snapshot(spark, t)) == [100, 101]  # latest
+    assert [h["operation"] for h in table_log.history(spark, t)] == [
+        "append", "append", "overwrite"
+    ]
+
+    # a "crashed commit": data dir written, no manifest -> invisible
+    orphan = f"{t}/data/c99-deadbeef"
+    spark.range(900, 903).withColumnRenamed("id", "k").write.parquet(orphan)
+    assert ks(table_log.read_snapshot(spark, t)) == [100, 101]
+
+    # vacuum keeps the last 2 versions; v0 and the orphan disappear
+    deleted = table_log.vacuum(spark, t, keep_last=2)
+    assert any("v0.json" in d for d in deleted)
+    assert any("c99-deadbeef" in d for d in deleted)
+    import pytest
+
+    with pytest.raises(ValueError, match="not in"):
+        table_log.read_snapshot(spark, t, 0)
+    # survivors intact after vacuum (v1 shares commit dirs with v0!)
+    assert ks(table_log.read_snapshot(spark, t, 1)) == list(range(8))
+    assert ks(table_log.read_snapshot(spark, t, 2)) == [100, 101]
+
+    # optimistic concurrency: a pre-existing winning manifest for the
+    # next version forces the loser to rebase onto it
+    import json
+
+    next_v = 3
+    winner_files = table_log._manifest(spark, t, 2)["files"]
+    table_log._write_file(
+        spark,
+        f"{t}/_log/v{next_v}.json",
+        json.dumps(
+            {"version": next_v, "operation": "append",
+             "files": winner_files, "n_files": len(winner_files)}
+        ).encode(),
+    )
+    v4 = table_log.commit_snapshot(
+        spark.range(500, 502).withColumnRenamed("id", "k"), t, mode="append"
+    )
+    assert v4 == 4  # rebased past the occupied version
+    assert ks(table_log.read_snapshot(spark, t)) == [100, 101, 500, 501]
