@@ -218,3 +218,125 @@ def vacuum(
                 fs.delete(status.getPath(), True)
                 deleted.append(f"{table_path}/data/{name}")
     return deleted
+
+
+def merge_snapshot(
+    df: DataFrame,
+    table_path: str,
+    key: str,
+    max_retries: int = 10,
+) -> int:
+    """Copy-on-write MERGE at FILE grain (the Delta/Iceberg CoW shape,
+    L3 semantics on the snapshot log): full-row last-write-wins upsert
+    of ``df`` by ``key``, rewriting ONLY the data files that contain a
+    matched key. Untouched files are carried by reference in the new
+    manifest — at 100 TB a merge touching 0.1% of keys rewrites ~0.1%
+    of files, not the table — and every previous version remains
+    readable (time travel over merges).
+
+    Plan shape: one scan of the current snapshot tagged with
+    ``input_file_name()``; a semi join finds touched files, an anti
+    join inside them keeps unmatched carry rows; carry + batch form
+    the single rewritten commit dir. First commit degenerates to
+    append."""
+    spark = df.sparkSession
+    jvm, fs = _fs(spark, table_path)
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    from pyspark.sql import functions as F
+
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        versions = _list_versions(spark, table_path)
+        if not versions:
+            return commit_snapshot(df, table_path, mode="append")
+        prev = _manifest(spark, table_path, versions[-1])
+        version = versions[-1] + 1
+        tagged = spark.read.parquet(
+            *[f"{table_path}/{rel}" for rel in prev["files"]]
+        ).withColumn("__file", F.input_file_name())
+        batch_keys = df.select(key).distinct()
+        touched = {
+            r["__file"]
+            for r in tagged.join(batch_keys, key, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+        touched_rel = [
+            rel
+            for rel in prev["files"]
+            if any(f.endswith(rel) for f in touched)
+        ]
+        carry = (
+            tagged.filter(F.col("__file").isin(*touched) if touched else F.lit(False))
+            .drop("__file")
+            .join(batch_keys, key, "left_anti")
+        )
+        rewrite = carry.unionByName(df)
+        commit_rel = f"data/c{version}-{token}"
+        commit_dir = f"{table_path}/{commit_rel}"
+        if not fs.exists(hadoop_path(commit_dir)):
+            rewrite.write.mode("errorifexists").parquet(commit_dir)
+        new_files = sorted(
+            f"{commit_rel}/{s.getPath().getName()}"
+            for s in fs.listStatus(hadoop_path(commit_dir))
+            if s.getPath().getName().endswith(".parquet")
+        )
+        files = [
+            rel for rel in prev["files"] if rel not in set(touched_rel)
+        ] + new_files
+        manifest = {
+            "version": version,
+            "operation": "merge",
+            "files": files,
+            "n_files": len(files),
+            "n_rewritten_files": len(touched_rel),
+        }
+        staged = f"{table_path}/_log/.v{version}-{token}.json.tmp"
+        _write_file(spark, staged, json.dumps(manifest, indent=1).encode())
+        if fs.rename(
+            hadoop_path(staged), hadoop_path(f"{table_path}/_log/v{version}.json")
+        ) and _manifest(spark, table_path, version).get("files") == files:
+            return version
+        fs.delete(hadoop_path(staged), False)
+        # lost the race: the base snapshot changed — recompute against
+        # the new latest (the CoW rebase; stale commit dir is vacuumable)
+        token = uuid.uuid4().hex[:12]
+    raise RuntimeError(
+        f"merge into {table_path} lost {max_retries} version races"
+    )
+
+
+def snapshot_stream_writer(table_path: str, key: str | None = None):
+    """foreachBatch sink committing each micro-batch as a snapshot
+    version — EXACTLY-ONCE through the transaction log: the manifest
+    records ``stream_batch_id``, and a replayed batch (restart from
+    checkpoint, retried epoch) whose id is already committed is
+    SKIPPED instead of duplicated. This is the txn-log streaming-sink
+    idempotence story (same mechanism as Delta's), stronger than the
+    at-least-once + dedup-on-read parquet sink. With ``key`` set,
+    each batch MERGES (CoW upsert); otherwise it appends. One writing
+    query per table (the batch-id sequence is per query)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = _list_versions(spark, table_path)
+        if versions:
+            last = _manifest(spark, table_path, versions[-1])
+            prev_bid = last.get("stream_batch_id")
+            if prev_bid is not None and batch_id <= prev_bid:
+                return  # replayed batch: already durable, skip
+        if key is not None and versions:
+            version = merge_snapshot(batch_df, table_path, key)
+        else:
+            version = commit_snapshot(batch_df, table_path, mode="append")
+        # stamp the batch id onto the manifest we just won
+        manifest = _manifest(spark, table_path, version)
+        manifest["stream_batch_id"] = batch_id
+        _write_file(
+            spark,
+            f"{table_path}/_log/v{version}.json",
+            json.dumps(manifest, indent=1).encode(),
+        )
+
+    return _apply

@@ -749,3 +749,94 @@ def test_snapshot_table_time_travel_and_vacuum(spark, tmp_path):
     )
     assert v4 == 4  # rebased past the occupied version
     assert ks(table_log.read_snapshot(spark, t)) == [100, 101, 500, 501]
+
+
+def test_snapshot_merge_rewrites_only_touched_files(spark, tmp_path):
+    """File-grain copy-on-write MERGE: an upsert matching keys in only
+    one commit's files rewrites THOSE files, carries the rest by
+    reference in the new manifest, keeps last-write-wins row
+    semantics, and leaves the pre-merge version time-travelable."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "cow_table")
+    # two separate commits = two distinct file sets
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(5)], "k long, v string")
+    b = spark.createDataFrame([(i, f"b{i}") for i in range(100, 105)], "k long, v string")
+    table_log.commit_snapshot(a.coalesce(1), t)
+    table_log.commit_snapshot(b.coalesce(1), t)
+    pre_files = table_log._manifest(spark, t, 1)["files"]
+
+    # merge touches keys 3,4 (commit A's file) + inserts key 999
+    up = spark.createDataFrame(
+        [(3, "NEW3"), (4, "NEW4"), (999, "NEW999")], "k long, v string"
+    )
+    v = table_log.merge_snapshot(up.coalesce(1), t, key="k")
+    m = table_log._manifest(spark, t, v)
+    assert m["operation"] == "merge"
+    # commit B's file survives by reference; commit A's was rewritten
+    b_files = [f for f in pre_files if "/c1-" in f]
+    assert all(f in m["files"] for f in b_files)
+    assert m["n_rewritten_files"] == 1
+
+    got = {
+        r["k"]: r["v"]
+        for r in table_log.read_snapshot(spark, t).collect()
+    }
+    want = {i: f"a{i}" for i in range(3)}
+    want.update({3: "NEW3", 4: "NEW4", 999: "NEW999"})
+    want.update({i: f"b{i}" for i in range(100, 105)})
+    assert got == want
+    # pre-merge snapshot unchanged
+    pre = {
+        r["k"]: r["v"]
+        for r in table_log.read_snapshot(spark, t, 1).collect()
+    }
+    assert pre[3] == "a3" and 999 not in pre
+
+
+def test_snapshot_stream_writer_exactly_once(spark, tmp_path):
+    """The txn-log streaming sink: each micro-batch commits one
+    snapshot version stamped with its batch id; a FULL REPLAY from a
+    fresh checkpoint re-delivers the batches and the sink skips every
+    one (exactly-once through the log, no dedup-on-read)."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "stream_table")
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "k long, v string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run(checkpoint):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(table_log.snapshot_stream_writer(t))
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    feed([(1, "x"), (2, "y")])
+    run("cp1")
+    feed([(3, "z")])
+    run("cp1")
+    rows1 = sorted(
+        (r["k"], r["v"]) for r in table_log.read_snapshot(spark, t).collect()
+    )
+    assert rows1 == [(1, "x"), (2, "y"), (3, "z")]
+    n_versions = len(table_log.history(spark, t))
+
+    # fresh checkpoint: all source files re-delivered as batch 0 —
+    # batch id 0 <= last committed id, so nothing is appended
+    run("cp_replay")
+    rows2 = sorted(
+        (r["k"], r["v"]) for r in table_log.read_snapshot(spark, t).collect()
+    )
+    assert rows2 == rows1
+    assert len(table_log.history(spark, t)) == n_versions
