@@ -340,3 +340,57 @@ def snapshot_stream_writer(table_path: str, key: str | None = None):
         )
 
     return _apply
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    target_files: int = 8,
+    max_retries: int = 10,
+) -> int:
+    """OPTIMIZE for the snapshot log: rewrite the CURRENT version's
+    rows into ``target_files`` bin-packed files as a new version
+    (operation 'compact' — content-identical, fewer files). Streaming
+    appends and CoW merges accrete small files; compaction folds them
+    without blocking readers (old versions keep the fragmented files
+    until vacuum). Same commit/race protocol as every other writer."""
+    jvm, fs = _fs(spark, table_path)
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        versions = _list_versions(spark, table_path)
+        if not versions:
+            raise ValueError(f"no snapshots at {table_path}")
+        base_v = versions[-1]
+        prev = _manifest(spark, table_path, base_v)
+        version = base_v + 1
+        df = spark.read.parquet(
+            *[f"{table_path}/{rel}" for rel in prev["files"]]
+        ).coalesce(target_files)
+        commit_rel = f"data/c{version}-{token}"
+        commit_dir = f"{table_path}/{commit_rel}"
+        if not fs.exists(hadoop_path(commit_dir)):
+            df.write.mode("errorifexists").parquet(commit_dir)
+        files = sorted(
+            f"{commit_rel}/{s.getPath().getName()}"
+            for s in fs.listStatus(hadoop_path(commit_dir))
+            if s.getPath().getName().endswith(".parquet")
+        )
+        manifest = {
+            "version": version,
+            "operation": "compact",
+            "files": files,
+            "n_files": len(files),
+            "compacted_from": prev["n_files"],
+        }
+        staged = f"{table_path}/_log/.v{version}-{token}.json.tmp"
+        _write_file(spark, staged, json.dumps(manifest, indent=1).encode())
+        if fs.rename(
+            hadoop_path(staged), hadoop_path(f"{table_path}/_log/v{version}.json")
+        ) and _manifest(spark, table_path, version).get("files") == files:
+            return version
+        fs.delete(hadoop_path(staged), False)
+        token = uuid.uuid4().hex[:12]
+    raise RuntimeError(
+        f"compaction of {table_path} lost {max_retries} version races"
+    )

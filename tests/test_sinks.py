@@ -840,3 +840,27 @@ def test_snapshot_stream_writer_exactly_once(spark, tmp_path):
     )
     assert rows2 == rows1
     assert len(table_log.history(spark, t)) == n_versions
+
+
+def test_snapshot_compaction_preserves_content(spark, tmp_path):
+    """compact_snapshot folds many small commit files into
+    target_files as a new content-identical version; the fragmented
+    version stays time-travelable until vacuumed."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "compact_table")
+    for i in range(6):  # six tiny commits = six+ files
+        table_log.commit_snapshot(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"), t
+        )
+    frag = table_log._manifest(spark, t, 5)
+    assert frag["n_files"] >= 6
+    v = table_log.compact_snapshot(spark, t, target_files=1)
+    m = table_log._manifest(spark, t, v)
+    assert m["operation"] == "compact" and m["n_files"] == 1
+    rows = sorted(
+        (r["k"], r["v"]) for r in table_log.read_snapshot(spark, t).collect()
+    )
+    assert rows == [(i, f"v{i}") for i in range(6)]
+    # fragmented version still readable
+    assert table_log.read_snapshot(spark, t, 5).count() == 6
