@@ -1230,3 +1230,73 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return split_sentences(d)
+
+
+@part(
+    "snapshot_table_lifecycle",
+    """
+    WITH f AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+    fo AS (SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')),
+    urg AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+            FROM orders WHERE o_orderpriority = '1-URGENT'),
+    v2 AS (
+      SELECT o_totalprice FROM fo
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM urg)
+      UNION ALL
+      SELECT o_totalprice FROM urg
+    )
+    SELECT 'v0' AS op, CAST(0 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS total
+    FROM f
+    UNION ALL
+    SELECT 'v1', 1, CAST(COUNT(*) AS BIGINT),
+           CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) FROM fo
+    UNION ALL
+    SELECT 'v2', 2, CAST(COUNT(*) AS BIGINT),
+           CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) FROM v2
+    """,
+    doc="The snapshot-log lifecycle under the driver's value hash: "
+    "commit filled orders (v0), append open orders (v1), file-grain "
+    "COPY-ON-WRITE MERGE of urgent orders with +1000 totalprice (v2 "
+    "— urgent rows replace or insert, untouched files carried by "
+    "reference), then TIME-TRAVEL every version and aggregate. The "
+    "oracle restates the three versions in plain SQL over orders — "
+    "any commit/merge/time-travel defect in sinks/table_log.py "
+    "changes a version's rows and fails the hash.",
+)
+def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    orders = table(spark, sf_dir, "orders")
+    tdir = f"/tmp/sg_snapshot_part/{os.path.basename(os.path.normpath(sf_dir))}"
+    jvm, fs = table_log._fs(spark, tdir)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tdir), True)  # clean slate
+
+    table_log.commit_snapshot(
+        orders.filter(F.col("o_orderstatus") == "F"), tdir
+    )
+    table_log.commit_snapshot(
+        orders.filter(F.col("o_orderstatus") == "O"), tdir
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    table_log.merge_snapshot(urgent, tdir, key="o_orderkey")
+
+    frames = []
+    for v, op in ((0, "v0"), (1, "v1"), (2, "v2")):
+        frames.append(
+            table_log.read_snapshot(spark, tdir, v).agg(
+                F.lit(op).alias("op"),
+                F.lit(v).cast("long").alias("version"),
+                F.count("*").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 0).cast("long").alias("total"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.select("op", "version", "n_rows", "total")

@@ -178,6 +178,7 @@ _suite(
         "filtered": {"part": "filtered_aggregates", "s1": ("CAST(o_custkey AS STRING)", "CAST(o_custkey AS VARCHAR)"), "n1": "n_open", "n2": "n_filled", "n3": "urgent_spend"},
         "hist": {"part": "value_histogram", "s1": ("CAST(bucket AS STRING)", "CAST(bucket AS VARCHAR)"), "n1": "n", "v1": "lo", "v2": "hi"},
         "dq": {"part": "dq_lineitem_checks", "s1": "rule", "n1": "n_rows", "n2": "n_violations", "v1": "pass_rate"},
+        "snapshot": {"part": "snapshot_table_lifecycle", "s1": "op", "n1": "version", "n2": "n_rows", "n3": "total"},
     },
     [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double"), ("v2", "double")],
     doc="Aggregation shapes: HAVING, COUNT DISTINCT, FILTERed "
