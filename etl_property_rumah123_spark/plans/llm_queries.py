@@ -2279,3 +2279,70 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_words_col="words",
         eval_words_col="words",
     )
+
+
+@part(
+    "archive_ingest_roundtrip",
+    """
+    SELECT CAST(doc_id % 3 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+           CAST(SUM(doc_id) AS VARCHAR) AS id_sum
+    FROM documents WHERE doc_id < 60
+    GROUP BY doc_id % 3
+    """,
+    doc="The doc_archive shard DataSource under the driver's value "
+    "hash: 60 documents are packed into three deterministic zip "
+    "shards (doc_id % 3; fixture built driver-side like the listing "
+    "pages), read back through spark.read.format('doc_archive') — "
+    "one partition per shard — and aggregated per shard with exact "
+    "payload byte counts; the oracle restates the accounting straight "
+    "from documents.text. A member lost, truncated, or mis-sized "
+    "anywhere in the container read path fails the hash.",
+)
+def archive_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import zipfile
+
+    from etl_property_rumah123_spark.sources.archive_source import (
+        ArchiveDataSource,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+        .collect()  # 60 rows: driver-side FIXTURE build, like listing pages
+    )
+    base = f"/tmp/sg_archive_part/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    shards = {}
+    for r in docs:
+        shards.setdefault(int(r["doc_id"]) % 3, []).append(r)
+    for shard_id, rows in shards.items():
+        with zipfile.ZipFile(os.path.join(base, f"shard{shard_id}.zip"), "w") as zf:
+            for r in sorted(rows, key=lambda x: x["doc_id"]):
+                info = zipfile.ZipInfo(f"doc{r['doc_id']:06d}.txt")
+                zf.writestr(info, (r["text"] or "").encode("utf-8"))
+
+    spark.dataSource.register(ArchiveDataSource)
+    df = spark.read.format("doc_archive").option("path", base).load()
+    doc_id = F.regexp_extract("member", r"doc(\d+)\.txt", 1).cast("long")
+    return (
+        df.select(
+            F.regexp_extract("archive", r"shard(\d)\.zip", 1)
+            .cast("long")
+            .alias("shard"),
+            doc_id.alias("doc_id"),
+            F.col("size"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("size").alias("payload_bytes"),
+            F.sum("doc_id").cast("string").alias("id_sum"),
+        )
+        .select("shard", "n_docs", "payload_bytes", "id_sum")
+    )

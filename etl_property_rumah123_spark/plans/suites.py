@@ -607,6 +607,7 @@ _suite(
         "lsh_probe": {"part": "corpus_lsh_probe", "n1": "new_id", "n2": "indexed_id"},
         "minhash_md5": {"part": "minhash_lsh_md5", "n1": "id_a", "n2": "id_b"},
         "star_cc": {"part": "components_star_chain", "n1": "doc_id", "n2": "component"},
+        "archive": {"part": "archive_ingest_roundtrip", "n1": "shard", "n2": "n_docs", "n3": "payload_bytes", "s1": "id_sum"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],
     doc="Corpus preparation: the full gate->dedup->split->account "
