@@ -394,3 +394,82 @@ def compact_snapshot(
     raise RuntimeError(
         f"compaction of {table_path} lost {max_retries} version races"
     )
+
+
+def delete_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    condition: str,
+    max_retries: int = 10,
+) -> int:
+    """Copy-on-write DELETE — the right-to-be-forgotten operation a
+    training corpus must support (takedowns, PII purges, license
+    revocations). Rows matching the SQL ``condition`` are removed by
+    rewriting ONLY the files that contain them; untouched files carry
+    by reference. NOTE the retention contract this implies: the rows
+    remain readable via time travel until :func:`vacuum` drops the
+    pre-delete versions — a compliance purge is delete + vacuum, and
+    the manifest records both steps auditable in :func:`history`."""
+    from pyspark.sql import functions as F
+
+    jvm, fs = _fs(spark, table_path)
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        versions = _list_versions(spark, table_path)
+        if not versions:
+            raise ValueError(f"no snapshots at {table_path}")
+        prev = _manifest(spark, table_path, versions[-1])
+        version = versions[-1] + 1
+        tagged = spark.read.parquet(
+            *[f"{table_path}/{rel}" for rel in prev["files"]]
+        ).withColumn("__file", F.input_file_name())
+        pred = F.expr(condition)
+        touched = {
+            r["__file"]
+            for r in tagged.filter(pred).select("__file").distinct().collect()
+        }
+        touched_rel = [
+            rel for rel in prev["files"] if any(f.endswith(rel) for f in touched)
+        ]
+        if not touched_rel:  # nothing matches: still commit an audit row
+            survivors = None
+        else:
+            survivors = (
+                tagged.filter(
+                    F.col("__file").isin(*touched) & ~F.coalesce(pred, F.lit(False))
+                ).drop("__file")
+            )
+        commit_rel = f"data/c{version}-{token}"
+        commit_dir = f"{table_path}/{commit_rel}"
+        new_files: list[str] = []
+        if survivors is not None:
+            if not fs.exists(hadoop_path(commit_dir)):
+                survivors.write.mode("errorifexists").parquet(commit_dir)
+            new_files = sorted(
+                f"{commit_rel}/{s.getPath().getName()}"
+                for s in fs.listStatus(hadoop_path(commit_dir))
+                if s.getPath().getName().endswith(".parquet")
+            )
+        files = [
+            rel for rel in prev["files"] if rel not in set(touched_rel)
+        ] + new_files
+        manifest = {
+            "version": version,
+            "operation": "delete",
+            "condition": condition,
+            "files": files,
+            "n_files": len(files),
+            "n_rewritten_files": len(touched_rel),
+        }
+        staged = f"{table_path}/_log/.v{version}-{token}.json.tmp"
+        _write_file(spark, staged, json.dumps(manifest, indent=1).encode())
+        if fs.rename(
+            hadoop_path(staged), hadoop_path(f"{table_path}/_log/v{version}.json")
+        ) and _manifest(spark, table_path, version).get("files") == files:
+            return version
+        fs.delete(hadoop_path(staged), False)
+        token = uuid.uuid4().hex[:12]
+    raise RuntimeError(
+        f"delete on {table_path} lost {max_retries} version races"
+    )

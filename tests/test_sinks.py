@@ -864,3 +864,45 @@ def test_snapshot_compaction_preserves_content(spark, tmp_path):
     assert rows == [(i, f"v{i}") for i in range(6)]
     # fragmented version still readable
     assert table_log.read_snapshot(spark, t, 5).count() == 6
+
+
+def test_snapshot_delete_copy_on_write_and_purge(spark, tmp_path):
+    """CoW DELETE (the takedown/PII-purge op): predicate rows vanish
+    from the new version with only their containing files rewritten;
+    the pre-delete version stays time-travelable (the documented
+    retention contract) until vacuum makes the purge durable — after
+    which the deleted rows are unreachable at ANY version."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "del_table")
+    a = spark.createDataFrame(
+        [(i, f"user{i % 3}") for i in range(6)], "k long, owner string"
+    )
+    b = spark.createDataFrame(
+        [(i, "user9") for i in range(100, 103)], "k long, owner string"
+    )
+    table_log.commit_snapshot(a.coalesce(1), t)
+    table_log.commit_snapshot(b.coalesce(1), t)
+
+    v = table_log.delete_snapshot(spark, t, "owner = 'user1'")
+    m = table_log._manifest(spark, t, v)
+    assert m["operation"] == "delete" and m["condition"] == "owner = 'user1'"
+    assert m["n_rewritten_files"] == 1  # only commit A held user1 rows
+    got = sorted(r["k"] for r in table_log.read_snapshot(spark, t).collect())
+    assert got == [0, 2, 3, 5, 100, 101, 102]  # k=1,4 (user1) gone
+    # audit trail + retention: pre-delete version still shows the rows
+    assert [h["operation"] for h in table_log.history(spark, t)][-1] == "delete"
+    assert table_log.read_snapshot(spark, t, 1).count() == 9
+    # no-match delete commits an audit version carrying files untouched
+    v2 = table_log.delete_snapshot(spark, t, "owner = 'nobody'")
+    assert table_log._manifest(spark, t, v2)["n_rewritten_files"] == 0
+    assert table_log.read_snapshot(spark, t).count() == 7
+    # the purge: vacuum to the latest version only -> user1 rows are
+    # unreachable everywhere
+    table_log.vacuum(spark, t, keep_last=1)
+    import pytest
+
+    with pytest.raises(ValueError):
+        table_log.read_snapshot(spark, t, 1)
+    remaining = table_log.read_snapshot(spark, t)
+    assert remaining.filter("owner = 'user1'").count() == 0
