@@ -473,3 +473,72 @@ def delete_snapshot(
     raise RuntimeError(
         f"delete on {table_path} lost {max_retries} version races"
     )
+
+
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED between versions: the rows to process
+    INCREMENTALLY when a downstream consumer (tokenizer run, index
+    build, training shard refresh) last saw ``from_version`` — the
+    alternative to re-reading 100 TB because 0.1% changed.
+
+    Returns the table schema plus ``_change_type``
+    ('insert' | 'delete'); an update appears as its delete+insert
+    pair (minimal row-level CDF — no key knowledge required).
+    Computed purely from consecutive manifests: each step's added and
+    removed FILES are the manifest set difference, and the row-level
+    change is the symmetric difference of their contents (appends
+    short-circuit to pure inserts with no diff shuffle;
+    content-identical 'compact' steps are skipped by construction).
+    """
+    from pyspark.sql import functions as F
+
+    versions = _list_versions(spark, table_path)
+    if to_version is None:
+        to_version = versions[-1]
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in {table_path}")
+    out: DataFrame | None = None
+
+    def read_rel(rels):
+        return spark.read.parquet(*[f"{table_path}/{r}" for r in rels])
+
+    prev_files = set(_manifest(spark, table_path, from_version)["files"])
+    for v in versions:
+        if not from_version < v <= to_version:
+            continue
+        m = _manifest(spark, table_path, v)
+        cur_files = set(m["files"])
+        if m.get("operation") == "compact":
+            prev_files = cur_files  # content-identical by construction
+            continue
+        added = sorted(cur_files - prev_files)
+        removed = sorted(prev_files - cur_files)
+        prev_files = cur_files
+        step: DataFrame | None = None
+        if added and not removed:  # pure append: no diff needed
+            step = read_rel(added).withColumn("_change_type", F.lit("insert"))
+        elif added or removed:
+            new_rows = read_rel(added) if added else None
+            old_rows = read_rel(removed) if removed else None
+            parts = []
+            if new_rows is not None:
+                ins = new_rows.exceptAll(old_rows) if old_rows is not None else new_rows
+                parts.append(ins.withColumn("_change_type", F.lit("insert")))
+            if old_rows is not None:
+                dels = old_rows.exceptAll(new_rows) if new_rows is not None else old_rows
+                parts.append(dels.withColumn("_change_type", F.lit("delete")))
+            step = parts[0]
+            for p in parts[1:]:
+                step = step.unionByName(p)
+        if step is not None:
+            out = step if out is None else out.unionByName(step)
+    if out is None:
+        base = read_snapshot(spark, table_path, to_version)
+        return base.withColumn("_change_type", F.lit("insert")).limit(0)
+    return out

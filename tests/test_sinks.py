@@ -906,3 +906,43 @@ def test_snapshot_delete_copy_on_write_and_purge(spark, tmp_path):
         table_log.read_snapshot(spark, t, 1)
     remaining = table_log.read_snapshot(spark, t)
     assert remaining.filter("owner = 'user1'").count() == 0
+
+
+def test_snapshot_change_data_feed(spark, tmp_path):
+    """read_changes: appends emit pure inserts, a CoW merge emits the
+    delete+insert pair for updated keys plus inserts for new ones, a
+    CoW delete emits deletes, and a compact step emits nothing —
+    incremental consumption instead of full re-reads."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "cdf_table")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1), t
+    )  # v0
+    table_log.commit_snapshot(
+        spark.createDataFrame([(3, "c")], "k long, v string").coalesce(1), t
+    )  # v1 append
+    table_log.merge_snapshot(
+        spark.createDataFrame([(2, "B2"), (9, "i")], "k long, v string").coalesce(1),
+        t, key="k",
+    )  # v2 merge: update k=2, insert k=9
+    table_log.delete_snapshot(spark, t, "k = 1")  # v3
+    table_log.compact_snapshot(spark, t, target_files=1)  # v4
+
+    def changes(lo, hi=None):
+        return sorted(
+            (r["k"], r["v"], r["_change_type"])
+            for r in table_log.read_changes(spark, t, lo, hi).collect()
+        )
+
+    assert changes(0, 1) == [(3, "c", "insert")]
+    assert changes(1, 2) == [
+        (2, "B2", "insert"), (2, "b", "delete"), (9, "i", "insert")
+    ]
+    assert changes(2, 3) == [(1, "a", "delete")]
+    assert changes(3, 4) == []  # compaction changes nothing logically
+    # cumulative feed composes the steps
+    assert changes(0, 4) == [
+        (1, "a", "delete"), (2, "B2", "insert"), (2, "b", "delete"),
+        (3, "c", "insert"), (9, "i", "insert"),
+    ]
