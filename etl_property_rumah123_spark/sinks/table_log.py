@@ -154,11 +154,20 @@ def commit_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest) — time travel.
     One manifest read; the file list goes straight to the parquet
-    scan, so old snapshots stay readable forever (until vacuumed)."""
+    scan, so old snapshots stay readable forever (until vacuumed).
+
+    ``merge_schema=True`` enables SCHEMA EVOLUTION across a version's
+    commits: a snapshot whose appends added columns over time reads
+    as the union schema with NULLs where older files lack the column
+    (parquet schema merging — each footer carries its schema, so this
+    costs a footer pass, not a data rewrite)."""
     versions = _list_versions(spark, table_path)
     if not versions:
         raise ValueError(f"no snapshots at {table_path}")
@@ -172,7 +181,10 @@ def read_snapshot(
     if not manifest["files"]:
         return spark.createDataFrame([], schema="__empty string").limit(0)
     paths = [f"{table_path}/{rel}" for rel in manifest["files"]]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def history(spark: SparkSession, table_path: str) -> list[dict]:

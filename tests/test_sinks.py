@@ -946,3 +946,27 @@ def test_snapshot_change_data_feed(spark, tmp_path):
         (1, "a", "delete"), (2, "B2", "insert"), (2, "b", "delete"),
         (3, "c", "insert"), (9, "i", "insert"),
     ]
+
+
+def test_snapshot_schema_evolution(spark, tmp_path):
+    """Appends may add columns over time; merge_schema=True reads the
+    union schema with NULLs where older commits lack the column, while
+    plain reads and old-version time travel keep working."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "evo_table")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(1, "a")], "k long, v string").coalesce(1), t
+    )
+    table_log.commit_snapshot(
+        spark.createDataFrame(
+            [(2, "b", "en")], "k long, v string, lang string"
+        ).coalesce(1),
+        t,
+    )
+    evolved = table_log.read_snapshot(spark, t, merge_schema=True)
+    assert set(evolved.columns) == {"k", "v", "lang"}
+    rows = {r["k"]: r["lang"] for r in evolved.collect()}
+    assert rows == {1: None, 2: "en"}
+    # v0 time travel: the original two-column schema
+    assert set(table_log.read_snapshot(spark, t, 0).columns) == {"k", "v"}
