@@ -90,39 +90,68 @@ def _manifest(spark: SparkSession, table_path: str, version: int) -> dict:
     )
 
 
+def _try_publish(spark, table_path: str, version: int, token: str, manifest: dict) -> bool:
+    """Stage the manifest and rename-if-absent into the log — the ONE
+    atomic visibility step every writer shares. Returns True when OUR
+    manifest won version ``version``."""
+    jvm, fs = _fs(spark, table_path)
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    staged = f"{table_path}/_log/.v{version}-{token}.json.tmp"
+    _write_file(spark, staged, json.dumps(manifest, indent=1).encode())
+    if fs.rename(
+        hadoop_path(staged), hadoop_path(f"{table_path}/_log/v{version}.json")
+    ) and fs.exists(hadoop_path(f"{table_path}/_log/v{version}.json")):
+        # rename can "succeed" onto an existing dir target on some
+        # local FS; verify OUR content won by reading it back
+        if _manifest(spark, table_path, version).get("files") == manifest["files"]:
+            return True
+    fs.delete(hadoop_path(staged), False)
+    return False
+
+
+def _write_commit_dir(df: DataFrame, table_path: str, commit_rel: str) -> list[str]:
+    """Write ``df`` into ``commit_rel`` (skipped if it already exists —
+    retry reuse) and return the relative parquet file list."""
+    spark = df.sparkSession
+    jvm, fs = _fs(spark, table_path)
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    commit_dir = f"{table_path}/{commit_rel}"
+    if not fs.exists(hadoop_path(commit_dir)):
+        df.write.mode("errorifexists").parquet(commit_dir)
+    return sorted(
+        f"{commit_rel}/{status.getPath().getName()}"
+        for status in fs.listStatus(hadoop_path(commit_dir))
+        if status.getPath().getName().endswith(".parquet")
+    )
+
+
 def commit_snapshot(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
     max_retries: int = 10,
+    extra_meta: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
     ``mode='append'`` unions the new files with the previous version's;
     ``'overwrite'`` makes the new files the whole table. Concurrency:
-    the commit-dir write is conflict-free (unique token); the manifest
-    rename is the only contended step and loses cleanly — the loser
-    re-reads the new latest version and retries (bounded by
-    ``max_retries``, then raises)."""
+    the commit dir is named by a unique TOKEN (version-independent), so
+    a writer that loses the manifest rename race reuses its already
+    written data and only re-points the new manifest on retry. The
+    manifest also records the DataFrame schema so empty versions read
+    back with the true table schema. ``extra_meta`` entries are
+    embedded IN the atomically published manifest (the streaming
+    sink's batch-id stamp rides here — never a post-hoc rewrite)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     spark = df.sparkSession
-    jvm, fs = _fs(spark, table_path)
-    hadoop_path = jvm.org.apache.hadoop.fs.Path
-
     token = uuid.uuid4().hex[:12]
+    commit_rel = f"data/c{token}"
     for _ in range(max_retries):
         versions = _list_versions(spark, table_path)
         version = (versions[-1] + 1) if versions else 0
-        commit_rel = f"data/c{version}-{token}"
-        commit_dir = f"{table_path}/{commit_rel}"
-        if not fs.exists(hadoop_path(commit_dir)):
-            df.write.mode("errorifexists").parquet(commit_dir)
-        new_files = sorted(
-            f"{commit_rel}/{status.getPath().getName()}"
-            for status in fs.listStatus(hadoop_path(commit_dir))
-            if status.getPath().getName().endswith(".parquet")
-        )
+        new_files = _write_commit_dir(df, table_path, commit_rel)
         if mode == "append" and versions:
             prev = _manifest(spark, table_path, versions[-1])
             files = prev["files"] + new_files
@@ -133,20 +162,13 @@ def commit_snapshot(
             "operation": mode,
             "files": files,
             "n_files": len(files),
+            "schema": df.schema.json(),
+            **(extra_meta or {}),
         }
-        staged = f"{table_path}/_log/.v{version}-{token}.json.tmp"
-        _write_file(spark, staged, json.dumps(manifest, indent=1).encode())
-        # rename-if-absent IS the commit: exactly one writer per version
-        if fs.rename(
-            hadoop_path(staged), hadoop_path(f"{table_path}/_log/v{version}.json")
-        ) and fs.exists(hadoop_path(f"{table_path}/_log/v{version}.json")):
-            # rename can "succeed" onto an existing dir target on some
-            # local FS; verify OUR content won by reading it back
-            if _manifest(spark, table_path, version).get("files") == files:
-                return version
-        fs.delete(hadoop_path(staged), False)
-        # lost the race: move the data dir under the NEXT version name
-        # on retry (cheap: data stays, only the manifest re-points)
+        if _try_publish(spark, table_path, version, token, manifest):
+            return version
+        # lost the race: data stays (token-named dir), the retry only
+        # re-reads the new latest version and re-points the manifest
     raise RuntimeError(
         f"commit to {table_path} lost {max_retries} version races; "
         "giving up (contended writer storm)"
@@ -179,7 +201,19 @@ def read_snapshot(
         )
     manifest = _manifest(spark, table_path, version)
     if not manifest["files"]:
-        return spark.createDataFrame([], schema="__empty string").limit(0)
+        # empty version: reconstruct the TRUE table schema from the
+        # manifest (a delete matching every row must still read back
+        # selectable by the real columns)
+        from pyspark.sql.types import StructType
+
+        schema_json = manifest.get("schema")
+        if schema_json:
+            schema = StructType.fromJson(json.loads(schema_json))
+        else:  # pre-schema-recording manifest: best effort
+            schema = StructType.fromJson(
+                json.loads('{"type":"struct","fields":[]}')
+            )
+        return spark.createDataFrame([], schema=schema)
     paths = [f"{table_path}/{rel}" for rel in manifest["files"]]
     reader = spark.read
     if merge_schema:
@@ -199,13 +233,25 @@ def history(spark: SparkSession, table_path: str) -> list[dict]:
 
 
 def vacuum(
-    spark: SparkSession, table_path: str, keep_last: int = 1
+    spark: SparkSession,
+    table_path: str,
+    keep_last: int = 1,
+    min_age_s: float = 24 * 3600,
 ) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and
-    delete data files no surviving manifest references (including
-    orphans from crashed commits). Returns deleted paths. The
-    time-travel horizon after vacuum is exactly the kept versions —
-    same contract as Delta's VACUUM."""
+    delete data no surviving manifest references — including orphaned
+    commit dirs and staged .tmp manifests from crashed commits.
+    Returns deleted paths. The time-travel horizon after vacuum is
+    exactly the kept versions — same contract as Delta's VACUUM.
+
+    ``min_age_s`` is the RETENTION GUARD (default 24 h, same idea as
+    Delta's retention check): unreferenced data/staging younger than
+    this is left alone, because a lock-free concurrent writer may
+    have fully written its commit dir but not yet renamed its
+    manifest — deleting it would break the commit the instant it
+    publishes. Only pass 0 when no other writer can be running."""
+    import time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     jvm, fs = _fs(spark, table_path)
@@ -215,18 +261,31 @@ def vacuum(
     live_files: set[str] = set()
     for v in keep:
         live_files.update(_manifest(spark, table_path, v)["files"])
+    now_ms = time.time() * 1000.0
+    min_age_ms = min_age_s * 1000.0
+
+    def old_enough(status) -> bool:
+        return (now_ms - status.getModificationTime()) >= min_age_ms
+
     deleted: list[str] = []
     for v in versions:
         if v not in keep:
             p = f"{table_path}/_log/v{v}.json"
             fs.delete(hadoop_path(p), False)
             deleted.append(p)
+    log_dir = hadoop_path(f"{table_path}/_log")
+    if fs.exists(log_dir):
+        for status in fs.listStatus(log_dir):
+            name = status.getPath().getName()
+            if name.endswith(".json.tmp") and old_enough(status):
+                fs.delete(status.getPath(), False)
+                deleted.append(f"{table_path}/_log/{name}")
     data_dir = hadoop_path(f"{table_path}/data")
     if fs.exists(data_dir):
         live_dirs = {rel.split("/")[1] for rel in live_files}
         for status in fs.listStatus(data_dir):
             name = status.getPath().getName()
-            if name not in live_dirs:
+            if name not in live_dirs and old_enough(status):
                 fs.delete(status.getPath(), True)
                 deleted.append(f"{table_path}/data/{name}")
     return deleted
@@ -237,6 +296,7 @@ def merge_snapshot(
     table_path: str,
     key: str,
     max_retries: int = 10,
+    extra_meta: dict | None = None,
 ) -> int:
     """Copy-on-write MERGE at FILE grain (the Delta/Iceberg CoW shape,
     L3 semantics on the snapshot log): full-row last-write-wins upsert
@@ -263,7 +323,9 @@ def merge_snapshot(
             return commit_snapshot(df, table_path, mode="append")
         prev = _manifest(spark, table_path, versions[-1])
         version = versions[-1] + 1
-        tagged = spark.read.parquet(
+        # mergeSchema: the carry side must keep columns added by
+        # schema evolution, or the rewrite silently truncates them
+        tagged = spark.read.option("mergeSchema", "true").parquet(
             *[f"{table_path}/{rel}" for rel in prev["files"]]
         ).withColumn("__file", F.input_file_name())
         batch_keys = df.select(key).distinct()
@@ -284,16 +346,8 @@ def merge_snapshot(
             .drop("__file")
             .join(batch_keys, key, "left_anti")
         )
-        rewrite = carry.unionByName(df)
-        commit_rel = f"data/c{version}-{token}"
-        commit_dir = f"{table_path}/{commit_rel}"
-        if not fs.exists(hadoop_path(commit_dir)):
-            rewrite.write.mode("errorifexists").parquet(commit_dir)
-        new_files = sorted(
-            f"{commit_rel}/{s.getPath().getName()}"
-            for s in fs.listStatus(hadoop_path(commit_dir))
-            if s.getPath().getName().endswith(".parquet")
-        )
+        rewrite = carry.unionByName(df, allowMissingColumns=True)
+        new_files = _write_commit_dir(rewrite, table_path, f"data/c{token}")
         files = [
             rel for rel in prev["files"] if rel not in set(touched_rel)
         ] + new_files
@@ -303,14 +357,11 @@ def merge_snapshot(
             "files": files,
             "n_files": len(files),
             "n_rewritten_files": len(touched_rel),
+            "schema": rewrite.schema.json(),
+            **(extra_meta or {}),
         }
-        staged = f"{table_path}/_log/.v{version}-{token}.json.tmp"
-        _write_file(spark, staged, json.dumps(manifest, indent=1).encode())
-        if fs.rename(
-            hadoop_path(staged), hadoop_path(f"{table_path}/_log/v{version}.json")
-        ) and _manifest(spark, table_path, version).get("files") == files:
+        if _try_publish(spark, table_path, version, token, manifest):
             return version
-        fs.delete(hadoop_path(staged), False)
         # lost the race: the base snapshot changed — recompute against
         # the new latest (the CoW rebase; stale commit dir is vacuumable)
         token = uuid.uuid4().hex[:12]
@@ -321,35 +372,39 @@ def merge_snapshot(
 
 def snapshot_stream_writer(table_path: str, key: str | None = None):
     """foreachBatch sink committing each micro-batch as a snapshot
-    version — EXACTLY-ONCE through the transaction log: the manifest
-    records ``stream_batch_id``, and a replayed batch (restart from
-    checkpoint, retried epoch) whose id is already committed is
-    SKIPPED instead of duplicated. This is the txn-log streaming-sink
-    idempotence story (same mechanism as Delta's), stronger than the
-    at-least-once + dedup-on-read parquet sink. With ``key`` set,
-    each batch MERGES (CoW upsert); otherwise it appends. One writing
-    query per table (the batch-id sequence is per query)."""
+    version — EXACTLY-ONCE through the transaction log: the
+    ``stream_batch_id`` stamp is embedded IN the atomically published
+    manifest (extra_meta — never a post-hoc rewrite of a live file),
+    and a replayed batch (restart from checkpoint, retried epoch)
+    whose id is already committed is SKIPPED instead of duplicated.
+    The replay check scans the log newest-first for the most recent
+    STREAM commit, so interleaved maintenance commits (compaction,
+    deletes, merges) cannot mask it. Same mechanism as Delta's
+    streaming sink; stronger than at-least-once + dedup-on-read.
+
+    With ``key`` set, each batch MERGES (CoW upsert); otherwise it
+    appends. CONTRACT: one writing query per table, and the batch-id
+    sequence belongs to the query's CHECKPOINT — starting a fresh
+    checkpoint against a table with committed stream batches restarts
+    ids at 0 and is treated as replay (write to a new table, or leave
+    the checkpoint alone)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         versions = _list_versions(spark, table_path)
-        if versions:
-            last = _manifest(spark, table_path, versions[-1])
-            prev_bid = last.get("stream_batch_id")
-            if prev_bid is not None and batch_id <= prev_bid:
-                return  # replayed batch: already durable, skip
+        for v in reversed(versions):  # newest-first: find the last
+            prev_bid = _manifest(spark, table_path, v).get("stream_batch_id")
+            if prev_bid is not None:  # ... STREAM commit specifically
+                if batch_id <= prev_bid:
+                    return  # replayed batch: already durable, skip
+                break
+        stamp = {"stream_batch_id": batch_id}
         if key is not None and versions:
-            version = merge_snapshot(batch_df, table_path, key)
+            merge_snapshot(batch_df, table_path, key, extra_meta=stamp)
         else:
-            version = commit_snapshot(batch_df, table_path, mode="append")
-        # stamp the batch id onto the manifest we just won
-        manifest = _manifest(spark, table_path, version)
-        manifest["stream_batch_id"] = batch_id
-        _write_file(
-            spark,
-            f"{table_path}/_log/v{version}.json",
-            json.dumps(manifest, indent=1).encode(),
-        )
+            commit_snapshot(
+                batch_df, table_path, mode="append", extra_meta=stamp
+            )
 
     return _apply
 
@@ -376,32 +431,21 @@ def compact_snapshot(
         base_v = versions[-1]
         prev = _manifest(spark, table_path, base_v)
         version = base_v + 1
-        df = spark.read.parquet(
+        # mergeSchema: compaction must not truncate evolved columns
+        df = spark.read.option("mergeSchema", "true").parquet(
             *[f"{table_path}/{rel}" for rel in prev["files"]]
         ).coalesce(target_files)
-        commit_rel = f"data/c{version}-{token}"
-        commit_dir = f"{table_path}/{commit_rel}"
-        if not fs.exists(hadoop_path(commit_dir)):
-            df.write.mode("errorifexists").parquet(commit_dir)
-        files = sorted(
-            f"{commit_rel}/{s.getPath().getName()}"
-            for s in fs.listStatus(hadoop_path(commit_dir))
-            if s.getPath().getName().endswith(".parquet")
-        )
+        files = _write_commit_dir(df, table_path, f"data/c{token}")
         manifest = {
             "version": version,
             "operation": "compact",
             "files": files,
             "n_files": len(files),
             "compacted_from": prev["n_files"],
+            "schema": df.schema.json(),
         }
-        staged = f"{table_path}/_log/.v{version}-{token}.json.tmp"
-        _write_file(spark, staged, json.dumps(manifest, indent=1).encode())
-        if fs.rename(
-            hadoop_path(staged), hadoop_path(f"{table_path}/_log/v{version}.json")
-        ) and _manifest(spark, table_path, version).get("files") == files:
+        if _try_publish(spark, table_path, version, token, manifest):
             return version
-        fs.delete(hadoop_path(staged), False)
         token = uuid.uuid4().hex[:12]
     raise RuntimeError(
         f"compaction of {table_path} lost {max_retries} version races"
@@ -433,7 +477,7 @@ def delete_snapshot(
             raise ValueError(f"no snapshots at {table_path}")
         prev = _manifest(spark, table_path, versions[-1])
         version = versions[-1] + 1
-        tagged = spark.read.parquet(
+        tagged = spark.read.option("mergeSchema", "true").parquet(
             *[f"{table_path}/{rel}" for rel in prev["files"]]
         ).withColumn("__file", F.input_file_name())
         pred = F.expr(condition)
@@ -452,16 +496,10 @@ def delete_snapshot(
                     F.col("__file").isin(*touched) & ~F.coalesce(pred, F.lit(False))
                 ).drop("__file")
             )
-        commit_rel = f"data/c{version}-{token}"
-        commit_dir = f"{table_path}/{commit_rel}"
         new_files: list[str] = []
         if survivors is not None:
-            if not fs.exists(hadoop_path(commit_dir)):
-                survivors.write.mode("errorifexists").parquet(commit_dir)
-            new_files = sorted(
-                f"{commit_rel}/{s.getPath().getName()}"
-                for s in fs.listStatus(hadoop_path(commit_dir))
-                if s.getPath().getName().endswith(".parquet")
+            new_files = _write_commit_dir(
+                survivors, table_path, f"data/c{token}"
             )
         files = [
             rel for rel in prev["files"] if rel not in set(touched_rel)
@@ -473,14 +511,10 @@ def delete_snapshot(
             "files": files,
             "n_files": len(files),
             "n_rewritten_files": len(touched_rel),
+            "schema": tagged.drop("__file").schema.json(),
         }
-        staged = f"{table_path}/_log/.v{version}-{token}.json.tmp"
-        _write_file(spark, staged, json.dumps(manifest, indent=1).encode())
-        if fs.rename(
-            hadoop_path(staged), hadoop_path(f"{table_path}/_log/v{version}.json")
-        ) and _manifest(spark, table_path, version).get("files") == files:
+        if _try_publish(spark, table_path, version, token, manifest):
             return version
-        fs.delete(hadoop_path(staged), False)
         token = uuid.uuid4().hex[:12]
     raise RuntimeError(
         f"delete on {table_path} lost {max_retries} version races"
@@ -510,6 +544,8 @@ def read_changes(
     from pyspark.sql import functions as F
 
     versions = _list_versions(spark, table_path)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_path}")
     if to_version is None:
         to_version = versions[-1]
     for v in (from_version, to_version):

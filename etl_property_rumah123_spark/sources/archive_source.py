@@ -59,14 +59,22 @@ def _is_archive(name: str) -> bool:
     return name.endswith(_ZIP_SUFFIXES + _TAR_SUFFIXES + _WARC_SUFFIXES)
 
 
-def iter_warc_records(stream) -> "Iterator[tuple[dict, bytes]]":
+def iter_warc_records(
+    stream, max_payload: int | None = None
+) -> "Iterator[tuple[dict, bytes | None]]":
     """Parse WARC records (ISO 28500 / WARC 1.x) from a byte stream:
     yields (headers, payload). Grammar per spec: a ``WARC/1.x`` version
     line, CRLF-separated ``Name: value`` headers terminated by a blank
     line, exactly ``Content-Length`` payload bytes, then CRLF CRLF.
     Tolerates leading blank lines between records and stops at EOF.
     Raises ValueError on structural corruption (bad version line,
-    truncated payload, unparseable length) — never desyncs silently."""
+    truncated payload, unparseable length) — never desyncs silently.
+
+    ``max_payload``: records whose declared Content-Length exceeds it
+    are yielded as (headers, None) with the payload SKIPPED in bounded
+    1 MiB chunks — the length is checked BEFORE any read, so a hostile
+    8 GiB declaration never materializes (the anti-OOM guard must act
+    pre-read, not post)."""
     while True:
         line = stream.readline()
         if not line:
@@ -92,6 +100,15 @@ def iter_warc_records(stream) -> "Iterator[tuple[dict, bytes]]":
             length = int(headers["Content-Length"])
         except (KeyError, ValueError) as exc:
             raise ValueError("missing/invalid WARC Content-Length") from exc
+        if max_payload is not None and length > max_payload:
+            remaining = length
+            while remaining > 0:  # bounded discard, 1 MiB at a time
+                chunk = stream.read(min(remaining, 1 << 20))
+                if not chunk:
+                    raise ValueError("truncated WARC payload")
+                remaining -= len(chunk)
+            yield headers, None
+            continue
         payload = stream.read(length)
         if len(payload) != length:
             raise ValueError("truncated WARC payload")
@@ -141,7 +158,11 @@ class ArchiveReader(DataSourceReader):
                 else open(path, "rb")
             )
             with raw:
-                for headers, payload in iter_warc_records(raw):
+                for headers, payload in iter_warc_records(
+                    raw, max_payload=self.max_bytes
+                ):
+                    if payload is None:  # oversized: skipped pre-read
+                        continue
                     if (
                         self.warc_type
                         and headers.get("WARC-Type") != self.warc_type
@@ -151,8 +172,6 @@ class ArchiveReader(DataSourceReader):
                         "WARC-Target-URI", headers.get("WARC-Record-ID", "")
                     )
                     if self.suffix and not member.endswith(self.suffix):
-                        continue
-                    if len(payload) > self.max_bytes:
                         continue
                     yield (name, member, len(payload), payload)
             return

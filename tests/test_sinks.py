@@ -718,9 +718,15 @@ def test_snapshot_table_time_travel_and_vacuum(spark, tmp_path):
     spark.range(900, 903).withColumnRenamed("id", "k").write.parquet(orphan)
     assert ks(table_log.read_snapshot(spark, t)) == [100, 101]
 
-    # vacuum keeps the last 2 versions; v0 and the orphan disappear
-    deleted = table_log.vacuum(spark, t, keep_last=2)
-    assert any("v0.json" in d for d in deleted)
+    # retention guard: with the default 24h min age the first vacuum
+    # drops only the expired MANIFEST (always safe) but leaves the
+    # young unreferenced data dir alone — a lock-free concurrent
+    # writer may be about to publish it
+    first = table_log.vacuum(spark, t, keep_last=2)
+    assert any("v0.json" in d for d in first)
+    assert not any("c99-deadbeef" in d for d in first)
+    # with the guard waived, the orphan data goes too
+    deleted = table_log.vacuum(spark, t, keep_last=2, min_age_s=0)
     assert any("c99-deadbeef" in d for d in deleted)
     import pytest
 
@@ -765,6 +771,7 @@ def test_snapshot_merge_rewrites_only_touched_files(spark, tmp_path):
     table_log.commit_snapshot(a.coalesce(1), t)
     table_log.commit_snapshot(b.coalesce(1), t)
     pre_files = table_log._manifest(spark, t, 1)["files"]
+    v0_files = set(table_log._manifest(spark, t, 0)["files"])
 
     # merge touches keys 3,4 (commit A's file) + inserts key 999
     up = spark.createDataFrame(
@@ -773,8 +780,8 @@ def test_snapshot_merge_rewrites_only_touched_files(spark, tmp_path):
     v = table_log.merge_snapshot(up.coalesce(1), t, key="k")
     m = table_log._manifest(spark, t, v)
     assert m["operation"] == "merge"
-    # commit B's file survives by reference; commit A's was rewritten
-    b_files = [f for f in pre_files if "/c1-" in f]
+    # commit B's file (v1 minus v0) survives by reference; A's rewritten
+    b_files = [f for f in pre_files if f not in v0_files]
     assert all(f in m["files"] for f in b_files)
     assert m["n_rewritten_files"] == 1
 
@@ -899,7 +906,7 @@ def test_snapshot_delete_copy_on_write_and_purge(spark, tmp_path):
     assert table_log.read_snapshot(spark, t).count() == 7
     # the purge: vacuum to the latest version only -> user1 rows are
     # unreachable everywhere
-    table_log.vacuum(spark, t, keep_last=1)
+    table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
     import pytest
 
     with pytest.raises(ValueError):
