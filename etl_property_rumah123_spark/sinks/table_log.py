@@ -414,13 +414,22 @@ def compact_snapshot(
     table_path: str,
     target_files: int = 8,
     max_retries: int = 10,
+    zorder_by: list[str] | None = None,
+    zorder_scaling: str = "rank",
 ) -> int:
     """OPTIMIZE for the snapshot log: rewrite the CURRENT version's
     rows into ``target_files`` bin-packed files as a new version
     (operation 'compact' — content-identical, fewer files). Streaming
     appends and CoW merges accrete small files; compaction folds them
     without blocking readers (old versions keep the fragmented files
-    until vacuum). Same commit/race protocol as every other writer."""
+    until vacuum). Same commit/race protocol as every other writer.
+
+    ``zorder_by``: lay the compacted files along the Morton curve
+    over these columns (``writers.zorder_key_expr`` — Delta's
+    OPTIMIZE ZORDER BY verb on the snapshot log), so post-compaction
+    scans data-skip on ANY of the listed dimensions via parquet
+    footer ranges; ``zorder_scaling='rank'`` (default) stays
+    skew-immune."""
     jvm, fs = _fs(spark, table_path)
     hadoop_path = jvm.org.apache.hadoop.fs.Path
     token = uuid.uuid4().hex[:12]
@@ -434,7 +443,23 @@ def compact_snapshot(
         # mergeSchema: compaction must not truncate evolved columns
         df = spark.read.option("mergeSchema", "true").parquet(
             *[f"{table_path}/{rel}" for rel in prev["files"]]
-        ).coalesce(target_files)
+        )
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            from etl_property_rumah123_spark.sinks.writers import (
+                zorder_key_expr,
+            )
+
+            z = zorder_key_expr(df, zorder_by, scaling=zorder_scaling)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(target_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.coalesce(target_files)
         files = _write_commit_dir(df, table_path, f"data/c{token}")
         manifest = {
             "version": version,
@@ -442,6 +467,7 @@ def compact_snapshot(
             "files": files,
             "n_files": len(files),
             "compacted_from": prev["n_files"],
+            "zorder_by": zorder_by or [],
             "schema": df.schema.json(),
         }
         if _try_publish(spark, table_path, version, token, manifest):

@@ -350,6 +350,25 @@ def zorder_layout(
       keeps tight per-file ranges under any distribution. ``bits``
       is derived from ``rank_buckets`` in this mode.
     """
+    z = zorder_key_expr(
+        df, zorder_cols, bits, scaling, rank_buckets, rank_rel_err
+    )
+    return _zorder_write(df, path, zorder_cols, target_files, z)
+
+
+def zorder_key_expr(
+    df: DataFrame,
+    zorder_cols: list[str],
+    bits: int = 16,
+    scaling: str = "linear",
+    rank_buckets: int = 256,
+    rank_rel_err: float = 0.001,
+):
+    """The Morton-interleaved Z-order key as a Column over ``df`` —
+    the reusable half of :func:`zorder_layout`, so other writers (the
+    snapshot log's OPTIMIZE, bucketed exports) can lay data on the
+    same curve without duplicating the scaling logic. See
+    :func:`zorder_layout` for the linear-vs-rank scaling trade."""
     n = len(zorder_cols)
     if scaling not in ("linear", "rank"):
         raise ValueError(f"scaling must be 'linear' or 'rank', got {scaling!r}")
@@ -404,6 +423,12 @@ def zorder_layout(
         for j, s in enumerate(scaled):
             bit = F.shiftright(s, i).bitwiseAND(F.lit(1)).cast("long")
             z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def _zorder_write(
+    df: DataFrame, path: str, zorder_cols: list[str], target_files: int, z
+) -> str:
     (
         df.withColumn("__z", z)
         .repartitionByRange(target_files, F.col("__z"))

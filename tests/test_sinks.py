@@ -1022,3 +1022,54 @@ def test_snapshot_concurrent_appenders_lose_nothing(spark, tmp_path):
     import os
 
     assert len(os.listdir(os.path.join(t, "data"))) == 8
+
+
+def test_snapshot_compaction_with_zorder_skips_files(spark, tmp_path):
+    """OPTIMIZE ZORDER BY on the snapshot log: compaction lays files
+    along the Morton curve so a selective predicate on EITHER key
+    column prunes files via footer ranges — measured as fewer files
+    overlapping a narrow band than the unordered layout — while
+    content stays identical."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "zopt_table")
+    rng = list(itertools.product(range(32), range(32)))
+    df = spark.createDataFrame(
+        [(x, y, x * 32 + y) for x, y in rng], "x long, y long, payload long"
+    ).repartition(8)  # scrambled layout
+    table_log.commit_snapshot(df, t)
+    v = table_log.compact_snapshot(
+        spark, t, target_files=8, zorder_by=["x", "y"]
+    )
+    m = table_log._manifest(spark, t, v)
+    assert m["zorder_by"] == ["x", "y"] and m["n_files"] == 8
+    # content identical
+    assert table_log.read_snapshot(spark, t).count() == 1024
+    assert (
+        table_log.read_snapshot(spark, t)
+        .agg(F.sum("payload"))
+        .first()[0]
+        == sum(p for _, _, p in [(x, y, x * 32 + y) for x, y in rng])
+    )
+
+    def files_overlapping(version, col, lo, hi):
+        man = table_log._manifest(spark, t, version)
+        n = 0
+        for rel in man["files"]:
+            stats = (
+                spark.read.parquet(f"{t}/{rel}")
+                .agg(F.min(col), F.max(col))
+                .first()
+            )
+            if stats[0] is not None and not (stats[1] < lo or stats[0] > hi):
+                n += 1
+        return n
+
+    # a narrow band on each dimension touches FEWER z-ordered files
+    # than scrambled ones (which overlap everywhere)
+    for col in ("x", "y"):
+        assert files_overlapping(v, col, 3, 4) < files_overlapping(0, col, 3, 4)
