@@ -881,67 +881,101 @@ def connected_components_star(
     potential; the fixed point is a forest of stars centered at each
     component's min node, read off directly as the labeling.
 
-    Per round: two groupBy-min aggregations + two equi-joins, all
-    shuffled on node id; ``localCheckpoint`` cuts lineage so the plan
-    stays round-independent. Convergence = edge set unchanged
-    (checked with two anti-join probes, ``limit(1)`` each). Isolated
-    nodes come back via the final left join with ``nodes``.
+    Per round: THREE shuffles total, down from ~seven in the naive
+    form — each groupBy-min + re-join pair is fused into a single
+    window pass (``min over (partition by u)`` carries the
+    neighborhood minimum onto every edge row without a second shuffle
+    for the join), the two small-star row kinds (leaf→center and
+    center→center) are emitted from ONE pass via ``explode`` instead
+    of re-reading the window output through a union, and the
+    round-final ``distinct`` canonicalizes. ``localCheckpoint`` cuts
+    lineage so the plan stays round-independent.
+
+    Convergence detection is O(1) per round: the same action that
+    materializes the round output computes ``(edge count,
+    sum(xxhash64(u, v)))``; both sets are distinct, so multiset
+    equality is set equality, and a matching fingerprint triggers ONE
+    exact symmetric-difference probe to CONFIRM the fixed point (so
+    correctness never rests on the hash — a collision merely costs an
+    extra round). This replaces two exceptAll shuffles per round with
+    a near-free aggregate over already-checkpointed partitions.
 
     Non-convergence within ``max_rounds`` (default 30 covers any
     graph to ~2^25 nodes with slack) raises or warns per
     ``on_nonconverged`` — same loud contract as the min-label form.
     """
+    from pyspark.sql import Window
+
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(e)
+    w_u = Window.partitionBy("u")
     converged = False
     for _ in range(max_rounds):
-        # large-star: (v, m(u)) for every neighbor v > u
+        # large-star in ONE shuffle: window-min carries
+        # m(u) = min(N(u) ∪ {u}) onto every symmetric edge row, then
+        # each strictly-larger neighbor v is rewired to m. m ≤ u < v,
+        # so no self-loop filter is needed on the output.
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.col("u")).alias("m")
-        )
         large = (
-            sym.join(mins, "u")
+            sym.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            # no intra-round distinct: duplicate intermediate edges are
-            # harmless (small-star's groupBy-min dedups per node and the
-            # round-final distinct canonicalizes) and dropping it saves
-            # a full shuffle per round
         )
-        # small-star on the large-star output: direct each edge
-        # large->small, connect the small side (and the center) to m
-        dire = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        smins = dire.groupBy("u").agg(
-            F.least(F.min("v"), F.col("u")).alias("m")
-        )
+        # Every large-star edge already points larger→smaller
+        # (u = old v > old u ≥ m = new v), so small-star needs no
+        # greatest/least re-orientation: window-min per center x gives
+        # m2 = min of its smaller neighborhood, and one explode emits
+        # BOTH row kinds — (leaf y → m2) and (center x → m2) — without
+        # re-reading the window output. The center row repeats per
+        # edge; the round-final distinct canonicalizes it anyway.
         small = (
-            dire.join(smins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            large.withColumn("m2", F.least(F.min("v").over(w_u), F.col("u")))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("v").alias("u"), F.col("m2").alias("v")
+                        ),
+                        F.struct(
+                            F.col("u").alias("u"), F.col("m2").alias("v")
+                        ),
+                    )
+                ).alias("edge")
+            )
+            .select("edge.u", "edge.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=False)  # materialized by the probe below
+            .localCheckpoint(eager=True)
         )
-        # one action per round: both symmetric-difference probes
-        # unioned, each capped at one witness row
-        changed = (
-            small.exceptAll(e)
-            .limit(1)
-            .union(e.exceptAll(small).limit(1))
-            .count()
-        )
-        e = small
-        if changed == 0:
-            converged = True
-            break
+        new_fp = _fingerprint(small)
+        if new_fp == fp:
+            # fingerprint says fixed point — confirm EXACTLY, once
+            changed = (
+                small.exceptAll(e)
+                .limit(1)
+                .union(e.exceptAll(small).limit(1))
+                .count()
+            )
+            if changed == 0:
+                e = small
+                converged = True
+                break
+        # hash collision (fingerprint matched, sets differ) just means
+        # one more round — correctness never rests on the hash
+        e, fp = small, new_fp
     if not converged:
         msg = (
             f"connected_components_star did not converge within "

@@ -7,8 +7,8 @@ directories cannot.
 Layout::
 
     <table>/
-      data/c<version>-<token>/part-*.parquet   immutable commit dirs
-      _log/v<version>.json                     manifest per version
+      data/c<token>/part-*.parquet   immutable commit dirs
+      _log/v<version>.json           manifest per version
 
 Design choices, each load-bearing at scale:
 
@@ -16,7 +16,9 @@ Design choices, each load-bearing at scale:
   N opens ONE small JSON and passes the file list straight to the
   parquet reader — no log replay, O(1) time-travel to any version.
 - **Data files are immutable and commit-scoped** (each commit writes
-  its own ``data/c{N}-{token}/`` directory): readers of old versions
+  its own ``data/c{token}/`` directory; the token is deliberately
+  VERSION-INDEPENDENT so a commit that loses the manifest race can
+  reuse its already-written data dir on retry): readers of old versions
   are never disturbed by writers, so snapshot isolation needs no
   locks at all.
 - **Atomic visibility via the manifest rename**: data is written
@@ -320,7 +322,16 @@ def merge_snapshot(
     for _ in range(max_retries):
         versions = _list_versions(spark, table_path)
         if not versions:
-            return commit_snapshot(df, table_path, mode="append")
+            # First commit degenerates to append — forward the caller's
+            # retry budget and metadata (a stream_batch_id stamp dropped
+            # here would break the exactly-once replay-skip contract).
+            return commit_snapshot(
+                df,
+                table_path,
+                mode="append",
+                max_retries=max_retries,
+                extra_meta=extra_meta,
+            )
         prev = _manifest(spark, table_path, versions[-1])
         version = versions[-1] + 1
         # mergeSchema: the carry side must keep columns added by

@@ -377,6 +377,13 @@ def lsh_dedup_admitter(
     """
     from etl_property_rumah123_spark.operators import common, dedup
 
+    # Normalize the hash family ONCE: lsh_candidate_pairs defaults to
+    # 'md5' while the index (write/probe) defaults to 'xxhash64' — left
+    # unset, the within-batch dedup and the index probe would silently
+    # use DIFFERENT bucket spaces. One explicit default keeps all three
+    # calls in the same family; callers can still override it.
+    lsh_kwargs.setdefault("hash_family", "xxhash64")
+
     def _path_exists(spark, path: str) -> bool:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()

@@ -1073,3 +1073,20 @@ def test_snapshot_compaction_with_zorder_skips_files(spark, tmp_path):
     # than scrambled ones (which overlap everywhere)
     for col in ("x", "y"):
         assert files_overlapping(v, col, 3, 4) < files_overlapping(0, col, 3, 4)
+
+
+def test_merge_snapshot_first_commit_forwards_extra_meta(spark, tmp_path):
+    """merge_snapshot on an EMPTY table degenerates to append but must
+    still forward extra_meta into the v0 manifest — a stream_batch_id
+    stamp dropped on the first commit would break the exactly-once
+    replay-skip contract for direct merge callers."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "fresh_merge")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    v = table_log.merge_snapshot(
+        df.coalesce(1), t, key="k", extra_meta={"stream_batch_id": 7}
+    )
+    assert v == 0
+    m = table_log._manifest(spark, t, 0)
+    assert m["stream_batch_id"] == 7

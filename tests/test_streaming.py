@@ -891,3 +891,36 @@ def test_tws_state_ttl_expires_idle_horizon(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_lsh_admitter_defaults_one_hash_family(spark, tmp_path):
+    """Omitting hash_family must not split the admitter across bucket
+    spaces: lsh_candidate_pairs defaults to md5 while the index
+    defaults to xxhash64, so the admitter normalizes to xxhash64 ONCE
+    and all three calls (within-batch pairs, index probe, index
+    append) share it. Verified via the index's _lsh_meta.json sidecar
+    and replay convergence with NO explicit family."""
+    import json
+
+    from etl_property_rumah123_spark.streaming import pipelines
+
+    index_path = str(tmp_path / "idx")
+    admitted_path = str(tmp_path / "adm")
+    handler = pipelines.lsh_dedup_admitter(
+        index_path, admitted_path, shingle_n=3, num_hashes=16, bands=4
+    )
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    batch = spark.createDataFrame(
+        [(1, base), (2, base + "tail"), (50, "совершенно другой текст " * 8)],
+        "doc_id long, text string",
+    )
+    handler(batch, 0)
+    meta = json.loads((tmp_path / "idx" / "_lsh_meta.json").read_text())
+    assert meta["hash_family"] == "xxhash64"
+    adm = {r["doc_id"] for r in spark.read.parquet(admitted_path).collect()}
+    assert 1 in adm and 2 not in adm and 50 in adm
+    # replay: same batch re-delivered finds its ids indexed, admits none
+    handler(batch.filter("doc_id = 50"), 1)
+    import os
+
+    assert not os.path.exists(f"{admitted_path}/batch_id=1")
