@@ -850,6 +850,26 @@ def connected_components(
     return labels
 
 
+def _star_neighborhood_min(df: DataFrame) -> DataFrame:
+    """Attach ``m = min(N(u) ∪ {u})`` to every ``(u, v)`` edge row.
+
+    Deliberately groupBy-min + join, NOT ``min().over(partitionBy(u))``:
+    the groupBy gets map-side partial aggregation (a hub key costs one
+    row per map task) and the join back is AQE-skew-split eligible,
+    whereas a window pins every row of a hot key into one task — and
+    star contraction funnels a component's whole edge set onto its
+    min-center, so the hot key is guaranteed at scale.
+    ``tests/test_advanced.py`` pins this plan shape (partial_min
+    present, no WindowExec) against regression.
+    """
+    mins = df.groupBy("u").agg(F.min("v").alias("_mn"))
+    return (
+        df.join(mins, "u")
+        .withColumn("m", F.least(F.col("_mn"), F.col("u")))
+        .drop("_mn")
+    )
+
+
 def connected_components_star(
     nodes: DataFrame,
     edges: DataFrame,
@@ -881,21 +901,33 @@ def connected_components_star(
     potential; the fixed point is a forest of stars centered at each
     component's min node, read off directly as the labeling.
 
-    Per round: THREE shuffles total, down from ~seven in the naive
-    form — each groupBy-min + re-join pair is fused into a single
-    window pass (``min over (partition by u)`` carries the
-    neighborhood minimum onto every edge row without a second shuffle
-    for the join), the two small-star row kinds (leaf→center and
+    Per round, each star phase computes the per-center neighborhood
+    minimum with ``groupBy(center).agg(min)`` — which Spark executes
+    with MAP-SIDE partial aggregation, so a hub key costs one row per
+    map task, not one giant reduce partition — and joins it back onto
+    the edge rows. The join is the only place a hot center key
+    concentrates rows, and a shuffled join IS what AQE's skew-join
+    splitting can cut apart at runtime; a ``min().over(partitionBy)``
+    window (the briefly-tried alternative) has neither partial
+    aggregation nor skew splitting, and star contraction *by design*
+    funnels a component's whole edge set onto its min-center, so the
+    window form turns a billion-node component into one billion-row
+    task at scale. The two small-star row kinds (leaf→center and
     center→center) are emitted from ONE pass via ``explode`` instead
-    of re-reading the window output through a union, and the
-    round-final ``distinct`` canonicalizes. ``localCheckpoint`` cuts
-    lineage so the plan stays round-independent.
+    of re-reading the output through a union, and the round-final
+    ``distinct`` canonicalizes. ``localCheckpoint`` cuts lineage so
+    the plan stays round-independent.
 
     Convergence detection is O(1) per round: the same action that
     materializes the round output computes ``(edge count,
-    sum(xxhash64(u, v)))``; both sets are distinct, so multiset
-    equality is set equality, and a matching fingerprint triggers ONE
-    exact symmetric-difference probe to CONFIRM the fixed point (so
+    bit_xor(xxhash64(u, v)))``. XOR is commutative, associative, and
+    cannot overflow — unlike a ``sum`` of uniform 64-bit hashes,
+    which walks past ``LongType`` almost immediately and THROWS under
+    an ANSI-default session (Spark 4's default; the driver gate runs
+    one). XOR self-cancels duplicate rows, but both compared sets are
+    ``distinct``, so multiset equality is set equality and the
+    fingerprint is sound. A matching fingerprint triggers ONE exact
+    symmetric-difference probe to CONFIRM the fixed point (so
     correctness never rests on the hash — a collision merely costs an
     extra round). This replaces two exceptAll shuffles per round with
     a near-free aggregate over already-checkpointed partitions.
@@ -904,8 +936,6 @@ def connected_components_star(
     graph to ~2^25 nodes with slack) raises or warns per
     ``on_nonconverged`` — same loud contract as the min-label form.
     """
-    from pyspark.sql import Window
-
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -914,35 +944,35 @@ def connected_components_star(
     )
 
     def _fingerprint(df: DataFrame) -> tuple:
+        # bit_xor never overflows; sum(xxhash64) throws under ANSI.
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).first()
         return (row["n"], row["h"])
 
     fp = _fingerprint(e)
-    w_u = Window.partitionBy("u")
     converged = False
     for _ in range(max_rounds):
-        # large-star in ONE shuffle: window-min carries
-        # m(u) = min(N(u) ∪ {u}) onto every symmetric edge row, then
+        # large-star: m(u) carried onto every symmetric edge row, then
         # each strictly-larger neighbor v is rewired to m. m ≤ u < v,
         # so no self-loop filter is needed on the output.
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         large = (
-            sym.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
+            _star_neighborhood_min(sym)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         # Every large-star edge already points larger→smaller
         # (u = old v > old u ≥ m = new v), so small-star needs no
-        # greatest/least re-orientation: window-min per center x gives
-        # m2 = min of its smaller neighborhood, and one explode emits
+        # greatest/least re-orientation: per-center min gives m2 =
+        # min of its smaller neighborhood, and one explode emits
         # BOTH row kinds — (leaf y → m2) and (center x → m2) — without
-        # re-reading the window output. The center row repeats per
+        # re-reading the aggregate output. The center row repeats per
         # edge; the round-final distinct canonicalizes it anyway.
         small = (
-            large.withColumn("m2", F.least(F.min("v").over(w_u), F.col("u")))
+            _star_neighborhood_min(large)
+            .withColumnRenamed("m", "m2")
             .select(
                 F.explode(
                     F.array(

@@ -572,6 +572,40 @@ def test_star_components_nonconvergence_is_loud(spark):
         connected_components_star(nodes, edges, max_rounds=1).collect()
 
 
+def test_star_components_hub_skew_no_single_task_pileup(spark):
+    """A 1M-leaf hub star — the shape star contraction itself produces
+    for any big component — must finish promptly AND its per-center
+    min must come from a partial (map-side) aggregate, not a window:
+    ``min().over(partitionBy(u))`` pins every row of the hot key into
+    ONE task, which at 100 TB turns a billion-node component into a
+    single straggler. The plan assertion pins the groupBy-min + join
+    form so the window regression can't silently return."""
+    from etl_property_rumah123_spark.operators.dedup import (
+        _star_neighborhood_min,
+        connected_components_star,
+    )
+
+    n = 1_000_000
+    nodes = spark.range(0, n + 1).selectExpr("id as doc_id")
+    # every leaf 1..n attached to hub 0  → hot key by construction
+    edges = spark.range(1, n + 1).selectExpr("0 as id_a", "id as id_b")
+    # plan pin on the per-round building block: partial (map-side) min
+    # present, no window operator anywhere
+    plan = (
+        _star_neighborhood_min(
+            edges.selectExpr("id_a as u", "id_b as v")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    out = connected_components_star(nodes, edges, max_rounds=6)
+    agg = out.groupBy("component").count().collect()
+    assert len(agg) == 1 and agg[0]["count"] == n + 1
+
+
 def test_lsh_index_meta_guard_refuses_mismatch(spark, tmp_path):
     """The _lsh_meta.json sidecar: probing or appending with different
     bucket-space parameters (or against a sidecar-less pre-round-4
