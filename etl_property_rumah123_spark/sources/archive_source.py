@@ -31,9 +31,18 @@ multi-member streams handled transparently (each record is its own
 gzip member in CC shards; stdlib GzipFile concatenates). Member name
 is WARC-Target-URI (falling back to WARC-Record-ID).
 
-Stdlib ``zipfile``/``tarfile``/``gzip`` over local paths; on a
-cluster the open() seam below is where an fsspec/Hadoop-FS stream
-plugs in — partition planning and row semantics are unchanged.
+Filesystem access goes through a pluggable seam (``resolve_fs``): a
+bare path or ``file://`` uses the stdlib; any other ``scheme://`` URL
+resolves through **fsspec** when importable (``s3://``, ``hdfs://``,
+``gs://`` — the actual CommonCrawl ingestion shape: workers open the
+shard as a seekable remote stream, so the zip central-directory seek
+and the linear tar/WARC reads work unchanged off-box), and fails
+LOUDLY when fsspec is absent rather than mis-reading the URL as a
+local path. ``memory://`` ships in-repo as a zero-dependency
+reference implementation of the protocol for tests (driver-process
+only — its store does not travel to executors; real remote schemes
+re-instantiate from the URL on each worker, which is why the seam
+resolves INSIDE ``read()``, not at plan time).
 """
 
 from __future__ import annotations
@@ -41,7 +50,7 @@ from __future__ import annotations
 import os
 import tarfile
 import zipfile
-from collections.abc import Iterator, Sequence
+from collections.abc import Callable, Iterator, Sequence
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -57,6 +66,131 @@ _WARC_SUFFIXES = (".warc", ".warc.gz")
 
 def _is_archive(name: str) -> bool:
     return name.endswith(_ZIP_SUFFIXES + _TAR_SUFFIXES + _WARC_SUFFIXES)
+
+
+# --------------------------------------------------------------------------
+# Filesystem seam: the three operations shard ingestion needs. Protocol
+# (duck-typed, matches the fsspec AbstractFileSystem subset we use):
+#   isdir(path) -> bool
+#   ls(path)    -> full child paths (any order; caller sorts)
+#   open(path)  -> binary file-like; seekable() True enables zip/tar
+#                  random access, False falls back to streaming tar
+# --------------------------------------------------------------------------
+
+
+class LocalFS:
+    """Stdlib filesystem — bare paths and ``file://`` URLs."""
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def ls(self, path: str) -> list[str]:
+        return [os.path.join(path, n) for n in os.listdir(path)]
+
+    def open(self, path: str):
+        return open(path, "rb")
+
+
+class MemoryFS:
+    """In-memory reference filesystem for the ``memory://`` scheme.
+
+    A process-local ``{path: bytes}`` store (module singleton) — the
+    zero-dependency stand-in for fsspec's memory filesystem, used to
+    test the non-file:// code path. Driver-process only by design:
+    executor workers re-import this module with an empty store, so
+    Spark-side reads of ``memory://`` shards are a test-harness
+    affair (direct ``ArchiveReader`` calls), never a production path.
+    """
+
+    _store: dict[str, bytes] = {}
+
+    @classmethod
+    def put(cls, path: str, data: bytes) -> None:
+        cls._store[path.rstrip("/")] = data
+
+    @classmethod
+    def clear(cls) -> None:
+        cls._store.clear()
+
+    def isdir(self, path: str) -> bool:
+        prefix = path.rstrip("/") + "/"
+        return any(k.startswith(prefix) for k in self._store)
+
+    def ls(self, path: str) -> list[str]:
+        prefix = path.rstrip("/") + "/"
+        return [k for k in self._store if k.startswith(prefix)]
+
+    def open(self, path: str):
+        import io
+
+        key = path.rstrip("/")
+        if key not in self._store:
+            raise FileNotFoundError(path)
+        return io.BytesIO(self._store[key])
+
+
+_FS_REGISTRY: dict[str, Callable[[], object]] = {
+    "file": LocalFS,
+    "memory": MemoryFS,
+}
+
+
+def register_filesystem(scheme: str, factory: Callable[[], object]) -> None:
+    """Plug a filesystem implementation in for ``scheme://`` paths
+    (driver AND executors must both see the registration — register at
+    module import, not ad hoc, for anything used inside Spark jobs)."""
+    _FS_REGISTRY[scheme] = factory
+
+
+def resolve_fs(path: str) -> tuple[object, str]:
+    """Map a path/URL to ``(filesystem, fs-native path)``.
+
+    Bare paths and ``file://`` → stdlib; registered schemes → their
+    factory; anything else → fsspec (``url_to_fs`` keeps credentials /
+    region resolution in fsspec's hands), with a loud ImportError when
+    fsspec is missing — silently treating ``s3://…`` as a local path
+    is the failure mode this seam exists to prevent.
+    """
+    if "://" not in path:
+        return LocalFS(), path
+    scheme, rest = path.split("://", 1)
+    if scheme == "file":
+        return LocalFS(), rest if rest.startswith("/") else "/" + rest
+    if scheme in _FS_REGISTRY:
+        return _FS_REGISTRY[scheme](), rest.rstrip("/")
+    try:
+        import fsspec
+    except ImportError as exc:
+        raise ImportError(
+            f"reading {scheme}://… shards requires fsspec (with the "
+            f"{scheme} protocol package) on driver and executors, or a "
+            "register_filesystem() implementation for the scheme"
+        ) from exc
+    fs, fs_path = fsspec.core.url_to_fs(path)
+    return _FsspecFS(fs), fs_path
+
+
+class _FsspecFS:
+    """Adapter pinning the subset protocol onto an fsspec filesystem
+    (``ls`` forced to detail=False; listed children re-qualified with
+    the protocol so partition paths stay self-describing URLs)."""
+
+    def __init__(self, fs) -> None:
+        self._fs = fs
+
+    def isdir(self, path: str) -> bool:
+        return self._fs.isdir(path)
+
+    def ls(self, path: str) -> list[str]:
+        children = self._fs.ls(path, detail=False)
+        unstrip = getattr(self._fs, "unstrip_protocol", None)
+        return [
+            unstrip(c) if unstrip and "://" not in c else c
+            for c in children
+        ]
+
+    def open(self, path: str):
+        return self._fs.open(path, "rb")
 
 
 def iter_warc_records(
@@ -130,11 +264,15 @@ class ArchiveReader(DataSourceReader):
         self.warc_type = options.get("warc_type", "response")
 
     def partitions(self) -> Sequence[ArchiveShard]:
-        if os.path.isdir(self.path):
+        fs, fs_path = resolve_fs(self.path)
+        scheme = (
+            self.path.split("://", 1)[0] if "://" in self.path else None
+        )
+        if fs.isdir(fs_path):
             shards = sorted(
-                os.path.join(self.path, n)
-                for n in os.listdir(self.path)
-                if _is_archive(n)
+                c if ("://" in c or scheme is None) else f"{scheme}://{c}"
+                for c in fs.ls(fs_path)
+                if _is_archive(c)
             )
         elif _is_archive(self.path):
             shards = [self.path]
@@ -148,16 +286,22 @@ class ArchiveReader(DataSourceReader):
 
     def read(self, partition: ArchiveShard) -> Iterator[tuple]:
         path = partition.path
-        name = os.path.basename(path)
+        # resolved HERE, on the executor: remote filesystems
+        # re-instantiate from the URL per task (credentials/clients are
+        # worker-local), nothing filesystem-shaped rides the pickle
+        fs, fs_path = resolve_fs(path)
+        name = os.path.basename(fs_path.rstrip("/"))
         if path.endswith(_WARC_SUFFIXES):
             import gzip
 
+            stream = fs.open(fs_path)
             raw = (
-                gzip.open(path, "rb")  # multi-member streams concatenate
+                # multi-member streams concatenate
+                gzip.GzipFile(fileobj=stream)
                 if path.endswith(".gz")
-                else open(path, "rb")
+                else stream
             )
-            with raw:
+            with stream:
                 for headers, payload in iter_warc_records(
                     raw, max_payload=self.max_bytes
                 ):
@@ -176,7 +320,9 @@ class ArchiveReader(DataSourceReader):
                     yield (name, member, len(payload), payload)
             return
         if path.endswith(_ZIP_SUFFIXES):
-            with zipfile.ZipFile(path) as zf:
+            # zip needs random access (central directory at EOF);
+            # fsspec remote files are seekable, so this works off-box
+            with fs.open(fs_path) as stream, zipfile.ZipFile(stream) as zf:
                 for info in zf.infolist():
                     if info.is_dir():
                         continue
@@ -187,19 +333,24 @@ class ArchiveReader(DataSourceReader):
                     yield (name, info.filename, info.file_size,
                            zf.read(info))
         else:
-            # r:* transparently handles plain and gzipped tars
-            with tarfile.open(path, "r:*") as tf:
-                for info in tf:
-                    if not info.isfile():
-                        continue
-                    if self.suffix and not info.name.endswith(self.suffix):
-                        continue
-                    if info.size > self.max_bytes:
-                        continue
-                    fh = tf.extractfile(info)
-                    if fh is None:
-                        continue
-                    yield (name, info.name, info.size, fh.read())
+            # r:* (random access) when the stream allows it, else the
+            # pure-streaming r|* mode — tar needs only a forward pass
+            with fs.open(fs_path) as stream:
+                mode = "r:*" if stream.seekable() else "r|*"
+                with tarfile.open(fileobj=stream, mode=mode) as tf:
+                    for info in tf:
+                        if not info.isfile():
+                            continue
+                        if self.suffix and not info.name.endswith(
+                            self.suffix
+                        ):
+                            continue
+                        if info.size > self.max_bytes:
+                            continue
+                        fh = tf.extractfile(info)
+                        if fh is None:
+                            continue
+                        yield (name, info.name, info.size, fh.read())
 
 
 class ArchiveDataSource(DataSource):
