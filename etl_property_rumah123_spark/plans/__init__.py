@@ -91,6 +91,8 @@ ORDER = [
     "agg_suite",
     "scan_shapes_suite",
     "tpch_shapes_suite",
+    "tpch_aggregates_suite",
+    "tpch_subquery_suite",
     "scalar_string_suite",
     "scalar_datetime_math_suite",
     "pivot_unpivot_suite",
@@ -103,6 +105,7 @@ ORDER = [
     "text_quality_suite",
     "text_term_stats",
     "corpus_pipeline_suite",
+    "corpus_dedup_suite",
     "multimodal_ingest",
     "multimodal_process_suite",
     "dedup_simhash",
@@ -111,11 +114,8 @@ ORDER = [
     "segment_stats_suite",
     "skew_salting_suite",
     "sketch_suite",
-    "brand_cooccurrence",
-    "cohort_retention",
-    "scd2_customer_versions",
+    "analytics_patterns_suite",
     "null_semantics_suite",
-    "udtf_sentence_split",
     "clean_field_extract_suite",
     "clean_dedup_filter_suite",
     "listing_parse_cards",

@@ -784,7 +784,7 @@ def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "brand_cooccurrence",
     """
     WITH basket AS (
@@ -825,7 +825,7 @@ def brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "cohort_retention",
     """
     WITH firsts AS (
@@ -915,7 +915,7 @@ def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "scd2_customer_versions",
     """
     WITH updates AS (
@@ -1208,7 +1208,7 @@ def udaf_mad_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@part(
     "udtf_sentence_split",
     """
     SELECT doc_id AS doc_id,

@@ -199,6 +199,11 @@ _suite(
     "projection, TakeOrderedAndProject top-k, CASE WHEN bucketing.",
 )
 
+# The 19 non-standalone TPC-H shapes (Q1/Q3/Q5 are headline entries)
+# are SPLIT into three suites (round-6): a monolith suite zeroes 19
+# shapes' correctness signal when ONE part breaks — exactly what the
+# round-5 corpus-suite failure demonstrated. Three family suites cap
+# the blast radius at <= 7 parts per entry.
 _suite(
     "tpch_shapes_suite",
     {
@@ -209,12 +214,41 @@ _suite(
         "q8_share": {"part": "q8_market_share", "n1": "o_year", "v1": "mkt_share"},
         "q9_profit": {"part": "q9_profit_by_nation_year", "s1": "nation", "n1": "o_year", "n2": "profit"},
         "q10_returns": {"part": "q10_returned_items", "s1": "c_name", "n1": "c_custkey", "n2": "revenue"},
+    },
+    [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
+    doc="TPC-H join/scan shapes adapted to the testdata columns: Q2 "
+    "equality-to-correlated-scalar-MAX (parser path, Catalyst "
+    "decorrelation), Q4 correlated EXISTS with a cross-side "
+    "inequality, Q6 range-predicate scan, Q7 bidirectional "
+    "nation-pair volume (cross-side disjunctive pair predicate), Q8 "
+    "market share (two distinct nation roles, conditional numerator), "
+    "Q9 profit rollup (substring part filter into a 5-way join), Q10 "
+    "returned-item top-20.",
+)
+
+_suite(
+    "tpch_aggregates_suite",
+    {
         "q11_value": {"part": "q11_important_parts", "n1": "p_partkey", "n2": "value"},
         "q12_late": {"part": "q12_late_priority_counts", "s1": "l_returnflag", "n1": "high_count", "n2": "low_count"},
         "q13_dist": {"part": "q13_order_distribution", "n1": "c_count", "n2": "custdist"},
         "q14_ratio": {"part": "q14_promo_ratio", "v1": "promo_ratio"},
         "q15_top": {"part": "q15_top_supplier", "s1": "s_name", "n1": "s_suppkey", "n2": "total_rev"},
         "q16_variety": {"part": "q16_supplier_variety", "s1": "p_brand", "n1": "p_size", "n2": "supplier_cnt"},
+    },
+    [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
+    doc="TPC-H aggregation-stress shapes: Q11 HAVING vs uncorrelated "
+    "scalar re-aggregation, Q12 cross-side lateness inequality + dual "
+    "conditional counts, Q13 outer join with a join-condition "
+    "predicate + count-of-counts double aggregation, Q14 "
+    "conditional-revenue ratio, Q15 aggregated view consumed as both "
+    "join side and scalar-MAX subquery, Q16 NOT IN exclusion + COUNT "
+    "DISTINCT.",
+)
+
+_suite(
+    "tpch_subquery_suite",
+    {
         "q17_smallqty": {"part": "q17_small_quantity_revenue", "v1": "avg_yearly"},
         "q18_volume": {"part": "q18_large_volume", "s1": "c_name", "n1": "o_orderkey", "n2": "total_qty"},
         "q19_brackets": {"part": "q19_bracket_revenue", "n1": "revenue", "n2": "n"},
@@ -222,28 +256,14 @@ _suite(
         "q21_wait": {"part": "q21_late_sole_supplier", "s1": "s_name", "n1": "numwait"},
         "q22_optour": {"part": "q22_global_sales_opportunity", "s1": "cntrycode", "n1": "numcust", "n2": "totacctbal"},
     },
-    [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
-    doc="TPC-H optimizer-stress shapes adapted to the testdata "
-    "columns — 19 of the 22 queries (Q1/Q3/Q5 are standalone "
-    "headline entries): Q2 equality-to-correlated-scalar-MAX (parser "
-    "path, Catalyst decorrelation), Q4 correlated EXISTS with a "
-    "cross-side inequality, Q6 range-predicate scan, Q7 "
-    "bidirectional nation-pair volume (cross-side disjunctive pair "
-    "predicate), Q8 market share (two distinct nation roles, "
-    "conditional numerator), Q9 profit rollup (substring part filter "
-    "into a 5-way join), Q10 returned-item top-20, Q11 HAVING vs "
-    "uncorrelated scalar re-aggregation, Q12 cross-side lateness "
-    "inequality + dual conditional counts, Q13 outer join with a "
-    "join-condition predicate + count-of-counts double aggregation, "
-    "Q14 conditional-revenue ratio, Q15 aggregated view consumed as "
-    "both join side and scalar-MAX subquery, Q16 NOT IN exclusion + "
-    "COUNT DISTINCT, Q17 correlated scalar AVG against the join side "
-    "(the decorrelation stress), Q18 IN over grouped HAVING + "
-    "deterministic top-k, Q19 disjunctive per-bracket predicate that "
-    "must split across the join, Q20 nested IN chain with HAVING, "
-    "Q21 EXISTS/NOT EXISTS sole-late-supplier semi/anti self-joins, "
-    "Q22 no-order customers vs scalar-AVG floor by derived country "
-    "code.",
+    [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
+    doc="TPC-H subquery/decorrelation-stress shapes: Q17 correlated "
+    "scalar AVG against the join side (the decorrelation stress), "
+    "Q18 IN over grouped HAVING + deterministic top-k, Q19 "
+    "disjunctive per-bracket predicate that must split across the "
+    "join, Q20 nested IN chain with HAVING, Q21 EXISTS/NOT EXISTS "
+    "sole-late-supplier semi/anti self-joins, Q22 no-order customers "
+    "vs scalar-AVG floor by derived country code.",
 )
 
 _suite(
@@ -590,6 +610,10 @@ _suite(
     "surprisal (integer log2 buckets — exact across engines).",
 )
 
+# The corpus layer is SPLIT into two suites (round-6): the round-5
+# star-CC ANSI failure zeroed all 15 parts' correctness signal in one
+# shot; two <= 8-part suites halve that blast radius along the natural
+# seam (pipeline/accounting vs dedup/similarity/ingest).
 _suite(
     "corpus_pipeline_suite",
     {
@@ -601,13 +625,6 @@ _suite(
         "chunks": {"part": "corpus_chunk_plan", "n1": "doc_id", "n2": "chunk_idx", "n3": "chunk_tokens"},
         "boiler": {"part": "text_boilerplate_strip", "n1": "doc_id", "n2": "n_segments", "n3": "n_removed", "s1": "clean_text"},
         "shuffle": {"part": "corpus_shuffle_shards", "n1": "shard", "n2": "n_docs", "n3": "head_doc"},
-        "spans": {"part": "corpus_repeated_spans", "n1": "doc_id", "n2": "n_windows", "n3": "n_repeated"},
-        "semdedup": {"part": "corpus_semantic_dedup", "n1": "bucket", "n2": "n_vecs", "n3": "n_dropped"},
-        "source_cap": {"part": "corpus_source_cap", "s1": "source", "n1": "n_docs", "n2": "n_kept", "n3": "kept_id_sum"},
-        "lsh_probe": {"part": "corpus_lsh_probe", "n1": "new_id", "n2": "indexed_id"},
-        "minhash_md5": {"part": "minhash_lsh_md5", "n1": "id_a", "n2": "id_b"},
-        "star_cc": {"part": "components_star_chain", "n1": "doc_id", "n2": "component"},
-        "archive": {"part": "archive_ingest_roundtrip", "n1": "shard", "n2": "n_docs", "n3": "payload_bytes", "s1": "id_sum"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],
     doc="Corpus preparation: the full gate->dedup->split->account "
@@ -618,14 +635,32 @@ _suite(
     "sequence-packing accounting (distributed prefix sum, 1024-token "
     "bins), the retrieval chunk plan (256-token windows, stride 192), "
     "RefinedWeb-style boilerplate-segment removal (df >= 3 sentences "
-    "dropped, survivors re-joined in order), the deterministic "
+    "dropped, survivors re-joined in order), and the deterministic "
     "training-order shuffle/shard accounting (salted-hash epoch "
-    "order), SemDeDup-style semantic dedup accounting "
-    "(hyperplane buckets + in-bucket cosine keep-lowest-id), the "
-    "per-source document cap (deterministic salted-hash keep-set, "
-    "kept-id-sum pinned), and the legacy md5 MinHash/LSH family "
-    "(the round-1-3 headline, kept oracled now that the headline "
-    "runs the xxhash64 production family).",
+    "order).",
+)
+
+_suite(
+    "corpus_dedup_suite",
+    {
+        "spans": {"part": "corpus_repeated_spans", "n1": "doc_id", "n2": "n_windows", "n3": "n_repeated"},
+        "semdedup": {"part": "corpus_semantic_dedup", "n1": "bucket", "n2": "n_vecs", "n3": "n_dropped"},
+        "source_cap": {"part": "corpus_source_cap", "s1": "source", "n1": "n_docs", "n2": "n_kept", "n3": "kept_id_sum"},
+        "lsh_probe": {"part": "corpus_lsh_probe", "n1": "new_id", "n2": "indexed_id"},
+        "minhash_md5": {"part": "minhash_lsh_md5", "n1": "id_a", "n2": "id_b"},
+        "star_cc": {"part": "components_star_chain", "n1": "doc_id", "n2": "component"},
+        "archive": {"part": "archive_ingest_roundtrip", "n1": "shard", "n2": "n_docs", "n3": "payload_bytes", "s1": "id_sum"},
+    },
+    [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],
+    doc="Corpus dedup/similarity/ingest: intra-document repeated-span "
+    "accounting, SemDeDup-style semantic dedup accounting (hyperplane "
+    "buckets + in-bucket cosine keep-lowest-id), the per-source "
+    "document cap (deterministic salted-hash keep-set, kept-id-sum "
+    "pinned), the streaming-LSH index probe, the legacy md5 "
+    "MinHash/LSH family (the round-1-3 headline, kept oracled now "
+    "that the headline runs the xxhash64 production family), "
+    "large/small-star connected components over a chain graph, and "
+    "the doc_archive shard ingestion round-trip.",
 )
 
 
@@ -900,4 +935,23 @@ _suite(
     doc="Reference row-level cleaning (ops F1/T2): deterministic "
     "keep-first dedup under explicit ordering and the null-key "
     "pre-filter.",
+)
+
+_suite(
+    "analytics_patterns_suite",
+    {
+        "basket": {"part": "brand_cooccurrence", "s1": "brand_a", "s2": "brand_b", "n1": "support"},
+        "cohort": {"part": "cohort_retention", "s1": "cohort_month", "n1": "month_offset", "n2": "active_customers"},
+        "scd2": {"part": "scd2_customer_versions", "n1": "c_custkey", "n2": "is_current", "s1": "valid_from", "v1": "acctbal"},
+        "udtf": {"part": "udtf_sentence_split", "n1": "doc_id", "n2": "sentence_idx", "n3": "n_words", "s1": "sentence"},
+    },
+    [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double")],
+    doc="Warehouse analytics patterns, consolidated (round-6) from "
+    "four long-green standalone entries to free registry slots for "
+    "the monolith-suite splits: market-basket brand co-occurrence "
+    "(bounded per-order self-join), cohort retention matrix "
+    "(first-touch agg + offset matrix), SCD Type-2 dimension "
+    "versioning (left join + per-row version generator, decimal "
+    "knife-edge rounding), and the Python UDTF sentence expansion "
+    "(lateral typed rows).",
 )

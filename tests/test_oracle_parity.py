@@ -78,8 +78,11 @@ def test_window_money_sums_parity_at_sf01(spark, duck):
     multiply-then-round at a .005 edge — now DECIMAL on both sides)."""
     sf = "/root/testdata/sf0.1"
     register_duck_views(duck, sf)
+    from etl_property_rumah123_spark.plans import PARTS
+
+    # scd2 lives in PARTS since the round-6 analytics consolidation
     for name in ("window_basics_suite", "range_rolling_suite", "scd2_customer_versions"):
-        spec = REGISTRY[name]
+        spec = REGISTRY.get(name) or PARTS[name]
         sdf = spec.fn(spark, sf)
         ns = normalize([tuple(r) for r in sdf.collect()], sdf.columns)
         res = duck.execute(spec.oracle)

@@ -136,7 +136,8 @@ def test_no_unexpected_cartesian_or_bnlj_in_any_registered_plan(spark):
         "text_term_stats",       # 1-row corpus-total broadcast (lm member)
         "sketch_suite",          # 1-row exact x 1-row unioned-estimate
     }
-    PICKLED_BY_DESIGN = {"udtf_sentence_split"}  # Python UDTF node type
+    # Python UDTF node type — the part and the suite that carries it
+    PICKLED_BY_DESIGN = {"udtf_sentence_split", "analytics_patterns_suite"}
     for name, spec in load_all().items():
         plan = plan_of(spec.fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
