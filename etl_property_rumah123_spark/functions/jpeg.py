@@ -21,10 +21,13 @@ library.
           first/refine with EOB runs) -> dequantize -> vectorized
           IDCT -> upsample -> YCbCr -> RGB, clamp, crop.
 
-Round-4 scope: 8-bit 3-component, sampling factors 1-2 per axis
-(4:4:4, 4:2:0, 4:2:2, 4:4:0), SOF0 + SOF2, restart intervals
-(DRI/RSTn, decode any scan kind + baseline-encode), no arithmetic
-coding, no hierarchical mode. JPEG is lossy; the test
+Round-6 scope: 8-bit 3-component, sampling factors 1-2 per axis
+(4:4:4, 4:2:0, 4:2:2, 4:4:0), SOF0 + SOF2 + SOF9 (sequential
+arithmetic coding — QM coder + DC/AC conditioning in
+:mod:`.jpeg_arith`, Annexes D/F, encode AND decode, DAC parsing),
+restart intervals (DRI/RSTn in all three frame types), no
+hierarchical mode, progressive-arithmetic (SOF10) refused loudly.
+JPEG is lossy; the test
 bounds are error <= 2/channel at quality 100 and EXACT pixel parity
 between the baseline and progressive decode of the same quantized
 coefficients (the two paths share nothing past quantization).
@@ -584,6 +587,8 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
+    arith_cond: dict[tuple, object] = {}  # DAC conditioning
+    arith = False
     frame = None          # (progressive, h, w, comps)
     coeffs: list[np.ndarray] = []   # per comp: (bh_pad, bw_pad, 64) int32
     dims: list[tuple] = []          # per comp: (bw_true, bh_true, bw_pad, bh_pad)
@@ -629,9 +634,26 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 vals = list(payload[i + 17 : i + 17 + n])
                 htables[(tclass, tid)] = _build_decoder(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker == 0xCC:  # DAC: arithmetic conditioning tables
+            i = 0
+            while i + 1 < len(payload):
+                tclass, tid = payload[i] >> 4, payload[i] & 0xF
+                cs = payload[i + 1]
+                if tclass == 0:
+                    up, low = cs >> 4, cs & 0xF
+                    if low > up:
+                        raise ValueError("bad DAC DC conditioning (L > U)")
+                    arith_cond[("dc", tid)] = (low, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("bad DAC AC conditioning Kx")
+                    arith_cond[("ac", tid)] = cs
+                i += 2
+        elif marker in (0xC0, 0xC2, 0xC9):
+            # SOF0 baseline / SOF2 progressive / SOF9 sequential arith
             if frame is not None:
                 raise ValueError("multiple SOF markers")
+            arith = marker == 0xC9
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8 or ncomp != 3:
                 raise ValueError(
@@ -660,9 +682,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     np.zeros((bh_pad, bw_pad, 64), dtype=np.int64)
                 )
                 dims.append((bw_true, bh_true, bw_pad, bh_pad))
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
             raise ValueError(
-                "only baseline (SOF0) and progressive (SOF2) supported"
+                "only baseline (SOF0), progressive (SOF2), and "
+                "sequential arithmetic (SOF9) frames supported"
             )
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             if len(payload) != 2:
@@ -683,11 +706,22 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
             end = _find_scan_end(data, pos + 2 + length)
-            reader = _BitReader(data[pos + 2 + length : end])
-            _decode_scan(
-                reader, progressive, comps, scan_comps, ss, se, ah, al,
-                coeffs, dims, htables, qtables, restart_interval,
-            )
+            if arith:
+                from etl_property_rumah123_spark.functions import (
+                    jpeg_arith,
+                )
+
+                jpeg_arith.decode_scan_arith(
+                    data[pos + 2 + length : end], comps, scan_comps,
+                    ss, se, ah, al, coeffs, dims, arith_cond,
+                    restart_interval,
+                )
+            else:
+                reader = _BitReader(data[pos + 2 + length : end])
+                _decode_scan(
+                    reader, progressive, comps, scan_comps, ss, se, ah,
+                    al, coeffs, dims, htables, qtables, restart_interval,
+                )
             preds_scan_seen = True
             pos = end
             continue

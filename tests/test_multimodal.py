@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from etl_property_rumah123_spark.functions import codecs
 from etl_property_rumah123_spark.functions import jpeg as jpeg_mod
+from etl_property_rumah123_spark.functions import jpeg_arith as jpeg_arith_mod
 from etl_property_rumah123_spark.operators import multimodal
 from etl_property_rumah123_spark.sources.catalog import table
 from tests.conftest import SF_SMOKE
@@ -188,6 +189,13 @@ def test_decode_jpeg_only_raises_valueerror():
             rng.randint(0, 256, (24, 24, 3)).astype(np.uint8),
             quality=80, restart_interval=2,
         ),
+        # arithmetic-coded stream (SOF9): the QM-coder decode paths
+        # must also fail only as ValueError (or decode to garbage
+        # pixels — arithmetic streams have no self-synchronization,
+        # so silent wrong output is spec-expected for bit flips)
+        jpeg_arith_mod.encode_jpeg_arithmetic(
+            rng.randint(0, 256, (16, 24, 3)).astype(np.uint8), quality=85
+        ),
     ]
     n_mutations = 0
     for good in base:
@@ -217,7 +225,7 @@ def test_decode_jpeg_only_raises_valueerror():
                     f"decode_jpeg raised {type(e).__name__} ({e!r}) on "
                     f"mutation kind={kind} of a valid JPEG"
                 ) from e
-    assert n_mutations == 2000
+    assert n_mutations == 2400
 
 
 def test_decode_stage_handles_jpeg(spark):
@@ -673,3 +681,85 @@ def test_jpeg_422_and_440_layouts_roundtrip():
             codecs.encode_jpeg(gray, quality=100, subsampling=sub)
         )
         assert np.abs(out.astype(int) - gray.astype(int)).max() <= 2, sub
+
+
+def test_arithmetic_jpeg_exact_parity_with_huffman():
+    """Sequential arithmetic coding (SOF9, T.81 Annex D/F): entropy
+    coding is lossless, so the arithmetic encode -> decode of an image
+    must be PIXEL-IDENTICAL to the Huffman decode of the same image at
+    the same quality/subsampling (the two paths share the DCT/quant
+    front half and diverge only in the entropy stage). Checked across
+    all four chroma layouts, several qualities, non-multiple-of-MCU
+    dimensions, and a restart-interval stream; the arithmetic file
+    must also be smaller (the QM coder's whole point)."""
+    rng = np.random.RandomState(99)
+    cases = [
+        ((24, 31), "444", 90), ((17, 22), "420", 50),
+        ((16, 16), "422", 75), ((40, 9), "440", 95),
+        ((8, 8), "444", 100), ((33, 45), "420", 30),
+    ]
+    smaller = 0
+    for (h, w), sub, q in cases:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        huff_bytes = codecs.encode_jpeg(px, quality=q, subsampling=sub)
+        arith_bytes = jpeg_arith_mod.encode_jpeg_arithmetic(
+            px, quality=q, subsampling=sub
+        )
+        assert np.array_equal(
+            codecs.decode_jpeg(arith_bytes), codecs.decode_jpeg(huff_bytes)
+        ), (sub, q)
+        smaller += len(arith_bytes) < len(huff_bytes)
+    assert smaller >= len(cases) - 1  # allow one tiny-image exception
+
+    # restart intervals: flush + RSTn + full statistics reset per
+    # interval must reproduce the same coefficients
+    px = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=85))
+    for sub, ri in [("444", 3), ("420", 1)]:
+        got = codecs.decode_jpeg(
+            jpeg_arith_mod.encode_jpeg_arithmetic(
+                px, quality=85, subsampling=sub, restart_interval=ri
+            )
+        )
+        huff = codecs.decode_jpeg(
+            codecs.encode_jpeg(px, quality=85, subsampling=sub)
+        )
+        assert np.array_equal(got, huff), (sub, ri)
+
+
+def test_arithmetic_jpeg_marker_contracts():
+    """SOF9 stream structure: DAC conditioning is parsed and
+    validated (L > U and out-of-range Kx raise), progressive
+    arithmetic (SOF10) refuses loudly, and a DAC-less SOF9 stream
+    decodes with the spec defaults (L=0, U=1, Kx=5)."""
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    data = jpeg_arith_mod.encode_jpeg_arithmetic(px, quality=90)
+
+    # the emitted stream carries a DAC segment
+    assert b"\xff\xcc" in data
+    # strip DAC -> defaults apply, decode unchanged (the emitted DAC
+    # IS the default conditioning)
+    i = data.index(b"\xff\xcc")
+    seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+    stripped = data[:i] + data[i + 2 + seg_len :]
+    assert np.array_equal(
+        codecs.decode_jpeg(stripped), codecs.decode_jpeg(data)
+    )
+
+    # corrupt DAC: DC conditioning with L > U
+    bad = bytearray(data)
+    bad[i + 5] = 0x0F  # (U=0, L=15)
+    with pytest.raises(ValueError, match="DAC"):
+        codecs.decode_jpeg(bytes(bad))
+    # corrupt DAC: AC Kx = 0
+    bad = bytearray(data)
+    bad[i + 9] = 0x00  # first AC pair's Kx
+    with pytest.raises(ValueError, match="DAC"):
+        codecs.decode_jpeg(bytes(bad))
+
+    # SOF10 (progressive arithmetic) is out of scope and must refuse
+    j = data.index(b"\xff\xc9")
+    sof10 = data[:j] + b"\xff\xca" + data[j + 2 :]
+    with pytest.raises(ValueError, match="SOF9"):
+        codecs.decode_jpeg(sof10)
