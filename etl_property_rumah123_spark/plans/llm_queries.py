@@ -2576,3 +2576,50 @@ def bloom_membership_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maybe.join(truth, "doc_id").select(
         "doc_id", "maybe_present", "truly_present"
     )
+
+
+_PAGERANK_EDGES_SQL = """
+SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+UNION ALL
+SELECT l_suppkey + 1000000 AS src, o_custkey AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _pagerank_oracle() -> str:
+    from etl_property_rumah123_spark.operators import ml
+
+    return ml.pagerank_micro_sql(_PAGERANK_EDGES_SQL, iterations=3)
+
+
+@part(
+    "pagerank_bipartite",
+    _pagerank_oracle(),
+    doc="Fixed-point-quantized PageRank (3 iterations, damping 0.85) "
+    "over the customer<->supplier trade graph (both directions of the "
+    "orders x lineitem relation): ranks are BIGINT micro-units, "
+    "contributions integer divisions, updates teleport + "
+    "floor(damping * integer sum) - every reduction an exact integer "
+    "sum, so the iterative computation value-hashes identically "
+    "across engines. Per iteration: hash equi-join of ranks onto "
+    "edges (AQE skew-split eligible) + groupBy-dst with map-side "
+    "partial sums, composed lazily with no driver-side state - the "
+    "canonical iterative-graph layout at any scale "
+    "(operators/ml.py:pagerank_micro).",
+)
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators import ml
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("cust"),
+        (F.col("l_suppkey") + F.lit(1000000)).alias("supp"),
+    )
+    edges = pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).union(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    return ml.pagerank_micro(edges, iterations=3)

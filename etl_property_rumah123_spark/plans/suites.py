@@ -949,6 +949,7 @@ _suite(
         "udtf": {"part": "udtf_sentence_split", "n1": "doc_id", "n2": "sentence_idx", "n3": "n_words", "s1": "sentence"},
         "logreg": {"part": "logreg_train_gd", "n1": "iter", "n2": "grad_micro", "s1": "feature", "v1": "weight"},
         "gram": {"part": "embedding_gram_matrix", "n1": "i", "n2": "j", "n3": "value"},
+        "pagerank": {"part": "pagerank_bipartite", "n1": "node", "n2": "degree", "n3": "rank_micro"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double")],
     doc="Warehouse analytics patterns, consolidated (round-6) from "

@@ -135,6 +135,33 @@ def test_bloom_probe_rejects_missing_word_rows(spark):
     assert len(rows) == 1 and rows[0]["maybe_present"] in (0, 1)
 
 
+def test_pagerank_quantized_star_graph(spark):
+    """On a 1-hub star (hub 0 <-> leaves 1..10, both directions) the
+    quantized PageRank must (a) conserve the expected fixed-point
+    structure — every leaf identical, hub far above leaves — and (b)
+    match the hand-computed first iteration: hub gets teleport +
+    0.85 * 10 * (1e6 div 1) = 150000 + 8500000; a leaf gets teleport
+    + 0.85 * (1e6 div 10) = 150000 + 85000."""
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 11)] + [(i, 0) for i in range(1, 11)],
+        "src long, dst long",
+    )
+    one = {
+        r["node"]: r["rank_micro"]
+        for r in ml.pagerank_micro(edges, iterations=1).collect()
+    }
+    assert one[0] == 150000 + 8500000
+    assert all(one[i] == 150000 + 85000 for i in range(1, 11))
+    three = {
+        r["node"]: (r["rank_micro"], r["degree"])
+        for r in ml.pagerank_micro(edges, iterations=3).collect()
+    }
+    leaf_ranks = {three[i][0] for i in range(1, 11)}
+    assert len(leaf_ranks) == 1  # symmetry preserved exactly
+    assert three[0][0] > 10 * three[1][0]  # hub dominates
+    assert three[0][1] == 10 and three[1][1] == 1  # degrees ride along
+
+
 def test_ml_parts_stable_under_ansi(spark):
     """The micro-quantized sums must not overflow and the rational
     sigmoid has no undefined regions — execute the three registered
