@@ -21,8 +21,9 @@ library.
           first/refine with EOB runs) -> dequantize -> vectorized
           IDCT -> upsample -> YCbCr -> RGB, clamp, crop.
 
-Round-6 scope: 8-bit 3-component, sampling factors 1-2 per axis
-(4:4:4, 4:2:0, 4:2:2, 4:4:0), SOF0 + SOF2 + SOF9 (sequential
+Round-6 scope: 8-bit 3-component, sampling factors 1-4 per axis with
+integer upsampling ratios (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1;
+fractional factor mixes refuse loudly), SOF0 + SOF2 + SOF9 (sequential
 arithmetic coding — QM coder + DC/AC conditioning in
 :mod:`.jpeg_arith`, Annexes D/F, encode AND decode, DAC parsing),
 restart intervals (DRI/RSTn in all three frame types), no
@@ -137,6 +138,7 @@ SUBSAMPLING_FACTORS = {
     "420": (2, 2),
     "422": (2, 1),  # chroma halved horizontally
     "440": (1, 2),  # chroma halved vertically
+    "411": (4, 1),  # chroma quartered horizontally (DV/camcorder)
 }
 
 
@@ -664,9 +666,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, sampling, qsel = payload[6 + 3 * c : 9 + 3 * c]
                 hs, vs = sampling >> 4, sampling & 0xF
-                if hs not in (1, 2) or vs not in (1, 2):
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     raise ValueError(
-                        f"sampling factors {hs}x{vs} unsupported (1 or 2 only)"
+                        f"sampling factors {hs}x{vs} out of the T.81 "
+                        "1-4 range"
                     )
                 comps.append((cid, hs, vs, qsel))
             frame = (marker == 0xC2, h, w, comps)
@@ -736,6 +739,13 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     for ci, (cid, hs, vs, qsel) in enumerate(comps):
         if qsel not in qtables:
             raise ValueError("frame references missing quant table")
+        if hmax % hs or vmax % vs:
+            # T.81 allows e.g. 3-vs-2 factor mixes; reproducing them
+            # needs fractional resampling we do not implement
+            raise ValueError(
+                f"non-integer upsampling ratio ({hs}x{vs} vs max "
+                f"{hmax}x{vmax}) unsupported"
+            )
         quant = qtables[qsel].astype(np.float64)
         bw_true, bh_true, bw_pad, bh_pad = dims[ci]
         zz = coeffs[ci].astype(np.float64)  # (bh, bw, 64)

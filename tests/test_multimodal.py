@@ -683,6 +683,49 @@ def test_jpeg_422_and_440_layouts_roundtrip():
         assert np.abs(out.astype(int) - gray.astype(int)).max() <= 2, sub
 
 
+def test_jpeg_411_layout_all_entropy_paths():
+    """4:1:1 chroma (sampling factor 4 — the DV/camcorder layout):
+    decode loops and repeat-upsampling are ratio-generic, so the only
+    round-6 change was widening validation to T.81's 1-4 range. All
+    three entropy paths (baseline Huffman, progressive, arithmetic)
+    must agree pixel-exactly, restarts included; a non-integer factor
+    mix still refuses loudly."""
+    rng = np.random.RandomState(4)
+    px = rng.randint(0, 256, (23, 37, 3)).astype(np.uint8)
+    base = codecs.decode_jpeg(
+        codecs.encode_jpeg(px, quality=90, subsampling="411")
+    )
+    assert base.shape == px.shape
+    for data in (
+        jpeg_mod.encode_jpeg_progressive(px, quality=90, subsampling="411"),
+        jpeg_arith_mod.encode_jpeg_arithmetic(
+            px, quality=90, subsampling="411"
+        ),
+        codecs.encode_jpeg(
+            px, quality=90, subsampling="411", restart_interval=2
+        ),
+    ):
+        assert np.array_equal(codecs.decode_jpeg(data), base)
+    gray = np.repeat(
+        rng.randint(0, 256, (16, 32, 1), dtype=np.uint8), 3, axis=2
+    )
+    out = codecs.decode_jpeg(
+        codecs.encode_jpeg(gray, quality=100, subsampling="411")
+    )
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 2
+
+    # a 3-vs-2 factor mix needs fractional resampling: loud refusal
+    # (SOF layout: j+10..12 Y triple, j+13..15 Cb triple)
+    good = codecs.encode_jpeg(px, quality=90, subsampling="420")
+    j = good.index(b"\xff\xc0")
+    sof = bytearray(good[j : j + 19])
+    sof[11] = 0x31  # Y 3x1
+    sof[14] = 0x21  # Cb 2x1 -> hmax 3 not divisible by 2
+    bad = good[:j] + bytes(sof) + good[j + 19 :]
+    with pytest.raises(ValueError, match="upsampling|sampling"):
+        codecs.decode_jpeg(bad)
+
+
 def test_arithmetic_jpeg_exact_parity_with_huffman():
     """Sequential arithmetic coding (SOF9, T.81 Annex D/F): entropy
     coding is lossless, so the arithmetic encode -> decode of an image
