@@ -170,6 +170,201 @@ def gram_matrix_micro_sql(table: str, vec_col: str, dims: int) -> str:
     )
 
 
+def _kmeans_comp(vec_col: str, d: int):
+    return F.element_at(F.col(vec_col), d).cast("double")
+
+
+def _kmeans_assign(df: DataFrame, vec_col: str, cents, dims: int):
+    """Attach (cl, dmin): squared-distance argmin over the centroid
+    list, 1-based first-match tie-break (array_position), built as
+    left-associated term additions so the oracle's SQL tree is
+    operation-identical."""
+    dists = []
+    for c in cents:
+        t = None
+        for d in range(dims):
+            diff = _kmeans_comp(vec_col, d + 1) - F.lit(c[d])
+            term = diff * diff
+            t = term if t is None else t + term
+        dists.append(t)
+    darr = F.array(*dists)
+    return df.withColumn("_dl", darr).select(
+        "*",
+        F.array_position(F.col("_dl"), F.array_min(F.col("_dl"))).alias("cl"),
+        F.array_min(F.col("_dl")).alias("dmin"),
+    )
+
+
+def kmeans_lloyd_micro(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int = 8,
+    k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """Distributed Lloyd's KMeans, cross-engine-exact: centroids are
+    broadcast as literals, assignment is a pure-expression squared-
+    distance argmin, and the update is a k-row aggregate of per-row
+    MICRO-QUANTIZED component sums (exact integer partials — the same
+    order-independence trick as the logistic GD). Initial centroids
+    are the vectors of ``id_col`` 0..k-1; empty clusters keep their
+    previous centroid. Driver traffic per iteration is k x (dims+1)
+    numbers (the bounded-collect contract).
+
+    Returns 1-based (cluster, dim, value) rows after ``iterations``
+    assignment rounds: dim -1 carries the member count, dim 0 the
+    micro-quantized within-cluster inertia, dims 1..d the component
+    micro-sums — everything the driver-side centroid/covariance math
+    needs, nothing float-ambiguous in the hash."""
+    init_rows = (
+        df.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(*[_kmeans_comp(vec_col, d + 1) for d in range(dims)])
+        .collect()
+    )
+    if len(init_rows) != k:
+        raise ValueError(f"need ids 0..{k - 1} present for init")
+    cents = [[float(v) for v in r] for r in init_rows]
+
+    def update_aggs():
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        for d in range(dims):
+            aggs.append(
+                F.sum(
+                    F.floor(
+                        _kmeans_comp(vec_col, d + 1) * F.lit(MICRO)
+                    ).cast("long")
+                ).alias(f"s{d + 1}")
+            )
+        return aggs
+
+    assigned = None
+    for it in range(1, iterations + 1):
+        assigned = _kmeans_assign(df, vec_col, cents, dims)
+        if it == iterations:
+            break
+        rows = {
+            r["cl"]: r
+            for r in assigned.groupBy("cl").agg(*update_aggs()).collect()
+        }
+        cents = [
+            (
+                [
+                    (rows[j + 1][f"s{d + 1}"] / rows[j + 1]["n"]) / MICRO
+                    for d in range(dims)
+                ]
+                if j + 1 in rows
+                else cents[j]
+            )
+            for j in range(k)
+        ]
+    fin = assigned.groupBy("cl").agg(
+        *update_aggs(),
+        F.sum(F.floor(F.col("dmin") * F.lit(MICRO)).cast("long")).alias(
+            "inertia"
+        ),
+    )
+    stack_items = ["-1L, n", "0L, inertia"] + [
+        f"{d + 1}L, s{d + 1}" for d in range(dims)
+    ]
+    stack_expr = (
+        f"stack({dims + 2}, " + ", ".join(stack_items) + ") AS (dim, value)"
+    )
+    return fin.select(F.col("cl").alias("cluster"), F.expr(stack_expr))
+
+
+def kmeans_lloyd_micro_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    dims: int = 8,
+    k: int = 4,
+    iterations: int = 2,
+) -> str:
+    """DuckDB oracle twin of :func:`kmeans_lloyd_micro`: every
+    centroid table is a single-pass pivoted 1-row CTE referenced via
+    CROSS JOIN (scalar subqueries would re-inline the upstream scan
+    per reference — 64+ parquet opens blew the fd limit before this
+    shape); COALESCE against the previous centroid row keeps empty
+    clusters stable."""
+    vcasts = ", ".join(
+        f"CAST({vec_col}[{d + 1}] AS DOUBLE)" for d in range(dims)
+    )
+    sql = [
+        f"WITH e AS (SELECT {id_col} AS vid, [{vcasts}] AS v FROM {table}),"
+    ]
+    init_cols = ", ".join(
+        f"MAX(CASE WHEN vid = {j} THEN v[{d + 1}] END) AS c{j}_{d + 1}"
+        for j in range(k)
+        for d in range(dims)
+    )
+    sql.append(f"cent1 AS (SELECT {init_cols} FROM e WHERE vid < {k}),")
+
+    def dist_expr(j: int) -> str:
+        terms = [
+            f"((v[{d + 1}] - c{j}_{d + 1}) * (v[{d + 1}] - c{j}_{d + 1}))"
+            for d in range(dims)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    for it in range(1, iterations + 1):
+        dls = ", ".join(dist_expr(j) for j in range(k))
+        sql.append(
+            f"a{it} AS (SELECT vid, v, [{dls}] AS dl "
+            f"FROM e CROSS JOIN cent{it}),"
+        )
+        sql.append(
+            f"asg{it} AS (SELECT vid, v, "
+            f"list_indexof(dl, list_min(dl)) AS cl, "
+            f"list_min(dl) AS dmin FROM a{it}),"
+        )
+        if it == iterations:
+            break
+        ssum = ", ".join(
+            f"SUM(CAST(FLOOR(v[{d + 1}] * 1000000.0) AS BIGINT))::BIGINT "
+            f"AS s{d + 1}"
+            for d in range(dims)
+        )
+        sql.append(
+            f"upd{it} AS (SELECT cl, COUNT(*)::BIGINT AS n, {ssum} "
+            f"FROM asg{it} GROUP BY cl),"
+        )
+        pivot = ", ".join(
+            f"MAX(CASE WHEN cl = {j + 1} THEN (s{d + 1} / n) / 1000000.0 "
+            f"END) AS m{j}_{d + 1}"
+            for j in range(k)
+            for d in range(dims)
+        )
+        nxt = ", ".join(
+            f"COALESCE(p.m{j}_{d + 1}, c.c{j}_{d + 1}) AS c{j}_{d + 1}"
+            for j in range(k)
+            for d in range(dims)
+        )
+        sql.append(
+            f"cent{it + 1} AS (SELECT {nxt} FROM "
+            f"(SELECT {pivot} FROM upd{it}) p CROSS JOIN cent{it} c),"
+        )
+    ssum = ", ".join(
+        f"SUM(CAST(FLOOR(v[{d + 1}] * 1000000.0) AS BIGINT))::BIGINT "
+        f"AS s{d + 1}"
+        for d in range(dims)
+    )
+    sql.append(
+        f"fin AS (SELECT cl, COUNT(*)::BIGINT AS n, {ssum}, "
+        f"SUM(CAST(FLOOR(dmin * 1000000.0) AS BIGINT))::BIGINT AS inertia "
+        f"FROM asg{iterations} GROUP BY cl)"
+    )
+    branches = [
+        "SELECT cl AS cluster, CAST(-1 AS BIGINT) AS dim, n AS value FROM fin",
+        "SELECT cl, 0, inertia FROM fin",
+    ] + [f"SELECT cl, {d + 1}, s{d + 1} FROM fin" for d in range(dims)]
+    return "\n".join(sql) + "\n" + "\nUNION ALL\n".join(branches)
+
+
 def pagerank_micro(
     edges: DataFrame,
     src_col: str = "src",

@@ -531,6 +531,50 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @part(
+    "approx_percentile_envelope",
+    """
+    SELECT event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+           CAST(1 AS INT) AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    doc="Approximate percentiles (the GK-style mergeable quantile "
+    "sketch behind percentile_approx — single-pass, partial-agg "
+    "mergeable, the 100 TB quantile shape) oracle-checked as an error "
+    "envelope like the HLL part: the sketch value is not portable "
+    "across engines, so the query emits the EXACT p50 (linear "
+    "interpolation — identical definition to DuckDB quantile_cont) "
+    "plus a within_bound flag asserting each approx percentile "
+    "(p25/p50/p90, accuracy 1000 => rank error <= n/1000) lies "
+    "between the exact percentiles one rank-margin either side; the "
+    "oracle asserts flag 1, so a sketch straying outside its "
+    "guarantee hash-mismatches.",
+)
+def approx_percentile_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    pcts = [0.25, 0.5, 0.9]
+    lo = [max(p - 0.005, 0.0) for p in pcts]
+    hi = [min(p + 0.005, 1.0) for p in pcts]
+    exact_lo = F.percentile("value", lo)
+    exact_hi = F.percentile("value", hi)
+    approx = F.percentile_approx("value", pcts, 1000)
+    within = F.lit(True)
+    for i in range(len(pcts)):
+        a = F.element_at(approx, i + 1)
+        within = (
+            within
+            & (a >= F.element_at(exact_lo, i + 1))
+            & (a <= F.element_at(exact_hi, i + 1))
+        )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", 0.5), 6).alias("exact_p50"),
+        within.cast("int").alias("within_bound"),
+    )
+
+
+@part(
     "lateral_topn_orders",
     """
     SELECT c.c_custkey AS c_custkey, t.o_orderkey AS o_orderkey,

@@ -2623,3 +2623,39 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     )
     return ml.pagerank_micro(edges, iterations=3)
+
+
+def _kmeans_oracle() -> str:
+    from etl_property_rumah123_spark.operators import ml
+
+    return ml.kmeans_lloyd_micro_sql(
+        "embeddings", "embedding", "vec_id", dims=8, k=4, iterations=2
+    )
+
+
+@part(
+    "kmeans_lloyd",
+    _kmeans_oracle(),
+    doc="Distributed Lloyd's KMeans (k=4 over the first 8 embedding "
+    "dims, 2 iterations): centroids broadcast as literals, assignment "
+    "a pure-expression squared-distance argmin (left-associated term "
+    "tree, array_position tie-break), update a k-row aggregate of "
+    "micro-quantized component sums - exact integer partials make "
+    "the iterative computation value-hash identically across engines "
+    "(same trick as logreg/pagerank). Driver traffic is k x (d+1) "
+    "numbers per iteration; rows/shuffles never leave the executors. "
+    "Output: (cluster, dim, value) with dim -1 = member count, 0 = "
+    "micro inertia, 1..8 = component micro-sums "
+    "(operators/ml.py:kmeans_lloyd_micro).",
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.operators import ml
+
+    return ml.kmeans_lloyd_micro(
+        table(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        dims=8,
+        k=4,
+        iterations=2,
+    )

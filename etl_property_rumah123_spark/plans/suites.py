@@ -915,17 +915,20 @@ _suite(
         "heavy": {"part": "sketch_heavy_hitters", "s1": "item", "n1": "est_count"},
         "hll_union": {"part": "sketch_hll_union", "n1": "exact_global", "n2": "within_bound"},
         "bitmap": {"part": "bitmap_distinct_users", "s1": "event_type", "n1": "n_users"},
+        "pctile": {"part": "approx_percentile_envelope", "s1": "event_type", "n1": "n", "n2": "within_bound", "v1": "exact_p50"},
     },
-    [("s1", "string"), ("n1", "bigint"), ("n2", "int")],
+    [("s1", "string"), ("n1", "bigint"), ("n2", "int"), ("v1", "double")],
     doc="Approximate-aggregation sketches, all single-pass and "
     "mergeable (the 100 TB property): HLL++ distinct-per-group with "
     "an error-envelope flag, approx_top_k heavy hitters (exact in "
     "the under-capacity regime, hence exact-count oracle), "
     "DataSketches HLL built per-group then UNIONED into a global "
-    "estimate — merge-don't-rescan, envelope-checked — and the "
+    "estimate — merge-don't-rescan, envelope-checked — the "
     "bitmap-index EXACT distinct (bitmap_construct_agg per id "
     "bucket, bitmap_or_agg merge, bitmap_count; exact COUNT "
-    "DISTINCT oracle).",
+    "DISTINCT oracle), and GK-style approximate percentiles "
+    "(p25/p50/p90, rank-error envelope vs exact interpolated "
+    "quantiles, exact p50 value-checked).",
 )
 
 _suite(
@@ -950,6 +953,7 @@ _suite(
         "logreg": {"part": "logreg_train_gd", "n1": "iter", "n2": "grad_micro", "s1": "feature", "v1": "weight"},
         "gram": {"part": "embedding_gram_matrix", "n1": "i", "n2": "j", "n3": "value"},
         "pagerank": {"part": "pagerank_bipartite", "n1": "node", "n2": "degree", "n3": "rank_micro"},
+        "kmeans": {"part": "kmeans_lloyd", "n1": "cluster", "n2": "dim", "n3": "value"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double")],
     doc="Warehouse analytics patterns, consolidated (round-6) from "

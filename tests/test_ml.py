@@ -162,6 +162,35 @@ def test_pagerank_quantized_star_graph(spark):
     assert three[0][1] == 10 and three[1][1] == 1  # degrees ride along
 
 
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    """Two well-separated planted blobs (ids 0/1 land one in each, so
+    init picks one centroid per blob; k=2) must be recovered exactly:
+    every member assigned to its blob's cluster, counts exact, and
+    inertia far below the cross-blob distance scale."""
+    rng = np.random.default_rng(7)
+    a = rng.normal(loc=0.0, scale=0.05, size=(80, 8))
+    b = rng.normal(loc=1.0, scale=0.05, size=(80, 8))
+    rows = []
+    for i in range(80):  # interleave so ids 0,1 hit different blobs
+        rows.append((2 * i, a[i].astype(np.float32).tolist()))
+        rows.append((2 * i + 1, b[i].astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        (r["cluster"], r["dim"]): r["value"]
+        for r in ml.kmeans_lloyd_micro(
+            df, "embedding", "vec_id", dims=8, k=2, iterations=2
+        ).collect()
+    }
+    counts = {c: out[(c, -1)] for c in (1, 2)}
+    assert counts == {1: 80, 2: 80}
+    # component micro-sums recover the blob means (~0 vs ~1e6 * 80)
+    for d in range(1, 9):
+        assert abs(out[(1, d)]) < 80 * 200000
+        assert abs(out[(2, d)] - 80 * 1000000) < 80 * 200000
+    # tight blobs: per-cluster inertia ~ 80 * 8 * (0.05)^2 * 1e6 << 1e9
+    assert out[(1, 0)] < 10**8 and out[(2, 0)] < 10**8
+
+
 def test_ml_parts_stable_under_ansi(spark):
     """The micro-quantized sums must not overflow and the rational
     sigmoid has no undefined regions — execute the three registered
@@ -176,6 +205,8 @@ def test_ml_parts_stable_under_ansi(spark):
             "logreg_train_gd",
             "embedding_gram_matrix",
             "bloom_membership_prune",
+            "pagerank_bipartite",
+            "kmeans_lloyd",
         ):
             PARTS[name].fn(spark, "/root/testdata/sf0.001").write.format(
                 "noop"
