@@ -23,12 +23,11 @@ library.
 
 Round-6 scope: 8-bit 3-component, sampling factors 1-4 per axis with
 integer upsampling ratios (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1;
-fractional factor mixes refuse loudly), SOF0 + SOF2 + SOF9 (sequential
-arithmetic coding — QM coder + DC/AC conditioning in
-:mod:`.jpeg_arith`, Annexes D/F, encode AND decode, DAC parsing),
-restart intervals (DRI/RSTn in all three frame types), no
-hierarchical mode, progressive-arithmetic (SOF10) refused loudly.
-JPEG is lossy; the test
+fractional factor mixes refuse loudly), SOF0 + SOF2 + SOF9 + SOF10
+(the arithmetic-coded frames — QM coder + sequential AND progressive
+conditioning models in :mod:`.jpeg_arith`, Annexes D/F/G.2, encode
+AND decode, DAC parsing), restart intervals (DRI/RSTn), no
+hierarchical mode. JPEG is lossy; the test
 bounds are error <= 2/channel at quality 100 and EXACT pixel parity
 between the baseline and progressive decode of the same quantized
 coefficients (the two paths share nothing past quantization).
@@ -651,11 +650,12 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                         raise ValueError("bad DAC AC conditioning Kx")
                     arith_cond[("ac", tid)] = cs
                 i += 2
-        elif marker in (0xC0, 0xC2, 0xC9):
-            # SOF0 baseline / SOF2 progressive / SOF9 sequential arith
+        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
+            # SOF0 baseline / SOF2 progressive / SOF9 sequential
+            # arithmetic / SOF10 progressive arithmetic
             if frame is not None:
                 raise ValueError("multiple SOF markers")
-            arith = marker == 0xC9
+            arith = marker in (0xC9, 0xCA)
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8 or ncomp != 3:
                 raise ValueError(
@@ -672,7 +672,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                         "1-4 range"
                     )
                 comps.append((cid, hs, vs, qsel))
-            frame = (marker == 0xC2, h, w, comps)
+            frame = (marker in (0xC2, 0xCA), h, w, comps)
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = -(-w // (8 * hmax))
@@ -685,10 +685,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     np.zeros((bh_pad, bw_pad, 64), dtype=np.int64)
                 )
                 dims.append((bw_true, bh_true, bw_pad, bh_pad))
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB):
             raise ValueError(
                 "only baseline (SOF0), progressive (SOF2), and "
-                "sequential arithmetic (SOF9) frames supported"
+                "arithmetic (SOF9/SOF10) frames supported"
             )
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             if len(payload) != 2:
@@ -717,7 +717,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 jpeg_arith.decode_scan_arith(
                     data[pos + 2 + length : end], comps, scan_comps,
                     ss, se, ah, al, coeffs, dims, arith_cond,
-                    restart_interval,
+                    restart_interval, progressive=progressive,
                 )
             else:
                 reader = _BitReader(data[pos + 2 + length : end])

@@ -17,15 +17,17 @@ shift-counted comparison on the decode side), re-implemented here in
 Python against our zigzag-order coefficient store.
 
 Scope: sequential DC+AC (SOF9) with interleaved or single-component
-scans, DAC conditioning tables (defaults L=0, U=1, Kx=5 when absent),
-restart intervals (encoder flushes + emits RSTn + full statistics
-reset; decoder resynchronizes and reinitializes), the same 8-bit
-3-component 1-2 sampling-factor envelope as the Huffman path.
-Progressive arithmetic (SOF10) stays a loud ``ValueError`` in
-:mod:`.jpeg`. Correctness bar (tests/test_multimodal.py): EXACT pixel
-parity with the Huffman decode of the same quantized coefficients —
-entropy coding is lossless, so the two paths must agree bit-for-bit
-after IDCT.
+scans AND progressive (SOF10, Annex G.2: DC-first on Al-scaled DIFFs,
+fixed-bin DC refinement, spectrally-windowed AC-first, in-place AC
+refinement with EOB decisions past the previous scan's end), DAC
+conditioning tables (defaults L=0, U=1, Kx=5 when absent), restart
+intervals (encoder flushes + emits RSTn + full statistics reset;
+decoder resynchronizes and reinitializes), the same 8-bit 3-component
+sampling-factor envelope as the Huffman path. Correctness bar
+(tests/test_multimodal.py): EXACT pixel parity with the Huffman
+decode of the same quantized coefficients — entropy coding is
+lossless, so all four paths (baseline/progressive x Huffman/
+arithmetic) must agree bit-for-bit after IDCT.
 """
 
 from __future__ import annotations
@@ -417,26 +419,32 @@ def _decode_dc_diff(dec, dcs: _Stats, ctx: int, cond) -> tuple[int, int]:
     return (-v if sign else v), nctx
 
 
-def _encode_ac_coefs(enc, acs: _Stats, fixed: _Stats, zz, kx: int) -> None:
-    """Encode zz[1..63] (zigzag) per F.1.4.3: per-index EOB decision,
-    zero-run, fixed-bin sign, magnitude category split at Kx."""
-    ke = 63
-    while ke > 0 and zz[ke] == 0:
+def _encode_ac_coefs(
+    enc, acs: _Stats, fixed: _Stats, zz, kx: int,
+    ss: int = 1, se: int = 63, al: int = 0,
+) -> None:
+    """Encode zz[ss..se] (zigzag) per F.1.4.3 / G.1.3.2: per-index
+    EOB decision, zero-run, fixed-bin sign, magnitude category split
+    at Kx. ``al`` is the successive-approximation point transform
+    (progressive AC-first scans code ``|coef| >> al``); the
+    sequential case is ss=1, se=63, al=0."""
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(acs, st, 0)  # not EOB at this index
-        v = int(zz[k])
+        c = int(zz[k])
+        v = abs(c) >> al
         while v == 0:
             enc.encode(acs, st + 1, 0)
             st += 3
             k += 1
-            v = int(zz[k])
+            c = int(zz[k])
+            v = abs(c) >> al
         enc.encode(acs, st + 1, 1)
-        sign = 1 if v < 0 else 0
-        if sign:
-            v = -v
+        sign = 1 if c < 0 else 0
         enc.encode(fixed, 0, sign)
         st += 2
         m = 0
@@ -462,21 +470,26 @@ def _encode_ac_coefs(enc, acs: _Stats, fixed: _Stats, zz, kx: int) -> None:
             mm >>= 1
             enc.encode(acs, st, 1 if (mm & v) else 0)
         k += 1
-    if ke < 63:
+    if ke < se:
         enc.encode(acs, 3 * (k - 1), 1)  # EOB
 
 
-def _decode_ac_coefs(dec, acs: _Stats, fixed: _Stats, zz, kx: int) -> None:
-    """Decode AC coefficients into zz[1..63] (zigzag) per F.2.1.3.2."""
-    k = 1
-    while k <= 63:
+def _decode_ac_coefs(
+    dec, acs: _Stats, fixed: _Stats, zz, kx: int,
+    ss: int = 1, se: int = 63, al: int = 0,
+) -> None:
+    """Decode AC coefficients into zz[ss..se] (zigzag) per F.2.1.3.2
+    / G.2.2; decoded values are scaled back up by ``al`` (two's-
+    complement shift, matching the Huffman progressive store)."""
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.read_bit(acs, st):
             return  # EOB
         while dec.read_bit(acs, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("arithmetic AC index overflow")
         sign = dec.read_bit(fixed, 0)
         st += 2
@@ -500,7 +513,78 @@ def _decode_ac_coefs(dec, acs: _Stats, fixed: _Stats, zz, kx: int) -> None:
             if dec.read_bit(acs, st):
                 v |= mm
         v += 1
-        zz[k] = -v if sign else v
+        if sign:
+            v = -v
+        zz[k] = v << al
+        k += 1
+
+
+def _encode_ac_refine(
+    enc, acs: _Stats, fixed: _Stats, zz, ss: int, se: int, al: int
+) -> None:
+    """AC successive-approximation refinement encode (G.1.3.3): for
+    each index up to the NEW end-of-band — EOB decisions only past
+    the PREVIOUS scan's end (kex, magnitude at Ah = al+1 precision) —
+    previously-nonzero coefficients get their next bit (st+2),
+    newly-nonzero ones a significance flag (st+1) plus a fixed-bin
+    sign, zeros a run continuation."""
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and (abs(int(zz[kex])) >> (al + 1)) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(acs, st, 0)  # not EOB yet
+        while True:
+            c = int(zz[k])
+            v = abs(c) >> al
+            if v:
+                if v > 1:  # previously nonzero: next magnitude bit
+                    enc.encode(acs, st + 2, v & 1)
+                else:  # newly nonzero at this precision
+                    enc.encode(acs, st + 1, 1)
+                    enc.encode(fixed, 0, 1 if c < 0 else 0)
+                break
+            enc.encode(acs, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(acs, 3 * (k - 1), 1)  # EOB
+
+
+def _decode_ac_refine(
+    dec, acs: _Stats, fixed: _Stats, zz, ss: int, se: int, al: int
+) -> None:
+    """AC refinement decode (G.2.2), in-place on the zigzag store."""
+    p1 = 1 << al
+    m1 = (-1) << al
+    kex = se
+    while kex >= ss and zz[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.read_bit(acs, st):
+                return  # EOB
+        while True:
+            c = int(zz[k])
+            if c:
+                if dec.read_bit(acs, st + 2):
+                    zz[k] = c + (m1 if c < 0 else p1)
+                break
+            if dec.read_bit(acs, st + 1):
+                zz[k] = m1 if dec.read_bit(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC refine index overflow")
         k += 1
 
 
@@ -533,13 +617,31 @@ class _ScanStats:
 def decode_scan_arith(
     data: bytes, comps, scan_comps, ss, se, ah, al,
     coeffs, dims, conditioning, restart_interval=0,
+    progressive=False,
 ) -> None:
-    """Decode one sequential arithmetic-coded scan (SOF9) into the
-    zigzag coefficient store — the arithmetic twin of
-    ``jpeg._decode_scan``'s baseline branch. ``conditioning`` maps
-    ('dc'|'ac', table id) -> (L, U) | Kx from DAC segments; defaults
-    apply per table when absent (F.1.4.4.1.2 / F.1.4.4.2)."""
-    if ss != 0 or se != 63 or ah != 0 or al != 0:
+    """Decode one arithmetic-coded scan into the zigzag coefficient
+    store — the arithmetic twin of ``jpeg._decode_scan``. Sequential
+    (SOF9): one full-band pass per block. Progressive (SOF10, Annex
+    G.2): DC-first scans run the sequential DC model on Al-scaled
+    DIFFs, DC refinement is one fixed-bin bit per block, AC-first is
+    the sequential AC model windowed to [Ss, Se] with Al scaling, AC
+    refinement codes correction/significance bits in-place.
+    ``conditioning`` maps ('dc'|'ac', table id) -> (L, U) | Kx from
+    DAC segments; defaults apply per table when absent."""
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError(
+                "progressive AC scan must be single-component"
+            )
+        if ss > se or se > 63:
+            raise ValueError("bad spectral selection")
+        if ah not in range(14) or al not in range(14) or (
+            ah and ah != al + 1
+        ):
+            raise ValueError("bad successive approximation")
+    elif ss != 0 or se != 63 or ah != 0 or al != 0:
         raise ValueError(
             "sequential arithmetic scan must cover the full band"
         )
@@ -553,17 +655,25 @@ def decode_scan_arith(
     def ac_cond(tid):
         return conditioning.get(("ac", tid), DEFAULT_AC_COND)
 
-    def decode_block(zz, pos_in_scan, dc_tid, ac_tid):
+    def decode_dc_unit(zz, pos_in_scan, dc_tid):
+        if progressive and ah > 0:  # DC refinement: one fixed-bin bit
+            if dec.read_bit(stats.fixed, 0):
+                zz[0] |= 1 << al
+            return
         diff, nctx = _decode_dc_diff(
             dec, stats.dc[dc_tid],
             stats.dc_context[pos_in_scan], dc_cond(dc_tid),
         )
         stats.dc_context[pos_in_scan] = nctx
         stats.last_dc[pos_in_scan] += diff
-        zz[0] = stats.last_dc[pos_in_scan]
-        _decode_ac_coefs(
-            dec, stats.ac[ac_tid], stats.fixed, zz, ac_cond(ac_tid)
-        )
+        zz[0] = stats.last_dc[pos_in_scan] << al
+
+    def decode_block(zz, pos_in_scan, dc_tid, ac_tid):
+        decode_dc_unit(zz, pos_in_scan, dc_tid)
+        if not progressive:
+            _decode_ac_coefs(
+                dec, stats.ac[ac_tid], stats.fixed, zz, ac_cond(ac_tid)
+            )
 
     state = {"n": 0}
 
@@ -579,7 +689,24 @@ def decode_scan_arith(
             n_restart += 1
             stats.reset_all()
 
-    if len(scan_comps) > 1:  # interleaved MCU order
+    if progressive and ss > 0:  # AC scan: single component, raster
+        ci, _dc_tid, ac_tid = scan_comps[0]
+        bw_true, bh_true, _, _ = dims[ci]
+        for by in range(bh_true):
+            for bx in range(bw_true):
+                zz = coeffs[ci][by, bx]
+                if ah == 0:
+                    _decode_ac_coefs(
+                        dec, stats.ac[ac_tid], stats.fixed, zz,
+                        ac_cond(ac_tid), ss, se, al,
+                    )
+                else:
+                    _decode_ac_refine(
+                        dec, stats.ac[ac_tid], stats.fixed, zz,
+                        ss, se, al,
+                    )
+                maybe_restart(bw_true * bh_true)
+    elif len(scan_comps) > 1:  # interleaved MCU order (DC/full scans)
         ci0 = scan_comps[0][0]
         mcux = dims[ci0][2] // comps[ci0][1]
         mcuy = dims[ci0][3] // comps[ci0][2]
@@ -735,3 +862,138 @@ def encode_jpeg_arithmetic(
         b"\xff\xd8" + app0 + dqt(0, qlum) + dqt(1, qchrom)
         + dac + sof + dri + sos + bytes(enc.out) + b"\xff\xd9"
     )
+
+
+def encode_jpeg_progressive_arithmetic(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode a PROGRESSIVE arithmetic-coded JPEG (SOF10) exercising
+    both Annex G dimensions under the QM coder: spectral selection
+    (interleaved DC scan; AC bands 1-5 / 6-63 per component) and
+    successive approximation (DC at Al=1 + one refinement pass; AC at
+    Al=2 + Ah=2->1 and Ah=1->0 refinement passes). Same quantized
+    coefficients as every other encoder in this module, so decoding
+    is pixel-identical to the Huffman paths."""
+    from etl_property_rumah123_spark.functions import jpeg as J
+
+    h, w, samp, coeffs, true_dims = J._quantize_planes(
+        pixels, quality, subsampling
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            tsel = 0x00 if cid == 1 else 0x11
+            body += bytes([cid, tsel])
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    scans = []
+    mcux = coeffs[0].shape[1] // samp[0][0]
+    mcuy = coeffs[0].shape[0] // samp[0][1]
+
+    # --- DC first scan: interleaved, Al=1 (sequential DC model on
+    # the Al-scaled DIFFs, per G.1.3.1) ---
+    enc = ArithEncoder()
+    stats = _ScanStats(3)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                hs, vs = samp[ci]
+                tid = 0 if ci == 0 else 1
+                for vy in range(vs):
+                    for hx in range(hs):
+                        scaled = int(
+                            coeffs[ci][my * vs + vy, mx * hs + hx, 0]
+                        ) >> 1
+                        diff = scaled - stats.last_dc[ci]
+                        stats.last_dc[ci] = scaled
+                        stats.dc_context[ci] = _encode_dc_diff(
+                            enc, stats.dc[tid], diff,
+                            stats.dc_context[ci], DEFAULT_DC_COND,
+                        )
+    enc.flush()
+    scans.append((sos_header([1, 2, 3], 0, 0, 0, 1), bytes(enc.out)))
+
+    # --- AC first scans per component: bands 1-5 and 6-63 at Al=2 ---
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(3):
+            enc = ArithEncoder()
+            stats = _ScanStats(1)
+            tid = 0 if ci == 0 else 1
+            bw_true, bh_true = true_dims[ci]
+            for by in range(bh_true):
+                for bx in range(bw_true):
+                    _encode_ac_coefs(
+                        enc, stats.ac[tid], stats.fixed,
+                        coeffs[ci][by, bx], DEFAULT_AC_COND, ss, se, 2,
+                    )
+            enc.flush()
+            scans.append(
+                (sos_header([ci + 1], ss, se, 0, 2), bytes(enc.out))
+            )
+
+    # --- DC refinement: one fixed-bin bit per block, Ah=1 Al=0 ---
+    enc = ArithEncoder()
+    stats = _ScanStats(3)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                hs, vs = samp[ci]
+                for vy in range(vs):
+                    for hx in range(hs):
+                        enc.encode(
+                            stats.fixed, 0,
+                            int(coeffs[ci][my * vs + vy, mx * hs + hx, 0])
+                            & 1,
+                        )
+    enc.flush()
+    scans.append((sos_header([1, 2, 3], 0, 0, 1, 0), bytes(enc.out)))
+
+    # --- AC refinement passes: Ah=2 Al=1, then Ah=1 Al=0 ---
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in range(3):
+            enc = ArithEncoder()
+            stats = _ScanStats(1)
+            tid = 0 if ci == 0 else 1
+            bw_true, bh_true = true_dims[ci]
+            for by in range(bh_true):
+                for bx in range(bw_true):
+                    _encode_ac_refine(
+                        enc, stats.ac[tid], stats.fixed,
+                        coeffs[ci][by, bx], 1, 63, al,
+                    )
+            enc.flush()
+            scans.append(
+                (sos_header([ci + 1], 1, 63, ah, al), bytes(enc.out))
+            )
+
+    qlum, qchrom = J.scaled_quant_tables(quality)
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        zzb = bytes(int(table[r][c]) for r, c in J.ZIGZAG)
+        return seg(0xFFDB, bytes([tid]) + zzb)
+
+    low, up = DEFAULT_DC_COND
+    dac = seg(
+        0xFFCC,
+        bytes([
+            0x00, (up << 4) | low,
+            0x01, (up << 4) | low,
+            0x10, DEFAULT_AC_COND,
+            0x11, DEFAULT_AC_COND,
+        ]),
+    )
+    y_sampling = (samp[0][0] << 4) | samp[0][1]
+    sof = seg(
+        0xFFCA,  # SOF10: progressive, arithmetic coding
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out = b"\xff\xd8" + app0 + dqt(0, qlum) + dqt(1, qchrom) + dac + sof
+    for header, body in scans:
+        out += header + body
+    return out + b"\xff\xd9"

@@ -196,6 +196,11 @@ def test_decode_jpeg_only_raises_valueerror():
         jpeg_arith_mod.encode_jpeg_arithmetic(
             rng.randint(0, 256, (16, 24, 3)).astype(np.uint8), quality=85
         ),
+        # progressive arithmetic (SOF10): G.2 scan kinds under the QM
+        # coder obey the same contract
+        jpeg_arith_mod.encode_jpeg_progressive_arithmetic(
+            rng.randint(0, 256, (16, 24, 3)).astype(np.uint8), quality=85
+        ),
     ]
     n_mutations = 0
     for good in base:
@@ -225,7 +230,7 @@ def test_decode_jpeg_only_raises_valueerror():
                     f"decode_jpeg raised {type(e).__name__} ({e!r}) on "
                     f"mutation kind={kind} of a valid JPEG"
                 ) from e
-    assert n_mutations == 2400
+    assert n_mutations == 2800
 
 
 def test_decode_stage_handles_jpeg(spark):
@@ -770,6 +775,36 @@ def test_arithmetic_jpeg_exact_parity_with_huffman():
         assert np.array_equal(got, huff), (sub, ri)
 
 
+def test_progressive_arithmetic_jpeg_parity():
+    """SOF10 (Annex G.2 x Annex D): the 14-scan progressive
+    arithmetic script — interleaved DC-first at Al=1, per-component
+    AC bands 1-5/6-63 at Al=2, fixed-bin DC refinement, two AC
+    refinement passes — must decode pixel-identically to the baseline
+    Huffman stream of the same image (all four entropy/structure
+    paths share the quantized coefficients). Checked across all five
+    chroma layouts and odd dimensions."""
+    rng = np.random.RandomState(12)
+    cases = [
+        ((24, 31), "444", 90), ((17, 22), "420", 50),
+        ((16, 16), "422", 75), ((40, 9), "440", 95),
+        ((23, 37), "411", 85), ((8, 8), "444", 100),
+    ]
+    for (h, w), sub, q in cases:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        base = codecs.decode_jpeg(
+            codecs.encode_jpeg(px, quality=q, subsampling=sub)
+        )
+        got = codecs.decode_jpeg(
+            jpeg_arith_mod.encode_jpeg_progressive_arithmetic(
+                px, quality=q, subsampling=sub
+            )
+        )
+        assert np.array_equal(got, base), (sub, q)
+    # the stream really is SOF10 + DAC
+    data = jpeg_arith_mod.encode_jpeg_progressive_arithmetic(px)
+    assert b"\xff\xca" in data and b"\xff\xcc" in data
+
+
 def test_arithmetic_jpeg_marker_contracts():
     """SOF9 stream structure: DAC conditioning is parsed and
     validated (L > U and out-of-range Kx raise), progressive
@@ -801,8 +836,13 @@ def test_arithmetic_jpeg_marker_contracts():
     with pytest.raises(ValueError, match="DAC"):
         codecs.decode_jpeg(bytes(bad))
 
-    # SOF10 (progressive arithmetic) is out of scope and must refuse
+    # relabeling the sequential stream as SOF10 contradicts its
+    # full-band scan header (progressive DC scans need Se=0): loud
     j = data.index(b"\xff\xc9")
     sof10 = data[:j] + b"\xff\xca" + data[j + 2 :]
-    with pytest.raises(ValueError, match="SOF9"):
+    with pytest.raises(ValueError, match="Se=0|progressive"):
         codecs.decode_jpeg(sof10)
+    # lossless (SOF3) stays out of scope
+    sof3 = data[:j] + b"\xff\xc3" + data[j + 2 :]
+    with pytest.raises(ValueError, match="SOF"):
+        codecs.decode_jpeg(sof3)
