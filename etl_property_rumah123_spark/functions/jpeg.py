@@ -636,6 +636,8 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 htables[(tclass, tid)] = _build_decoder(bits, vals)
                 i += 17 + n
         elif marker == 0xCC:  # DAC: arithmetic conditioning tables
+            if len(payload) % 2:
+                raise ValueError("odd-length DAC segment")
             i = 0
             while i + 1 < len(payload):
                 tclass, tid = payload[i] >> 4, payload[i] & 0xF
@@ -645,10 +647,14 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     if low > up:
                         raise ValueError("bad DAC DC conditioning (L > U)")
                     arith_cond[("dc", tid)] = (low, up)
-                else:
+                elif tclass == 1:
                     if not 1 <= cs <= 63:
                         raise ValueError("bad DAC AC conditioning Kx")
                     arith_cond[("ac", tid)] = cs
+                else:
+                    raise ValueError(
+                        f"bad DAC table class {tclass} (0 or 1 only)"
+                    )
                 i += 2
         elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
             # SOF0 baseline / SOF2 progressive / SOF9 sequential

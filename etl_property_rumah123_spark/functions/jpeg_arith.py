@@ -326,11 +326,30 @@ class ArithDecoder:
         """Resynchronize at the expected RSTn marker and reinitialize
         (statistics + predictors are the scan loop's to reset)."""
         if self.marker_pos is None:
+            # scan forward for the next marker, honoring B.1.1.2: a
+            # RUN of 0xFF bytes is fill before the marker byte, and
+            # 0xFF 0x00 is stuffed data — naive first-0xFF matching
+            # misread '... FF FF D0' as a bad marker
+            d, nlen = self.data, len(self.data)
             j = self.bp
-            d, end = self.data, len(self.data) - 1
-            while j < end and not (d[j] == 0xFF and d[j + 1] != 0x00):
-                j += 1
-            self.marker_pos = j
+            while j < nlen:
+                if d[j] != 0xFF:
+                    j += 1
+                    continue
+                m = j
+                while m + 1 < nlen and d[m + 1] == 0xFF:
+                    m += 1  # skip fill bytes
+                if m + 1 >= nlen:
+                    break
+                if d[m + 1] == 0x00:
+                    j = m + 2  # stuffed data byte, keep scanning
+                    continue
+                self.marker_pos = m  # the 0xFF adjacent to the marker
+                break
+            if self.marker_pos is None:
+                raise ValueError(
+                    "expected RSTn restart marker in arithmetic scan"
+                )
         mp = self.marker_pos
         if (
             mp + 1 >= len(self.data)
@@ -743,40 +762,29 @@ def encode_jpeg_arithmetic(
     restart_interval: int = 0,
 ) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as a sequential
-    arithmetic-coded JPEG (SOF9) — the same DCT/quantization front
-    half as :func:`jpeg.encode_jpeg`, with the QM coder replacing
-    Huffman in the entropy stage and a DAC segment declaring the
-    (default) conditioning so the parser path is exercised."""
+    arithmetic-coded JPEG (SOF9): the SHARED quantization front half
+    (``jpeg._quantize_planes`` — same coefficients as every other
+    encoder in the module, which is what makes the cross-path
+    pixel-parity contract hold by construction) with the QM coder
+    replacing Huffman in the entropy stage, and a DAC segment
+    declaring the (default) conditioning so the parser path is
+    exercised."""
     from etl_property_rumah123_spark.functions import jpeg as J
 
-    if pixels.ndim != 3 or pixels.shape[2] != 3:
-        raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
-    if subsampling not in J.SUBSAMPLING_FACTORS:
-        raise ValueError(
-            f"subsampling must be one of "
-            f"{sorted(J.SUBSAMPLING_FACTORS)}, got {subsampling}"
-        )
     if not 0 <= restart_interval <= 0xFFFF:
         raise ValueError("restart_interval must be 0..65535")
-    h, w, _ = pixels.shape
-    qlum, qchrom = J.scaled_quant_tables(quality)
-    hs, vs = J.SUBSAMPLING_FACTORS[subsampling]
-    mcu_w, mcu_h = 8 * hs, 8 * vs
-    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
-    padded = np.pad(pixels, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
-    ycc = J._rgb_to_ycbcr(padded) - np.array([128.0, 128.0, 128.0])
+    h, w, samp, coeffs, _true_dims = J._quantize_planes(
+        pixels, quality, subsampling
+    )
 
     enc = ArithEncoder()
     stats = _ScanStats(3)
-    n_mcu_total = (ph // mcu_h) * (pw // mcu_w)
+    mcux = coeffs[0].shape[1] // samp[0][0]
+    mcuy = coeffs[0].shape[0] // samp[0][1]
     state = {"n": 0, "r": 0}
 
-    def encode_block(block, comp):
+    def encode_block(zz, comp):
         tid = 0 if comp == 0 else 1
-        quant = qlum if comp == 0 else qchrom
-        coef = J._A @ block @ J._A.T
-        q = np.round(coef / quant).astype(np.int64)
-        zz = q[J._ZZ_R, J._ZZ_C]
         diff = int(zz[0]) - stats.last_dc[comp]
         stats.last_dc[comp] = int(zz[0])
         stats.dc_context[comp] = _encode_dc_diff(
@@ -792,40 +800,22 @@ def encode_jpeg_arithmetic(
         if (
             restart_interval
             and state["n"] % restart_interval == 0
-            and state["n"] < n_mcu_total
+            and state["n"] < mcux * mcuy
         ):
             enc.restart(state["r"])
             state["r"] += 1
             stats.reset_all()
 
-    if subsampling == "444":
-        for by in range(0, ph, 8):
-            for bx in range(0, pw, 8):
-                for comp in range(3):
-                    encode_block(ycc[by : by + 8, bx : bx + 8, comp], comp)
-                emit_restart()
-    else:
-        yplane = ycc[..., 0]
-        chroma = [
-            ycc[..., c].reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
-            for c in (1, 2)
-        ]
-        for by in range(0, ph, mcu_h):
-            for bx in range(0, pw, mcu_w):
-                for dy in range(0, mcu_h, 8):
-                    for dx in range(0, mcu_w, 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                hs, vs = samp[ci]
+                for vy in range(vs):
+                    for hx in range(hs):
                         encode_block(
-                            yplane[
-                                by + dy : by + dy + 8, bx + dx : bx + dx + 8
-                            ],
-                            0,
+                            coeffs[ci][my * vs + vy, mx * hs + hx], ci
                         )
-                cy, cx = by // vs, bx // hs
-                for comp in (1, 2):
-                    encode_block(
-                        chroma[comp - 1][cy : cy + 8, cx : cx + 8], comp
-                    )
-                emit_restart()
+            emit_restart()
     enc.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -845,7 +835,8 @@ def encode_jpeg_arithmetic(
             0x11, DEFAULT_AC_COND,   # AC table 1
         ]),
     )
-    y_sampling = (hs << 4) | vs
+    qlum, qchrom = J.scaled_quant_tables(quality)
+    y_sampling = (samp[0][0] << 4) | samp[0][1]
     sof = seg(
         0xFFC9,  # SOF9: extended sequential, arithmetic coding
         struct.pack(">BHHB", 8, h, w, 3)

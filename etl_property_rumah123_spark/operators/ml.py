@@ -78,6 +78,10 @@ def logistic_gd_fit(
             )
         row = feat.agg(*aggs).first()
         n = row["n"]
+        if not n:
+            raise ValueError(
+                "logistic_gd_fit: empty training input (0 rows)"
+            )
         grads = [row[f"g{j}"] for j in range(d + 1)]
         # identical expression tree to the oracle SQL:
         # w - lr/n * (g/1e6)  ==  w - ((lr/n) * (g/1000000.0))
@@ -217,6 +221,8 @@ def kmeans_lloyd_micro(
     micro-quantized within-cluster inertia, dims 1..d the component
     micro-sums — everything the driver-side centroid/covariance math
     needs, nothing float-ambiguous in the hash."""
+    if iterations < 1:
+        raise ValueError("kmeans_lloyd_micro needs iterations >= 1")
     init_rows = (
         df.filter(F.col(id_col) < k)
         .orderBy(id_col)

@@ -545,31 +545,52 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "envelope like the HLL part: the sketch value is not portable "
     "across engines, so the query emits the EXACT p50 (linear "
     "interpolation — identical definition to DuckDB quantile_cont) "
-    "plus a within_bound flag asserting each approx percentile "
-    "(p25/p50/p90, accuracy 1000 => rank error <= n/1000) lies "
-    "between the exact percentiles one rank-margin either side; the "
-    "oracle asserts flag 1, so a sketch straying outside its "
+    "plus a within_bound flag checked in RANK space: the sketch "
+    "guarantees an element within n/accuracy ranks of the target, so "
+    "each approx percentile's occupied rank interval [count(<)+1, "
+    "count(<=)] must intersect [p*n - n/1000 - 1, p*n + n/1000 + 1] "
+    "(the +-1 absorbs rank-definition ambiguity). A value-space "
+    "envelope (exact percentiles at p +- eps) was wrong for groups "
+    "under ~1.5/eps rows, where the interpolated bound can exclude "
+    "every actual element; rank space is exact at any group size. "
+    "The oracle asserts flag 1, so a sketch straying outside its "
     "guarantee hash-mismatches.",
 )
 def approx_percentile_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     pcts = [0.25, 0.5, 0.9]
-    lo = [max(p - 0.005, 0.0) for p in pcts]
-    hi = [min(p + 0.005, 1.0) for p in pcts]
-    exact_lo = F.percentile("value", lo)
-    exact_hi = F.percentile("value", hi)
-    approx = F.percentile_approx("value", pcts, 1000)
-    within = F.lit(True)
+    approx = e.groupBy("event_type").agg(
+        F.percentile_approx("value", pcts, 1000).alias("ap")
+    )
+    joined = e.join(F.broadcast(approx), "event_type")
+    conds = []
     for i in range(len(pcts)):
-        a = F.element_at(approx, i + 1)
-        within = (
-            within
-            & (a >= F.element_at(exact_lo, i + 1))
-            & (a <= F.element_at(exact_hi, i + 1))
+        a = F.element_at(F.col("ap"), i + 1)
+        conds.append(
+            F.sum((F.col("value") < a).cast("long")).alias(f"lt{i}")
         )
-    return e.groupBy("event_type").agg(
+        conds.append(
+            F.sum((F.col("value") <= a).cast("long")).alias(f"le{i}")
+        )
+    agg = joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.percentile("value", 0.5), 6).alias("exact_p50"),
+        *conds,
+    )
+    within = F.lit(True)
+    for i, p in enumerate(pcts):
+        target = F.lit(p) * F.col("n")
+        slack = F.col("n") / F.lit(1000.0) + F.lit(1.0)
+        # occupied rank interval [lt+1, le] vs target +- slack
+        within = (
+            within
+            & (F.col(f"le{i}") >= target - slack)
+            & (F.col(f"lt{i}") + 1 <= target + slack)
+        )
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_p50",
         within.cast("int").alias("within_bound"),
     )
 

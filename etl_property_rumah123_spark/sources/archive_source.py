@@ -117,8 +117,17 @@ class MemoryFS:
         return any(k.startswith(prefix) for k in self._store)
 
     def ls(self, path: str) -> list[str]:
+        # IMMEDIATE children only, like LocalFS/fsspec — returning all
+        # descendants would make partitions() treat nested archives as
+        # siblings, a semantics no production filesystem reproduces
         prefix = path.rstrip("/") + "/"
-        return [k for k in self._store if k.startswith(prefix)]
+        out = set()
+        for k in self._store:
+            if not k.startswith(prefix):
+                continue
+            rest = k[len(prefix):]
+            out.add(prefix + rest.split("/", 1)[0])
+        return sorted(out)
 
     def open(self, path: str):
         import io

@@ -326,10 +326,24 @@ def test_archive_source_non_file_scheme_via_fs_seam():
     (p0,) = single.partitions()
     assert [r[1] for r in single.read(p0)] == ["docs/a.txt"]
 
+    # nested keys are NOT listed as immediate children (fs semantics
+    # parity with LocalFS/fsspec)
+    MemoryFS.put("bucket/shards/nested/deep.zip", zbuf.getvalue())
+    deep_reader = ArchiveReader({"path": "memory://bucket/shards"})
+    assert [p.path for p in deep_reader.partitions()] == [
+        "memory://bucket/shards/s0.zip",
+        "memory://bucket/shards/s1.tar.gz",
+        "memory://bucket/shards/s2.warc.gz",
+    ]
+
     # file:// maps onto the stdlib filesystem
     fs, p = resolve_fs("file:///tmp/x.zip")
     assert isinstance(fs, LocalFS) and p == "/tmp/x.zip"
-    # unknown scheme without fsspec: loud, names the remedy
-    with pytest.raises(ImportError, match="fsspec"):
-        resolve_fs("s3://bucket/shards")
+    # unknown scheme without fsspec: loud, names the remedy (when
+    # fsspec IS installed the guard legitimately defers to it)
+    try:
+        import fsspec  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="fsspec"):
+            resolve_fs("s3://bucket/shards")
     MemoryFS.clear()
