@@ -634,7 +634,7 @@ FROM (
     )
     bands_sql = f"SELECT doc_id, bucket FROM (\n{band_tower}\n)"
     return f"""
-WITH xbands AS (
+WITH xbands AS MATERIALIZED (
 {bands_sql}
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -1234,3 +1234,84 @@ def repeated_spans(
             F.coalesce(F.sum("__rep"), F.lit(0)).cast("long").alias("n_repeated"),
         )
     )
+
+
+def strike_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_n: int = 8,
+    words_col: str | None = None,
+) -> DataFrame:
+    """The REMOVAL half of span-level exact-substring dedup (the
+    transform of Lee et al.'s dedup study, where
+    :func:`repeated_spans` is the detector): count, per document, the
+    token positions covered by at least one cross-document repeated
+    ``span_n``-token window — the tokens a span-striking pass would
+    delete — and the retained remainder.
+
+    A token at position i is covered iff ANY window starting in
+    ``[i - span_n + 1, i]`` is repeated (occurs in >= 2 distinct
+    docs); overlapping repeated windows merge naturally because
+    coverage is a distinct-position count, not a per-window sum.
+    Output: one row per input doc,
+    ``(doc_id, n_tokens, n_covered, n_retained)``.
+
+    Scale shape: positional windows come from the same shuffle-free
+    arrays_zip construction as :func:`shingle_rows` (posexplode of the
+    zip — the position IS the window start, no window function, no
+    sort) and are md5'd before any exchange. The repeated-span set is
+    one digest aggregate with map-side combine; only windows that JOIN
+    that set pay the x``span_n`` coverage explode, so the coverage
+    shuffle carries span_n x (repeated windows) rows — zero for a
+    clean corpus — never span_n x (all windows). Per-doc token counts
+    ride a second scan-stage projection (narrow, no shuffle) rather
+    than dragging every window row through a groupBy just to recover
+    a per-doc constant.
+    """
+    if words_col is not None:
+        toks = F.col(words_col)
+    else:
+        toks = hashing.word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n_sh = F.greatest(F.size(toks) - (span_n - 1), F.lit(0))
+    slices = [
+        F.slice(toks, j + 1, n_sh).alias(f"s{j}") for j in range(span_n)
+    ]
+    rows = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.arrays_zip(*slices)).alias("pos", "__z"),
+    )
+    parts = [F.col("__z").getField(f"s{j}") for j in range(span_n)]
+    win = rows.select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", *parts)).alias("h"),
+    )
+    rep = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("h")
+    )
+    cov = (
+        win.join(rep, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(span_n - 1))
+            ).alias("cp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("cp").alias("__ncov"))
+    )
+    counts = df.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    return counts.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("__ncov"), F.lit(0)).cast("long").alias("n_covered"),
+        (F.col("n_tokens") - F.coalesce(F.col("__ncov"), F.lit(0)))
+        .cast("long")
+        .alias("n_retained"),
+    )

@@ -355,3 +355,89 @@ def fingerprint_agg(
         F.col("doc_id").alias(id_col),
         F.coalesce("__min_h", "__fb").alias("fingerprint"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval: score every document against a fixed bag
+    of query terms, return the top-``k`` as (id, n_terms_hit,
+    score_micro).
+
+    Scale shape (the part that matters at 100 TB):
+    - tokenize + per-(doc, term) tf is ONE shuffle on (doc, term) with
+      map-side combine; only rows whose term is in the (tiny, literal)
+      query set survive the scan-stage filter, so the shuffle carries
+      |Q| * n_docs rows at most — not the corpus token stream;
+    - document length and the corpus stats (N, avgdl) are a scan-local
+      expression plus one scalar aggregate, broadcast back;
+    - per-term df is an aggregate over the (doc, term) frame — tiny
+      (<= |Q| rows), broadcast into the scoring join;
+    - top-k is orderBy().limit(k) = TakeOrdered (per-partition heaps +
+      driver merge), never a single-partition global sort.
+
+    Cross-engine determinism: each per-term contribution is quantized
+    to integer micro-units (``floor(x * 1e6)``) BEFORE the per-doc
+    sum, so the score is accumulation-order-free and hash-exact vs a
+    DuckDB restatement (same convention as operators/ml.py). The
+    tie-break orders by (score_micro DESC, id) so the top-k set is
+    deterministic.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+
+    # dl = whitespace token count, DuckDB len(string_split_regex)
+    # parity included ('' -> [''] -> 1; kept identical on both sides)
+    docs = df.select(
+        F.col(id_col).alias("__id"),
+        word_tokens(F.lower(F.col(text_col))).alias("__w"),
+    ).select("__id", "__w", F.size("__w").cast("long").alias("__dl"))
+
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sdl")
+    )
+
+    tf = (
+        docs.select(
+            "__id", "__dl", F.explode("__w").alias("__t")
+        )
+        .filter(F.array_contains(qlit, F.col("__t")))
+        .groupBy("__id", "__dl", "__t")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    df_t = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__sdl").cast("double") / n
+    idf = F.log(F.lit(1.0) + (n - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5)))
+    norm = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl").cast("double") / avgdl
+    )
+    contrib = idf * (F.col("__tf") * F.lit(k1 + 1.0)) / norm
+    scored = (
+        tf.join(F.broadcast(df_t), "__t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "__id",
+            F.floor(contrib * F.lit(1e6)).cast("long").alias("__c"),
+        )
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("__c").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("__id"))
+        .limit(k)
+        .select(
+            F.col("__id").alias(id_col), "n_terms_hit", "score_micro"
+        )
+    )

@@ -2659,3 +2659,108 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4,
         iterations=2,
     )
+
+
+_BM25_TERMS = ("hash", "join", "vector", "stream")
+
+
+@part(
+    "text_bm25_topk",
+    """
+    WITH dl AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS w,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS sdl FROM dl
+    ), tf AS (
+      SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, dl, unnest(w) AS t FROM dl)
+      WHERE t IN ('hash', 'join', 'vector', 'stream')
+      GROUP BY doc_id, dl, t
+    ), dft AS (
+      SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               LN(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) / (s.sdl / s.n)))
+               * 1000000.0) AS BIGINT) AS c
+      FROM tf JOIN dft d ON tf.t = d.t CROSS JOIN stats s
+    )
+    SELECT doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           CAST(SUM(c) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Okapi BM25 retrieval (k1=1.2, b=0.75) for a fixed 4-term "
+    "query over the corpus: per-(doc, term) tf is one map-side-"
+    "combined shuffle carrying only query-term hits, per-term df and "
+    "the corpus stats broadcast into the scoring join, top-10 via "
+    "TakeOrdered (no global sort). Per-term contributions are "
+    "floor-micro-quantized BEFORE the per-doc sum, so scores are "
+    "accumulation-order-free and hash-exact vs the oracle "
+    "(operators/text_analysis.py:bm25_topk).",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return text_analysis.bm25_topk(d, _BM25_TERMS, k=10)
+
+
+_STRIKE_N = 8
+
+
+@part(
+    "corpus_span_strike",
+    f"""
+    WITH w0 AS (
+      SELECT doc_id,
+             string_split_regex(trim(coalesce(text, '')), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, s['p'] AS p, s['h'] AS h
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= {_STRIKE_N}
+                      THEN [{{'p': i,
+                             'h': md5(array_to_string(w[i:i+{_STRIKE_N - 1}], ' '))}}
+                            FOR i IN generate_series(1, len(w) - {_STRIKE_N - 1})]
+                      ELSE [] END) AS s
+        FROM w0
+      )
+    ), rep AS (
+      SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY h)
+      WHERE nd >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, cp FROM (
+        SELECT sh.doc_id, unnest(generate_series(sh.p, sh.p + {_STRIKE_N - 1})) AS cp
+        FROM sh JOIN rep ON sh.h = rep.h
+      )
+    ), covc AS (
+      SELECT doc_id, COUNT(*) AS ncov FROM cov GROUP BY doc_id
+    )
+    SELECT w0.doc_id AS doc_id,
+           CAST(len(w0.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(covc.ncov, 0) AS BIGINT) AS n_covered,
+           CAST(len(w0.w) - COALESCE(covc.ncov, 0) AS BIGINT) AS n_retained
+    FROM w0 LEFT JOIN covc ON w0.doc_id = covc.doc_id
+    """,
+    doc="Span-STRIKING accounting — the removal half of exact-"
+    "substring dedup (Lee et al.), paired with the corpus_repeated_"
+    "spans detector: per doc, the count of token positions covered by "
+    "any cross-doc repeated 8-token window (the tokens a striking "
+    "pass deletes) and the retained remainder. Positional windows "
+    "ride the same shuffle-free arrays_zip+posexplode construction as "
+    "shingle_rows (the position IS the window start — no sort, no "
+    "window function); only windows joining the repeated-digest set "
+    "pay the x8 coverage explode, so a clean corpus costs zero "
+    "coverage shuffle. operators/dedup.py:strike_repeated_spans.",
+)
+def corpus_span_strike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.strike_repeated_spans(
+        tokenized_docs(spark, sf_dir), span_n=_STRIKE_N, words_col="words"
+    )

@@ -603,11 +603,14 @@ _suite(
         "top_terms": {"part": "text_top_terms", "s1": "term", "n1": "freq", "n2": "doc_freq"},
         "tfidf": {"part": "text_tfidf_top_term", "k1": "doc_id", "s1": "top_term", "v1": "tfidf"},
         "lm": {"part": "text_lm_surprisal", "k1": "doc_id", "v1": "lm_surprisal"},
+        "bm25": {"part": "text_bm25_topk", "k1": "doc_id", "n1": "n_terms_hit", "n2": "score_micro"},
     },
     [("s1", "string"), ("k1", "bigint"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double")],
     doc="Corpus term statistics: global top-50 vocabulary, per-doc "
-    "TF-IDF top keyword, and the CCNet-style per-doc mean bigram "
-    "surprisal (integer log2 buckets — exact across engines).",
+    "TF-IDF top keyword, the CCNet-style per-doc mean bigram "
+    "surprisal (integer log2 buckets — exact across engines), and "
+    "Okapi BM25 top-10 retrieval for a fixed query (floor-micro-"
+    "quantized contributions — order-free sums).",
 )
 
 # The corpus layer is SPLIT into two suites (round-6): the round-5
@@ -936,11 +939,15 @@ _suite(
     {
         "keep_first": {"part": "clean_dedup_keepfirst", "k1": "user_id", "k2": "first_event_id", "s1": "event_type"},
         "null_filter": {"part": "clean_null_filter", "k1": "event_id", "s1": "link_like"},
+        "span_strike": {"part": "corpus_span_strike", "k1": "doc_id", "k2": "n_covered", "n1": "n_retained"},
     },
-    [("k1", "bigint"), ("k2", "bigint"), ("s1", "string")],
-    doc="Reference row-level cleaning (ops F1/T2): deterministic "
-    "keep-first dedup under explicit ordering and the null-key "
-    "pre-filter.",
+    [("k1", "bigint"), ("k2", "bigint"), ("n1", "bigint"), ("s1", "string")],
+    doc="Row- and span-level dedup filters: the reference's "
+    "deterministic keep-first dedup under explicit ordering (T2) and "
+    "null-key pre-filter (F1), plus the span-striking accounting of "
+    "exact-substring dedup (covered vs retained tokens per doc — the "
+    "removal transform of Lee et al.; n_tokens = k2 + n1 rides the "
+    "two checked columns).",
 )
 
 _suite(

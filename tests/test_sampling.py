@@ -454,3 +454,82 @@ def test_cap_per_group_deterministic_under_repartition(spark):
     for s, _ in a:
         per_group[s] = per_group.get(s, 0) + 1
     assert per_group == {f"src{i}": 5 for i in range(4)}
+
+
+# ---------------------------------------------------------------------------
+# Span striking (dedup.strike_repeated_spans) and BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_strike_repeated_spans_covers_planted_passage(spark):
+    from etl_property_rumah123_spark.operators import dedup
+
+    passage = " ".join(f"tok{i}" for i in range(8))  # one exact 8-gram
+    rows = [
+        (1, passage + " tail one two three"),  # 8-gram covers pos 0-7
+        (2, "lead in " + passage),             # same 8-gram at pos 2-9
+        (3, "a different doc " + " ".join(f"x{i}" for i in range(10))),
+        (4, "short doc"),                      # < 8 tokens: 0 windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup.strike_repeated_spans(df, span_n=8).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    # doc 1: 12 tokens, exactly the 8 passage tokens covered
+    assert got[1]["n_tokens"] == 12 and got[1]["n_covered"] == 8
+    assert got[1]["n_retained"] == 4
+    # doc 2: 10 tokens, the trailing 8 covered
+    assert got[2]["n_covered"] == 8 and got[2]["n_retained"] == 2
+    assert got[3]["n_covered"] == 0
+    assert got[4]["n_tokens"] == 2 and got[4]["n_covered"] == 0
+
+
+def test_strike_repeated_spans_overlaps_merge(spark):
+    """Two overlapping repeated windows cover the union of their
+    positions, not the sum — coverage is a distinct-position count."""
+    from etl_property_rumah123_spark.operators import dedup
+
+    nine = " ".join(f"t{i}" for i in range(9))  # two overlapping 8-grams
+    rows = [
+        (1, nine + " aa bb"),
+        (2, nine + " cc dd"),  # both 8-grams repeat cross-doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup.strike_repeated_spans(df, span_n=8).collect()
+    }
+    # 9 distinct covered positions per doc (union, not 16)
+    assert got[1]["n_covered"] == 9 and got[2]["n_covered"] == 9
+
+
+def test_bm25_ranks_relevant_doc_first(spark):
+    rows = [
+        (1, "hash hash hash join filler filler filler"),
+        (2, "hash filler filler filler filler filler filler"),
+        (3, "filler words only nothing relevant here at all"),
+        (4, "join join vector stream hash extra extra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text_analysis.bm25_topk(
+        df, ("hash", "join", "vector", "stream"), k=3
+    ).collect()
+    # doc 3 matches nothing -> absent; doc 4 hits all 4 terms
+    ids = [r["doc_id"] for r in got]
+    assert 3 not in ids and len(ids) == 3
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[4]["n_terms_hit"] == 4
+    assert got[0]["doc_id"] == 4  # idf-weighted: 4 rarer terms beat tf
+    # scores strictly ordered, ties impossible here
+    scores = [r["score_micro"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_requires_query_terms(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="query term"):
+        text_analysis.bm25_topk(df, ())
