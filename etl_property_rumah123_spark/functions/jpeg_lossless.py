@@ -1,0 +1,369 @@
+"""Lossless JPEG (T.81 Annex H, SOF3): the spatial-prediction process
+of the public JPEG specification — no DCT, no quantization, exact
+roundtrip by construction.
+
+Implements, from the specification only (no image library):
+  encode (:func:`encode_jpeg_lossless`): per-sample prediction with
+          any of the seven Annex H.1 predictors, optional point
+          transform, difference coding with the DC-style
+          SSSS-category + amplitude-bits Huffman code (symbols 0-16),
+          optional restart intervals aligned to sample rows;
+          SOI/DHT/SOF3/DRI/SOS/EOI stream
+  decode (:func:`decode_jpeg_lossless`): full marker parse, the same
+          prediction reconstruction mod 2^16, restart resync
+
+Components are coded as RGB directly (identity color transform — a
+YCbCr roundtrip would defeat losslessness), interleaved, all sampling
+factors 1x1 (the only layout this encoder emits; anything else is
+refused loudly on decode). The shared Huffman/bit-I/O machinery comes
+from :mod:`etl_property_rumah123_spark.functions.jpeg`; parity with
+that module's error contract (ValueError and only ValueError for
+corrupt input) is part of the decode surface, fuzz-pinned in
+tests/test_multimodal.py.
+
+Reference behavior modeled on the reference repo's media-ingest needs
+only in shape (opaque binary columns decoded in batch stages); the
+reference itself (rlukafiardi/etl-property-rumah123) ships no codec —
+this is extension-layer capability for multimodal training data.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from etl_property_rumah123_spark.functions import jpeg as J
+
+#: Canonical Huffman table covering difference categories 0..16
+#: (lossless differences can need SSSS up to 16; the standard DC
+#: tables stop at 11). Lengths: 2,3,3,3,3,3,4,5,6,7,8,9,10,11,12,13,14
+#: for symbols 0..16 — Kraft sum < 1, so the all-ones codeword stays
+#: reserved per C.2.
+LOSSLESS_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0]
+LOSSLESS_VALS = list(range(17))
+
+_PRECISION = 8
+
+
+def _predict(a: int, b: int, c: int, sel: int) -> int:
+    """Annex H.1 predictor ``sel`` over left/above/above-left."""
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # sel == 7
+
+
+def _diffs_for_plane(
+    plane: np.ndarray, predictor: int, pt: int
+) -> np.ndarray:
+    """Vectorized per-plane difference image for one component.
+
+    Row 0 uses the H.1.2.2 start-up rules (default prediction
+    ``1 << (P - Pt - 1)`` for the corner, left-neighbor for the rest);
+    column 0 of later rows predicts from above; everywhere else the
+    selected predictor applies. All arithmetic in int32 — differences
+    of (P - Pt)-bit samples fit with room to spare.
+    """
+    v = (plane.astype(np.int32)) >> pt
+    h, w = v.shape
+    pred = np.empty((h, w), dtype=np.int32)
+    default = 1 << (_PRECISION - pt - 1)
+    pred[0, 0] = default
+    if w > 1:
+        pred[0, 1:] = v[0, :-1]
+    if h > 1:
+        pred[1:, 0] = v[:-1, 0]
+        if w > 1:
+            a = v[1:, :-1]
+            b = v[:-1, 1:]
+            c = v[:-1, :-1]
+            if predictor == 1:
+                p = a
+            elif predictor == 2:
+                p = b
+            elif predictor == 3:
+                p = c
+            elif predictor == 4:
+                p = a + b - c
+            elif predictor == 5:
+                p = a + ((b - c) >> 1)
+            elif predictor == 6:
+                p = b + ((a - c) >> 1)
+            else:
+                p = (a + b) >> 1
+            pred[1:, 1:] = p
+    return v - pred
+
+
+def encode_jpeg_lossless(
+    pixels: np.ndarray,
+    predictor: int = 4,
+    point_transform: int = 0,
+    restart_rows: int = 0,
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a lossless JPEG (SOF3).
+
+    ``predictor``: Annex H.1 selector 1-7 (carried in the scan
+    header's Ss field). ``point_transform``: drop that many low bits
+    before prediction (Al field; 0 = bit-exact roundtrip).
+    ``restart_rows``: emit an RSTn marker every that many sample rows
+    (0 = none); DRI is written as rows x W MCUs so restarts land
+    exactly on row starts, where the H.1.2.2 start-of-scan prediction
+    rules re-engage.
+    """
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 0 <= point_transform <= _PRECISION - 1:
+        raise ValueError("point transform must be 0..7 for 8-bit data")
+    h, w, _ = pixels.shape
+    if restart_rows < 0 or restart_rows > 0xFFFF // max(w, 1):
+        raise ValueError("restart_rows out of range for DRI")
+
+    codes = J._build_codes(LOSSLESS_BITS, LOSSLESS_VALS)
+    diffs = [
+        _diffs_for_plane(pixels[:, :, ci], predictor, point_transform)
+        for ci in range(3)
+    ]
+    # restart-interval rows restart the prediction state: re-derive
+    # the per-plane diffs for each interval independently
+    if restart_rows:
+        v = (pixels.astype(np.int32)) >> point_transform
+        for start in range(restart_rows, h, restart_rows):
+            stop = min(start + restart_rows, h)
+            for ci in range(3):
+                diffs[ci][start:stop] = _diffs_for_plane(
+                    (v[start:stop, :, ci] << point_transform).astype(
+                        pixels.dtype
+                    ),
+                    predictor,
+                    point_transform,
+                )
+
+    writer = J._BitWriter()
+    rst = 0
+    for y in range(h):
+        if restart_rows and y and y % restart_rows == 0:
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+        for x in range(w):
+            for ci in range(3):  # interleaved MCU = one sample per comp
+                size, bits = J._magnitude(int(diffs[ci][y, x]))
+                code, length = codes[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(bits, size)
+    writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(LOSSLESS_BITS) + bytes(LOSSLESS_VALS),
+    )
+    sof = seg(
+        0xFFC3,
+        struct.pack(">BHHB", _PRECISION, h, w, 3)
+        + b"".join(struct.pack("BBB", cid, 0x11, 0) for cid in (1, 2, 3)),
+    )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_rows * w))
+        if restart_rows
+        else b""
+    )
+    sos = seg(
+        0xFFDA,
+        bytes([3])
+        + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+        + bytes([predictor, 0, point_transform]),
+    )
+    return (
+        b"\xff\xd8" + dht + sof + dri + sos + bytes(writer.out) + b"\xff\xd9"
+    )
+
+
+def _decode_scan_lossless(
+    reader: "J._BitReader",
+    h: int,
+    w: int,
+    ncomp: int,
+    dc_tables: list,
+    predictor: int,
+    pt: int,
+    restart_interval: int,
+) -> np.ndarray:
+    """Entropy-decode one interleaved lossless scan into (H, W, ncomp)
+    int32 reconstructed (P - Pt)-bit samples."""
+    out = np.zeros((h, w, ncomp), dtype=np.int32)
+    default = 1 << (_PRECISION - pt - 1)
+    mask = (1 << 16) - 1
+    val_mask = (1 << (_PRECISION - pt)) - 1
+    n_mcu = 0
+    expected_rst = 0
+    # restart_y: row where the current restart interval began — the
+    # H.1.2.2 "first line" rules apply relative to it
+    restart_y = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                got = reader.read_restart()
+                if got != expected_rst & 7:
+                    raise ValueError(
+                        f"restart marker out of order: RST{got}, "
+                        f"expected RST{expected_rst & 7}"
+                    )
+                expected_rst += 1
+                if x != 0:
+                    raise ValueError(
+                        "restart interval not aligned to sample rows"
+                    )
+                restart_y = y
+            for ci in range(ncomp):
+                size = J._decode_symbol(reader, dc_tables[ci])
+                if size > 16:
+                    raise ValueError(f"bad lossless SSSS {size}")
+                if size == 16:  # no amplitude bits; difference 32768
+                    diff = 32768
+                else:
+                    diff = J._extend(reader.read(size), size) if size else 0
+                if y == restart_y:
+                    pred = default if x == 0 else int(out[y, x - 1, ci])
+                elif x == 0:
+                    pred = int(out[y - 1, x, ci])
+                else:
+                    pred = _predict(
+                        int(out[y, x - 1, ci]),
+                        int(out[y - 1, x, ci]),
+                        int(out[y - 1, x - 1, ci]),
+                        predictor,
+                    )
+                out[y, x, ci] = ((pred + diff) & mask) & val_mask
+            n_mcu += 1
+    return out
+
+
+def decode_jpeg_lossless(data: bytes) -> np.ndarray:
+    """Decode a lossless JPEG (SOF3, 8-bit, 3 components, 1x1
+    sampling, single interleaved scan) to (H, W, 3) uint8 RGB.
+
+    Dispatched to from :func:`jpeg.decode_jpeg` when the frame marker
+    is SOF3, and bound by the same contract: ``ValueError`` and only
+    ``ValueError`` for anything malformed.
+    """
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    htables: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    result = None
+    pt = 0
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker segment")
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + length]
+        if len(payload) != length - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xC4:  # DHT (class 0 only is meaningful here)
+            i = 0
+            while i < len(payload):
+                if i + 17 > len(payload):
+                    raise ValueError("truncated DHT")
+                tclass, tid = payload[i] >> 4, payload[i] & 0xF
+                bits = list(payload[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(payload[i + 17 : i + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("truncated DHT values")
+                if tclass == 0:
+                    htables[tid] = J._build_decoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xC3:  # SOF3
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
+            prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            if prec != _PRECISION or ncomp != 3:
+                raise ValueError(
+                    f"only 8-bit 3-component lossless supported "
+                    f"(prec={prec}, ncomp={ncomp})"
+                )
+            if h == 0 or w == 0:
+                raise ValueError("empty frame")
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, _q = payload[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "lossless decode supports 1x1 sampling only"
+                    )
+                comps.append(cid)
+            frame = (h, w, comps)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("not a lossless (SOF3) frame")
+        elif marker == 0xDD:
+            if len(payload) != 2:
+                raise ValueError("bad DRI segment")
+            restart_interval = struct.unpack(">H", payload)[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            h, w, comps = frame
+            ns = payload[0]
+            if ns != 3 or len(payload) < 1 + 2 * ns + 3:
+                raise ValueError("lossless scan must cover 3 components")
+            cid_index = {cid: i for i, cid in enumerate(comps)}
+            dc_tables: list = [None, None, None]
+            for c in range(ns):
+                cid, tsels = payload[1 + 2 * c], payload[2 + 2 * c]
+                if cid not in cid_index:
+                    raise ValueError("scan references unknown component")
+                tid = tsels >> 4
+                if tid not in htables:
+                    raise ValueError("scan references missing DC table")
+                dc_tables[cid_index[cid]] = htables[tid]
+            sel, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            pt = ahal & 0xF
+            if not 1 <= sel <= 7:
+                raise ValueError(f"bad lossless predictor {sel}")
+            if se != 0 or (ahal >> 4) != 0:
+                raise ValueError("bad lossless scan header (Se/Ah)")
+            if pt > _PRECISION - 1:
+                raise ValueError(f"bad point transform {pt}")
+            end = J._find_scan_end(data, pos + 2 + length)
+            reader = J._BitReader(data[pos + 2 + length : end])
+            result = _decode_scan_lossless(
+                reader, h, w, 3, dc_tables, sel, pt, restart_interval
+            )
+            pos = end
+            continue
+        pos += 2 + length
+    if result is None:
+        raise ValueError("missing SOF/SOS")
+    return np.clip(
+        result.astype(np.int64) << pt, 0, 255
+    ).astype(np.uint8)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from etl_property_rumah123_spark.functions import codecs
 from etl_property_rumah123_spark.functions import jpeg as jpeg_mod
 from etl_property_rumah123_spark.functions import jpeg_arith as jpeg_arith_mod
+from etl_property_rumah123_spark.functions import jpeg_lossless as jpeg_lossless_mod
 from etl_property_rumah123_spark.operators import multimodal
 from etl_property_rumah123_spark.sources.catalog import table
 from tests.conftest import SF_SMOKE
@@ -201,6 +202,12 @@ def test_decode_jpeg_only_raises_valueerror():
         jpeg_arith_mod.encode_jpeg_progressive_arithmetic(
             rng.randint(0, 256, (16, 24, 3)).astype(np.uint8), quality=85
         ),
+        # lossless (SOF3): the Annex H spatial-prediction decode path,
+        # dispatched through the same decode_jpeg entry
+        jpeg_lossless_mod.encode_jpeg_lossless(
+            rng.randint(0, 256, (16, 24, 3)).astype(np.uint8),
+            predictor=4, restart_rows=5,
+        ),
     ]
     n_mutations = 0
     for good in base:
@@ -230,7 +237,7 @@ def test_decode_jpeg_only_raises_valueerror():
                     f"decode_jpeg raised {type(e).__name__} ({e!r}) on "
                     f"mutation kind={kind} of a valid JPEG"
                 ) from e
-    assert n_mutations == 2800
+    assert n_mutations == 3200
 
 
 def test_decode_stage_handles_jpeg(spark):
@@ -842,7 +849,110 @@ def test_arithmetic_jpeg_marker_contracts():
     sof10 = data[:j] + b"\xff\xca" + data[j + 2 :]
     with pytest.raises(ValueError, match="Se=0|progressive"):
         codecs.decode_jpeg(sof10)
-    # lossless (SOF3) stays out of scope
+    # relabeling as lossless (SOF3) dispatches to the Annex H decoder,
+    # where the sequential scan header (Ss=0 = predictor 0) is invalid
     sof3 = data[:j] + b"\xff\xc3" + data[j + 2 :]
-    with pytest.raises(ValueError, match="SOF"):
+    # (an arithmetic stream carries no DHT, so the lossless path
+    # refuses at the table lookup before reaching the Ss check)
+    with pytest.raises(ValueError, match="predictor|lossless|DC table"):
         codecs.decode_jpeg(sof3)
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_lossless_jpeg_roundtrip_exact_every_predictor(predictor):
+    """SOF3 is lossless by construction: decode(encode(x)) must be
+    BIT-exact for every Annex H predictor, including 1-pixel and
+    single-row/column shapes where only the start-up rules apply."""
+    rng = np.random.default_rng(100 + predictor)
+    for h, w in [(1, 1), (1, 9), (8, 1), (16, 24), (33, 17)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = jpeg_lossless_mod.encode_jpeg_lossless(px, predictor=predictor)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        out = jpeg_lossless_mod.decode_jpeg_lossless(data)
+        assert out.dtype == np.uint8 and np.array_equal(out, px)
+
+
+def test_lossless_jpeg_dispatches_through_decode_jpeg():
+    """The shared decode_jpeg entry must route SOF3 frames to the
+    Annex H decoder (the mapInPandas stages only ever call
+    decode_jpeg)."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+    out = codecs.decode_jpeg(
+        jpeg_lossless_mod.encode_jpeg_lossless(px, predictor=4)
+    )
+    assert np.array_equal(out, px)
+
+
+def test_lossless_jpeg_point_transform_and_restarts():
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, (15, 11, 3), dtype=np.uint8)
+    # Pt drops low bits BEFORE prediction; reconstruction shifts back
+    out = jpeg_lossless_mod.decode_jpeg_lossless(
+        jpeg_lossless_mod.encode_jpeg_lossless(px, predictor=2, point_transform=2)
+    )
+    assert np.array_equal(out, (px >> 2) << 2)
+    # restart rows re-engage the start-of-scan prediction rules
+    for rows in (1, 3, 7):
+        out = jpeg_lossless_mod.decode_jpeg_lossless(
+            jpeg_lossless_mod.encode_jpeg_lossless(
+                px, predictor=6, restart_rows=rows
+            )
+        )
+        assert np.array_equal(out, px)
+    # combined: point transform + restarts
+    out = jpeg_lossless_mod.decode_jpeg_lossless(
+        jpeg_lossless_mod.encode_jpeg_lossless(
+            px, predictor=7, point_transform=3, restart_rows=4
+        )
+    )
+    assert np.array_equal(out, (px >> 3) << 3)
+
+
+def test_lossless_jpeg_rejects_bad_params_and_streams():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        jpeg_lossless_mod.encode_jpeg_lossless(px, predictor=0)
+    with pytest.raises(ValueError):
+        jpeg_lossless_mod.encode_jpeg_lossless(px, predictor=8)
+    with pytest.raises(ValueError):
+        jpeg_lossless_mod.encode_jpeg_lossless(px, point_transform=8)
+    with pytest.raises(ValueError):
+        jpeg_lossless_mod.encode_jpeg_lossless(np.zeros((4, 4), dtype=np.uint8))
+    good = jpeg_lossless_mod.encode_jpeg_lossless(
+        np.full((4, 4, 3), 9, dtype=np.uint8)
+    )
+    with pytest.raises(ValueError):
+        jpeg_lossless_mod.decode_jpeg_lossless(good[:20])  # truncated
+    with pytest.raises(ValueError):
+        jpeg_lossless_mod.decode_jpeg_lossless(b"not a jpeg")
+    # a BASELINE stream handed to the lossless decoder is refused
+    base = codecs.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        jpeg_lossless_mod.decode_jpeg_lossless(base)
+
+
+def test_decode_stage_handles_lossless_jpeg(spark):
+    """SOF3 payloads flow through the same Arrow decode stage (magic
+    bytes route to decode_jpeg, which dispatches on the frame marker)
+    — and losslessly, so decoded dims AND a re-decode are exact."""
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+    good = jpeg_lossless_mod.encode_jpeg_lossless(px, predictor=4)
+    rows = [
+        (1, "image", bytearray(good), "image/jpeg"),
+        (2, "image", bytearray(good[:30]), "image/jpeg"),
+    ]
+    df = spark.createDataFrame(
+        rows, "sample_id long, modality string, payload binary, mime_type string"
+    )
+    got = {
+        r["sample_id"]: (r["decoded_width"], r["decoded_height"])
+        for r in multimodal.decode_media(df).collect()
+    }
+    assert got == {1: (14, 10), 2: (None, None)}
