@@ -691,19 +691,20 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     np.zeros((bh_pad, bw_pad, 64), dtype=np.int64)
                 )
                 dims.append((bw_true, bh_true, bw_pad, bh_pad))
-        elif marker == 0xC3:
-            # SOF3 lossless: an entirely different data model (spatial
-            # prediction, no blocks/quant) — hand the whole stream to
-            # the Annex H decoder
+        elif marker in (0xC3, 0xCB):
+            # SOF3/SOF11 lossless: an entirely different data model
+            # (spatial prediction, no blocks/quant) — hand the whole
+            # stream to the Annex H decoder
             if frame is not None:
                 raise ValueError("multiple SOF markers")
             from etl_property_rumah123_spark.functions import jpeg_lossless
 
             return jpeg_lossless.decode_jpeg_lossless(data)
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCB):
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7):
             raise ValueError(
                 "only baseline (SOF0), progressive (SOF2), lossless "
-                "(SOF3), and arithmetic (SOF9/SOF10) frames supported"
+                "(SOF3/SOF11), and arithmetic (SOF9/SOF10) frames "
+                "supported"
             )
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             if len(payload) != 2:

@@ -1,16 +1,21 @@
-"""Lossless JPEG (T.81 Annex H, SOF3): the spatial-prediction process
-of the public JPEG specification — no DCT, no quantization, exact
+"""Lossless JPEG (T.81 Annex H): the spatial-prediction processes of
+the public JPEG specification — no DCT, no quantization, exact
 roundtrip by construction.
 
 Implements, from the specification only (no image library):
-  encode (:func:`encode_jpeg_lossless`): per-sample prediction with
-          any of the seven Annex H.1 predictors, optional point
+  encode (:func:`encode_jpeg_lossless`, SOF3): per-sample prediction
+          with any of the seven Annex H.1 predictors, optional point
           transform, difference coding with the DC-style
           SSSS-category + amplitude-bits Huffman code (symbols 0-16),
           optional restart intervals aligned to sample rows;
           SOI/DHT/SOF3/DRI/SOS/EOI stream
-  decode (:func:`decode_jpeg_lossless`): full marker parse, the same
-          prediction reconstruction mod 2^16, restart resync
+  encode (:func:`encode_jpeg_lossless_arithmetic`, SOF11): the same
+          prediction front half with the QM coder and the H.2
+          spatial (Da, Db) conditioning replacing Huffman; DAC
+          segment declares the L/U bounds
+  decode (:func:`decode_jpeg_lossless`): full marker parse for both
+          entropy paths, the same prediction reconstruction mod 2^16,
+          restart resync
 
 Components are coded as RGB directly (identity color transform — a
 YCbCr roundtrip would defeat losslessness), interleaved, all sampling
@@ -268,6 +273,8 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
     pos = 2
     htables: dict[int, dict] = {}
     frame = None
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}
     restart_interval = 0
     result = None
     pt = 0
@@ -303,9 +310,27 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
                 if tclass == 0:
                     htables[tid] = J._build_decoder(bits, vals)
                 i += 17 + n
-        elif marker == 0xC3:  # SOF3
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (class 0)
+            if len(payload) % 2:
+                raise ValueError("odd-length DAC segment")
+            i = 0
+            while i + 1 < len(payload):
+                tclass, tid = payload[i] >> 4, payload[i] & 0xF
+                cs = payload[i + 1]
+                if tclass == 0:
+                    up, low = cs >> 4, cs & 0xF
+                    if low > up:
+                        raise ValueError("bad DAC DC conditioning (L > U)")
+                    dc_cond[tid] = (low, up)
+                elif tclass != 1:  # AC tables are legal but unused here
+                    raise ValueError(
+                        f"bad DAC table class {tclass} (0 or 1 only)"
+                    )
+                i += 2
+        elif marker in (0xC3, 0xCB):  # SOF3 Huffman / SOF11 arithmetic
             if frame is not None:
                 raise ValueError("multiple SOF markers")
+            arith = marker == 0xCB
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != _PRECISION or ncomp != 3:
                 raise ValueError(
@@ -323,8 +348,8 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
                     )
                 comps.append(cid)
             frame = (h, w, comps)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("not a lossless (SOF3) frame")
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise ValueError("not a lossless (SOF3/SOF11) frame")
         elif marker == 0xDD:
             if len(payload) != 2:
                 raise ValueError("bad DRI segment")
@@ -338,14 +363,30 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
                 raise ValueError("lossless scan must cover 3 components")
             cid_index = {cid: i for i, cid in enumerate(comps)}
             dc_tables: list = [None, None, None]
+            cond = None
             for c in range(ns):
                 cid, tsels = payload[1 + 2 * c], payload[2 + 2 * c]
                 if cid not in cid_index:
                     raise ValueError("scan references unknown component")
                 tid = tsels >> 4
-                if tid not in htables:
-                    raise ValueError("scan references missing DC table")
-                dc_tables[cid_index[cid]] = htables[tid]
+                if arith:
+                    tcond = dc_cond.get(tid)
+                    if tcond is None:
+                        from etl_property_rumah123_spark.functions import (
+                            jpeg_arith as JA,
+                        )
+
+                        tcond = JA.DEFAULT_DC_COND
+                    if cond is not None and tcond != cond:
+                        raise ValueError(
+                            "interleaved lossless scan needs one "
+                            "shared conditioning"
+                        )
+                    cond = tcond
+                else:
+                    if tid not in htables:
+                        raise ValueError("scan references missing DC table")
+                    dc_tables[cid_index[cid]] = htables[tid]
             sel, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
             pt = ahal & 0xF
             if not 1 <= sel <= 7:
@@ -355,10 +396,16 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
             if pt > _PRECISION - 1:
                 raise ValueError(f"bad point transform {pt}")
             end = J._find_scan_end(data, pos + 2 + length)
-            reader = J._BitReader(data[pos + 2 + length : end])
-            result = _decode_scan_lossless(
-                reader, h, w, 3, dc_tables, sel, pt, restart_interval
-            )
+            if arith:
+                result = _decode_scan_lossless_arith(
+                    data[pos + 2 + length : end], h, w, sel, pt,
+                    restart_interval, cond,
+                )
+            else:
+                reader = J._BitReader(data[pos + 2 + length : end])
+                result = _decode_scan_lossless(
+                    reader, h, w, 3, dc_tables, sel, pt, restart_interval
+                )
             pos = end
             continue
         pos += 2 + length
@@ -367,3 +414,250 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
     return np.clip(
         result.astype(np.int64) << pt, 0, 255
     ).astype(np.uint8)
+
+
+# --- H.2: lossless with arithmetic coding (SOF11) --------------------------
+#
+# The difference-coding decision tree is the sequential-DC one (zero /
+# sign / magnitude-category / mantissa under the QM coder), but the
+# CONTEXT is spatial: Da (the difference coded at the left neighbor)
+# and Db (above) are each classified into the five L/U conditioning
+# classes {0-or-small, +small, -small, +large, -large}, and the 25
+# (Da, Db) combinations index separate 4-bin state blocks. Magnitude
+# category and mantissa bits use one of two shared X/M trees, chosen
+# by whether Db's class is large (H.2.2's second state set for the
+# high-activity rows).
+
+_LL_XA = 100           # X/M tree when Db class is 0/+S/-S
+_LL_XB = 100 + 29      # X/M tree when Db class is +L/-L
+_LL_BINS = 158         # 25 contexts x 4 + 2 x (15 X + 14 M)
+
+
+def _ll_classify(d: int, low: int, up: int) -> int:
+    """Five-class L/U conditioning of a difference value — identical
+    thresholds to the sequential DC next-context rule (F.1.4.4.1.2):
+    0 = zero-or-small, 1/2 = +/- small, 3/4 = +/- large."""
+    if d == 0:
+        return 0
+    sign = 1 if d < 0 else 0
+    v = (-d if sign else d) - 1
+    m = 0
+    if v:
+        m = 1
+        while v >> 1:
+            v >>= 1
+            m <<= 1
+    if m < (1 << low) >> 1:
+        return 0
+    if m > (1 << up) >> 1:
+        return 3 + sign
+    return 1 + sign
+
+
+def _ll_ctx(da: int, db: int, low: int, up: int) -> tuple[int, int]:
+    """(context block base, X/M tree base) for neighbor diffs."""
+    ca = _ll_classify(da, low, up)
+    cb = _ll_classify(db, low, up)
+    return 4 * (5 * cb + ca), (_LL_XA if cb < 3 else _LL_XB)
+
+
+def _ll_encode_diff(enc, stats, diff: int, ctx: int, xbase: int) -> None:
+    if diff == 0:
+        enc.encode(stats, ctx, 0)
+        return
+    enc.encode(stats, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    v = (-diff if sign else diff) - 1
+    enc.encode(stats, ctx + 1, sign)
+    st = ctx + 2 + sign
+    m = 0
+    if v:
+        enc.encode(stats, st, 1)
+        m = 1
+        st = xbase
+        v2 = v
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(stats, st, 1)
+            m <<= 1
+            st += 1
+    enc.encode(stats, st, 0)
+    st += 14
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        enc.encode(stats, st, 1 if (mm & v) else 0)
+
+
+def _ll_decode_diff(dec, stats, ctx: int, xbase: int) -> int:
+    if dec.read_bit(stats, ctx) == 0:
+        return 0
+    sign = dec.read_bit(stats, ctx + 1)
+    st = ctx + 2 + sign
+    m = dec.read_bit(stats, st)
+    if m:
+        st = xbase
+        while dec.read_bit(stats, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError(
+                    "arithmetic lossless magnitude overflow"
+                )
+            st += 1
+    v = m
+    st += 14
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        if dec.read_bit(stats, st):
+            v |= mm
+    v += 1
+    return -v if sign else v
+
+
+def encode_jpeg_lossless_arithmetic(
+    pixels: np.ndarray,
+    predictor: int = 4,
+    point_transform: int = 0,
+    restart_rows: int = 0,
+    conditioning: tuple[int, int] | None = None,
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an arithmetic-coded
+    lossless JPEG (SOF11): same prediction/difference front half as
+    :func:`encode_jpeg_lossless`, with the QM coder and the H.2
+    spatial (Da, Db) conditioning replacing the Huffman stage. A DAC
+    segment declares the conditioning bounds (default L=0, U=1)."""
+    from etl_property_rumah123_spark.functions import jpeg_arith as JA
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 0 <= point_transform <= _PRECISION - 1:
+        raise ValueError("point transform must be 0..7 for 8-bit data")
+    h, w, _ = pixels.shape
+    if restart_rows < 0 or restart_rows > 0xFFFF // max(w, 1):
+        raise ValueError("restart_rows out of range for DRI")
+    low, up = conditioning if conditioning is not None else JA.DEFAULT_DC_COND
+    if not (0 <= low <= up <= 15):
+        raise ValueError("bad DC conditioning bounds")
+
+    diffs = [
+        _diffs_for_plane(pixels[:, :, ci], predictor, point_transform)
+        for ci in range(3)
+    ]
+    if restart_rows:
+        v = (pixels.astype(np.int32)) >> point_transform
+        for start in range(restart_rows, h, restart_rows):
+            stop = min(start + restart_rows, h)
+            for ci in range(3):
+                diffs[ci][start:stop] = _diffs_for_plane(
+                    (v[start:stop, :, ci] << point_transform).astype(
+                        pixels.dtype
+                    ),
+                    predictor,
+                    point_transform,
+                )
+
+    enc = JA.ArithEncoder()
+    stats = JA._Stats(_LL_BINS)
+    rst = 0
+    restart_y = 0
+    for y in range(h):
+        if restart_rows and y and y % restart_rows == 0:
+            enc.restart(rst)
+            rst += 1
+            stats.reset()
+            restart_y = y
+        for x in range(w):
+            for ci in range(3):
+                da = int(diffs[ci][y, x - 1]) if x > 0 else 0
+                db = int(diffs[ci][y - 1, x]) if y > restart_y else 0
+                ctx, xbase = _ll_ctx(da, db, low, up)
+                _ll_encode_diff(
+                    enc, stats, int(diffs[ci][y, x]), ctx, xbase
+                )
+    enc.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dac = seg(0xFFCC, bytes([0x00, (up << 4) | low]))
+    sof = seg(
+        0xFFCB,
+        struct.pack(">BHHB", _PRECISION, h, w, 3)
+        + b"".join(struct.pack("BBB", cid, 0x11, 0) for cid in (1, 2, 3)),
+    )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_rows * w))
+        if restart_rows
+        else b""
+    )
+    sos = seg(
+        0xFFDA,
+        bytes([3])
+        + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+        + bytes([predictor, 0, point_transform]),
+    )
+    return (
+        b"\xff\xd8" + dac + sof + dri + sos + bytes(enc.out) + b"\xff\xd9"
+    )
+
+
+def _decode_scan_lossless_arith(
+    data: bytes,
+    h: int,
+    w: int,
+    predictor: int,
+    pt: int,
+    restart_interval: int,
+    cond: tuple[int, int],
+) -> np.ndarray:
+    """QM-decode one interleaved SOF11 scan into (H, W, 3) int32
+    reconstructed samples — the arithmetic twin of
+    :func:`_decode_scan_lossless`, tracking decoded differences for
+    the (Da, Db) conditioning."""
+    from etl_property_rumah123_spark.functions import jpeg_arith as JA
+
+    low, up = cond
+    dec = JA.ArithDecoder(data)
+    stats = JA._Stats(_LL_BINS)
+    out = np.zeros((h, w, 3), dtype=np.int32)
+    dif = np.zeros((h, w, 3), dtype=np.int32)
+    default = 1 << (_PRECISION - pt - 1)
+    mask = (1 << 16) - 1
+    val_mask = (1 << (_PRECISION - pt)) - 1
+    n_mcu = 0
+    expected_rst = 0
+    restart_y = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                dec.restart(expected_rst)
+                expected_rst += 1
+                stats.reset()
+                if x != 0:
+                    raise ValueError(
+                        "restart interval not aligned to sample rows"
+                    )
+                restart_y = y
+            for ci in range(3):
+                da = int(dif[y, x - 1, ci]) if x > 0 else 0
+                db = int(dif[y - 1, x, ci]) if y > restart_y else 0
+                ctx, xbase = _ll_ctx(da, db, low, up)
+                diff = _ll_decode_diff(dec, stats, ctx, xbase)
+                dif[y, x, ci] = diff
+                if y == restart_y:
+                    pred = default if x == 0 else int(out[y, x - 1, ci])
+                elif x == 0:
+                    pred = int(out[y - 1, x, ci])
+                else:
+                    pred = _predict(
+                        int(out[y, x - 1, ci]),
+                        int(out[y - 1, x, ci]),
+                        int(out[y - 1, x - 1, ci]),
+                        predictor,
+                    )
+                out[y, x, ci] = ((pred + diff) & mask) & val_mask
+            n_mcu += 1
+    return out

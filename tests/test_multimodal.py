@@ -208,6 +208,11 @@ def test_decode_jpeg_only_raises_valueerror():
             rng.randint(0, 256, (16, 24, 3)).astype(np.uint8),
             predictor=4, restart_rows=5,
         ),
+        # arithmetic lossless (SOF11): QM coder + H.2 spatial contexts
+        jpeg_lossless_mod.encode_jpeg_lossless_arithmetic(
+            rng.randint(0, 256, (16, 24, 3)).astype(np.uint8),
+            predictor=4, restart_rows=5,
+        ),
     ]
     n_mutations = 0
     for good in base:
@@ -237,7 +242,7 @@ def test_decode_jpeg_only_raises_valueerror():
                     f"decode_jpeg raised {type(e).__name__} ({e!r}) on "
                     f"mutation kind={kind} of a valid JPEG"
                 ) from e
-    assert n_mutations == 3200
+    assert n_mutations == 3600
 
 
 def test_decode_stage_handles_jpeg(spark):
@@ -956,3 +961,75 @@ def test_decode_stage_handles_lossless_jpeg(spark):
         for r in multimodal.decode_media(df).collect()
     }
     assert got == {1: (14, 10), 2: (None, None)}
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_arith_lossless_jpeg_roundtrip_exact(predictor):
+    """SOF11 (Annex H.2): the QM coder with spatial (Da, Db)
+    conditioning must reproduce every pixel bit-exactly for every
+    predictor, like the Huffman lossless path."""
+    rng = np.random.default_rng(200 + predictor)
+    for h, w in [(1, 1), (1, 9), (8, 1), (16, 24)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = jpeg_lossless_mod.encode_jpeg_lossless_arithmetic(
+            px, predictor=predictor
+        )
+        assert np.array_equal(
+            jpeg_lossless_mod.decode_jpeg_lossless(data), px
+        )
+
+
+def test_arith_lossless_jpeg_variants():
+    rng = np.random.default_rng(22)
+    px = rng.integers(0, 256, (15, 11, 3), dtype=np.uint8)
+    # dispatch through the shared decode_jpeg entry
+    assert np.array_equal(
+        codecs.decode_jpeg(
+            jpeg_lossless_mod.encode_jpeg_lossless_arithmetic(px)
+        ),
+        px,
+    )
+    # restart rows reset QM registers + statistics + prediction
+    for rows in (1, 4):
+        assert np.array_equal(
+            jpeg_lossless_mod.decode_jpeg_lossless(
+                jpeg_lossless_mod.encode_jpeg_lossless_arithmetic(
+                    px, predictor=5, restart_rows=rows
+                )
+            ),
+            px,
+        )
+    # non-default DAC conditioning changes contexts, not values
+    assert np.array_equal(
+        jpeg_lossless_mod.decode_jpeg_lossless(
+            jpeg_lossless_mod.encode_jpeg_lossless_arithmetic(
+                px, conditioning=(2, 5)
+            )
+        ),
+        px,
+    )
+    # point transform composes
+    assert np.array_equal(
+        jpeg_lossless_mod.decode_jpeg_lossless(
+            jpeg_lossless_mod.encode_jpeg_lossless_arithmetic(
+                px, predictor=7, point_transform=3
+            )
+        ),
+        (px >> 3) << 3,
+    )
+    # adaptation earns its keep: smooth content codes far smaller
+    # under the QM coder than under the fixed lossless Huffman table
+    xx, yy = np.meshgrid(np.arange(48), np.arange(48))
+    smooth = np.stack(
+        [(xx * 2) % 256, (yy * 2) % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    assert len(
+        jpeg_lossless_mod.encode_jpeg_lossless_arithmetic(smooth)
+    ) < len(jpeg_lossless_mod.encode_jpeg_lossless(smooth)) // 4
+    # bad params refused
+    with pytest.raises(ValueError):
+        jpeg_lossless_mod.encode_jpeg_lossless_arithmetic(px, predictor=0)
+    with pytest.raises(ValueError):
+        jpeg_lossless_mod.encode_jpeg_lossless_arithmetic(
+            px, conditioning=(5, 2)  # L > U
+        )
