@@ -700,6 +700,14 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             from etl_property_rumah123_spark.functions import jpeg_lossless
 
             return jpeg_lossless.decode_jpeg_lossless(data)
+        elif marker == 0xDE:
+            # DHP: a hierarchical (Annex J) pyramid — multi-frame
+            # stream, decoded by its own driver
+            if frame is not None:
+                raise ValueError("DHP after SOF")
+            from etl_property_rumah123_spark.functions import jpeg_hier
+
+            return jpeg_hier.decode_jpeg_hierarchical(data)
         elif marker in (0xC1, 0xC5, 0xC6, 0xC7):
             raise ValueError(
                 "only baseline (SOF0), progressive (SOF2), lossless "

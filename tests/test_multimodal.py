@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from etl_property_rumah123_spark.functions import codecs
 from etl_property_rumah123_spark.functions import jpeg as jpeg_mod
 from etl_property_rumah123_spark.functions import jpeg_arith as jpeg_arith_mod
+from etl_property_rumah123_spark.functions import jpeg_hier as jpeg_hier_mod
 from etl_property_rumah123_spark.functions import jpeg_lossless as jpeg_lossless_mod
 from etl_property_rumah123_spark.operators import multimodal
 from etl_property_rumah123_spark.sources.catalog import table
@@ -213,6 +214,10 @@ def test_decode_jpeg_only_raises_valueerror():
             rng.randint(0, 256, (16, 24, 3)).astype(np.uint8),
             predictor=4, restart_rows=5,
         ),
+        # hierarchical (DHP/EXP/SOF5): the multi-frame Annex J driver
+        jpeg_hier_mod.encode_jpeg_hierarchical(
+            rng.randint(0, 256, (16, 24, 3)).astype(np.uint8), quality=90
+        ),
     ]
     n_mutations = 0
     for good in base:
@@ -242,7 +247,7 @@ def test_decode_jpeg_only_raises_valueerror():
                     f"decode_jpeg raised {type(e).__name__} ({e!r}) on "
                     f"mutation kind={kind} of a valid JPEG"
                 ) from e
-    assert n_mutations == 3600
+    assert n_mutations == 4000
 
 
 def test_decode_stage_handles_jpeg(spark):
@@ -1033,3 +1038,67 @@ def test_arith_lossless_jpeg_variants():
         jpeg_lossless_mod.encode_jpeg_lossless_arithmetic(
             px, conditioning=(5, 2)  # L > U
         )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical JPEG (Annex J: DHP + EXP + differential frames)
+# ---------------------------------------------------------------------------
+
+
+def test_hierarchical_jpeg_roundtrip_quality_ladder():
+    """Annex J pyramid: base frame + differential refinements. At
+    q=100 the residual quant table is all-ones, so the full pyramid
+    reconstructs within float rounding; lossy qualities degrade
+    gracefully on the hardest (noise) content."""
+    rng = np.random.default_rng(31)
+    for h, w in [(16, 24), (33, 17), (1, 1), (7, 5)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = jpeg_hier_mod.encode_jpeg_hierarchical(px, quality=100)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        assert b"\xff\xde" in data and b"\xff\xc5" in data  # DHP + SOF5
+        assert b"\xff\xdf" in data                          # EXP
+        out = jpeg_hier_mod.decode_jpeg_hierarchical(data)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+        lossy = jpeg_hier_mod.decode_jpeg_hierarchical(
+            jpeg_hier_mod.encode_jpeg_hierarchical(px, quality=80)
+        )
+        assert lossy.shape == px.shape
+        assert np.abs(lossy.astype(int) - px.astype(int)).mean() < 16
+
+
+def test_hierarchical_jpeg_three_levels_and_dispatch():
+    rng = np.random.default_rng(32)
+    px = rng.integers(0, 256, (24, 20, 3), dtype=np.uint8)
+    data = jpeg_hier_mod.encode_jpeg_hierarchical(px, quality=100, levels=3)
+    # two EXP + two differential frames in a 3-level pyramid
+    assert data.count(b"\xff\xdf\x00\x03\x11") == 2
+    out = codecs.decode_jpeg(data)  # dispatched via the DHP marker
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+    # smooth content: the pyramid actually helps — residuals are tiny
+    xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+    smooth = np.stack(
+        [(xx * 4) % 256, (yy * 4) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    sm = jpeg_hier_mod.decode_jpeg_hierarchical(
+        jpeg_hier_mod.encode_jpeg_hierarchical(smooth, quality=90)
+    )
+    assert np.abs(sm.astype(int) - smooth.astype(int)).mean() < 6
+
+
+def test_hierarchical_jpeg_rejects_bad_streams_and_params():
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        jpeg_hier_mod.encode_jpeg_hierarchical(px, levels=1)
+    with pytest.raises(ValueError):
+        jpeg_hier_mod.encode_jpeg_hierarchical(px, quality=0)
+    good = jpeg_hier_mod.encode_jpeg_hierarchical(
+        np.full((12, 12, 3), 77, dtype=np.uint8)
+    )
+    with pytest.raises(ValueError):
+        jpeg_hier_mod.decode_jpeg_hierarchical(good[:40])
+    with pytest.raises(ValueError):
+        jpeg_hier_mod.decode_jpeg_hierarchical(b"nope")
+    # a plain baseline stream has no DHP -> the hier decoder refuses
+    base = codecs.encode_jpeg(px)
+    with pytest.raises(ValueError):
+        jpeg_hier_mod.decode_jpeg_hierarchical(base)
