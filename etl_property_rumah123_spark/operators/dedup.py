@@ -940,7 +940,11 @@ def connected_components_star(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint: the fingerprint action right below both
+        # materializes the checkpoint and computes the aggregate in
+        # ONE job — an eager checkpoint would pay a second full pass
+        # (and a second job scheduling round trip) per round
+        .localCheckpoint(eager=False)
     )
 
     def _fingerprint(df: DataFrame) -> tuple:
@@ -988,7 +992,7 @@ def connected_components_star(
             .select("edge.u", "edge.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the fingerprint
         )
         new_fp = _fingerprint(small)
         if new_fp == fp:
