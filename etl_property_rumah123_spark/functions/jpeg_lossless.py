@@ -69,7 +69,7 @@ def _predict(a: int, b: int, c: int, sel: int) -> int:
 
 
 def _diffs_for_plane(
-    plane: np.ndarray, predictor: int, pt: int
+    plane: np.ndarray, predictor: int, pt: int, precision: int = _PRECISION
 ) -> np.ndarray:
     """Vectorized per-plane difference image for one component.
 
@@ -77,12 +77,15 @@ def _diffs_for_plane(
     ``1 << (P - Pt - 1)`` for the corner, left-neighbor for the rest);
     column 0 of later rows predicts from above; everywhere else the
     selected predictor applies. All arithmetic in int32 — differences
-    of (P - Pt)-bit samples fit with room to spare.
+    of (P - Pt)-bit samples fit with room to spare. When P - Pt is the
+    full 16 bits, differences are folded into [-32768, 32767] (the
+    Annex H modulo-2^16 arithmetic; narrower precisions never leave
+    that range to begin with).
     """
     v = (plane.astype(np.int32)) >> pt
     h, w = v.shape
     pred = np.empty((h, w), dtype=np.int32)
-    default = 1 << (_PRECISION - pt - 1)
+    default = 1 << (precision - pt - 1)
     pred[0, 0] = default
     if w > 1:
         pred[0, 1:] = v[0, :-1]
@@ -107,7 +110,57 @@ def _diffs_for_plane(
             else:
                 p = (a + b) >> 1
             pred[1:, 1:] = p
-    return v - pred
+    d = v - pred
+    if precision - pt == 16:
+        d = ((d + 32768) & 0xFFFF) - 32768  # modulo-2^16 fold
+    return d
+
+
+def _prepare_diffs(
+    pixels: np.ndarray,
+    predictor: int,
+    point_transform: int,
+    restart_rows: int,
+    precision: int,
+) -> list[np.ndarray]:
+    """Shared encoder front half: validate parameters, build the
+    per-plane difference images, re-deriving each restart interval's
+    rows independently (restarts re-engage the start-of-scan
+    prediction rules)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
+    if not 2 <= precision <= 16:
+        raise ValueError("lossless precision must be 2..16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 0 <= point_transform <= precision - 1:
+        raise ValueError(
+            f"point transform must be 0..{precision - 1} for "
+            f"{precision}-bit data"
+        )
+    if pixels.min() < 0 or pixels.max() >= (1 << precision):
+        raise ValueError(f"samples out of {precision}-bit range")
+    h, w, _ = pixels.shape
+    if restart_rows < 0 or restart_rows > 0xFFFF // max(w, 1):
+        raise ValueError("restart_rows out of range for DRI")
+    diffs = [
+        _diffs_for_plane(
+            pixels[:, :, ci], predictor, point_transform, precision
+        )
+        for ci in range(3)
+    ]
+    if restart_rows:
+        v = (pixels.astype(np.int32)) >> point_transform
+        for start in range(restart_rows, h, restart_rows):
+            stop = min(start + restart_rows, h)
+            for ci in range(3):
+                diffs[ci][start:stop] = _diffs_for_plane(
+                    (v[start:stop, :, ci] << point_transform),
+                    predictor,
+                    point_transform,
+                    precision,
+                )
+    return diffs
 
 
 def encode_jpeg_lossless(
@@ -115,8 +168,9 @@ def encode_jpeg_lossless(
     predictor: int = 4,
     point_transform: int = 0,
     restart_rows: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a lossless JPEG (SOF3).
+    """Encode an (H, W, 3) RGB array as a lossless JPEG (SOF3).
 
     ``predictor``: Annex H.1 selector 1-7 (carried in the scan
     header's Ss field). ``point_transform``: drop that many low bits
@@ -124,38 +178,15 @@ def encode_jpeg_lossless(
     ``restart_rows``: emit an RSTn marker every that many sample rows
     (0 = none); DRI is written as rows x W MCUs so restarts land
     exactly on row starts, where the H.1.2.2 start-of-scan prediction
-    rules re-engage.
+    rules re-engage. ``precision``: sample bits 2-16 (the full Annex H
+    range; uint16 input for P > 8) — at P - Pt = 16 the difference
+    -32768 rides the SSSS=16 no-amplitude-bits codeword.
     """
-    if pixels.ndim != 3 or pixels.shape[2] != 3:
-        raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
-    if not 1 <= predictor <= 7:
-        raise ValueError("predictor must be 1..7")
-    if not 0 <= point_transform <= _PRECISION - 1:
-        raise ValueError("point transform must be 0..7 for 8-bit data")
+    diffs = _prepare_diffs(
+        pixels, predictor, point_transform, restart_rows, precision
+    )
     h, w, _ = pixels.shape
-    if restart_rows < 0 or restart_rows > 0xFFFF // max(w, 1):
-        raise ValueError("restart_rows out of range for DRI")
-
     codes = J._build_codes(LOSSLESS_BITS, LOSSLESS_VALS)
-    diffs = [
-        _diffs_for_plane(pixels[:, :, ci], predictor, point_transform)
-        for ci in range(3)
-    ]
-    # restart-interval rows restart the prediction state: re-derive
-    # the per-plane diffs for each interval independently
-    if restart_rows:
-        v = (pixels.astype(np.int32)) >> point_transform
-        for start in range(restart_rows, h, restart_rows):
-            stop = min(start + restart_rows, h)
-            for ci in range(3):
-                diffs[ci][start:stop] = _diffs_for_plane(
-                    (v[start:stop, :, ci] << point_transform).astype(
-                        pixels.dtype
-                    ),
-                    predictor,
-                    point_transform,
-                )
-
     writer = J._BitWriter()
     rst = 0
     for y in range(h):
@@ -165,7 +196,12 @@ def encode_jpeg_lossless(
             rst += 1
         for x in range(w):
             for ci in range(3):  # interleaved MCU = one sample per comp
-                size, bits = J._magnitude(int(diffs[ci][y, x]))
+                d = int(diffs[ci][y, x])
+                if d == -32768:  # mod-2^16 alias of +32768: SSSS 16
+                    code, length = codes[16]
+                    writer.write(code, length)
+                    continue
+                size, bits = J._magnitude(d)
                 code, length = codes[size]
                 writer.write(code, length)
                 if size:
@@ -181,7 +217,7 @@ def encode_jpeg_lossless(
     )
     sof = seg(
         0xFFC3,
-        struct.pack(">BHHB", _PRECISION, h, w, 3)
+        struct.pack(">BHHB", precision, h, w, 3)
         + b"".join(struct.pack("BBB", cid, 0x11, 0) for cid in (1, 2, 3)),
     )
     dri = (
@@ -209,13 +245,14 @@ def _decode_scan_lossless(
     predictor: int,
     pt: int,
     restart_interval: int,
+    precision: int = _PRECISION,
 ) -> np.ndarray:
     """Entropy-decode one interleaved lossless scan into (H, W, ncomp)
     int32 reconstructed (P - Pt)-bit samples."""
     out = np.zeros((h, w, ncomp), dtype=np.int32)
-    default = 1 << (_PRECISION - pt - 1)
+    default = 1 << (precision - pt - 1)
     mask = (1 << 16) - 1
-    val_mask = (1 << (_PRECISION - pt)) - 1
+    val_mask = (1 << (precision - pt)) - 1
     n_mcu = 0
     expected_rst = 0
     # restart_y: row where the current restart interval began — the
@@ -261,8 +298,9 @@ def _decode_scan_lossless(
 
 
 def decode_jpeg_lossless(data: bytes) -> np.ndarray:
-    """Decode a lossless JPEG (SOF3, 8-bit, 3 components, 1x1
-    sampling, single interleaved scan) to (H, W, 3) uint8 RGB.
+    """Decode a lossless JPEG (SOF3 Huffman / SOF11 arithmetic,
+    precision 2-16, 3 components, 1x1 sampling, single interleaved
+    scan) to an (H, W, 3) RGB array — uint8 for P <= 8, else uint16.
 
     Dispatched to from :func:`jpeg.decode_jpeg` when the frame marker
     is SOF3, and bound by the same contract: ``ValueError`` and only
@@ -332,9 +370,9 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
                 raise ValueError("multiple SOF markers")
             arith = marker == 0xCB
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
-            if prec != _PRECISION or ncomp != 3:
+            if not 2 <= prec <= 16 or ncomp != 3:
                 raise ValueError(
-                    f"only 8-bit 3-component lossless supported "
+                    f"lossless precision 2-16, 3 components only "
                     f"(prec={prec}, ncomp={ncomp})"
                 )
             if h == 0 or w == 0:
@@ -347,7 +385,7 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
                         "lossless decode supports 1x1 sampling only"
                     )
                 comps.append(cid)
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError("not a lossless (SOF3/SOF11) frame")
         elif marker == 0xDD:
@@ -357,7 +395,7 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF")
-            h, w, comps = frame
+            h, w, comps, prec = frame
             ns = payload[0]
             if ns != 3 or len(payload) < 1 + 2 * ns + 3:
                 raise ValueError("lossless scan must cover 3 components")
@@ -393,27 +431,30 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
                 raise ValueError(f"bad lossless predictor {sel}")
             if se != 0 or (ahal >> 4) != 0:
                 raise ValueError("bad lossless scan header (Se/Ah)")
-            if pt > _PRECISION - 1:
+            if pt > prec - 1:
                 raise ValueError(f"bad point transform {pt}")
             end = J._find_scan_end(data, pos + 2 + length)
             if arith:
                 result = _decode_scan_lossless_arith(
                     data[pos + 2 + length : end], h, w, sel, pt,
-                    restart_interval, cond,
+                    restart_interval, cond, prec,
                 )
             else:
                 reader = J._BitReader(data[pos + 2 + length : end])
                 result = _decode_scan_lossless(
-                    reader, h, w, 3, dc_tables, sel, pt, restart_interval
+                    reader, h, w, 3, dc_tables, sel, pt,
+                    restart_interval, prec,
                 )
             pos = end
             continue
         pos += 2 + length
     if result is None:
         raise ValueError("missing SOF/SOS")
-    return np.clip(
-        result.astype(np.int64) << pt, 0, 255
-    ).astype(np.uint8)
+    _, _, _, prec = frame
+    shifted = result.astype(np.int64) << pt
+    if prec <= 8:
+        return np.clip(shifted, 0, 255).astype(np.uint8)
+    return np.clip(shifted, 0, (1 << prec) - 1).astype(np.uint16)
 
 
 # --- H.2: lossless with arithmetic coding (SOF11) --------------------------
@@ -521,6 +562,7 @@ def encode_jpeg_lossless_arithmetic(
     point_transform: int = 0,
     restart_rows: int = 0,
     conditioning: tuple[int, int] | None = None,
+    precision: int = 8,
 ) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as an arithmetic-coded
     lossless JPEG (SOF11): same prediction/difference front half as
@@ -529,35 +571,13 @@ def encode_jpeg_lossless_arithmetic(
     segment declares the conditioning bounds (default L=0, U=1)."""
     from etl_property_rumah123_spark.functions import jpeg_arith as JA
 
-    if pixels.ndim != 3 or pixels.shape[2] != 3:
-        raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
-    if not 1 <= predictor <= 7:
-        raise ValueError("predictor must be 1..7")
-    if not 0 <= point_transform <= _PRECISION - 1:
-        raise ValueError("point transform must be 0..7 for 8-bit data")
-    h, w, _ = pixels.shape
-    if restart_rows < 0 or restart_rows > 0xFFFF // max(w, 1):
-        raise ValueError("restart_rows out of range for DRI")
     low, up = conditioning if conditioning is not None else JA.DEFAULT_DC_COND
     if not (0 <= low <= up <= 15):
         raise ValueError("bad DC conditioning bounds")
-
-    diffs = [
-        _diffs_for_plane(pixels[:, :, ci], predictor, point_transform)
-        for ci in range(3)
-    ]
-    if restart_rows:
-        v = (pixels.astype(np.int32)) >> point_transform
-        for start in range(restart_rows, h, restart_rows):
-            stop = min(start + restart_rows, h)
-            for ci in range(3):
-                diffs[ci][start:stop] = _diffs_for_plane(
-                    (v[start:stop, :, ci] << point_transform).astype(
-                        pixels.dtype
-                    ),
-                    predictor,
-                    point_transform,
-                )
+    diffs = _prepare_diffs(
+        pixels, predictor, point_transform, restart_rows, precision
+    )
+    h, w, _ = pixels.shape
 
     enc = JA.ArithEncoder()
     stats = JA._Stats(_LL_BINS)
@@ -585,7 +605,7 @@ def encode_jpeg_lossless_arithmetic(
     dac = seg(0xFFCC, bytes([0x00, (up << 4) | low]))
     sof = seg(
         0xFFCB,
-        struct.pack(">BHHB", _PRECISION, h, w, 3)
+        struct.pack(">BHHB", precision, h, w, 3)
         + b"".join(struct.pack("BBB", cid, 0x11, 0) for cid in (1, 2, 3)),
     )
     dri = (
@@ -612,6 +632,7 @@ def _decode_scan_lossless_arith(
     pt: int,
     restart_interval: int,
     cond: tuple[int, int],
+    precision: int = _PRECISION,
 ) -> np.ndarray:
     """QM-decode one interleaved SOF11 scan into (H, W, 3) int32
     reconstructed samples — the arithmetic twin of
@@ -624,9 +645,9 @@ def _decode_scan_lossless_arith(
     stats = JA._Stats(_LL_BINS)
     out = np.zeros((h, w, 3), dtype=np.int32)
     dif = np.zeros((h, w, 3), dtype=np.int32)
-    default = 1 << (_PRECISION - pt - 1)
+    default = 1 << (precision - pt - 1)
     mask = (1 << 16) - 1
-    val_mask = (1 << (_PRECISION - pt)) - 1
+    val_mask = (1 << (precision - pt)) - 1
     n_mcu = 0
     expected_rst = 0
     restart_y = 0

@@ -1102,3 +1102,54 @@ def test_hierarchical_jpeg_rejects_bad_streams_and_params():
     base = codecs.encode_jpeg(px)
     with pytest.raises(ValueError):
         jpeg_hier_mod.decode_jpeg_hierarchical(base)
+
+
+def test_lossless_jpeg_full_precision_range():
+    """Annex H spans sample precisions 2-16; both entropy paths must
+    round-trip bit-exactly across the ladder, including the P=16
+    modulo-2^16 fold where the difference -32768 rides the SSSS=16
+    no-amplitude-bits codeword (Huffman) / the 15-level X tree (QM)."""
+    rng = np.random.default_rng(41)
+    for prec in (2, 4, 12, 16):
+        hi = 1 << prec
+        dt = np.uint16 if prec > 8 else np.uint8
+        px = rng.integers(0, hi, (9, 13, 3)).astype(dt)
+        for enc in (
+            jpeg_lossless_mod.encode_jpeg_lossless,
+            jpeg_lossless_mod.encode_jpeg_lossless_arithmetic,
+        ):
+            out = jpeg_lossless_mod.decode_jpeg_lossless(
+                enc(px, predictor=4, precision=prec)
+            )
+            assert out.dtype == dt and np.array_equal(out, px)
+    # adversarial 16-bit alternation: every diff lands at the fold
+    ext = np.zeros((4, 6, 3), dtype=np.uint16)
+    ext[:, 1::2] = 65535
+    for predictor in (1, 2, 4, 7):
+        for enc in (
+            jpeg_lossless_mod.encode_jpeg_lossless,
+            jpeg_lossless_mod.encode_jpeg_lossless_arithmetic,
+        ):
+            assert np.array_equal(
+                jpeg_lossless_mod.decode_jpeg_lossless(
+                    enc(ext, predictor=predictor, precision=16)
+                ),
+                ext,
+            )
+    # 12-bit composes with point transform + restarts
+    px12 = rng.integers(0, 4096, (11, 7, 3)).astype(np.uint16)
+    out = jpeg_lossless_mod.decode_jpeg_lossless(
+        jpeg_lossless_mod.encode_jpeg_lossless(
+            px12, precision=12, point_transform=3, restart_rows=4
+        )
+    )
+    assert np.array_equal(out, (px12 >> 3) << 3)
+    # out-of-range samples refused loudly
+    with pytest.raises(ValueError, match="range"):
+        jpeg_lossless_mod.encode_jpeg_lossless(
+            np.full((2, 2, 3), 300, np.uint16), precision=8
+        )
+    with pytest.raises(ValueError):
+        jpeg_lossless_mod.encode_jpeg_lossless(
+            np.zeros((2, 2, 3), np.uint8), precision=17
+        )
