@@ -127,6 +127,89 @@ def _write_commit_dir(df: DataFrame, table_path: str, commit_rel: str) -> list[s
     )
 
 
+#: Column types that get per-file min/max/null-count stats in the
+#: manifest. Dates/timestamps/decimals are excluded on purpose: their
+#: values would need a type-tagged JSON encoding and a matching
+#: comparator at prune time — numeric + string covers the predicate
+#: shapes the reader prunes on, and anything without stats is simply
+#: never skipped (pruning is always conservative).
+_STATS_TYPES = (
+    "byte", "short", "integer", "long", "float", "double", "string"
+)
+
+
+def _stats_for_files(spark: SparkSession, table_path: str, rels: list[str]) -> dict:
+    """Per-file column stats for manifest-level data skipping:
+    ``{rel_path: {col: [min, max, null_count]}}`` over the stats-
+    eligible columns. ONE aggregate job grouped by file path — runs
+    over data just written (page-cache warm), with map-side partial
+    aggregation, so the commit-time cost is a single cheap pass."""
+    from pyspark.sql import functions as F
+
+    if not rels:
+        return {}
+    df = spark.read.parquet(*[f"{table_path}/{rel}" for rel in rels])
+    eligible = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in _STATS_TYPES
+    ]
+    if not eligible:
+        return {}
+    aggs = []
+    for i, c in enumerate(eligible):
+        col = df[c]  # bracket access: names need no identifier quoting
+        aggs += [
+            F.min(col).alias(f"mn_{i}"),
+            F.max(col).alias(f"mx_{i}"),
+            F.sum(col.isNull().cast("long")).alias(f"nu_{i}"),
+        ]
+    rows = (
+        df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    )
+    out: dict = {}
+    for r in rows:
+        rel = next((rel for rel in rels if r["__f"].endswith(rel)), None)
+        if rel is None:
+            continue
+        out[rel] = {
+            c: [r[f"mn_{i}"], r[f"mx_{i}"], r[f"nu_{i}"]]
+            for i, c in enumerate(eligible)
+        }
+    return out
+
+
+#: Predicate operators the pruner understands; anything else must go
+#: through a post-read filter instead.
+_PRUNE_OPS = ("<", "<=", ">", ">=", "=", "==")
+
+
+def _file_may_match(file_stats: dict, col: str, op: str, val) -> bool:
+    """Conservative interval test: False ONLY when the file's [min,
+    max] provably excludes every row satisfying ``col op val``. A file
+    with no stats for the column is always kept; a file whose column
+    is entirely NULL is skipped (comparison predicates are
+    null-rejecting)."""
+    st = file_stats.get(col)
+    if st is None:
+        return True
+    mn, mx, _nulls = st
+    if mn is None or mx is None:
+        return False  # all-NULL column: no comparison can hold
+    try:
+        if op in ("=", "=="):
+            return mn <= val <= mx
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+        if op == ">":
+            return mx > val
+        return mx >= val  # ">="
+    except TypeError:
+        return True  # incomparable literal type: keep, filter decides
+
+
 def commit_snapshot(
     df: DataFrame,
     table_path: str,
@@ -154,17 +237,21 @@ def commit_snapshot(
         versions = _list_versions(spark, table_path)
         version = (versions[-1] + 1) if versions else 0
         new_files = _write_commit_dir(df, table_path, commit_rel)
+        new_stats = _stats_for_files(spark, table_path, new_files)
         if mode == "append" and versions:
             prev = _manifest(spark, table_path, versions[-1])
             files = prev["files"] + new_files
+            stats = {**prev.get("stats", {}), **new_stats}
         else:
             files = new_files
+            stats = new_stats
         manifest = {
             "version": version,
             "operation": mode,
             "files": files,
             "n_files": len(files),
             "schema": df.schema.json(),
+            "stats": stats,
             **(extra_meta or {}),
         }
         if _try_publish(spark, table_path, version, token, manifest):
@@ -177,11 +264,28 @@ def commit_snapshot(
     )
 
 
+def _empty_snapshot_df(spark: SparkSession, manifest: dict) -> DataFrame:
+    """Zero-row frame with the TRUE table schema from the manifest (a
+    delete matching every row — or a prune skipping every file — must
+    still read back selectable by the real columns)."""
+    from pyspark.sql.types import StructType
+
+    schema_json = manifest.get("schema")
+    if schema_json:
+        schema = StructType.fromJson(json.loads(schema_json))
+    else:  # pre-schema-recording manifest: best effort
+        schema = StructType.fromJson(
+            json.loads('{"type":"struct","fields":[]}')
+        )
+    return spark.createDataFrame([], schema=schema)
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     merge_schema: bool = False,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest) — time travel.
     One manifest read; the file list goes straight to the parquet
@@ -191,7 +295,19 @@ def read_snapshot(
     commits: a snapshot whose appends added columns over time reads
     as the union schema with NULLs where older files lack the column
     (parquet schema merging — each footer carries its schema, so this
-    costs a footer pass, not a data rewrite)."""
+    costs a footer pass, not a data rewrite).
+
+    ``predicates``: ``[(col, op, literal), ...]`` with op in
+    ``< <= > >= = ==``, ANDed — MANIFEST-LEVEL DATA SKIPPING. Files
+    whose committed [min, max] interval provably excludes the
+    predicate are dropped from the scan before Spark ever lists them:
+    at 100 TB that is the difference between "planner touches 3 files"
+    and "planner touches 30 000 footers" (parquet row-group pruning
+    only starts AFTER every footer read). Pruning is strictly an
+    optimization: every predicate is ALSO applied as a post-read
+    filter (pushed to the parquet scan by Catalyst), so correctness
+    never depends on the stats — a file without stats (pre-stats
+    manifests, excluded column types) is simply never skipped."""
     versions = _list_versions(spark, table_path)
     if not versions:
         raise ValueError(f"no snapshots at {table_path}")
@@ -202,25 +318,42 @@ def read_snapshot(
             f"version {version} not in {table_path} (have {versions})"
         )
     manifest = _manifest(spark, table_path, version)
-    if not manifest["files"]:
-        # empty version: reconstruct the TRUE table schema from the
-        # manifest (a delete matching every row must still read back
-        # selectable by the real columns)
-        from pyspark.sql.types import StructType
-
-        schema_json = manifest.get("schema")
-        if schema_json:
-            schema = StructType.fromJson(json.loads(schema_json))
-        else:  # pre-schema-recording manifest: best effort
-            schema = StructType.fromJson(
-                json.loads('{"type":"struct","fields":[]}')
+    files = manifest["files"]
+    if predicates:
+        for pred in predicates:
+            if len(pred) != 3 or pred[1] not in _PRUNE_OPS:
+                raise ValueError(
+                    f"predicate must be (col, op, literal) with op in "
+                    f"{_PRUNE_OPS}, got {pred!r}"
+                )
+        stats = manifest.get("stats", {})
+        files = [
+            rel
+            for rel in files
+            if all(
+                _file_may_match(stats.get(rel, {}), c, op, v)
+                for (c, op, v) in predicates
             )
-        return spark.createDataFrame([], schema=schema)
-    paths = [f"{table_path}/{rel}" for rel in manifest["files"]]
+        ]
+    if not files:
+        return _empty_snapshot_df(spark, manifest)
+    paths = [f"{table_path}/{rel}" for rel in files]
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*paths)
+    df = reader.parquet(*paths)
+    if predicates:
+        from pyspark.sql import functions as F
+
+        import operator as _op
+
+        ops = {
+            "<": _op.lt, "<=": _op.le, ">": _op.gt,
+            ">=": _op.ge, "=": _op.eq, "==": _op.eq,
+        }
+        for c, op, v in predicates:
+            df = df.filter(ops[op](df[c], F.lit(v)))
+    return df
 
 
 def history(spark: SparkSession, table_path: str) -> list[dict]:
@@ -359,9 +492,13 @@ def merge_snapshot(
         )
         rewrite = carry.unionByName(df, allowMissingColumns=True)
         new_files = _write_commit_dir(rewrite, table_path, f"data/c{token}")
-        files = [
-            rel for rel in prev["files"] if rel not in set(touched_rel)
-        ] + new_files
+        kept = [rel for rel in prev["files"] if rel not in set(touched_rel)]
+        prev_stats = prev.get("stats", {})
+        stats = {
+            **{rel: prev_stats[rel] for rel in kept if rel in prev_stats},
+            **_stats_for_files(spark, table_path, new_files),
+        }
+        files = kept + new_files
         manifest = {
             "version": version,
             "operation": "merge",
@@ -369,6 +506,7 @@ def merge_snapshot(
             "n_files": len(files),
             "n_rewritten_files": len(touched_rel),
             "schema": rewrite.schema.json(),
+            "stats": stats,
             **(extra_meta or {}),
         }
         if _try_publish(spark, table_path, version, token, manifest):
@@ -480,6 +618,7 @@ def compact_snapshot(
             "compacted_from": prev["n_files"],
             "zorder_by": zorder_by or [],
             "schema": df.schema.json(),
+            "stats": _stats_for_files(spark, table_path, files),
         }
         if _try_publish(spark, table_path, version, token, manifest):
             return version
@@ -538,9 +677,13 @@ def delete_snapshot(
             new_files = _write_commit_dir(
                 survivors, table_path, f"data/c{token}"
             )
-        files = [
-            rel for rel in prev["files"] if rel not in set(touched_rel)
-        ] + new_files
+        kept = [rel for rel in prev["files"] if rel not in set(touched_rel)]
+        prev_stats = prev.get("stats", {})
+        stats = {
+            **{rel: prev_stats[rel] for rel in kept if rel in prev_stats},
+            **_stats_for_files(spark, table_path, new_files),
+        }
+        files = kept + new_files
         manifest = {
             "version": version,
             "operation": "delete",
@@ -549,6 +692,7 @@ def delete_snapshot(
             "n_files": len(files),
             "n_rewritten_files": len(touched_rel),
             "schema": tagged.drop("__file").schema.json(),
+            "stats": stats,
         }
         if _try_publish(spark, table_path, version, token, manifest):
             return version

@@ -1090,3 +1090,93 @@ def test_merge_snapshot_first_commit_forwards_extra_meta(spark, tmp_path):
     assert v == 0
     m = table_log._manifest(spark, t, 0)
     assert m["stream_batch_id"] == 7
+
+
+def test_snapshot_stats_data_skipping(spark, tmp_path):
+    """Manifest-level data skipping: commits record per-file
+    [min, max, nulls] for numeric/string columns, and read_snapshot
+    with predicates drops provably-excluded files BEFORE the parquet
+    scan — fewer inputFiles, identical rows."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "tbl")
+    # three disjoint-range commits -> three files with disjoint stats
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("v"),
+            F.concat(F.lit("s"), F.lpad(F.col("id").cast("string"), 5, "0")).alias("tag"),
+        ).coalesce(1)
+        table_log.commit_snapshot(df, t, mode="append")
+
+    full = table_log.read_snapshot(spark, t)
+    assert len(full.inputFiles()) == 3
+
+    pruned = table_log.read_snapshot(spark, t, predicates=[("k", ">=", 250)])
+    assert len(pruned.inputFiles()) == 1  # only the 200-299 file
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(250, 300))
+
+    # equality + string predicates prune too
+    eq = table_log.read_snapshot(spark, t, predicates=[("k", "=", 150)])
+    assert len(eq.inputFiles()) == 1 and eq.count() == 1
+    st = table_log.read_snapshot(spark, t, predicates=[("tag", "<", "s00100")])
+    assert len(st.inputFiles()) == 1 and st.count() == 100
+
+    # conjunction can prune everything -> empty frame, true schema
+    none = table_log.read_snapshot(
+        spark, t, predicates=[("k", ">", 100), ("k", "<", 50)]
+    )
+    assert none.count() == 0 and set(none.columns) == {"k", "v", "tag"}
+
+    # stats never decide correctness: results equal the filtered full read
+    for preds, cond in [
+        ([("k", ">=", 250)], F.col("k") >= 250),
+        ([("v", "<=", 2)], F.col("v") <= 2),
+    ]:
+        a = sorted(map(repr, table_log.read_snapshot(spark, t, predicates=preds).collect()))
+        b = sorted(map(repr, full.filter(cond).collect()))
+        assert a == b
+
+    # bad predicate shapes are loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="predicate"):
+        table_log.read_snapshot(spark, t, predicates=[("k", "!=", 1)])
+
+
+def test_snapshot_stats_survive_merge_delete_and_nulls(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "tbl2")
+    lo_df = spark.range(0, 50).select(F.col("id").alias("k"), F.lit(1).alias("b")).coalesce(1)
+    hi_df = spark.range(1000, 1050).select(F.col("id").alias("k"), F.lit(2).alias("b")).coalesce(1)
+    table_log.commit_snapshot(lo_df, t, mode="append")
+    table_log.commit_snapshot(hi_df, t, mode="append")
+
+    # merge touches only the low file; the carried high file keeps its
+    # (prev-manifest) stats and still prunes
+    batch = spark.createDataFrame([(10, 99)], "k long, b int")
+    table_log.merge_snapshot(batch, t, key="k")
+    pruned = table_log.read_snapshot(spark, t, predicates=[("k", ">=", 1000)])
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 50
+
+    # delete rewrites the carry file; fresh + carried stats still
+    # prune the high file (3 files remain: merge-batch, survivors, hi)
+    table_log.delete_snapshot(spark, t, "k < 5")
+    full_files = len(table_log.read_snapshot(spark, t).inputFiles())
+    after = table_log.read_snapshot(spark, t, predicates=[("k", "<", 100)])
+    assert len(after.inputFiles()) == full_files - 1
+    assert after.count() == 45
+
+    # an all-NULL column file is skipped for any comparison on it
+    t2 = str(tmp_path / "tbl3")
+    nulls = spark.createDataFrame([(1, None), (2, None)], "k long, x double").coalesce(1)
+    vals = spark.createDataFrame([(3, 1.5), (4, 2.5)], "k long, x double").coalesce(1)
+    table_log.commit_snapshot(nulls, t2, mode="append")
+    table_log.commit_snapshot(vals, t2, mode="append")
+    got = table_log.read_snapshot(spark, t2, predicates=[("x", ">", 0.0)])
+    assert len(got.inputFiles()) == 1 and got.count() == 2
