@@ -1,0 +1,196 @@
+"""Incrementally maintained aggregates (materialized views) over the
+snapshot table log — the "don't re-aggregate 100 TB because 0.1%
+changed" layer composed from the log's own primitives: change data
+feed (:func:`table_log.read_changes`) for the delta, file-grain CoW
+merge (:func:`table_log.merge_snapshot`) for the write-back, and the
+atomically published manifest for the refresh watermark.
+
+Maintenance strategy (the textbook hybrid):
+
+- groups touched ONLY by inserts are folded ADDITIVELY into the view:
+  count/sum add, min/max are insert-monotone (``least``/``greatest``
+  against the stored value) — no source re-read at all;
+- groups touched by any DELETE are recomputed EXACTLY from the
+  current snapshot via a semi join on just those group keys — deletes
+  break additivity for min/max (the deleted row may have been the
+  extreme) and tombstone-accounting for sums is strictly worse than a
+  key-pruned re-aggregate;
+- a group whose rows all vanished keeps a ``_mv_n = 0`` tombstone row
+  (filtered by :func:`read_aggregate`) — removal stays fully
+  distributed with no driver-side key lists.
+
+Scale shape: the refresh touches (a) the CDF rows of the step — not
+the table, (b) the view rows for changed groups via the CoW merge's
+file-grain rewrite, and (c) source rows of delete-dirty groups via a
+semi join that the scan can prune on. Nothing is proportional to
+table size except the unavoidable dirty-group re-read.
+
+The reference repo has no analog (its pipeline is truncate-and-
+reload, src/load.py); this is north-star lakehouse capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_property_rumah123_spark.sinks import table_log
+
+#: Supported aggregate functions: additive or insert-monotone, each
+#: with an exact recompute form for delete-dirty groups.
+_FNS = ("count", "sum", "min", "max")
+
+#: Internal columns: composite merge key, group row count (tombstone
+#: marker), refresh watermark manifest key.
+_KEY = "_mv_key"
+_N = "_mv_n"
+_META_VERSION = "mv_source_version"
+
+
+def _check_spec(group_cols: list[str], agg_spec: dict) -> None:
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    for out, (fn, _src) in agg_spec.items():
+        if fn not in _FNS:
+            raise ValueError(
+                f"agg_spec[{out!r}]: fn must be one of {_FNS}, got {fn!r}"
+            )
+        if out in (_KEY, _N) or out in group_cols:
+            raise ValueError(f"agg_spec output {out!r} collides")
+
+
+def _key_col(group_cols: list[str]):
+    # unit separator keeps composite keys unambiguous for any text
+    # that does not itself contain \x1f
+    return F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols]
+    )
+
+
+def _aggregate(df: DataFrame, group_cols: list[str], agg_spec: dict) -> DataFrame:
+    aggs = [F.count(F.lit(1)).alias(_N)]
+    for out, (fn, src) in agg_spec.items():
+        aggs.append(getattr(F, fn)(src).alias(out))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def refresh_aggregate(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    group_cols: list[str],
+    agg_spec: dict[str, tuple[str, str]],
+) -> int:
+    """Bring the materialized aggregate at ``view_path`` up to the
+    CURRENT version of the snapshot table at ``source_path``.
+
+    ``agg_spec``: ``{out_col: (fn, src_col)}`` with fn in
+    count/sum/min/max (count ignores src_col). Returns the source
+    version the view now reflects. First call (no view yet) runs the
+    full aggregate once; every later call processes only the change
+    feed since the recorded watermark. Idempotent: a refresh at an
+    unchanged watermark is a no-op.
+    """
+    _check_spec(group_cols, agg_spec)
+    src_versions = table_log._list_versions(spark, source_path)
+    if not src_versions:
+        raise ValueError(f"no snapshots at {source_path}")
+    cur = src_versions[-1]
+
+    view_versions = table_log._list_versions(spark, view_path)
+    if not view_versions:
+        full = _aggregate(
+            table_log.read_snapshot(spark, source_path, cur),
+            group_cols,
+            agg_spec,
+        ).withColumn(_KEY, _key_col(group_cols))
+        table_log.commit_snapshot(
+            full, view_path, mode="overwrite",
+            extra_meta={_META_VERSION: cur},
+        )
+        return cur
+
+    last = table_log._manifest(spark, view_path, view_versions[-1]).get(
+        _META_VERSION
+    )
+    if last is None:
+        raise ValueError(
+            f"{view_path} latest manifest has no {_META_VERSION} "
+            "watermark — not a maintained view"
+        )
+    if last == cur:
+        return cur
+    if last not in src_versions:
+        raise ValueError(
+            f"view watermark v{last} was vacuumed from {source_path}; "
+            "rebuild the view (drop + refresh)"
+        )
+
+    changes = table_log.read_changes(spark, source_path, last, cur)
+    inserts = changes.filter(F.col("_change_type") == "insert").drop(
+        "_change_type"
+    )
+    deletes = changes.filter(F.col("_change_type") == "delete").drop(
+        "_change_type"
+    )
+    dirty = deletes.select(*group_cols).distinct()
+
+    view = table_log.read_snapshot(spark, view_path)
+
+    # --- insert-only groups: additive fold against the stored row ---
+    ins_delta = _aggregate(inserts, group_cols, agg_spec).join(
+        dirty, group_cols, "left_anti"
+    )
+    old = view.select(
+        *group_cols,
+        F.col(_N).alias(f"__old_{_N}"),
+        *[F.col(out).alias(f"__old_{out}") for out in agg_spec],
+    )
+    combined_cols = [
+        (F.coalesce(F.col(f"__old_{_N}"), F.lit(0)) + F.col(_N)).alias(_N)
+    ]
+    for out, (fn, _src) in agg_spec.items():
+        o, d = F.col(f"__old_{out}"), F.col(out)
+        if fn in ("count", "sum"):
+            # coalesce keeps all-null sum groups honest: null + x = x
+            c = F.when(
+                o.isNull(), d
+            ).otherwise(F.when(d.isNull(), o).otherwise(o + d))
+        elif fn == "min":
+            c = F.least(o, d)  # least/greatest skip nulls
+        else:
+            c = F.greatest(o, d)
+        combined_cols.append(c.alias(out))
+    additive = ins_delta.join(old, group_cols, "left").select(
+        *group_cols, *combined_cols
+    )
+
+    # --- delete-dirty groups: exact key-pruned recompute ------------
+    source_now = table_log.read_snapshot(spark, source_path, cur)
+    recomputed = _aggregate(
+        source_now.join(dirty, group_cols, "left_semi"),
+        group_cols,
+        agg_spec,
+    )
+    # vanished groups keep a tombstone row (count 0, aggregates null)
+    dirty_rows = dirty.join(recomputed, group_cols, "left").select(
+        *group_cols,
+        F.coalesce(F.col(_N), F.lit(0)).alias(_N),
+        *[F.col(out) for out in agg_spec],
+    )
+
+    updates = additive.unionByName(dirty_rows).withColumn(
+        _KEY, _key_col(group_cols)
+    )
+    table_log.merge_snapshot(
+        updates, view_path, key=_KEY,
+        extra_meta={_META_VERSION: cur},
+    )
+    return cur
+
+
+def read_aggregate(spark: SparkSession, view_path: str) -> DataFrame:
+    """The maintained aggregate, tombstones filtered, internals
+    hidden."""
+    v = table_log.read_snapshot(spark, view_path)
+    return v.filter(F.col(_N) > 0).drop(_KEY, _N)

@@ -1180,3 +1180,95 @@ def test_snapshot_stats_survive_merge_delete_and_nulls(spark, tmp_path):
     table_log.commit_snapshot(vals, t2, mode="append")
     got = table_log.read_snapshot(spark, t2, predicates=[("x", ">", 0.0)])
     assert len(got.inputFiles()) == 1 and got.count() == 2
+
+
+def test_matview_incremental_equals_full_recompute(spark, tmp_path):
+    """Materialized aggregate over the snapshot log: the hybrid
+    maintenance (additive for insert-only groups, key-pruned exact
+    recompute for delete-dirty groups) must equal a from-scratch
+    aggregate after EVERY kind of step — append, delete (including a
+    deleted extreme and a vanished group), and CoW merge."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import matview, table_log
+
+    src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+    spec = {
+        "n": ("count", "doc_id"),
+        "tot": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, lang string, v long")
+
+    def check():
+        got = sorted(
+            map(repr, matview.read_aggregate(spark, mv).collect())
+        )
+        full = matview._aggregate(
+            table_log.read_snapshot(spark, src), ["lang"], spec
+        )
+        exp = sorted(
+            map(repr, full.filter(F.col("_mv_n") > 0).drop("_mv_n").collect())
+        )
+        assert got == exp
+
+    table_log.commit_snapshot(mk([(1, "en", 5), (2, "en", 9), (3, "fr", 1)]), src)
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+
+    table_log.commit_snapshot(mk([(4, "en", 2), (5, "de", 7)]), src, mode="append")
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+
+    table_log.delete_snapshot(spark, src, "doc_id = 4")  # en's min vanishes
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+
+    table_log.delete_snapshot(spark, src, "lang = 'fr'")  # whole group
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+
+    table_log.merge_snapshot(mk([(1, "en", 100), (9, "zh", 3)]), src, key="doc_id")
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+
+    # skipping several source versions in ONE refresh also matches
+    table_log.commit_snapshot(mk([(10, "de", 1)]), src, mode="append")
+    table_log.delete_snapshot(spark, src, "doc_id = 5")
+    table_log.commit_snapshot(mk([(11, "fr", 4)]), src, mode="append")
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+
+    # idempotent at an unchanged watermark (no new view version)
+    before = table_log._list_versions(spark, mv)
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    assert table_log._list_versions(spark, mv) == before
+
+
+def test_matview_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_property_rumah123_spark.sinks import matview, table_log
+
+    src, mv = str(tmp_path / "s2"), str(tmp_path / "m2")
+    df = spark.createDataFrame([(1, "en", 2)], "doc_id long, lang string, v long")
+    table_log.commit_snapshot(df, src)
+    with _pytest.raises(ValueError, match="fn must be"):
+        matview.refresh_aggregate(
+            spark, src, mv, ["lang"], {"a": ("avg", "v")}
+        )
+    with _pytest.raises(ValueError, match="non-empty"):
+        matview.refresh_aggregate(spark, src, mv, [], {"a": ("sum", "v")})
+    with _pytest.raises(ValueError, match="collides"):
+        matview.refresh_aggregate(
+            spark, src, mv, ["lang"], {"lang": ("sum", "v")}
+        )
+    # a plain snapshot table is not a maintained view
+    table_log.commit_snapshot(df, mv)
+    with _pytest.raises(ValueError, match="watermark"):
+        matview.refresh_aggregate(
+            spark, src, mv, ["lang"], {"a": ("sum", "v")}
+        )
