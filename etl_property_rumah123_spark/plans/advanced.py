@@ -1365,3 +1365,77 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out.select("op", "version", "n_rows", "total")
+
+
+@part(
+    "matview_incremental_refresh",
+    """
+    WITH src AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+      FROM orders
+      WHERE o_orderstatus IN ('F', 'O') AND o_orderkey % 10 <> 0
+    )
+    SELECT o_orderpriority AS o_orderpriority,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(price_dec) * 100 AS BIGINT) AS tot_cents,
+           CAST(MIN(price_dec) * 100 AS BIGINT) AS lo_cents,
+           CAST(MAX(price_dec) * 100 AS BIGINT) AS hi_cents
+    FROM src GROUP BY o_orderpriority
+    """,
+    doc="Incrementally maintained aggregate under the driver's value "
+    "hash: a source snapshot table goes through commit('F' orders) -> "
+    "refresh (full build) -> append('O' orders) -> refresh (ADDITIVE "
+    "fold, no source re-read) -> delete(orderkey%10=0, which removes "
+    "group extremes) -> refresh (key-pruned EXACT recompute of dirty "
+    "groups). The oracle restates only the FINAL state in plain SQL — "
+    "so the hash passes only if every intermediate delta (CDF diff, "
+    "additive fold, dirty-group recompute, tombstoning) composed "
+    "correctly. Sums/extremes ride DECIMAL cents end-to-end: exact "
+    "and accumulation-order-free on both engines "
+    "(sinks/matview.py:refresh_aggregate).",
+)
+def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from etl_property_rumah123_spark.sinks import matview, table_log
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src_dir = f"/tmp/sg_matview_part/{base}/src"
+    mv_dir = f"/tmp/sg_matview_part/{base}/mv"
+    jvm, fs = table_log._fs(spark, src_dir)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"/tmp/sg_matview_part/{base}"), True)
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+    spec = {
+        "n_orders": ("count", "o_orderkey"),
+        "tot": ("sum", "price_dec"),
+        "lo": ("min", "price_dec"),
+        "hi": ("max", "price_dec"),
+    }
+    group = ["o_orderpriority"]
+
+    table_log.commit_snapshot(
+        orders.filter(F.col("o_orderstatus") == "F"), src_dir
+    )
+    matview.refresh_aggregate(spark, src_dir, mv_dir, group, spec)
+    table_log.commit_snapshot(
+        orders.filter(F.col("o_orderstatus") == "O"), src_dir, mode="append"
+    )
+    matview.refresh_aggregate(spark, src_dir, mv_dir, group, spec)
+    table_log.delete_snapshot(spark, src_dir, "o_orderkey % 10 = 0")
+    matview.refresh_aggregate(spark, src_dir, mv_dir, group, spec)
+
+    mv = matview.read_aggregate(spark, mv_dir)
+    return mv.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.col("tot") * 100).cast("long").alias("tot_cents"),
+        (F.col("lo") * 100).cast("long").alias("lo_cents"),
+        (F.col("hi") * 100).cast("long").alias("hi_cents"),
+    )

@@ -179,8 +179,20 @@ def refresh_aggregate(
         *[F.col(out) for out in agg_spec],
     )
 
-    updates = additive.unionByName(dirty_rows).withColumn(
-        _KEY, _key_col(group_cols)
+    # Pin every aggregate to the VIEW's stored type: an additive
+    # decimal add widens (decimal(28,2) + delta -> decimal(29,2)), and
+    # parquet files of mixed decimal widths in one snapshot fail the
+    # vectorized reader's type check. The cast is loss-free for any
+    # sum that already fit the bootstrap aggregate's type.
+    vt = {f.name: f.dataType for f in view.schema.fields}
+    updates = (
+        additive.unionByName(dirty_rows)
+        .select(
+            *group_cols,
+            F.col(_N).cast(vt[_N]).alias(_N),
+            *[F.col(out).cast(vt[out]).alias(out) for out in agg_spec],
+        )
+        .withColumn(_KEY, _key_col(group_cols))
     )
     table_log.merge_snapshot(
         updates, view_path, key=_KEY,
