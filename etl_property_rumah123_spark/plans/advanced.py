@@ -1374,7 +1374,9 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderpriority, o_orderkey,
              CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
       FROM orders
-      WHERE o_orderstatus IN ('F', 'O') AND o_orderkey % 10 <> 0
+      WHERE o_orderkey % 4 = 2
+        AND o_orderstatus IN ('F', 'O')
+        AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0)
     )
     SELECT o_orderpriority AS o_orderpriority,
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
@@ -1385,10 +1387,12 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Incrementally maintained aggregate under the driver's value "
     "hash: a source snapshot table goes through commit('F' orders) -> "
-    "refresh (full build) -> append('O' orders) -> refresh (ADDITIVE "
-    "fold, no source re-read) -> delete(orderkey%10=0, which removes "
-    "group extremes) -> refresh (key-pruned EXACT recompute of dirty "
-    "groups). The oracle restates only the FINAL state in plain SQL — "
+    "refresh (full build) -> append('O' orders) + delete(urgent "
+    "orderkey%10=0) -> ONE refresh whose change feed spans both "
+    "steps, so the four untouched priorities ride the ADDITIVE fold "
+    "while the urgent group (extremes removed) takes the key-pruned "
+    "EXACT recompute — both maintenance paths in a single catch-up. "
+    "The oracle restates only the FINAL state in plain SQL — "
     "so the hash passes only if every intermediate delta (CDF diff, "
     "additive fold, dirty-group recompute, tombstoning) composed "
     "correctly. Sums/extremes ride DECIMAL cents end-to-end: exact "
@@ -1406,11 +1410,21 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jvm, fs = table_log._fs(spark, src_dir)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"/tmp/sg_matview_part/{base}"), True)
 
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        "o_orderkey",
-        "o_orderstatus",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+    # 25% slice (o_orderkey % 4 = 2): every refresh path still runs —
+    # all five priority groups survive, and % 4 = 2 intersects the
+    # % 10 = 0 delete (keys = 10 mod 20), so the dirty-group recompute
+    # is non-trivial — while the part's many small commits stay cheap
+    # in the sweep (the refresh cost is job-count-bound, not
+    # data-bound, at these sizes)
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 2)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        )
     )
     spec = {
         "n_orders": ("count", "o_orderkey"),
@@ -1427,8 +1441,10 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_log.commit_snapshot(
         orders.filter(F.col("o_orderstatus") == "O"), src_dir, mode="append"
     )
-    matview.refresh_aggregate(spark, src_dir, mv_dir, group, spec)
-    table_log.delete_snapshot(spark, src_dir, "o_orderkey % 10 = 0")
+    table_log.delete_snapshot(
+        spark, src_dir,
+        "o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0",
+    )
     matview.refresh_aggregate(spark, src_dir, mv_dir, group, spec)
 
     mv = matview.read_aggregate(spark, mv_dir)
