@@ -1455,3 +1455,57 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lo") * 100).cast("long").alias("lo_cents"),
         (F.col("hi") * 100).cast("long").alias("hi_cents"),
     )
+
+
+@part(
+    "snapshot_scan_pruning",
+    """
+    SELECT CAST(3 AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_scanned,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS tot_cents
+    FROM customer WHERE c_custkey % 3 = 1
+    """,
+    doc="Manifest-level data skipping under the driver's value hash: "
+    "customers are committed as three single-file snapshots by band "
+    "(c_custkey % 3), then read back with a predicate on the band "
+    "column. The output row carries the TOTAL file count, the count "
+    "of files the pruned scan actually planned (DataFrame.inputFiles "
+    "— 1 iff the committed [min, max] stats excluded the other two), "
+    "and the surviving rows' exact decimal-cents aggregate; the "
+    "oracle restates the file counts as literals and the aggregate "
+    "in plain SQL, so a stats bug that stops pruning (3 files "
+    "scanned) or over-prunes (wrong rows) fails the hash either way "
+    "(sinks/table_log.py:_stats_for_files, read_snapshot).",
+)
+def snapshot_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    tdir = f"/tmp/sg_prune_part/{base}"
+    jvm, fs = table_log._fs(spark, tdir)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tdir), True)
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 3).alias("band"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal_dec"),
+    )
+    for band in (0, 1, 2):
+        table_log.commit_snapshot(
+            cust.filter(F.col("band") == band).coalesce(1),
+            tdir,
+            mode="append",
+        )
+    total = len(table_log.read_snapshot(spark, tdir).inputFiles())
+    pruned = table_log.read_snapshot(spark, tdir, predicates=[("band", "=", 1)])
+    scanned = len(pruned.inputFiles())
+    return pruned.agg(
+        F.lit(total).cast("long").alias("n_files_total"),
+        F.lit(scanned).cast("long").alias("n_files_scanned"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("bal_dec") * 100).cast("long").alias("tot_cents"),
+    )

@@ -197,10 +197,13 @@ _suite(
         "pushdown": {"part": "filter_project_pushdown", "k1": "l_orderkey", "k2": "l_linenumber", "n1": "net_price"},
         "topk": {"part": "topk_orders", "k1": "o_orderkey", "n1": "o_totalprice", "s1": "o_orderdate"},
         "buckets": {"part": "case_when_buckets", "s1": "bucket", "n1": "n", "v1": "avg_price"},
+        "prune": {"part": "snapshot_scan_pruning", "k1": "n_files_total", "k2": "n_files_scanned", "n1": "n_rows", "v1": "tot_cents"},
     },
     [("k1", "bigint"), ("k2", "bigint"), ("s1", "string"), ("n1", "bigint"), ("v1", "double")],
     doc="Scan/sort shapes: pushed conjunctive filter + narrow "
-    "projection, TakeOrderedAndProject top-k, CASE WHEN bucketing.",
+    "projection, TakeOrderedAndProject top-k, CASE WHEN bucketing, "
+    "and manifest-stats file pruning (scanned-file count + surviving "
+    "aggregate hash-pinned).",
 )
 
 # The 19 non-standalone TPC-H shapes (Q1/Q3/Q5 are headline entries)
