@@ -206,3 +206,37 @@ def read_aggregate(spark: SparkSession, view_path: str) -> DataFrame:
     hidden."""
     v = table_log.read_snapshot(spark, view_path)
     return v.filter(F.col(_N) > 0).drop(_KEY, _N)
+
+
+def matview_stream_writer(
+    source_path: str,
+    view_path: str,
+    group_cols: list[str],
+    agg_spec: dict[str, tuple[str, str]],
+    key: str | None = None,
+):
+    """``foreachBatch`` sink that keeps a materialized aggregate live
+    over a stream: each micro-batch lands in the SOURCE snapshot
+    table through :func:`table_log.snapshot_stream_writer` (append,
+    or CoW merge when ``key`` is set), then the view catches up via
+    :func:`refresh_aggregate`.
+
+    Exactly-once falls out of composing two idempotent layers: a
+    replayed batch is skipped by the stream writer's batch-id stamp,
+    and the refresh is a no-op at an unchanged watermark — so neither
+    the source nor the view double-counts. A crash BETWEEN the source
+    commit and the refresh only delays the view: the next batch's
+    refresh spans both source versions (multi-version catch-up is the
+    normal path, not a recovery mode).
+    """
+    _check_spec(group_cols, agg_spec)
+    commit = table_log.snapshot_stream_writer(source_path, key=key)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        commit(batch_df, batch_id)
+        refresh_aggregate(
+            batch_df.sparkSession, source_path, view_path,
+            group_cols, agg_spec,
+        )
+
+    return _apply
