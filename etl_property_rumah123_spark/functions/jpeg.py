@@ -21,16 +21,21 @@ library.
           first/refine with EOB runs) -> dequantize -> vectorized
           IDCT -> upsample -> YCbCr -> RGB, clamp, crop.
 
-Round-6 scope: 8-bit 3-component, sampling factors 1-4 per axis with
-integer upsampling ratios (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1;
-fractional factor mixes refuse loudly), SOF0 + SOF2 + SOF9 + SOF10
-(the arithmetic-coded frames — QM coder + sequential AND progressive
-conditioning models in :mod:`.jpeg_arith`, Annexes D/F/G.2, encode
-AND decode, DAC parsing), restart intervals (DRI/RSTn), no
-hierarchical mode. JPEG is lossy; the test
-bounds are error <= 2/channel at quality 100 and EXACT pixel parity
-between the baseline and progressive decode of the same quantized
-coefficients (the two paths share nothing past quantization).
+Round-6 scope — EVERY T.81 coding process, all dispatched through
+:func:`decode_jpeg`: SOF0 baseline, SOF1 extended sequential (8 AND
+12 bit — 16-bit DQT entries, extended Huffman alphabets,
+:func:`encode_jpeg_extended`), SOF2 progressive, SOF9/SOF10
+arithmetic (QM coder + sequential AND progressive conditioning in
+:mod:`.jpeg_arith`, Annexes D/F/G.2), SOF3/SOF11 lossless at
+precision 2-16 (:mod:`.jpeg_lossless`, Annex H), and hierarchical
+DHP pyramids with differential SOF5 frames (:mod:`.jpeg_hier`,
+Annex J). Sampling factors 1-4 per axis with integer upsampling
+ratios (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1; fractional mixes refuse
+loudly), restart intervals (DRI/RSTn). The DCT modes are lossy; the
+test bounds are error <= 2/channel at quality 100 (x16 scaled at
+12-bit) and EXACT pixel parity between the baseline and progressive
+decode of the same quantized coefficients (the two paths share
+nothing past quantization).
 """
 
 from __future__ import annotations
@@ -151,27 +156,31 @@ def scaled_quant_tables(quality: int):
     return s(QT_LUM), s(QT_CHROM)
 
 
-def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+def _rgb_to_ycbcr(px: np.ndarray, precision: int = 8) -> np.ndarray:
+    half = float(1 << (precision - 1))
     r, g, b = (px[..., i].astype(np.float64) for i in range(3))
     return np.stack(
         [
             0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + half,
+            0.5 * r - 0.418688 * g - 0.081312 * b + half,
         ],
         axis=-1,
     )
 
 
-def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+def _ycbcr_to_rgb(ycc: np.ndarray, precision: int = 8) -> np.ndarray:
+    half = float(1 << (precision - 1))
     y = ycc[..., 0]
-    cb = ycc[..., 1] - 128.0
-    cr = ycc[..., 2] - 128.0
+    cb = ycc[..., 1] - half
+    cr = ycc[..., 2] - half
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
         axis=-1,
     )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    top = (1 << precision) - 1
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    return np.clip(np.round(rgb), 0, top).astype(dtype)
 
 
 class _BitWriter:
@@ -590,6 +599,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     arith_cond: dict[tuple, object] = {}  # DAC conditioning
     arith = False
+    precision = 8
     frame = None          # (progressive, h, w, comps)
     coeffs: list[np.ndarray] = []   # per comp: (bh_pad, bw_pad, 64) int32
     dims: list[tuple] = []          # per comp: (bw_true, bh_true, bw_pad, bh_pad)
@@ -615,17 +625,25 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
         payload = data[pos + 4 : pos + 2 + length]
         if len(payload) != length - 2:
             raise ValueError("truncated segment")
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=0: 8-bit entries; Pq=1: 16-bit)
             i = 0
             while i < len(payload):
                 prec, tid = payload[i] >> 4, payload[i] & 0xF
-                if prec != 0:
-                    raise ValueError("16-bit quant tables unsupported")
+                if prec not in (0, 1):
+                    raise ValueError(f"bad DQT precision {prec}")
+                step = 1 + prec
+                if i + 1 + 64 * step > len(payload):
+                    raise ValueError("truncated DQT")
                 t = np.zeros((8, 8), dtype=np.int32)
                 for k, (r, c) in enumerate(ZIGZAG):
-                    t[r][c] = payload[i + 1 + k]
+                    off = i + 1 + k * step
+                    t[r][c] = (
+                        payload[off]
+                        if prec == 0
+                        else (payload[off] << 8) | payload[off + 1]
+                    )
                 qtables[tid] = t
-                i += 65
+                i += 1 + 64 * step
         elif marker == 0xC4:  # DHT — may appear BETWEEN scans
             i = 0
             while i < len(payload):
@@ -656,18 +674,21 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                         f"bad DAC table class {tclass} (0 or 1 only)"
                     )
                 i += 2
-        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
-            # SOF0 baseline / SOF2 progressive / SOF9 sequential
-            # arithmetic / SOF10 progressive arithmetic
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0 baseline / SOF1 extended sequential (8 or 12 bit) /
+            # SOF2 progressive / SOF9 sequential arithmetic / SOF10
+            # progressive arithmetic
             if frame is not None:
                 raise ValueError("multiple SOF markers")
             arith = marker in (0xC9, 0xCA)
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
-            if prec != 8 or ncomp != 3:
+            allowed = (8, 12) if marker == 0xC1 else (8,)
+            if prec not in allowed or ncomp != 3:
                 raise ValueError(
-                    f"only 8-bit 3-component supported "
-                    f"(prec={prec}, ncomp={ncomp})"
+                    f"precision {prec} not supported for SOF{marker - 0xC0} "
+                    f"/ ncomp={ncomp} (3 only)"
                 )
+            precision = prec
             comps = []
             for c in range(ncomp):
                 cid, sampling, qsel = payload[6 + 3 * c : 9 + 3 * c]
@@ -708,11 +729,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             from etl_property_rumah123_spark.functions import jpeg_hier
 
             return jpeg_hier.decode_jpeg_hierarchical(data)
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7):
+        elif marker in (0xC5, 0xC6, 0xC7):
             raise ValueError(
-                "only baseline (SOF0), progressive (SOF2), lossless "
-                "(SOF3/SOF11), and arithmetic (SOF9/SOF10) frames "
-                "supported"
+                "differential frames only appear inside hierarchical "
+                "(DHP) streams"
             )
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             if len(payload) != 2:
@@ -777,7 +797,9 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
         blocks[:, :, _ZZ_R, _ZZ_C] = zz
         blocks *= quant  # dequantize
         # IDCT all blocks at once: A.T @ B @ A
-        plane = np.einsum("ur,yxrc,cv->yxuv", _A.T, blocks, _A) + 128.0
+        plane = np.einsum(
+            "ur,yxrc,cv->yxuv", _A.T, blocks, _A
+        ) + float(1 << (precision - 1))
         plane = plane.transpose(0, 2, 1, 3).reshape(bh_pad * 8, bw_pad * 8)
         if vs < vmax:
             plane = np.repeat(plane, vmax // vs, axis=0)
@@ -786,7 +808,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
         planes.append(plane[: -(-h // (8 * vmax)) * 8 * vmax,
                             : -(-w // (8 * hmax)) * 8 * hmax])
     out = np.stack(planes, axis=-1)
-    return _ycbcr_to_rgb(out[:h, :w])
+    return _ycbcr_to_rgb(out[:h, :w], precision)
 
 
 def _decode_scan(
@@ -1230,3 +1252,96 @@ def encode_jpeg_progressive(
     for header, body in scans:
         out += header + body
     return out + b"\xff\xd9"
+
+
+# --- 12-bit extended sequential (SOF1) ------------------------------------
+
+#: Flat canonical Huffman tables for 12-bit data, where DC categories
+#: reach 15 and AC sizes reach 14 — past what the Annex K 8-bit
+#: tables encode. Every DC symbol gets 5 bits (Kraft 16/32), every AC
+#: symbol 8 bits (226/256; the all-ones codeword stays unused per
+#: C.2). Deliberately simple over optimal: validity and decode
+#: coverage are the point, the adaptive QM paths own compression.
+DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC12_VALS = list(range(16))
+AC12_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
+]
+AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def encode_jpeg_extended(
+    pixels: np.ndarray, quality: int = 85
+) -> bytes:
+    """Encode an (H, W, 3) uint16 RGB array (samples 0..4095) as a
+    12-bit extended sequential JPEG (SOF1): the baseline pipeline at
+    precision 12 — level shift 2048, Annex K quantization scaled x16
+    (16-bit DQT entries), 4:4:4, the extended flat Huffman tables
+    above. The x16 quant floor keeps every quantized coefficient
+    within the 14-size AC alphabet by construction (|coef| <=
+    8 * 2048 / 16 = 1024)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
+    if pixels.min() < 0 or pixels.max() > 4095:
+        raise ValueError("12-bit samples must be 0..4095")
+    h, w, _ = pixels.shape
+    qlum, qchrom = scaled_quant_tables(quality)
+    qlum, qchrom = qlum * 16, qchrom * 16
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(pixels, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded, precision=12) - 2048.0
+
+    dc_codes = _build_codes(DC12_BITS, DC12_VALS)
+    ac_codes = _build_codes(AC12_BITS, AC12_VALS)
+    writer = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for comp in range(3):
+                prev[comp] = _encode_block(
+                    writer,
+                    ycc[by : by + 8, bx : bx + 8, comp],
+                    qlum if comp == 0 else qchrom,
+                    dc_codes,
+                    ac_codes,
+                    prev[comp],
+                )
+    writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt16(tid: int, table: np.ndarray) -> bytes:
+        vals = b"".join(
+            struct.pack(">H", int(table[r][c])) for r, c in ZIGZAG
+        )
+        return seg(0xFFDB, bytes([0x10 | tid]) + vals)
+
+    def dht(tclass: int, tid: int, bits, vals) -> bytes:
+        return seg(
+            0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    sof = seg(
+        0xFFC1,
+        struct.pack(">BHHB", 12, h, w, 3)
+        + b"".join(
+            struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1)
+            for cid in (1, 2, 3)
+        ),
+    )
+    sos = seg(
+        0xFFDA,
+        bytes([3])
+        + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+        + bytes([0, 63, 0]),
+    )
+    return (
+        b"\xff\xd8"
+        + dqt16(0, qlum)
+        + dqt16(1, qchrom)
+        + dht(0, 0, DC12_BITS, DC12_VALS)
+        + dht(1, 0, AC12_BITS, AC12_VALS)
+        + sof + sos + bytes(writer.out) + b"\xff\xd9"
+    )

@@ -218,6 +218,11 @@ def test_decode_jpeg_only_raises_valueerror():
         jpeg_hier_mod.encode_jpeg_hierarchical(
             rng.randint(0, 256, (16, 24, 3)).astype(np.uint8), quality=90
         ),
+        # 12-bit extended sequential (SOF1): 16-bit DQT + extended
+        # Huffman alphabets under the same contract
+        jpeg_mod.encode_jpeg_extended(
+            rng.randint(0, 4096, (16, 24, 3)).astype(np.uint16), quality=90
+        ),
     ]
     n_mutations = 0
     for good in base:
@@ -247,7 +252,7 @@ def test_decode_jpeg_only_raises_valueerror():
                     f"decode_jpeg raised {type(e).__name__} ({e!r}) on "
                     f"mutation kind={kind} of a valid JPEG"
                 ) from e
-    assert n_mutations == 4000
+    assert n_mutations == 4400
 
 
 def test_decode_stage_handles_jpeg(spark):
@@ -1153,3 +1158,32 @@ def test_lossless_jpeg_full_precision_range():
         jpeg_lossless_mod.encode_jpeg_lossless(
             np.zeros((2, 2, 3), np.uint8), precision=17
         )
+
+
+def test_extended_sequential_12bit_roundtrip():
+    """SOF1 at precision 12: level shift 2048, x16-scaled 16-bit DQT,
+    extended flat Huffman tables (DC categories to 15, AC sizes to
+    14). Quality 100 error scales with the x16 quant floor — the
+    12-bit analog of the 8-bit +-2 bound — and flat content survives
+    exactly."""
+    rng = np.random.default_rng(51)
+    px = rng.integers(0, 4096, (16, 24, 3)).astype(np.uint16)
+    data = jpeg_mod.encode_jpeg_extended(px, quality=100)
+    assert b"\xff\xc1" in data
+    out = codecs.decode_jpeg(data)
+    assert out.dtype == np.uint16 and out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 40
+    flat = np.full((9, 7, 3), 2222, np.uint16)
+    assert np.array_equal(
+        codecs.decode_jpeg(jpeg_mod.encode_jpeg_extended(flat, quality=90)),
+        flat,
+    )
+    # range and shape validation are loud
+    with pytest.raises(ValueError):
+        jpeg_mod.encode_jpeg_extended(
+            np.full((4, 4, 3), 5000, np.uint16)
+        )
+    # SOF0 stays 8-bit-only: relabeling a 12-bit stream as SOF0 fails
+    sof0 = data.replace(b"\xff\xc1", b"\xff\xc0", 1)
+    with pytest.raises(ValueError, match="precision"):
+        codecs.decode_jpeg(sof0)
