@@ -38,7 +38,13 @@ from etl_property_rumah123_spark.sinks import table_log
 
 #: Supported aggregate functions: additive or insert-monotone, each
 #: with an exact recompute form for delete-dirty groups.
-_FNS = ("count", "sum", "min", "max")
+#: ``approx_distinct`` stores a Datasketches HLL sketch (binary):
+#: insert deltas MERGE (sketch union is the insert-monotone fold),
+#: deletes recompute the sketch from the dirty groups' source rows —
+#: sketches cannot subtract, which is exactly what the hybrid already
+#: handles. Read the estimate via :func:`read_aggregate`'s
+#: ``estimate_sketches`` flag.
+_FNS = ("count", "sum", "min", "max", "approx_distinct")
 
 #: Internal columns: composite merge key, group row count (tombstone
 #: marker), refresh watermark manifest key.
@@ -70,7 +76,10 @@ def _key_col(group_cols: list[str]):
 def _aggregate(df: DataFrame, group_cols: list[str], agg_spec: dict) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias(_N)]
     for out, (fn, src) in agg_spec.items():
-        aggs.append(getattr(F, fn)(src).alias(out))
+        if fn == "approx_distinct":
+            aggs.append(F.hll_sketch_agg(src).alias(out))
+        else:
+            aggs.append(getattr(F, fn)(src).alias(out))
     return df.groupBy(*group_cols).agg(*aggs)
 
 
@@ -158,8 +167,12 @@ def refresh_aggregate(
             ).otherwise(F.when(d.isNull(), o).otherwise(o + d))
         elif fn == "min":
             c = F.least(o, d)  # least/greatest skip nulls
-        else:
+        elif fn == "max":
             c = F.greatest(o, d)
+        else:  # approx_distinct: sketch union is the additive fold
+            c = F.when(o.isNull(), d).otherwise(
+                F.when(d.isNull(), o).otherwise(F.hll_union(o, d))
+            )
         combined_cols.append(c.alias(out))
     additive = ins_delta.join(old, group_cols, "left").select(
         *group_cols, *combined_cols
@@ -201,11 +214,21 @@ def refresh_aggregate(
     return cur
 
 
-def read_aggregate(spark: SparkSession, view_path: str) -> DataFrame:
+def read_aggregate(
+    spark: SparkSession,
+    view_path: str,
+    estimate_sketches: dict[str, str] | None = None,
+) -> DataFrame:
     """The maintained aggregate, tombstones filtered, internals
-    hidden."""
+    hidden. ``estimate_sketches``: ``{sketch_col: estimate_col}`` —
+    project each stored HLL sketch to its cardinality estimate."""
     v = table_log.read_snapshot(spark, view_path)
-    return v.filter(F.col(_N) > 0).drop(_KEY, _N)
+    out = v.filter(F.col(_N) > 0).drop(_KEY, _N)
+    for col, alias in (estimate_sketches or {}).items():
+        out = out.withColumn(
+            alias, F.hll_sketch_estimate(col).cast("long")
+        ).drop(col)
+    return out
 
 
 def matview_stream_writer(

@@ -1342,3 +1342,52 @@ def test_matview_stream_writer_exactly_once(spark, tmp_path):
     got = view_rows()
     assert got == expect()
     assert not any("'fr'" in r for r in got)
+
+
+def test_matview_approx_distinct_hll(spark, tmp_path):
+    """approx_distinct maintenance: insert deltas MERGE sketches (HLL
+    union is the insert-monotone fold), deletes force the dirty-group
+    sketch recompute — at these cardinalities the estimate is exact,
+    so it must track COUNT(DISTINCT) through both paths."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import matview, table_log
+
+    src, mv = str(tmp_path / "s3"), str(tmp_path / "m3")
+    spec = {"nd": ("approx_distinct", "u"), "tot": ("sum", "v")}
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, lang string, u string, v long")
+
+    def check():
+        got = sorted(
+            map(
+                tuple,
+                matview.read_aggregate(spark, mv, {"nd": "n_distinct"})
+                .select("lang", "tot", "n_distinct")
+                .collect(),
+            )
+        )
+        exp = sorted(
+            map(
+                tuple,
+                table_log.read_snapshot(spark, src)
+                .groupBy("lang")
+                .agg(F.sum("v").alias("tot"), F.count_distinct("u").alias("nd"))
+                .collect(),
+            )
+        )
+        assert got == exp
+
+    table_log.commit_snapshot(mk([(1, "en", "a", 1), (2, "en", "b", 2), (3, "fr", "a", 3)]), src)
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+    # additive path: new + repeated values union into the sketch
+    table_log.commit_snapshot(mk([(4, "en", "b", 4), (5, "en", "c", 5)]), src, mode="append")
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+    # delete path: a value vanishing entirely must DROP the estimate
+    # (sketches cannot subtract — the dirty recompute handles it)
+    table_log.delete_snapshot(spark, src, "u = 'b'")
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
