@@ -179,7 +179,19 @@ def refresh_aggregate(
     )
 
     # --- delete-dirty groups: exact key-pruned recompute ------------
-    source_now = table_log.read_snapshot(spark, source_path, cur)
+    # The semi join is the ONLY table-size-proportional read in a
+    # refresh — compose it with manifest data skipping: one tiny agg
+    # collects the dirty keys' per-column bounds (2 scalars per
+    # stats-eligible group column) and prunes source files whose
+    # committed [min, max] cannot hold any dirty group. Conservative
+    # like every pruning path: non-stats columns contribute nothing,
+    # and the semi join still decides membership exactly.
+    source_now = table_log.read_snapshot(
+        spark, source_path, cur,
+        predicates=_dirty_bounds_predicates(
+            spark, source_path, dirty, group_cols
+        ),
+    )
     recomputed = _aggregate(
         source_now.join(dirty, group_cols, "left_semi"),
         group_cols,
@@ -212,6 +224,49 @@ def refresh_aggregate(
         extra_meta={_META_VERSION: cur},
     )
     return cur
+
+
+def _dirty_bounds_predicates(
+    spark: SparkSession,
+    source_path: str,
+    dirty: DataFrame,
+    group_cols: list[str],
+) -> list[tuple] | None:
+    """[(col, '>=', min), (col, '<=', max), ...] over the dirty
+    groups' stats-eligible group columns — the file-skipping envelope
+    for the recompute's source read. None when no group column can
+    prune or the dirty set is empty (empty bounds would otherwise
+    skip every file while the semi join still expects a frame)."""
+    eligible = [
+        f.name
+        for f in dirty.schema.fields
+        if f.name in group_cols
+        and f.dataType.typeName() in table_log._STATS_TYPES
+    ]
+    if not eligible:
+        return None
+    aggs = []
+    for i, c in enumerate(eligible):
+        aggs += [
+            F.min(dirty[c]).alias(f"mn_{i}"),
+            F.max(dirty[c]).alias(f"mx_{i}"),
+            F.sum(dirty[c].isNull().cast("long")).alias(f"nu_{i}"),
+        ]
+    row = dirty.agg(*aggs).first()
+    preds: list[tuple] = []
+    for i, c in enumerate(eligible):
+        mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        if row[f"nu_{i}"]:
+            # a NULL dirty group falls outside any [min, max] envelope
+            # — comparison predicates would filter its source rows out
+            # before the semi join sees them, so this column cannot
+            # prune
+            continue
+        if mn is None or mx is None:
+            continue
+        preds.append((c, ">=", mn))
+        preds.append((c, "<=", mx))
+    return preds or None
 
 
 def read_aggregate(

@@ -1391,3 +1391,47 @@ def test_matview_approx_distinct_hll(spark, tmp_path):
     table_log.delete_snapshot(spark, src, "u = 'b'")
     matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
     check()
+
+
+def test_matview_dirty_recompute_prunes_source_files(spark, tmp_path):
+    """The refresh's dirty-group source re-read composes with manifest
+    data skipping: dirty-key bounds become file predicates, so a
+    delete confined to one band leaves the other bands' files
+    unscanned — and null group keys disable pruning rather than break
+    the recompute."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import matview, table_log
+
+    src, mv = str(tmp_path / "s4"), str(tmp_path / "m4")
+    spec = {"tot": ("sum", "v"), "hi": ("max", "v")}
+    # three band-disjoint single-file commits: band = k // 100
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).select(
+            (F.col("id") / 100).cast("long").alias("band"),
+            F.col("id").alias("k"),
+            (F.col("id") % 9).alias("v"),
+        ).coalesce(1)
+        table_log.commit_snapshot(df, src, mode="append")
+    matview.refresh_aggregate(spark, src, mv, ["band"], spec)
+
+    # delete inside band 2 only -> dirty = {2}; the bounds envelope
+    # [2, 2] must prune the band-0/1 files from the recompute read
+    table_log.delete_snapshot(spark, src, "k = 250")
+    dirty = spark.createDataFrame([(2,)], "band long")
+    preds = matview._dirty_bounds_predicates(spark, src, dirty, ["band"])
+    assert preds == [("band", ">=", 2), ("band", "<=", 2)]
+    pruned = table_log.read_snapshot(spark, src, predicates=preds)
+    assert len(pruned.inputFiles()) < len(
+        table_log.read_snapshot(spark, src).inputFiles()
+    )
+    # and the refresh using that path stays exact
+    matview.refresh_aggregate(spark, src, mv, ["band"], spec)
+    got = sorted(map(repr, matview.read_aggregate(spark, mv).collect()))
+    full = matview._aggregate(table_log.read_snapshot(spark, src), ["band"], spec)
+    exp = sorted(map(repr, full.filter(F.col("_mv_n") > 0).drop("_mv_n").collect()))
+    assert got == exp
+
+    # null group key in the dirty set -> no predicates (conservative)
+    nd = spark.createDataFrame([(None,), (1,)], "band long")
+    assert matview._dirty_bounds_predicates(spark, src, nd, ["band"]) is None
