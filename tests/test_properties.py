@@ -279,3 +279,48 @@ def test_xxh64_generated_sql_matches_reference_fuzz():
     ).fetchall():
         assert h1 == X.hash_long_py(int(u), X.SEED)
         assert h2 == X.hash_long_py(3, h1)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.tuples(
+        st.integers(1, 12),          # height
+        st.integers(1, 12),          # width
+        st.integers(1, 7),           # predictor
+        st.sampled_from([2, 4, 8, 12, 16]),  # precision
+        st.booleans(),               # arithmetic entropy path
+        st.integers(0, 3),           # restart rows (0 = none)
+        st.randoms(use_true_random=False),
+    )
+)
+def test_lossless_jpeg_roundtrip_property(params):
+    """PROPERTY: decode(encode(x)) == x bit-exactly for the lossless
+    family across random shapes, every predictor, the full precision
+    ladder, both entropy paths, and restart intervals — losslessness
+    is the invariant, not a tolerance."""
+    import numpy as np
+
+    from etl_property_rumah123_spark.functions import jpeg_lossless as L
+
+    h, w, predictor, precision, arith, rst, rnd = params
+    px = np.array(
+        [
+            [
+                [rnd.randrange(1 << precision) for _ in range(3)]
+                for _ in range(w)
+            ]
+            for _ in range(h)
+        ],
+        dtype=np.uint16 if precision > 8 else np.uint8,
+    )
+    enc = (
+        L.encode_jpeg_lossless_arithmetic if arith else L.encode_jpeg_lossless
+    )
+    data = enc(px, predictor=predictor, precision=precision, restart_rows=rst)
+    out = L.decode_jpeg_lossless(data)
+    assert out.shape == px.shape
+    assert np.array_equal(out, px)
