@@ -24,9 +24,12 @@ library.
 Round-6 scope — EVERY T.81 coding process, all dispatched through
 :func:`decode_jpeg`: SOF0 baseline, SOF1 extended sequential (8 AND
 12 bit — 16-bit DQT entries, extended Huffman alphabets,
-:func:`encode_jpeg_extended`), SOF2 progressive, SOF9/SOF10
+:func:`encode_jpeg_extended`), SOF2 progressive (8 AND 12 bit via
+``precision=12`` on :func:`encode_jpeg_progressive`), SOF9/SOF10
 arithmetic (QM coder + sequential AND progressive conditioning in
-:mod:`.jpeg_arith`, Annexes D/F/G.2), SOF3/SOF11 lossless at
+:mod:`.jpeg_arith`, Annexes D/F/G.2 — also 8 AND 12 bit, completing
+the table-B.2 precision matrix for every DCT frame type),
+SOF3/SOF11 lossless at
 precision 2-16 (:mod:`.jpeg_lossless`, Annex H), and hierarchical
 DHP pyramids with differential SOF5 frames (:mod:`.jpeg_hier`,
 Annex J). Sampling factors 1-4 per axis with integer upsampling
@@ -682,7 +685,13 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 raise ValueError("multiple SOF markers")
             arith = marker in (0xC9, 0xCA)
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
-            allowed = (8, 12) if marker == 0xC1 else (8,)
+            # T.81 table B.2: baseline (SOF0) is 8-bit only; extended
+            # sequential, progressive and both arithmetic frames allow
+            # 8 or 12. The entropy decoders are size-generic (Huffman
+            # symbols carry SSSS; the QM magnitude trees cap at the
+            # 12-bit 32767 bound), so precision only gates here and in
+            # the level shift.
+            allowed = (8,) if marker == 0xC0 else (8, 12)
             if prec not in allowed or ncomp != 3:
                 raise ValueError(
                     f"precision {prec} not supported for SOF{marker - 0xC0} "
@@ -971,10 +980,18 @@ PROG_AC_VALS = sorted(
 PROG_AC_BITS = [0] * 7 + [len(PROG_AC_VALS)] + [0] * 8
 
 
-def _quantize_planes(pixels: np.ndarray, quality: int, subsampling: str):
+def _quantize_planes(
+    pixels: np.ndarray, quality: int, subsampling: str, precision: int = 8
+):
     """Shared front half of encoding: pad, YCbCr, per-component block
     grids of quantized zigzag coefficients. Returns (h, w, comps,
-    coeff arrays (bh, bw, 64) int64, true block dims)."""
+    coeff arrays (bh, bw, 64) int64, true block dims).
+
+    ``precision`` 8 or 12. At 12 the level shift is 2048 and the
+    Annex K tables are scaled x16 (16-bit DQT entries) — the same
+    floor as :func:`encode_jpeg_extended`, keeping every quantized
+    coefficient inside the 14-size AC alphabet (|coef| <=
+    8 * 2048 / 16 = 1024) and inside the QM coder's magnitude caps."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
     if subsampling not in SUBSAMPLING_FACTORS:
@@ -982,13 +999,20 @@ def _quantize_planes(pixels: np.ndarray, quality: int, subsampling: str):
             f"subsampling must be one of {sorted(SUBSAMPLING_FACTORS)}, "
             f"got {subsampling}"
         )
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    if precision == 12 and (pixels.min() < 0 or pixels.max() > 4095):
+        raise ValueError("12-bit samples must be 0..4095")
     h, w, _ = pixels.shape
     qlum, qchrom = scaled_quant_tables(quality)
+    if precision == 12:
+        qlum, qchrom = qlum * 16, qchrom * 16
+    half = float(1 << (precision - 1))
     hs, vs = SUBSAMPLING_FACTORS[subsampling]
     mcu_w, mcu_h = 8 * hs, 8 * vs
     ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
     padded = np.pad(pixels, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
-    ycc = _rgb_to_ycbcr(padded) - np.array([128.0, 128.0, 128.0])
+    ycc = _rgb_to_ycbcr(padded, precision) - np.array([half, half, half])
     if subsampling == "444":
         samp = [(1, 1), (1, 1), (1, 1)]
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
@@ -1135,22 +1159,36 @@ def _enc_ac_refine_block(state, zz, ss, se, al):
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    precision: int = 8,
 ) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a PROGRESSIVE JFIF JPEG
+    """Encode an (H, W, 3) RGB array as a PROGRESSIVE JFIF JPEG
     (SOF2) exercising both Annex G dimensions: spectral selection (DC
     scan, AC band 1-5, AC band 6-63 per component) and successive
     approximation (DC at Al=1 then a refinement pass; AC at Al=2 then
     Ah=2->1 and Ah=1->0 refinement passes). Coefficients are quantized
     identically to :func:`encode_jpeg`, so decoding both streams
-    yields bit-identical pixels — the decoder pixel-parity test."""
+    yields bit-identical pixels — the decoder pixel-parity test.
+
+    ``precision`` 12 (uint16 samples 0..4095) swaps in the flat
+    extended Huffman alphabets (DC categories to 15, AC sizes to 14
+    with the full EOBn set) and 16-bit DQT entries — T.81 table B.2
+    allows 12-bit for every non-baseline frame type."""
     h, w, samp, coeffs, true_dims = _quantize_planes(
-        pixels, quality, subsampling
+        pixels, quality, subsampling, precision
     )
-    dc_codes = [_build_codes(DC_LUM_BITS, DC_LUM_VALS),
-                _build_codes(DC_CHROM_BITS, DC_CHROM_VALS)]
-    prog_ac = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
-    ac_codes = [prog_ac, prog_ac]
+    if precision == 8:
+        dc_codes = [_build_codes(DC_LUM_BITS, DC_LUM_VALS),
+                    _build_codes(DC_CHROM_BITS, DC_CHROM_VALS)]
+        prog_ac = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+        ac_codes = [prog_ac, prog_ac]
+    else:
+        dc12 = _build_codes(DC12_BITS, DC12_VALS)
+        dc_codes = [dc12, dc12]
+        prog_ac = _build_codes(PROG_AC12_BITS, PROG_AC12_VALS)
+        ac_codes = [prog_ac, prog_ac]
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1226,29 +1264,43 @@ def encode_jpeg_progressive(
             scans.append((sos_header([ci + 1], 1, 63, ah, al), bytes(wtr.out)))
 
     qlum, qchrom = scaled_quant_tables(quality)
+    if precision == 12:
+        qlum, qchrom = qlum * 16, qchrom * 16
 
     def dqt(tid: int, table: np.ndarray) -> bytes:
+        if precision == 12:
+            vals = b"".join(
+                struct.pack(">H", int(table[r][c])) for r, c in ZIGZAG
+            )
+            return seg(0xFFDB, bytes([0x10 | tid]) + vals)
         zzb = bytes(int(table[r][c]) for r, c in ZIGZAG)
         return seg(0xFFDB, bytes([tid]) + zzb)
 
     def dht(tclass: int, tid: int, bits, vals) -> bytes:
         return seg(0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals))
 
+    if precision == 8:
+        tables = (
+            dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+            + dht(1, 0, PROG_AC_BITS, PROG_AC_VALS)
+            + dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
+            + dht(1, 1, PROG_AC_BITS, PROG_AC_VALS)
+        )
+    else:
+        tables = (
+            dht(0, 0, DC12_BITS, DC12_VALS)
+            + dht(1, 0, PROG_AC12_BITS, PROG_AC12_VALS)
+            + dht(0, 1, DC12_BITS, DC12_VALS)
+            + dht(1, 1, PROG_AC12_BITS, PROG_AC12_VALS)
+        )
     y_sampling = (samp[0][0] << 4) | samp[0][1]
     sof = seg(
         0xFFC2,
-        struct.pack(">BHHB", 8, h, w, 3)
+        struct.pack(">BHHB", precision, h, w, 3)
         + bytes([1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out = (
-        b"\xff\xd8" + app0 + dqt(0, qlum) + dqt(1, qchrom)
-        + dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
-        + dht(1, 0, PROG_AC_BITS, PROG_AC_VALS)
-        + dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
-        + dht(1, 1, PROG_AC_BITS, PROG_AC_VALS)
-        + sof
-    )
+    out = b"\xff\xd8" + app0 + dqt(0, qlum) + dqt(1, qchrom) + tables + sof
     for header, body in scans:
         out += header + body
     return out + b"\xff\xd9"
@@ -1268,6 +1320,18 @@ AC12_VALS = [0x00, 0xF0] + [
     (run << 4) | size for run in range(16) for size in range(1, 15)
 ]
 AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+#: Progressive variant of the 12-bit AC alphabet: the full (run, size)
+#: grid INCLUDING every size-0 symbol — EOB0..EOB14 (run 0-14) and ZRL
+#: (run 15) — since Annex G AC-first scans emit banded EOB runs. 240
+#: symbols at 8 bits each (Kraft 240/256, all-ones codeword unused
+#: per C.2).
+PROG_AC12_VALS = [
+    (run << 4) | size for run in range(16) for size in range(15)
+]
+PROG_AC12_BITS = [
+    0, 0, 0, 0, 0, 0, 0, len(PROG_AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0,
+]
 
 
 def encode_jpeg_extended(

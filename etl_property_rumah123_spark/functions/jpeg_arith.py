@@ -760,21 +760,25 @@ def encode_jpeg_arithmetic(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a sequential
+    """Encode an (H, W, 3) RGB array as a sequential
     arithmetic-coded JPEG (SOF9): the SHARED quantization front half
     (``jpeg._quantize_planes`` — same coefficients as every other
     encoder in the module, which is what makes the cross-path
     pixel-parity contract hold by construction) with the QM coder
     replacing Huffman in the entropy stage, and a DAC segment
     declaring the (default) conditioning so the parser path is
-    exercised."""
+    exercised. ``precision`` 12 (uint16, 0..4095) uses the x16-scaled
+    16-bit DQT front half; the QM magnitude trees already span the
+    12-bit coefficient range (F.1.4.4.1.2 caps at 32767), so the
+    entropy stage is unchanged."""
     from etl_property_rumah123_spark.functions import jpeg as J
 
     if not 0 <= restart_interval <= 0xFFFF:
         raise ValueError("restart_interval must be 0..65535")
     h, w, samp, coeffs, _true_dims = J._quantize_planes(
-        pixels, quality, subsampling
+        pixels, quality, subsampling, precision
     )
 
     enc = ArithEncoder()
@@ -822,6 +826,11 @@ def encode_jpeg_arithmetic(
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     def dqt(tid: int, table: np.ndarray) -> bytes:
+        if precision == 12:
+            vals = b"".join(
+                struct.pack(">H", int(table[r][c])) for r, c in J.ZIGZAG
+            )
+            return seg(0xFFDB, bytes([0x10 | tid]) + vals)
         zzb = bytes(int(table[r][c]) for r, c in J.ZIGZAG)
         return seg(0xFFDB, bytes([tid]) + zzb)
 
@@ -836,10 +845,12 @@ def encode_jpeg_arithmetic(
         ]),
     )
     qlum, qchrom = J.scaled_quant_tables(quality)
+    if precision == 12:
+        qlum, qchrom = qlum * 16, qchrom * 16
     y_sampling = (samp[0][0] << 4) | samp[0][1]
     sof = seg(
         0xFFC9,  # SOF9: extended sequential, arithmetic coding
-        struct.pack(">BHHB", 8, h, w, 3)
+        struct.pack(">BHHB", precision, h, w, 3)
         + bytes([1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
@@ -856,7 +867,10 @@ def encode_jpeg_arithmetic(
 
 
 def encode_jpeg_progressive_arithmetic(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    precision: int = 8,
 ) -> bytes:
     """Encode a PROGRESSIVE arithmetic-coded JPEG (SOF10) exercising
     both Annex G dimensions under the QM coder: spectral selection
@@ -864,11 +878,12 @@ def encode_jpeg_progressive_arithmetic(
     successive approximation (DC at Al=1 + one refinement pass; AC at
     Al=2 + Ah=2->1 and Ah=1->0 refinement passes). Same quantized
     coefficients as every other encoder in this module, so decoding
-    is pixel-identical to the Huffman paths."""
+    is pixel-identical to the Huffman paths. ``precision`` 12 swaps
+    the front half only (see :func:`encode_jpeg_arithmetic`)."""
     from etl_property_rumah123_spark.functions import jpeg as J
 
     h, w, samp, coeffs, true_dims = J._quantize_planes(
-        pixels, quality, subsampling
+        pixels, quality, subsampling, precision
     )
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -962,8 +977,15 @@ def encode_jpeg_progressive_arithmetic(
             )
 
     qlum, qchrom = J.scaled_quant_tables(quality)
+    if precision == 12:
+        qlum, qchrom = qlum * 16, qchrom * 16
 
     def dqt(tid: int, table: np.ndarray) -> bytes:
+        if precision == 12:
+            vals = b"".join(
+                struct.pack(">H", int(table[r][c])) for r, c in J.ZIGZAG
+            )
+            return seg(0xFFDB, bytes([0x10 | tid]) + vals)
         zzb = bytes(int(table[r][c]) for r, c in J.ZIGZAG)
         return seg(0xFFDB, bytes([tid]) + zzb)
 
@@ -980,7 +1002,7 @@ def encode_jpeg_progressive_arithmetic(
     y_sampling = (samp[0][0] << 4) | samp[0][1]
     sof = seg(
         0xFFCA,  # SOF10: progressive, arithmetic coding
-        struct.pack(">BHHB", 8, h, w, 3)
+        struct.pack(">BHHB", precision, h, w, 3)
         + bytes([1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")

@@ -223,6 +223,21 @@ def test_decode_jpeg_only_raises_valueerror():
         jpeg_mod.encode_jpeg_extended(
             rng.randint(0, 4096, (16, 24, 3)).astype(np.uint16), quality=90
         ),
+        # 12-bit progressive (SOF2 prec 12): extended alphabets in the
+        # Annex G scan paths
+        jpeg_mod.encode_jpeg_progressive(
+            rng.randint(0, 4096, (16, 24, 3)).astype(np.uint16),
+            quality=90, precision=12,
+        ),
+        # 12-bit arithmetic, sequential and progressive
+        jpeg_arith_mod.encode_jpeg_arithmetic(
+            rng.randint(0, 4096, (16, 24, 3)).astype(np.uint16),
+            quality=90, precision=12,
+        ),
+        jpeg_arith_mod.encode_jpeg_progressive_arithmetic(
+            rng.randint(0, 4096, (16, 24, 3)).astype(np.uint16),
+            quality=90, precision=12,
+        ),
     ]
     n_mutations = 0
     for good in base:
@@ -252,7 +267,7 @@ def test_decode_jpeg_only_raises_valueerror():
                     f"decode_jpeg raised {type(e).__name__} ({e!r}) on "
                     f"mutation kind={kind} of a valid JPEG"
                 ) from e
-    assert n_mutations == 4400
+    assert n_mutations == 5600
 
 
 def test_decode_stage_handles_jpeg(spark):
@@ -1187,3 +1202,70 @@ def test_extended_sequential_12bit_roundtrip():
     sof0 = data.replace(b"\xff\xc1", b"\xff\xc0", 1)
     with pytest.raises(ValueError, match="precision"):
         codecs.decode_jpeg(sof0)
+
+
+def test_12bit_progressive_and_arithmetic_modes():
+    """T.81 table B.2 allows 12-bit for every non-baseline DCT frame.
+    Progressive (SOF2), sequential arithmetic (SOF9) and progressive
+    arithmetic (SOF10) at precision 12 share `_quantize_planes`'
+    x16-scaled front half, so all three must decode to BIT-IDENTICAL
+    uint16 pixels — the same cross-path parity contract the 8-bit
+    paths pin, now across the full precision matrix."""
+    rng = np.random.default_rng(52)
+    for (h, w, q, sub) in [(16, 24, 90, "444"), (21, 13, 75, "444"),
+                           (24, 16, 90, "420")]:
+        px = rng.integers(0, 4096, (h, w, 3)).astype(np.uint16)
+        streams = {
+            "sof2": jpeg_mod.encode_jpeg_progressive(
+                px, quality=q, subsampling=sub, precision=12
+            ),
+            "sof9": jpeg_arith_mod.encode_jpeg_arithmetic(
+                px, quality=q, subsampling=sub, precision=12
+            ),
+            "sof10": jpeg_arith_mod.encode_jpeg_progressive_arithmetic(
+                px, quality=q, subsampling=sub, precision=12
+            ),
+        }
+        assert b"\xff\xc2" in streams["sof2"]
+        assert b"\xff\xc9" in streams["sof9"]
+        assert b"\xff\xca" in streams["sof10"]
+        outs = {k: codecs.decode_jpeg(v) for k, v in streams.items()}
+        for k, out in outs.items():
+            assert out.dtype == np.uint16 and out.shape == px.shape, k
+        assert np.array_equal(outs["sof2"], outs["sof9"])
+        assert np.array_equal(outs["sof2"], outs["sof10"])
+    # flat content survives exactly through every path (x16 quant
+    # floor divides the all-DC blocks evenly)
+    flat = np.full((9, 7, 3), 2222, np.uint16)
+    for enc in (
+        lambda p: jpeg_mod.encode_jpeg_progressive(p, 90, precision=12),
+        lambda p: jpeg_arith_mod.encode_jpeg_arithmetic(p, 90, precision=12),
+        lambda p: jpeg_arith_mod.encode_jpeg_progressive_arithmetic(
+            p, 90, precision=12
+        ),
+    ):
+        assert np.array_equal(codecs.decode_jpeg(enc(flat)), flat)
+    # sequential arithmetic at 12-bit with restart intervals: RSTn
+    # resync composes with the wider precision
+    px = rng.integers(0, 4096, (24, 24, 3)).astype(np.uint16)
+    with_rst = jpeg_arith_mod.encode_jpeg_arithmetic(
+        px, quality=85, restart_interval=2, precision=12
+    )
+    no_rst = jpeg_arith_mod.encode_jpeg_arithmetic(
+        px, quality=85, precision=12
+    )
+    assert b"\xff\xdd" in with_rst
+    assert np.array_equal(
+        codecs.decode_jpeg(with_rst), codecs.decode_jpeg(no_rst)
+    )
+    # range validation stays loud on every 12-bit entry
+    bad = np.full((4, 4, 3), 5000, np.uint16)
+    for enc in (
+        lambda p: jpeg_mod.encode_jpeg_progressive(p, 90, precision=12),
+        lambda p: jpeg_arith_mod.encode_jpeg_arithmetic(p, 90, precision=12),
+        lambda p: jpeg_arith_mod.encode_jpeg_progressive_arithmetic(
+            p, 90, precision=12
+        ),
+    ):
+        with pytest.raises(ValueError, match="12-bit"):
+            enc(bad)
