@@ -789,6 +789,87 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @part(
+    "variant_typed_extract",
+    """
+    SELECT event_id AS event_id,
+           CAST(json_extract_string(j, '$.u') AS BIGINT) AS u_val,
+           CAST(json_extract_string(j, '$.a[1]') AS BIGINT) AS a1_val,
+           json_extract_string(j, '$.m.t') AS type_val,
+           'OBJECT<a: ARRAY<BIGINT>, m: OBJECT<t: STRING>, u: BIGINT>'
+             AS var_schema,
+           CAST(NULL AS BIGINT) AS miss_val
+    FROM (
+      SELECT event_id,
+             '{"u":' || CAST(user_id AS VARCHAR)
+               || ',"m":{"t":"' || event_type
+               || '"},"a":[' || json_extract_string(props, '$.k')
+               || ',' || CAST(CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) * 2 AS VARCHAR) || ']}' AS j
+      FROM events WHERE event_id % 7 = 0
+    )
+    """,
+    doc="Spark 4 VARIANT type: parse_json into an open semi-structured "
+    "value, typed path extraction with variant_get (object fields, "
+    "nested objects, array indexing), try_variant_get returning NULL "
+    "on a missing path instead of throwing (ANSI-safe), and "
+    "schema_of_variant inferring the per-row shape. The binary "
+    "variant encoding stays JVM-side end to end — no UDF, no string "
+    "re-parse per path. Oracle: DuckDB JSON extraction over the same "
+    "synthesized document (the inferred-schema string is a constant "
+    "because every row shares one shape).",
+)
+def variant_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    k = F.get_json_object("props", "$.k")
+    j = F.concat(
+        F.lit('{"u":'), F.col("user_id").cast("string"),
+        F.lit(',"m":{"t":"'), F.col("event_type"),
+        F.lit('"},"a":['), k,
+        F.lit(","), (k.cast("long") * 2).cast("string"), F.lit("]}"),
+    )
+    v = F.parse_json(j)
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.u", "bigint").alias("u_val"),
+        F.variant_get(v, "$.a[1]", "bigint").alias("a1_val"),
+        F.variant_get(v, "$.m.t", "string").alias("type_val"),
+        F.schema_of_variant(v).alias("var_schema"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("miss_val"),
+    )
+
+
+@part(
+    "variant_shredded_agg",
+    """
+    SELECT event_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+             AS k_avg
+    FROM events GROUP BY event_type
+    """,
+    doc="VARIANT values flowing through aggregation: parse once, "
+    "extract a typed numeric with variant_get, aggregate JVM-side "
+    "(map-side partials intact — the variant column is pruned to the "
+    "single extracted path before the shuffle, the shredded-read "
+    "access pattern).",
+)
+def variant_shredded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    kv = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", kv.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+        )
+    )
+
+
+@part(
     "exists_subquery_sql",
     """
     SELECT c_custkey AS c_custkey, c_name AS c_name

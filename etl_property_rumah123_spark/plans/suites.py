@@ -342,11 +342,15 @@ _suite(
         "map_fns": {"part": "map_functions_events", "k1": "event_id", "n1": "n_keys", "s1": "type_val", "s2": "keys_csv"},
         "norm_stats": {"part": "embedding_norm_stats", "s1": "label", "n1": "n", "v1": "avg_norm"},
         "int8_quant": {"part": "embedding_int8_quant", "k1": "vec_id", "v1": "scale", "v2": "max_abs_err", "v3": "mean_abs_err"},
+        "variant": {"part": "variant_typed_extract", "k1": "event_id", "k2": "miss_val", "n1": "u_val", "n2": "a1_val", "s1": "type_val", "s2": "var_schema"},
+        "variant_agg": {"part": "variant_shredded_agg", "s1": "event_type", "n1": "n", "n2": "k_sum", "v1": "k_avg"},
     },
     [("k1", "bigint"), ("k2", "bigint"), ("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double"), ("v2", "double"), ("v3", "double"), ("v4", "double")],
     doc="Complex-type functions: posexplode with ordinality, the "
-    "array function family, MapType construction/lookup, and JVM-side "
-    "vector norm aggregation.",
+    "array function family, MapType construction/lookup, JVM-side "
+    "vector norm aggregation, and the Spark 4 VARIANT semi-structured "
+    "type (parse_json / typed variant_get paths / try_variant_get / "
+    "schema_of_variant, plus variant flowing through aggregation).",
 )
 
 _suite(
