@@ -21,6 +21,12 @@ disk (tests; statuses scriptable via ``statuses.json``), no option
 means live HTTP via urllib (never exercised in CI). A page range is
 retried as a whole by Spark task retry; within a task the 429 loop
 bounds per-page retries with ``max_retries_429``.
+
+The same source also registers a STREAMING read path
+(``ListingStreamReader``, a Spark 4 ``SimpleDataSourceStreamReader``):
+offset-tracked polling of the page frontier for continuous ingestion,
+with checkpoint-exact replay — see its docstring for the offset and
+exactly-once model.
 """
 
 from __future__ import annotations
@@ -31,7 +37,12 @@ import re
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from etl_property_rumah123_spark.sources.rate_limiter import AdaptiveRateLimiter
 
@@ -210,8 +221,122 @@ class ListingReader(DataSourceReader):
                 yield (page_num, card_idx, card, self.ads_type, self.property_type)
 
 
+class ListingStreamReader(SimpleDataSourceStreamReader):
+    """Continuous-ingestion variant: poll the page space as a
+    Structured Streaming source (``spark.readStream.format(
+    "rumah123_listings")``).
+
+    Offset model: ``{"next_page": N}`` — the first page not yet
+    emitted. Each microbatch scans forward from the offset up to
+    ``pages_per_batch`` pages and stops BEFORE the first page that is
+    empty or (still) failing, so that page is re-polled next batch:
+    empty-page-at-the-frontier means "no new listings yet", the
+    streaming reading of the batch path's S4 early-stop. Offsets only
+    cover pages that actually yielded cards, which is what makes the
+    checkpoint replay (``readBetweenOffsets``) exact.
+
+    Exactly-once: the engine persists each simple-reader batch to the
+    checkpoint WAL; ``readBetweenOffsets`` is only invoked on recovery
+    of a planned-but-unpersisted batch, where the deterministic
+    FixtureFetcher reproduces rows bit-identically (live HTTP replay
+    is best-effort, the standard caveat for any re-fetching source).
+
+    Scale contract: a rate-limited scrape frontier is inherently
+    serial — the site's throttle, not Spark, bounds ingest — so a
+    driver-side poll loop (what SimpleDataSourceStreamReader does) is
+    the right execution shape; per-batch volume is bounded by
+    ``pages_per_batch`` x cards/page. The PARALLEL path is the batch
+    ``ListingReader``'s page-range partitions for backfill; downstream
+    parse/clean/merge of the streamed rows is distributed as usual."""
+
+    def __init__(self, options: dict) -> None:
+        self.ads_type = options.get("ads_type", "jual")
+        self.region = options.get("region", "dki-jakarta")
+        self.property_type = options.get("property_type", "rumah")
+        self.pages_per_batch = int(options.get("pages_per_batch", "5"))
+        self.fixture_dir = options.get("fixture_dir")
+        self.max_retries_429 = int(options.get("max_retries_429", "5"))
+        self.base_sleep = float(options.get("base_sleep", "1.0"))
+        self.min_sleep = float(options.get("min_sleep", "0.0"))
+        validate_input_params(self.ads_type, self.property_type, 1)
+        if self.pages_per_batch <= 0:
+            raise ValueError("pages_per_batch must be a positive integer")
+
+    def initialOffset(self) -> dict:
+        return {"next_page": 1}
+
+    def _base_url(self) -> str:
+        return (
+            f"https://www.rumah123.com/{self.ads_type}/{self.region}/"
+            f"{self.property_type}/?sort=posted-desc&page="
+        )
+
+    def _fetch_page(self, fetcher, limiter, page_num: int) -> list | None:
+        """One page through the S5 retry loop; None = unavailable
+        (non-429 failure or 429 budget exhausted), else its cards."""
+        retries = 0
+        while True:
+            limiter.wait()
+            status, html = fetcher.fetch(page_num, self._base_url() + str(page_num))
+            if status == 200:
+                limiter.on_success()
+                return split_cards(html)
+            if status == 429 and retries < self.max_retries_429:
+                retries += 1
+                limiter.on_rate_limit()
+                continue
+            limiter.on_other_error()
+            return None
+
+    def _rows(self, page_num: int, cards) -> list[tuple]:
+        return [
+            (page_num, idx, card, self.ads_type, self.property_type)
+            for idx, card in enumerate(cards)
+        ]
+
+    def read(self, start: dict) -> tuple:
+        fetcher = (
+            FixtureFetcher(self.fixture_dir) if self.fixture_dir else HttpFetcher()
+        )
+        limiter = AdaptiveRateLimiter(
+            base_sleep=self.base_sleep, min_sleep=self.min_sleep
+        )
+        first = int(start["next_page"])
+        rows: list[tuple] = []
+        consumed = 0
+        for page_num in range(first, first + self.pages_per_batch):
+            cards = self._fetch_page(fetcher, limiter, page_num)
+            if not cards:
+                # frontier page empty or failing: do NOT consume it —
+                # the next microbatch re-polls the same page
+                break
+            rows.extend(self._rows(page_num, cards))
+            consumed += 1
+        return iter(rows), {"next_page": first + consumed}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # recovery replay of a committed range: every page in
+        # [start, end) yielded cards when first read; re-emit exactly
+        # that range (no early stop, no frontier probing)
+        fetcher = (
+            FixtureFetcher(self.fixture_dir) if self.fixture_dir else HttpFetcher()
+        )
+        limiter = AdaptiveRateLimiter(
+            base_sleep=self.base_sleep, min_sleep=self.min_sleep
+        )
+        for page_num in range(int(start["next_page"]), int(end["next_page"])):
+            cards = self._fetch_page(fetcher, limiter, page_num)
+            for row in self._rows(page_num, cards or []):
+                yield row
+
+    def commit(self, end: dict) -> None:
+        pass  # no source-side bookkeeping: offsets live in the checkpoint
+
+
 class ListingDataSource(DataSource):
-    """``spark.read.format("rumah123_listings")`` after
+    """``spark.read.format("rumah123_listings")`` (batch page-range
+    partitions) or ``spark.readStream.format("rumah123_listings")``
+    (offset-tracked frontier polling) after
     ``spark.dataSource.register(ListingDataSource)``."""
 
     @classmethod
@@ -223,3 +348,6 @@ class ListingDataSource(DataSource):
 
     def reader(self, schema) -> ListingReader:
         return ListingReader(dict(self.options))
+
+    def simpleStreamReader(self, schema) -> ListingStreamReader:
+        return ListingStreamReader(dict(self.options))
