@@ -869,6 +869,42 @@ def variant_shredded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_ANCESTORS_SQL = """
+    WITH RECURSIVE chain(leaf, node, depth) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey % 37 = 0
+      UNION ALL
+      SELECT c.leaf, CAST(FLOOR(c.node / 4.0) AS BIGINT), c.depth + 1
+      FROM chain c WHERE c.node > 0
+    )
+    SELECT ch.leaf AS part_id,
+           CAST(MAX(ch.depth) AS BIGINT) AS hops_to_root,
+           CAST(COUNT(p.p_partkey) AS BIGINT) AS real_ancestors,
+           CAST(ROUND(SUM(p.p_retailprice), 0) AS BIGINT) AS anc_price_sum
+    FROM chain ch LEFT JOIN part p
+      ON p.p_partkey = ch.node AND ch.depth > 0
+    GROUP BY ch.leaf
+    """
+
+
+@part(
+    "recursive_cte_ancestors",
+    _RECURSIVE_ANCESTORS_SQL,
+    doc="Recursive CTE (Spark 4.1 WITH RECURSIVE): walk the synthetic "
+    "quaternary part hierarchy (parent = partkey div 4) from seed "
+    "leaves to the root, then join the visited ancestor set back to "
+    "part and roll up depth/coverage/price. The SAME statement text "
+    "runs on DuckDB — iteration count is data-driven (log4 of the key "
+    "space, so depth grows logarithmically with SF while the row "
+    "count stays seeds x depth, linear-ish). Exercises the engine's "
+    "iterative-plan execution (UnionLoop), not a window rewrite.",
+)
+def recursive_cte_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, "part")
+    return spark.sql(_RECURSIVE_ANCESTORS_SQL)
+
+
 @part(
     "exists_subquery_sql",
     """

@@ -314,12 +314,14 @@ _suite(
         "exists": {"part": "exists_subquery_sql", "k1": "c_custkey", "s1": "c_name"},
         "corr_scalar": {"part": "correlated_above_nation_avg", "k1": "c_custkey", "v1": "c_acctbal"},
         "lateral_topn": {"part": "lateral_topn_orders", "k1": "c_custkey", "k2": "o_orderkey", "v1": "o_totalprice"},
+        "recursive": {"part": "recursive_cte_ancestors", "k1": "part_id", "k2": "hops_to_root", "n1": "real_ancestors", "n2": "anc_price_sum"},
     },
-    [("k1", "bigint"), ("k2", "bigint"), ("s1", "string"), ("v1", "double")],
-    doc="Correlated subqueries: EXISTS/NOT EXISTS through the SQL "
-    "parser path, a decorrelated scalar subquery, and the correlated "
-    "LATERAL ORDER BY ... LIMIT top-N join (the engine's own "
-    "decorrelation checked against DuckDB's native LATERAL).",
+    [("k1", "bigint"), ("k2", "bigint"), ("n1", "bigint"), ("n2", "bigint"), ("s1", "string"), ("v1", "double")],
+    doc="Correlated subqueries and iterative SQL: EXISTS/NOT EXISTS "
+    "through the SQL parser path, a decorrelated scalar subquery, the "
+    "correlated LATERAL ORDER BY ... LIMIT top-N join (the engine's "
+    "own decorrelation checked against DuckDB's native LATERAL), and "
+    "a recursive CTE hierarchy walk (Spark 4.1 WITH RECURSIVE).",
 )
 
 _suite(
