@@ -869,6 +869,54 @@ def variant_shredded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@part(
+    "xml_roundtrip_extract",
+    """
+    SELECT p_partkey AS p_partkey,
+           p_brand AS brand_struct,
+           p_brand AS brand_xpath,
+           CAST(p_size AS BIGINT) AS size_val,
+           CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents
+    FROM part WHERE p_partkey % 11 = 0
+    """,
+    doc="Spark 4 XML support: synthesize a per-row XML document from "
+    "part columns, then recover typed fields BOTH ways — from_xml "
+    "into a struct (attribute + element fields) and the xpath_* "
+    "scalar family — all JVM-side expressions. The oracle states the "
+    "ground truth straight from the source columns, so any drift in "
+    "the build->parse->extract roundtrip (escaping, attribute "
+    "handling, numeric coercion) breaks the hash.",
+)
+def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") % 11 == 0)
+    xml = F.concat(
+        F.lit('<part id="'), F.col("p_partkey").cast("string"),
+        F.lit('"><brand>'), F.col("p_brand"),
+        F.lit("</brand><size>"), F.col("p_size").cast("string"),
+        F.lit("</size><price>"),
+        F.round(F.col("p_retailprice"), 2).cast("string"),
+        F.lit("</price></part>"),
+    )
+    parsed = F.from_xml(
+        xml, "struct<_id: bigint, brand: string, size: bigint, price: double>"
+    )
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 11 == 0)
+        .select(
+            parsed.alias("px"),
+            F.xpath_string(xml, F.lit("/part/brand")).alias("brand_xpath"),
+        )
+        .select(
+            F.col("px._id").alias("p_partkey"),
+            F.col("px.brand").alias("brand_struct"),
+            "brand_xpath",
+            F.col("px.size").alias("size_val"),
+            F.round(F.col("px.price") * 100, 0).cast("bigint").alias("price_cents"),
+        )
+    )
+
+
 _RECURSIVE_ANCESTORS_SQL = """
     WITH RECURSIVE chain(leaf, node, depth) AS (
       SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey % 37 = 0

@@ -279,10 +279,12 @@ _suite(
         "string": {"part": "string_functions", "k1": "p_partkey", "s1": "upper_name", "s2": "type_prefix", "s3": "brand_type", "s4": "snake_name", "n1": "name_len", "n2": "first_e"},
         "regexp": {"part": "regexp_functions", "k1": "p_partkey", "s1": "first_word", "s2": "dashed", "s3": "second_type_word", "n1": "vowel_runs", "n2": "starts_word"},
         "fuzzy": {"part": "fuzzy_match_levenshtein", "k1": "id_a", "n1": "id_b", "n2": "dist"},
+        "xml": {"part": "xml_roundtrip_extract", "k1": "p_partkey", "s1": "brand_struct", "s2": "brand_xpath", "n1": "size_val", "n2": "price_cents"},
     },
     [("k1", "bigint"), ("s1", "string"), ("s2", "string"), ("s3", "string"), ("s4", "string"), ("n1", "bigint"), ("n2", "bigint")],
-    doc="String scalar functions, regexp family, and blocked "
-    "Levenshtein fuzzy matching.",
+    doc="String scalar functions, regexp family, blocked Levenshtein "
+    "fuzzy matching, and the XML build/from_xml/xpath roundtrip "
+    "checked against ground-truth columns.",
 )
 
 _suite(
