@@ -151,6 +151,51 @@ def click_purchase_join(
     )
 
 
+def click_purchase_outer_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "60 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, with its follow-up
+    purchase where one exists within ``max_gap``, else NULLs — the
+    abandonment-analysis twin of :func:`click_purchase_join`.
+
+    Outer stream-stream joins have an extra semantic wrinkle the inner
+    join doesn't: a null-extended row for an unmatched click can only
+    be emitted once the watermark proves no matching purchase can
+    still arrive — i.e. when the click's state expires at
+    ``watermark + max_gap`` behind the max seen event time. Clicks
+    near the stream's end therefore stay IN STATE at drain time and
+    their null rows are withheld (not wrong, just not-yet-provable) —
+    the integration test pins exactly this split. Same two-sided time
+    bound as the inner join, so state stays evictable."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    cond = (
+        (c.user_id == p.p_user_id)
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return c.join(p, cond, "left_outer").select(
+        "click_id", "user_id", "click_ts", "purchase_id"
+    )
+
+
 #: Output schema of the per-user EMA stateful operator.
 EMA_SCHEMA = "user_id long, n_events long, ema double"
 #: State schema: running (count, ema).

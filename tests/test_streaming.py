@@ -1029,3 +1029,90 @@ def test_listing_stream_source_polls_frontier_exactly_once(spark, tmp_path):
     # statuses already consumed above, so page 1 now serves 200)
     replay = list(rdr.readBetweenOffsets({"next_page": 1}, {"next_page": 2}))
     assert replay == rows
+
+
+def test_stream_stream_outer_join_emits_nulls_after_watermark(
+    spark, events_stream_dir
+):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    left-join's matched set; null-extended rows appear ONLY for clicks
+    whose join window is provably closed (click_ts + max_gap + wm
+    <= max event time), and every such provably-unmatched click IS
+    emitted with a null purchase — the watermark-driven outer-emission
+    contract. Clicks past the provability horizon are withheld in
+    state at drain, so we assert set equality on the provable region
+    and non-emission beyond it."""
+    ev = stream_events(spark, events_stream_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = stream_events(spark, events_stream_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = drain(
+        spark,
+        pipelines.click_purchase_outer_join(
+            clicks, buys, max_gap="6 hours", watermark="1 hours"
+        ),
+        "t_ssouter",
+    )
+    got_matched = {
+        (r["click_id"], r["purchase_id"])
+        for r in out.filter("purchase_id IS NOT NULL").collect()
+    }
+    got_null_clicks = {
+        r["click_id"] for r in out.filter("purchase_id IS NULL").collect()
+    }
+
+    batch = spark.read.parquet(events_stream_dir)
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("pts"),
+    )
+    pairs = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 6 hours")),
+        "left_outer",
+    )
+    want_matched = {
+        (r["click_id"], r["purchase_id"])
+        for r in pairs.filter("purchase_id IS NOT NULL").collect()
+    }
+    assert want_matched and got_matched == want_matched
+
+    # the global watermark is the MIN across both watermarked inputs
+    # (spark.sql.streaming.multipleWatermarkPolicy default): the quiet
+    # purchase stream, not the global max event time, caps eviction
+    max_ts = min(
+        batch.filter("event_type = 'click'").agg(F.max("ts")).collect()[0][0],
+        batch.filter("event_type = 'purchase'").agg(F.max("ts")).collect()[0][0],
+    )
+    unmatched = pairs.filter("purchase_id IS NULL")
+
+    def horizon(margin):
+        # click state expires when the watermark (max_ts - 1h, modulo
+        # sub-second truncation) passes cts + max_gap; margin brackets
+        # the truncation
+        return {
+            r["click_id"]
+            for r in unmatched.filter(
+                F.col("cts")
+                + F.expr("INTERVAL 7 hours")  # max_gap + watermark delay
+                + F.expr(f"INTERVAL {margin}")
+                <= F.lit(max_ts)
+            ).collect()
+        }
+
+    definite = horizon("1 minutes")  # watermark provably passed
+    loose = horizon("-1 minutes")  # watermark possibly passed
+    # every provably-unmatched click emitted a null row; no null row
+    # was emitted for a click whose window could still match; never a
+    # false null for a click that actually had a purchase
+    assert definite  # the fixture actually exercises the null path
+    assert definite <= got_null_clicks <= loose
+    unmatched_all = {r["click_id"] for r in unmatched.collect()}
+    assert got_null_clicks <= unmatched_all
