@@ -1470,11 +1470,12 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     urg AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
             FROM orders WHERE o_orderpriority = '1-URGENT'),
     v2 AS (
-      SELECT o_totalprice FROM fo
+      SELECT o_orderkey, o_totalprice FROM fo
       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM urg)
       UNION ALL
-      SELECT o_totalprice FROM urg
-    )
+      SELECT o_orderkey, o_totalprice FROM urg
+    ),
+    v3 AS (SELECT o_totalprice FROM v2 WHERE o_orderkey % 10 <> 7)
     SELECT 'v0' AS op, CAST(0 AS BIGINT) AS version,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS total
@@ -1485,15 +1486,20 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'v2', 2, CAST(COUNT(*) AS BIGINT),
            CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) FROM v2
+    UNION ALL
+    SELECT 'v3', 3, CAST(COUNT(*) AS BIGINT),
+           CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) FROM v3
     """,
     doc="The snapshot-log lifecycle under the driver's value hash: "
     "commit filled orders (v0), append open orders (v1), file-grain "
     "COPY-ON-WRITE MERGE of urgent orders with +1000 totalprice (v2 "
     "— urgent rows replace or insert, untouched files carried by "
-    "reference), then TIME-TRAVEL every version and aggregate. The "
-    "oracle restates the three versions in plain SQL over orders — "
-    "any commit/merge/time-travel defect in sinks/table_log.py "
-    "changes a version's rows and fails the hash.",
+    "reference), MERGE-ON-READ deletion-vector delete of "
+    "orderkey%10=7 (v3 — zero data files rewritten, readers apply "
+    "the DV anti-join), then TIME-TRAVEL every version and "
+    "aggregate. The oracle restates the four versions in plain SQL "
+    "over orders — any commit/merge/DV/time-travel defect in "
+    "sinks/table_log.py changes a version's rows and fails the hash.",
 )
 def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1515,9 +1521,10 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", F.col("o_totalprice") + 1000.0
     )
     table_log.merge_snapshot(urgent, tdir, key="o_orderkey")
+    table_log.delete_snapshot_dv(spark, tdir, "o_orderkey % 10 = 7")
 
     frames = []
-    for v, op in ((0, "v0"), (1, "v1"), (2, "v2")):
+    for v, op in ((0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")):
         frames.append(
             table_log.read_snapshot(spark, tdir, v).agg(
                 F.lit(op).alias("op"),

@@ -7,7 +7,10 @@ directories cannot.
 Layout::
 
     <table>/
-      data/c<token>/part-*.parquet   immutable commit dirs
+      data/c<token>/part-*.parquet   immutable commit dirs (data AND
+                                     deletion-vector parquet — DVs are
+                                     (file_key, pos) row suppressions
+                                     listed under the manifest "dvs")
       _log/v<version>.json           manifest per version
 
 Design choices, each load-bearing at scale:
@@ -30,6 +33,12 @@ Design choices, each load-bearing at scale:
   re-point).
 - **A crashed commit leaves only an orphaned data dir** (no manifest
   → invisible), removed by :func:`vacuum`.
+- **Two delete shapes**: :func:`delete_snapshot` is copy-on-write
+  (rewrite touched files — read-optimal, write-amplified) and
+  :func:`delete_snapshot_dv` is merge-on-read via deletion vectors
+  (write O(matched rows), readers anti-join the DV set until
+  :func:`compact_snapshot` materializes it) — the Delta DV /
+  Iceberg v2 position-delete idea on this log.
 
 This intentionally reimplements the public table-format idea rather
 than wrapping Delta/Iceberg (not shipped in this container); the
@@ -210,6 +219,112 @@ def _file_may_match(file_stats: dict, col: str, op: str, val) -> bool:
         return True  # incomparable literal type: keep, filter decides
 
 
+#: DV row-identity: a data row is addressed by (commit-dir/file-name,
+#: row position within the file). ``_metadata.row_index`` is the
+#: engine-stable position of a row in its parquet file, and the last
+#: two path components are unique by construction (commit dirs are
+#: uuid-token-named), so the key survives a table relocation (absolute
+#: paths would not).
+_DV_KEY_RE = r"([^/]+/[^/]+)$"
+
+
+def _dv_rel_key(rel: str) -> str:
+    """Manifest-relative file path -> DV key (strip the data/ root)."""
+    return rel.split("/", 1)[1]
+
+
+def _read_with_row_identity(spark: SparkSession, table_path: str, manifest: dict):
+    """The LIVE view of a snapshot with ``__dv_key``/``__dv_pos``
+    row-identity columns attached and existing deletion vectors
+    already applied — the base every DV-aware writer reads."""
+    from pyspark.sql import functions as F
+
+    data = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[f"{table_path}/{rel}" for rel in manifest["files"]])
+        .withColumn(
+            "__dv_key",
+            F.regexp_extract(F.col("_metadata.file_path"), _DV_KEY_RE, 1),
+        )
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+    )
+    dv_rels = manifest.get("dvs", [])
+    if dv_rels:
+        dv = spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
+        data = data.join(
+            F.broadcast(dv),
+            (F.col("__dv_key") == dv["file_key"])
+            & (F.col("__dv_pos") == dv["pos"]),
+            "left_anti",
+        )
+    return data
+
+
+def delete_snapshot_dv(
+    spark: SparkSession,
+    table_path: str,
+    condition: str,
+    max_retries: int = 10,
+) -> int:
+    """MERGE-ON-READ delete via DELETION VECTORS: mark the rows
+    matching ``condition`` deleted WITHOUT rewriting any data file.
+    The commit writes only a tiny (file_key, pos) parquet — the row
+    positions to suppress — and the manifest carries the data files
+    unchanged plus the accumulated DV list. At 100 TB this turns a
+    takedown touching 10k files from a 10k-file rewrite
+    (:func:`delete_snapshot`, write amplification = touched bytes)
+    into an O(matched rows) write; readers apply the DVs as a
+    broadcast anti-join on the row identity, and ONLY the files that
+    actually carry DVs pay it.
+
+    Contract: DVs are an accumulating read-side debt — each read
+    anti-joins every outstanding DV row — so they are for LOW-RATE
+    deletes between compactions. :func:`compact_snapshot` materializes
+    and clears them; the CoW writers (:func:`delete_snapshot`,
+    :func:`merge_snapshot`) refuse to run while DVs are outstanding
+    (compact first) so no rewrite can double-count a DV'd row. Same
+    time-travel/retention story as the CoW delete: the rows stay
+    readable in pre-delete versions until vacuum."""
+    from pyspark.sql import functions as F
+
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        versions = _list_versions(spark, table_path)
+        if not versions:
+            raise ValueError(f"no snapshots at {table_path}")
+        prev = _manifest(spark, table_path, versions[-1])
+        version = versions[-1] + 1
+        live = _read_with_row_identity(spark, table_path, prev)
+        matches = (
+            live.filter(F.expr(condition))
+            .select(
+                F.col("__dv_key").alias("file_key"),
+                F.col("__dv_pos").alias("pos"),
+            )
+        )
+        new_dv = _write_commit_dir(matches, table_path, f"data/c{token}")
+        n_deleted = spark.read.parquet(
+            *[f"{table_path}/{r}" for r in new_dv]
+        ).count()
+        manifest = {
+            "version": version,
+            "operation": "delete_dv",
+            "condition": condition,
+            "files": prev["files"],
+            "n_files": len(prev["files"]),
+            "n_deleted": n_deleted,
+            "dvs": prev.get("dvs", []) + new_dv,
+            "schema": prev.get("schema"),
+            "stats": prev.get("stats", {}),
+        }
+        if _try_publish(spark, table_path, version, token, manifest):
+            return version
+        token = uuid.uuid4().hex[:12]
+    raise RuntimeError(
+        f"DV delete on {table_path} lost {max_retries} version races"
+    )
+
+
 def commit_snapshot(
     df: DataFrame,
     table_path: str,
@@ -238,10 +353,12 @@ def commit_snapshot(
         version = (versions[-1] + 1) if versions else 0
         new_files = _write_commit_dir(df, table_path, commit_rel)
         new_stats = _stats_for_files(spark, table_path, new_files)
+        dvs: list[str] = []
         if mode == "append" and versions:
             prev = _manifest(spark, table_path, versions[-1])
             files = prev["files"] + new_files
             stats = {**prev.get("stats", {}), **new_stats}
+            dvs = prev.get("dvs", [])  # appends carry deletion vectors
         else:
             files = new_files
             stats = new_stats
@@ -252,6 +369,7 @@ def commit_snapshot(
             "n_files": len(files),
             "schema": df.schema.json(),
             "stats": stats,
+            **({"dvs": dvs} if dvs else {}),
             **(extra_meta or {}),
         }
         if _try_publish(spark, table_path, version, token, manifest):
@@ -341,7 +459,41 @@ def read_snapshot(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*paths)
+    dv_rels = manifest.get("dvs", [])
+    if dv_rels:
+        # merge-on-read: suppress DV'd row positions. Only files that
+        # carry DVs pay the anti-join; the rest scan plain and union.
+        from pyspark.sql import functions as F
+
+        dv = spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
+        dv_keys = {r["file_key"] for r in dv.select("file_key").distinct().collect()}
+        dvd = [p for p, rel in zip(paths, files) if _dv_rel_key(rel) in dv_keys]
+        clean = [p for p, rel in zip(paths, files) if _dv_rel_key(rel) not in dv_keys]
+        parts = []
+        if dvd:
+            tagged = (
+                reader.parquet(*dvd)
+                .withColumn(
+                    "__dv_key",
+                    F.regexp_extract(F.col("_metadata.file_path"), _DV_KEY_RE, 1),
+                )
+                .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            )
+            parts.append(
+                tagged.join(
+                    F.broadcast(dv),
+                    (F.col("__dv_key") == dv["file_key"])
+                    & (F.col("__dv_pos") == dv["pos"]),
+                    "left_anti",
+                ).drop("__dv_key", "__dv_pos")
+            )
+        if clean:
+            parts.append(reader.parquet(*clean))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=merge_schema)
+    else:
+        df = reader.parquet(*paths)
     if predicates:
         from pyspark.sql import functions as F
 
@@ -395,7 +547,9 @@ def vacuum(
     keep = set(versions[-keep_last:])
     live_files: set[str] = set()
     for v in keep:
-        live_files.update(_manifest(spark, table_path, v)["files"])
+        m = _manifest(spark, table_path, v)
+        live_files.update(m["files"])
+        live_files.update(m.get("dvs", []))  # DV parquet is live data
     now_ms = time.time() * 1000.0
     min_age_ms = min_age_s * 1000.0
 
@@ -466,6 +620,12 @@ def merge_snapshot(
                 extra_meta=extra_meta,
             )
         prev = _manifest(spark, table_path, versions[-1])
+        if prev.get("dvs"):
+            raise ValueError(
+                f"{table_path} has outstanding deletion vectors; run "
+                "compact_snapshot to materialize them before a CoW "
+                "merge (a file rewrite must not resurrect DV'd rows)"
+            )
         version = versions[-1] + 1
         # mergeSchema: the carry side must keep columns added by
         # schema evolution, or the rewrite silently truncates them
@@ -589,9 +749,12 @@ def compact_snapshot(
         base_v = versions[-1]
         prev = _manifest(spark, table_path, base_v)
         version = base_v + 1
-        # mergeSchema: compaction must not truncate evolved columns
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[f"{table_path}/{rel}" for rel in prev["files"]]
+        # mergeSchema: compaction must not truncate evolved columns.
+        # Reading through the row-identity view also MATERIALIZES any
+        # outstanding deletion vectors — the compacted files contain
+        # only live rows and the new manifest carries no "dvs".
+        df = _read_with_row_identity(spark, table_path, prev).drop(
+            "__dv_key", "__dv_pos"
         )
         if zorder_by:
             from pyspark.sql import functions as F
@@ -616,6 +779,7 @@ def compact_snapshot(
             "files": files,
             "n_files": len(files),
             "compacted_from": prev["n_files"],
+            "materialized_dvs": len(prev.get("dvs", [])),
             "zorder_by": zorder_by or [],
             "schema": df.schema.json(),
             "stats": _stats_for_files(spark, table_path, files),
@@ -652,6 +816,12 @@ def delete_snapshot(
         if not versions:
             raise ValueError(f"no snapshots at {table_path}")
         prev = _manifest(spark, table_path, versions[-1])
+        if prev.get("dvs"):
+            raise ValueError(
+                f"{table_path} has outstanding deletion vectors; run "
+                "compact_snapshot to materialize them before a CoW "
+                "delete (use delete_snapshot_dv for merge-on-read)"
+            )
         version = versions[-1] + 1
         tagged = spark.read.option("mergeSchema", "true").parquet(
             *[f"{table_path}/{rel}" for rel in prev["files"]]
@@ -737,18 +907,55 @@ def read_changes(
     def read_rel(rels):
         return spark.read.parquet(*[f"{table_path}/{r}" for r in rels])
 
-    prev_files = set(_manifest(spark, table_path, from_version)["files"])
+    start_m = _manifest(spark, table_path, from_version)
+    prev_files = set(start_m["files"])
+    prev_dvs = set(start_m.get("dvs", []))
     for v in versions:
         if not from_version < v <= to_version:
             continue
         m = _manifest(spark, table_path, v)
         cur_files = set(m["files"])
+        cur_dvs = set(m.get("dvs", []))
         if m.get("operation") == "compact":
-            prev_files = cur_files  # content-identical by construction
+            # live-content identical by construction: compaction also
+            # MATERIALIZES deletion vectors, whose rows were already
+            # emitted as deletes at their delete_dv step
+            prev_files, prev_dvs = cur_files, cur_dvs
+            continue
+        if m.get("operation") == "delete_dv":
+            # data files unchanged; the change set is exactly the new
+            # DV rows, resolved back to full rows via the row identity
+            new_dvs = sorted(cur_dvs - prev_dvs)
+            prev_files, prev_dvs = cur_files, cur_dvs
+            if not new_dvs:
+                continue
+            dv = read_rel(new_dvs)
+            tagged = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[f"{table_path}/{r}" for r in sorted(cur_files)])
+                .withColumn(
+                    "__dv_key",
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), _DV_KEY_RE, 1
+                    ),
+                )
+                .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            )
+            step = (
+                tagged.join(
+                    F.broadcast(dv),
+                    (F.col("__dv_key") == dv["file_key"])
+                    & (F.col("__dv_pos") == dv["pos"]),
+                    "left_semi",
+                )
+                .drop("__dv_key", "__dv_pos")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            out = step if out is None else out.unionByName(step)
             continue
         added = sorted(cur_files - prev_files)
         removed = sorted(prev_files - cur_files)
-        prev_files = cur_files
+        prev_files, prev_dvs = cur_files, cur_dvs
         step: DataFrame | None = None
         if added and not removed:  # pure append: no diff needed
             step = read_rel(added).withColumn("_change_type", F.lit("insert"))

@@ -1435,3 +1435,110 @@ def test_matview_dirty_recompute_prunes_source_files(spark, tmp_path):
     # null group key in the dirty set -> no predicates (conservative)
     nd = spark.createDataFrame([(None,), (1,)], "band long")
     assert matview._dirty_bounds_predicates(spark, src, nd, ["band"]) is None
+
+
+def test_snapshot_deletion_vectors_merge_on_read(spark, tmp_path):
+    """Merge-on-read DELETE via deletion vectors: delete_snapshot_dv
+    marks row positions without rewriting any data file (manifest
+    carries the same files + a DV list), reads suppress exactly the
+    marked rows, time travel still sees them, appends carry the DVs,
+    DV deletes accumulate, CDF emits the DV'd rows as deletes, compact
+    MATERIALIZES the DVs (clears the debt, content unchanged), CoW
+    writers refuse while DVs are outstanding, and vacuum keeps live DV
+    parquet."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "dv_table")
+    df = spark.range(0, 20).withColumnRenamed("id", "k").withColumn(
+        "grp", (F.col("k") % 4).cast("long")
+    ).repartition(4)
+    v0 = table_log.commit_snapshot(df, t, mode="append")
+    m0 = table_log._manifest(spark, t, v0)
+
+    def ks(d):
+        return sorted(r["k"] for r in d.collect())
+
+    # DV delete: rows gone from the live read, NO data file rewritten
+    v1 = table_log.delete_snapshot_dv(spark, t, "grp = 1")
+    m1 = table_log._manifest(spark, t, v1)
+    assert m1["files"] == m0["files"]  # zero write amplification
+    assert m1["operation"] == "delete_dv" and m1["n_deleted"] == 5
+    assert len(m1.get("dvs", [])) >= 1
+    assert ks(table_log.read_snapshot(spark, t)) == [
+        k for k in range(20) if k % 4 != 1
+    ]
+    # time travel: the pre-delete version still has every row
+    assert ks(table_log.read_snapshot(spark, t, v0)) == list(range(20))
+
+    # predicates (manifest data skipping) compose with the DV read
+    assert ks(
+        table_log.read_snapshot(spark, t, predicates=[("k", "<", 8)])
+    ) == [0, 2, 3, 4, 6, 7]
+
+    # appends carry the DVs; a second DV delete accumulates
+    v2 = table_log.commit_snapshot(
+        spark.range(100, 104).withColumnRenamed("id", "k").withColumn(
+            "grp", F.lit(1).cast("long")
+        ),
+        t,
+        mode="append",
+    )
+    assert table_log._manifest(spark, t, v2)["dvs"] == m1["dvs"]
+    v3 = table_log.delete_snapshot_dv(spark, t, "k >= 102")
+    m3 = table_log._manifest(spark, t, v3)
+    assert len(m3["dvs"]) > len(m1["dvs"]) and m3["n_deleted"] == 2
+    live = [k for k in range(20) if k % 4 != 1] + [100, 101]
+    assert ks(table_log.read_snapshot(spark, t)) == live
+
+    # CDF: the DV steps surface exactly the deleted rows
+    ch = table_log.read_changes(spark, t, from_version=v0, to_version=v1)
+    assert sorted(
+        r["k"] for r in ch.filter("_change_type = 'delete'").collect()
+    ) == [1, 5, 9, 13, 17]
+    assert ch.filter("_change_type = 'insert'").count() == 0
+
+    # CoW writers refuse while DVs are outstanding
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="deletion vectors"):
+        table_log.delete_snapshot(spark, t, "k = 0")
+    with _pytest.raises(ValueError, match="deletion vectors"):
+        table_log.merge_snapshot(
+            spark.createDataFrame([(0, 9)], "k long, grp long"), t, key="k"
+        )
+
+    # compact materializes: same live content, no dvs, debt cleared
+    v4 = table_log.compact_snapshot(spark, t, target_files=2)
+    m4 = table_log._manifest(spark, t, v4)
+    assert "dvs" not in m4 and m4["materialized_dvs"] == len(m3["dvs"])
+    assert ks(table_log.read_snapshot(spark, t)) == live
+    # CDF across the compact adds nothing beyond the DV deletes
+    ch_all = table_log.read_changes(spark, t, from_version=v3, to_version=v4)
+    assert ch_all.count() == 0
+    # CoW delete works again post-compact
+    table_log.delete_snapshot(spark, t, "k = 0")
+    assert ks(table_log.read_snapshot(spark, t)) == live[1:]
+
+    # vacuum keeps the latest version readable (DV files of kept
+    # versions are live; here DVs are already materialized)
+    table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    assert ks(table_log.read_snapshot(spark, t)) == live[1:]
+
+
+def test_snapshot_dv_files_survive_vacuum_when_live(spark, tmp_path):
+    """A vacuum running while DVs are OUTSTANDING must not reap the DV
+    parquet the kept manifest references (they live under data/ like
+    any commit dir)."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "dv_vac")
+    table_log.commit_snapshot(
+        spark.range(0, 10).withColumnRenamed("id", "k"), t, mode="append"
+    )
+    table_log.delete_snapshot_dv(spark, t, "k < 3")
+    table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    assert sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t).collect()
+    ) == list(range(3, 10))
