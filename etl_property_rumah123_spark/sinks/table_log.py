@@ -325,6 +325,75 @@ def delete_snapshot_dv(
     )
 
 
+def merge_snapshot_mor(
+    df: DataFrame,
+    table_path: str,
+    key: str,
+    max_retries: int = 10,
+    extra_meta: dict | None = None,
+) -> int:
+    """MERGE-ON-READ upsert: the DV composition of
+    :func:`merge_snapshot`. Old versions of matched keys are marked
+    deleted in a deletion vector and the whole batch lands as new
+    appended files — ONE atomic manifest, ZERO data files rewritten.
+    Where the CoW merge pays touched-file write amplification (a
+    0.1%-of-keys merge still rewrites every file holding one), the
+    MoR merge writes O(batch + matched positions) and defers the cost
+    to readers (broadcast DV anti-join) until :func:`compact_snapshot`
+    materializes. The streaming-sink batch-id stamp rides in
+    ``extra_meta`` exactly as in the CoW form. First commit
+    degenerates to append."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        versions = _list_versions(spark, table_path)
+        if not versions:
+            return commit_snapshot(
+                df,
+                table_path,
+                mode="append",
+                max_retries=max_retries,
+                extra_meta=extra_meta,
+            )
+        prev = _manifest(spark, table_path, versions[-1])
+        version = versions[-1] + 1
+        live = _read_with_row_identity(spark, table_path, prev)
+        batch_keys = df.select(key).distinct()
+        matched = live.join(
+            F.broadcast(batch_keys),
+            live[key] == batch_keys[key],
+            "left_semi",
+        ).select(
+            F.col("__dv_key").alias("file_key"),
+            F.col("__dv_pos").alias("pos"),
+        )
+        new_dv = _write_commit_dir(matched, table_path, f"data/c{token}d")
+        new_files = _write_commit_dir(df, table_path, f"data/c{token}a")
+        files = prev["files"] + new_files
+        manifest = {
+            "version": version,
+            "operation": "merge_mor",
+            "merge_key": key,
+            "files": files,
+            "n_files": len(files),
+            "dvs": prev.get("dvs", []) + new_dv,
+            "schema": df.schema.json(),
+            "stats": {
+                **prev.get("stats", {}),
+                **_stats_for_files(spark, table_path, new_files),
+            },
+            **(extra_meta or {}),
+        }
+        if _try_publish(spark, table_path, version, token, manifest):
+            return version
+        token = uuid.uuid4().hex[:12]
+    raise RuntimeError(
+        f"MoR merge to {table_path} lost {max_retries} version races"
+    )
+
+
 def commit_snapshot(
     df: DataFrame,
     table_path: str,
@@ -922,13 +991,12 @@ def read_changes(
             # emitted as deletes at their delete_dv step
             prev_files, prev_dvs = cur_files, cur_dvs
             continue
-        if m.get("operation") == "delete_dv":
-            # data files unchanged; the change set is exactly the new
-            # DV rows, resolved back to full rows via the row identity
-            new_dvs = sorted(cur_dvs - prev_dvs)
-            prev_files, prev_dvs = cur_files, cur_dvs
-            if not new_dvs:
-                continue
+        # DV delta first (any operation may add deletion vectors —
+        # delete_dv, merge-on-read upsert): new DV rows resolve back
+        # to full 'delete' rows via the row identity. The dv'd
+        # positions live in carried files, so cur_files covers them.
+        new_dvs = sorted(cur_dvs - prev_dvs)
+        if new_dvs:
             dv = read_rel(new_dvs)
             tagged = (
                 spark.read.option("mergeSchema", "true")
@@ -941,7 +1009,7 @@ def read_changes(
                 )
                 .withColumn("__dv_pos", F.col("_metadata.row_index"))
             )
-            step = (
+            dv_step = (
                 tagged.join(
                     F.broadcast(dv),
                     (F.col("__dv_key") == dv["file_key"])
@@ -951,10 +1019,13 @@ def read_changes(
                 .drop("__dv_key", "__dv_pos")
                 .withColumn("_change_type", F.lit("delete"))
             )
-            out = step if out is None else out.unionByName(step)
-            continue
-        added = sorted(cur_files - prev_files)
-        removed = sorted(prev_files - cur_files)
+            out = dv_step if out is None else out.unionByName(dv_step)
+        added = sorted(
+            rel for rel in cur_files - prev_files if rel not in cur_dvs
+        )
+        removed = sorted(
+            rel for rel in prev_files - cur_files if rel not in prev_dvs
+        )
         prev_files, prev_dvs = cur_files, cur_dvs
         step: DataFrame | None = None
         if added and not removed:  # pure append: no diff needed

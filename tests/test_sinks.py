@@ -1542,3 +1542,69 @@ def test_snapshot_dv_files_survive_vacuum_when_live(spark, tmp_path):
     assert sorted(
         r["k"] for r in table_log.read_snapshot(spark, t).collect()
     ) == list(range(3, 10))
+
+
+def test_snapshot_merge_on_read_upsert(spark, tmp_path):
+    """merge_snapshot_mor: matched keys' old versions are DV'd, the
+    batch appends as new files, nothing is rewritten, and one atomic
+    manifest carries both; the live read is a last-write-wins upsert,
+    CDF emits delete+insert pairs for updated keys and pure inserts
+    for new ones, and compact materializes to a clean CoW-mergeable
+    table."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "mor_table")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    v0 = table_log.commit_snapshot(base.repartition(3), t, mode="append")
+    m0 = table_log._manifest(spark, t, v0)
+
+    batch = spark.createDataFrame(
+        [(3, 999), (7, 777), (100, 1)], "k long, val long"
+    )
+    v1 = table_log.merge_snapshot_mor(batch, t, key="k")
+    m1 = table_log._manifest(spark, t, v1)
+    # every v0 file carried by reference; batch files appended; DVs on
+    assert set(m0["files"]) <= set(m1["files"])
+    assert m1["operation"] == "merge_mor" and len(m1["dvs"]) >= 1
+
+    got = {
+        r["k"]: r["val"]
+        for r in table_log.read_snapshot(spark, t).collect()
+    }
+    want = {k: k * 10 for k in range(10)} | {3: 999, 7: 777, 100: 1}
+    assert got == want
+    # time travel unaffected
+    assert table_log.read_snapshot(spark, t, v0).count() == 10
+
+    # CDF: updated keys emit delete+insert, fresh key only insert
+    ch = table_log.read_changes(spark, t, from_version=v0)
+    dels = {
+        r["k"] for r in ch.filter("_change_type = 'delete'").collect()
+    }
+    ins = {r["k"] for r in ch.filter("_change_type = 'insert'").collect()}
+    assert dels == {3, 7} and ins == {3, 7, 100}
+
+    # repeated MoR merges accumulate; compact materializes the debt
+    table_log.merge_snapshot_mor(
+        spark.createDataFrame([(3, 1000)], "k long, val long"), t, key="k"
+    )
+    v3 = table_log.compact_snapshot(spark, t, target_files=2)
+    m3 = table_log._manifest(spark, t, v3)
+    assert "dvs" not in m3
+    got3 = {
+        r["k"]: r["val"]
+        for r in table_log.read_snapshot(spark, t).collect()
+    }
+    assert got3 == want | {3: 1000}
+    # post-compact the CoW merge works again
+    table_log.merge_snapshot(
+        spark.createDataFrame([(0, -1)], "k long, val long"), t, key="k"
+    )
+    assert {
+        r["val"]
+        for r in table_log.read_snapshot(spark, t).filter("k = 0").collect()
+    } == {-1}
