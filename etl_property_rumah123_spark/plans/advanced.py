@@ -917,6 +917,56 @@ def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@part(
+    "sql_udf_scalar",
+    """
+    SELECT band AS band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM (
+      SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                  WHEN o_totalprice < 250000 THEN 'mid'
+                  ELSE 'high' END AS band,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 = 0
+    ) GROUP BY band
+    """,
+    doc="Declarative SQL UDFs (Spark 4.1 CREATE FUNCTION ... RETURN) "
+    "+ parameterized SQL: two scalar SQL functions (a CASE band and "
+    "an exact-cents conversion) defined in SQL, invoked from a "
+    "parameterized query bound via spark.sql(args=...) named "
+    "parameters. SQL UDFs are inlined by Catalyst into the plan — "
+    "whole-stage codegen, no Python boundary, unlike a Python UDF "
+    "doing the same — so they cost nothing at 100 TB. The oracle "
+    "inlines the function bodies by hand.",
+)
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_property_rumah123_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, "orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sg_price_band(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p < :lo THEN 'low' "
+        "WHEN p < :hi THEN 'mid' ELSE 'high' END",
+        args={"lo": 100000.0, "hi": 250000.0},
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sg_cents(p DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(ROUND(p * 100, 0) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum
+        FROM (SELECT sg_price_band(o_totalprice) AS band,
+                     sg_cents(o_totalprice) AS cents
+              FROM orders WHERE o_orderkey % :m = 0)
+        GROUP BY band
+        """,
+        args={"m": 3},
+    )
+
+
 _RECURSIVE_ANCESTORS_SQL = """
     WITH RECURSIVE chain(leaf, node, depth) AS (
       SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey % 37 = 0

@@ -293,10 +293,13 @@ _suite(
         "date": {"part": "date_functions", "k1": "yr", "k2": "mon", "n1": "n", "n2": "revenue"},
         "math": {"part": "math_functions", "k1": "l_orderkey", "k2": "l_linenumber", "n1": "qty_bucket", "n2": "qty_dev", "n3": "part_mod", "v1": "price_sqrt", "v2": "price_ln"},
         "json": {"part": "json_extract_events", "k1": "event_id", "n1": "k_val"},
+        "sql_udf": {"part": "sql_udf_scalar", "s1": "band", "n1": "n", "n2": "cents_sum"},
     },
-    [("k1", "bigint"), ("k2", "bigint"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double"), ("v2", "double")],
+    [("k1", "bigint"), ("k2", "bigint"), ("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double"), ("v2", "double")],
     doc="Calendar extraction, math scalar family, JSON field "
-    "extraction from string columns.",
+    "extraction from string columns, and declarative SQL UDFs "
+    "(CREATE FUNCTION ... RETURN, Catalyst-inlined) invoked through "
+    "parameterized SQL.",
 )
 
 _suite(
