@@ -196,6 +196,55 @@ def click_purchase_outer_join(
     )
 
 
+def hourly_conversion_counts(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "60 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS in one streaming query: the
+    click->purchase interval join feeding a tumbling-hour conversion
+    count — two state stores (join + aggregation) in a single plan,
+    the Spark 4 multiple-stateful-operator capability (earlier
+    releases refused this pipeline outright in append mode).
+
+    Correctness hinges on WATERMARK PROPAGATION: the join delays its
+    output watermark by the state it may still emit, and the window
+    aggregate finalizes an hour bucket only when that *propagated*
+    watermark passes the window end — the integration test brackets
+    exactly which buckets a drain must and must not have emitted."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    cond = (
+        (c.user_id == p.p_user_id)
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    joined = c.join(p, cond).select("click_id", "purchase_id", "purchase_ts")
+    return (
+        joined.groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_conversions"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "n_conversions",
+        )
+    )
+
+
 #: Output schema of the per-user EMA stateful operator.
 EMA_SCHEMA = "user_id long, n_events long, ema double"
 #: State schema: running (count, ema).

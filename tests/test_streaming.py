@@ -1116,3 +1116,68 @@ def test_stream_stream_outer_join_emits_nulls_after_watermark(
     assert definite <= got_null_clicks <= loose
     unmatched_all = {r["click_id"] for r in unmatched.collect()}
     assert got_null_clicks <= unmatched_all
+
+
+def test_chained_stateful_operators_join_then_window(spark, events_stream_dir):
+    """Two stateful operators in ONE streaming query (Spark 4
+    multiple-stateful-operators): the interval join's output feeds a
+    tumbling-hour aggregation in append mode. Emitted hour buckets
+    must match the batch twin exactly, and a bucket is emitted iff
+    the PROPAGATED watermark (source watermark minus the join's
+    max_gap retention) provably passed its end — bracketed with a
+    margin like the outer-join test."""
+    ev = stream_events(spark, events_stream_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = stream_events(spark, events_stream_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = drain(
+        spark,
+        pipelines.hourly_conversion_counts(
+            clicks, buys, max_gap="6 hours", watermark="1 hours"
+        ),
+        "t_chained",
+    )
+    got = {r["hour_start"]: r["n_conversions"] for r in out.collect()}
+
+    batch = spark.read.parquet(events_stream_dir)
+    c = batch.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("pts")
+    )
+    pairs = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 6 hours")),
+    )
+    want = {
+        r["hour_start"]: r["n"]
+        for r in pairs.groupBy(
+            F.window("pts", "1 hour").alias("w")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "n")
+        .collect()
+    }
+    # every emitted bucket is exactly right
+    assert got and all(want.get(h) == n for h, n in got.items())
+    # bracketing: buckets provably closed under the propagated
+    # watermark must be present; buckets past the loose horizon must
+    # not be (wm = min-input max ts - 1h; join retention adds 6h)
+    import datetime as _dt
+
+    max_ts = min(
+        batch.filter("event_type = 'click'").agg(F.max("ts")).collect()[0][0],
+        batch.filter("event_type = 'purchase'").agg(F.max("ts")).collect()[0][0],
+    )
+    wm = max_ts - _dt.timedelta(hours=1)
+    for h in want:
+        closed = h + _dt.timedelta(hours=1 + 6, minutes=1) <= wm
+        open_ = h + _dt.timedelta(hours=1 + 6, minutes=-1) > wm
+        if closed:
+            assert h in got, f"closed bucket {h} missing"
+        if open_:
+            assert h not in got, f"unfinalizable bucket {h} emitted"
