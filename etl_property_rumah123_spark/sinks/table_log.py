@@ -748,7 +748,9 @@ def merge_snapshot(
     )
 
 
-def snapshot_stream_writer(table_path: str, key: str | None = None):
+def snapshot_stream_writer(
+    table_path: str, key: str | None = None, mor: bool = False
+):
     """foreachBatch sink committing each micro-batch as a snapshot
     version — EXACTLY-ONCE through the transaction log: the
     ``stream_batch_id`` stamp is embedded IN the atomically published
@@ -760,8 +762,12 @@ def snapshot_stream_writer(table_path: str, key: str | None = None):
     deletes, merges) cannot mask it. Same mechanism as Delta's
     streaming sink; stronger than at-least-once + dedup-on-read.
 
-    With ``key`` set, each batch MERGES (CoW upsert); otherwise it
-    appends. CONTRACT: one writing query per table, and the batch-id
+    With ``key`` set, each batch MERGES — copy-on-write by default,
+    MERGE-ON-READ with ``mor=True`` (:func:`merge_snapshot_mor`: the
+    steady-state streaming-upsert shape, since per-batch CoW rewrites
+    amplify every micro-batch; schedule :func:`compact_snapshot`
+    periodically to retire the DV debt). Otherwise it appends.
+    CONTRACT: one writing query per table, and the batch-id
     sequence belongs to the query's CHECKPOINT — starting a fresh
     checkpoint against a table with committed stream batches restarts
     ids at 0 and is treated as replay (write to a new table, or leave
@@ -778,7 +784,8 @@ def snapshot_stream_writer(table_path: str, key: str | None = None):
                 break
         stamp = {"stream_batch_id": batch_id}
         if key is not None and versions:
-            merge_snapshot(batch_df, table_path, key, extra_meta=stamp)
+            merge = merge_snapshot_mor if mor else merge_snapshot
+            merge(batch_df, table_path, key, extra_meta=stamp)
         else:
             commit_snapshot(
                 batch_df, table_path, mode="append", extra_meta=stamp

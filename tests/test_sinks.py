@@ -1608,3 +1608,64 @@ def test_snapshot_merge_on_read_upsert(spark, tmp_path):
         r["val"]
         for r in table_log.read_snapshot(spark, t).filter("k = 0").collect()
     } == {-1}
+
+
+def test_snapshot_stream_writer_mor_upsert_exactly_once(spark, tmp_path):
+    """Streaming MERGE-ON-READ sink (snapshot_stream_writer mor=True):
+    each micro-batch upserts by key with zero file rewrites (DV +
+    append under one stamped manifest), replay from a fresh checkpoint
+    is skipped by the batch-id stamp, and a final compact retires the
+    DV debt without changing the upserted content."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "mor_stream_table")
+    src = tmp_path / "mor_stream_src"
+    src.mkdir()
+    schema = "k long, v string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run(checkpoint):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                table_log.snapshot_stream_writer(t, key="k", mor=True)
+            )
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    feed([(1, "a"), (2, "b")])
+    run("cp1")
+    feed([(2, "B"), (3, "c")])  # update + insert
+    run("cp1")
+
+    def rows():
+        return sorted(
+            (r["k"], r["v"])
+            for r in table_log.read_snapshot(spark, t).collect()
+        )
+
+    assert rows() == [(1, "a"), (2, "B"), (3, "c")]
+    hist = table_log.history(spark, t)
+    m_last = table_log._manifest(spark, t, hist[-1]["version"])
+    assert m_last["operation"] == "merge_mor" and m_last.get("dvs")
+    n_versions = len(hist)
+
+    # fresh checkpoint replays both batches; stamp skips them all
+    run("cp_replay")
+    assert rows() == [(1, "a"), (2, "B"), (3, "c")]
+    assert len(table_log.history(spark, t)) == n_versions
+
+    # compaction retires the DVs, content identical
+    table_log.compact_snapshot(spark, t, target_files=1)
+    assert rows() == [(1, "a"), (2, "B"), (3, "c")]
+    assert "dvs" not in table_log._manifest(
+        spark, t, table_log.history(spark, t)[-1]["version"]
+    )

@@ -1181,3 +1181,46 @@ def test_chained_stateful_operators_join_then_window(spark, events_stream_dir):
             assert h in got, f"closed bucket {h} missing"
         if open_:
             assert h not in got, f"unfinalizable bucket {h} emitted"
+
+
+def test_statestore_reader_exposes_withheld_window_state(spark, tmp_path, events_stream_dir):
+    """The state-store reader (spark.read.format('statestore')) — the
+    ops answer to "what is stuck in state?": after draining an
+    append-mode tumbling aggregation, the checkpoint's state rows are
+    exactly the windows the watermark could NOT yet finalize, and
+    state + emitted together cover the batch truth."""
+    ckpt = str(tmp_path / "ck_state")
+    q = (
+        pipelines.tumbling_counts(stream_events(spark, events_stream_dir))
+        .writeStream.format("memory")
+        .queryName("t_state_reader")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {
+        (r["window_start"], r["event_type"])
+        for r in spark.table("t_state_reader").collect()
+    }
+
+    st = spark.read.format("statestore").load(ckpt)
+    state = {
+        (r["key"]["window"]["start"], r["key"]["event_type"])
+        for r in st.collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"])
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type")
+        .collect()
+    }
+    assert state  # the tail windows really are withheld
+    assert emitted.isdisjoint(state)  # finalized windows left state
+    assert emitted | state == batch  # nothing lost, nothing invented
+    # the operator metadata surface names the stateful operator
+    md = spark.read.format("state-metadata").load(ckpt)
+    assert [r["operatorName"] for r in md.collect()] == ["stateStoreSave"]
