@@ -1669,3 +1669,60 @@ def test_snapshot_stream_writer_mor_upsert_exactly_once(spark, tmp_path):
     assert "dvs" not in table_log._manifest(
         spark, t, table_log.history(spark, t)[-1]["version"]
     )
+
+
+def test_matview_over_dv_and_mor_source(spark, tmp_path):
+    """Materialized-aggregate maintenance composes with the
+    merge-on-read source ops: a DV delete (dirty-group exact
+    recompute incl. a deleted extreme), a MoR upsert (delete+insert
+    pair for the updated key), and the compaction that materializes
+    the DVs (a no-op for the view) must each leave the view equal to
+    a from-scratch aggregate."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import matview, table_log
+
+    src, mv = str(tmp_path / "src_dv"), str(tmp_path / "mv_dv")
+    spec = {
+        "n": ("count", "doc_id"),
+        "tot": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, lang string, v long")
+
+    def check():
+        got = sorted(map(repr, matview.read_aggregate(spark, mv).collect()))
+        full = matview._aggregate(
+            table_log.read_snapshot(spark, src), ["lang"], spec
+        )
+        exp = sorted(
+            map(repr, full.filter(F.col("_mv_n") > 0).drop("_mv_n").collect())
+        )
+        assert got == exp
+
+    table_log.commit_snapshot(
+        mk([(1, "en", 5), (2, "en", 9), (3, "fr", 1), (4, "de", 7)]), src
+    )
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+
+    # DV delete removes en's max: dirty-group recompute must fire
+    table_log.delete_snapshot_dv(spark, src, "doc_id = 2")
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+
+    # MoR upsert: update en's remaining row + a fresh zh group
+    table_log.merge_snapshot_mor(
+        mk([(1, "en", 50), (9, "zh", 3)]), src, key="doc_id"
+    )
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+
+    # compaction materializes the DVs — live content unchanged, so
+    # the refresh is a watermark-only step with no value change
+    table_log.compact_snapshot(spark, src, target_files=1)
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
