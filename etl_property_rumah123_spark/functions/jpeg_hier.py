@@ -15,10 +15,13 @@ resolution; each subsequent frame doubles the reference with the
 J.1.1.2 bilinear upsampling filter (even samples copied, odd samples
 ``(a + b + 1) >> 1`` with edge replication) and codes the residual as
 a differential sequential frame (SOF5): no level shift, DC coded with
-zero prediction, quantized coefficients clamped to the baseline
-category bounds (+-2047 DC / +-1023 AC, an encoder-side choice the
-format permits — clamping only costs residual accuracy, never
-validity).
+zero prediction, quantized coefficients clamped to the frame
+alphabet's category bounds (8-bit baseline tables: +-2047 DC /
++-1023 AC; 12-bit flat tables: +-32767 / +-16383 — an encoder-side
+choice the format permits; clamping only costs residual accuracy,
+never validity). Both table-B.2 precisions are supported: at
+``precision=12`` the base frame is SOF1 (baseline SOF0 is 8-bit-only)
+with 16-bit DQT entries and 2048 level shift.
 
 Components are coded as RGB directly (identity color transform, 1x1
 sampling): hierarchical accumulation happens in the coded component
@@ -42,8 +45,12 @@ import numpy as np
 
 from etl_property_rumah123_spark.functions import jpeg as J
 
-_CLAMP_DC = 2047
-_CLAMP_AC = 1023
+#: Differential-coefficient clamps per precision: the largest values
+#: the frame's Huffman alphabet can code (8-bit baseline tables: DC
+#: category 11 / AC size 10; 12-bit flat tables: DC 15 / AC 14).
+#: Clamping is an encoder-side choice the format permits — it only
+#: costs residual accuracy, never validity.
+_CLAMPS = {8: (2047, 1023), 12: (32767, 16383)}
 
 
 def _upsample2(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
@@ -95,21 +102,26 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
 
 
 def _quantize_frame(
-    planes: list[np.ndarray], quant: np.ndarray, differential: bool
+    planes: list[np.ndarray],
+    quant: np.ndarray,
+    differential: bool,
+    precision: int = 8,
 ) -> list[np.ndarray]:
     """FDCT + quantize every block of every plane; returns per-plane
     (by, bx, 64) int zigzag coefficients (clamped for differential
-    frames so every value fits the baseline Huffman categories)."""
+    frames so every value fits the frame's Huffman alphabet)."""
+    half = float(1 << (precision - 1))
+    clamp_dc, clamp_ac = _CLAMPS[precision]
     out = []
     for plane in planes:
         blocks = _blocks_of(
-            plane if differential else plane.astype(np.float64) - 128.0
+            plane if differential else plane.astype(np.float64) - half
         )
         coef = np.einsum("ur,yxrc,cv->yxuv", J._A, blocks, J._A.T)
         q = np.round(coef / quant).astype(np.int64)
         if differential:
-            q[:, :, 0, 0] = np.clip(q[:, :, 0, 0], -_CLAMP_DC, _CLAMP_DC)
-            q = np.clip(q, -_CLAMP_AC, _CLAMP_AC)  # re-clamps DC harmlessly
+            q[:, :, 0, 0] = np.clip(q[:, :, 0, 0], -clamp_dc, clamp_dc)
+            q = np.clip(q, -clamp_ac, clamp_ac)  # re-clamps DC harmlessly
         out.append(q[:, :, J._ZZ_R, J._ZZ_C])
     return out
 
@@ -120,6 +132,7 @@ def _reconstruct_frame(
     h: int,
     w: int,
     differential: bool,
+    precision: int = 8,
 ) -> list[np.ndarray]:
     """Dequantize + IDCT back to (H, W) int32 planes — the SHARED
     reconstruction the encoder uses to form residuals and the decoder
@@ -132,17 +145,23 @@ def _reconstruct_frame(
         blocks *= quant
         plane = np.einsum("ur,yxrc,cv->yxuv", J._A.T, blocks, J._A)
         if not differential:
-            plane += 128.0
+            plane += float(1 << (precision - 1))
         plane = plane.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         out.append(np.rint(plane[:h, :w]).astype(np.int32))
     return out
 
 
-def _entropy_encode_frame(zz_planes: list[np.ndarray], differential: bool) -> bytes:
+def _entropy_encode_frame(
+    zz_planes: list[np.ndarray], differential: bool, precision: int = 8
+) -> bytes:
     """Huffman-code the interleaved (1x1) MCUs of a frame. DC uses
     zero prediction in differential frames (F.2.1.3.1)."""
-    dc_codes = J._build_codes(J.DC_LUM_BITS, J.DC_LUM_VALS)
-    ac_codes = J._build_codes(J.AC_LUM_BITS, J.AC_LUM_VALS)
+    if precision == 8:
+        dc_codes = J._build_codes(J.DC_LUM_BITS, J.DC_LUM_VALS)
+        ac_codes = J._build_codes(J.AC_LUM_BITS, J.AC_LUM_VALS)
+    else:
+        dc_codes = J._build_codes(J.DC12_BITS, J.DC12_VALS)
+        ac_codes = J._build_codes(J.AC12_BITS, J.AC12_VALS)
     writer = J._BitWriter()
     by, bx, _ = zz_planes[0].shape
     prev = [0, 0, 0]
@@ -189,29 +208,41 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def _frame_header(marker: int, h: int, w: int) -> bytes:
+def _frame_header(marker: int, h: int, w: int, precision: int = 8) -> bytes:
     return _seg(
         marker,
-        struct.pack(">BHHB", 8, h, w, 3)
+        struct.pack(">BHHB", precision, h, w, 3)
         + b"".join(struct.pack("BBB", cid, 0x11, 0) for cid in (1, 2, 3)),
     )
 
 
 def encode_jpeg_hierarchical(
-    pixels: np.ndarray, quality: int = 85, levels: int = 2
+    pixels: np.ndarray, quality: int = 85, levels: int = 2,
+    precision: int = 8,
 ) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a hierarchical JPEG
+    """Encode an (H, W, 3) RGB array as a hierarchical JPEG
     (Annex J): a sequential base frame at 1/2^(levels-1) resolution
-    plus one differential (SOF5) refinement frame per doubling."""
+    plus one differential (SOF5) refinement frame per doubling.
+    ``precision`` 12 (uint16 samples 0..4095) uses the x16-scaled
+    16-bit DQT, 2048 level shift, and the flat extended Huffman
+    alphabets — completing the table-B.2 precision pair for the
+    hierarchical process too."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
     if not 1 <= quality <= 100:
         raise ValueError("quality must be 1..100")
     if not 2 <= levels <= 4:
         raise ValueError("levels must be 2..4 (1 would not be hierarchical)")
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    if precision == 12 and (pixels.min() < 0 or pixels.max() > 4095):
+        raise ValueError("12-bit samples must be 0..4095")
     h, w, _ = pixels.shape
     qlum, _ = J.scaled_quant_tables(quality)
+    if precision == 12:
+        qlum = qlum * 16
     quant = qlum.astype(np.float64)
+    top = (1 << precision) - 1
 
     # resolution pyramid, full -> coarse
     level_planes = [[pixels[:, :, c].astype(np.int32) for c in range(3)]]
@@ -222,22 +253,42 @@ def encode_jpeg_hierarchical(
     level_planes.reverse()  # coarse -> full
 
     out = bytearray(b"\xff\xd8")
-    out += _seg(0xFFDE, _frame_header(0xFFDE, h, w)[4:])  # DHP (SOF syntax)
-    dqt = _seg(
-        0xFFDB,
-        bytes([0x00])
-        + bytes(int(quant[r][c]) for r, c in J.ZIGZAG),
-    )
-    dht = (
-        _seg(
-            0xFFC4,
-            bytes([0x00]) + bytes(J.DC_LUM_BITS) + bytes(J.DC_LUM_VALS),
+    # DHP (SOF syntax)
+    out += _seg(0xFFDE, _frame_header(0xFFDE, h, w, precision)[4:])
+    if precision == 8:
+        dqt = _seg(
+            0xFFDB,
+            bytes([0x00])
+            + bytes(int(quant[r][c]) for r, c in J.ZIGZAG),
         )
-        + _seg(
-            0xFFC4,
-            bytes([0x10]) + bytes(J.AC_LUM_BITS) + bytes(J.AC_LUM_VALS),
+        dht = (
+            _seg(
+                0xFFC4,
+                bytes([0x00]) + bytes(J.DC_LUM_BITS) + bytes(J.DC_LUM_VALS),
+            )
+            + _seg(
+                0xFFC4,
+                bytes([0x10]) + bytes(J.AC_LUM_BITS) + bytes(J.AC_LUM_VALS),
+            )
         )
-    )
+    else:
+        dqt = _seg(
+            0xFFDB,
+            bytes([0x10])
+            + b"".join(
+                struct.pack(">H", int(quant[r][c])) for r, c in J.ZIGZAG
+            ),
+        )
+        dht = (
+            _seg(
+                0xFFC4,
+                bytes([0x00]) + bytes(J.DC12_BITS) + bytes(J.DC12_VALS),
+            )
+            + _seg(
+                0xFFC4,
+                bytes([0x10]) + bytes(J.AC12_BITS) + bytes(J.AC12_VALS),
+            )
+        )
     sos = _seg(
         0xFFDA,
         bytes([3])
@@ -246,27 +297,29 @@ def encode_jpeg_hierarchical(
     )
 
     ref: list[np.ndarray] | None = None
+    base_marker = 0xFFC0 if precision == 8 else 0xFFC1
     for li, planes in enumerate(level_planes):
         lh, lw = planes[0].shape
         if li == 0:
-            zz = _quantize_frame(planes, quant, differential=False)
-            recon = _reconstruct_frame(zz, quant, lh, lw, False)
-            ref = [np.clip(p, 0, 255) for p in recon]
-            out += dqt + dht + _frame_header(0xFFC0, lh, lw) + sos
-            out += _entropy_encode_frame(zz, differential=False)
+            zz = _quantize_frame(planes, quant, False, precision)
+            recon = _reconstruct_frame(zz, quant, lh, lw, False, precision)
+            ref = [np.clip(p, 0, top) for p in recon]
+            out += dqt + dht + _frame_header(base_marker, lh, lw, precision)
+            out += sos
+            out += _entropy_encode_frame(zz, False, precision)
         else:
             ref = [
                 _upsample2(p, 1, 1)[:lh, :lw] for p in ref  # type: ignore[union-attr]
             ]
             residual = [planes[c] - ref[c] for c in range(3)]
-            zz = _quantize_frame(residual, quant, differential=True)
-            recon = _reconstruct_frame(zz, quant, lh, lw, True)
+            zz = _quantize_frame(residual, quant, True, precision)
+            recon = _reconstruct_frame(zz, quant, lh, lw, True, precision)
             ref = [
                 np.clip(ref[c] + recon[c], -32768, 32767) for c in range(3)
             ]
             out += _seg(0xFFDF, bytes([0x11]))  # EXP: expand both axes
-            out += _frame_header(0xFFC5, lh, lw) + sos
-            out += _entropy_encode_frame(zz, differential=True)
+            out += _frame_header(0xFFC5, lh, lw, precision) + sos
+            out += _entropy_encode_frame(zz, True, precision)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -280,6 +333,7 @@ def decode_jpeg_hierarchical(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     dhp = None
+    precision = 8
     ref: list[np.ndarray] | None = None
     cur = None  # (differential, h, w, comps)
     coeffs: list[np.ndarray] = []
@@ -306,7 +360,7 @@ def decode_jpeg_hierarchical(data: bytes) -> np.ndarray:
                 c[:, :, 0] = np.diff(dc, prepend=0).reshape(
                     c.shape[0], c.shape[1]
                 )
-        recon = _reconstruct_frame(zz, quant, fh, fw, differential)
+        recon = _reconstruct_frame(zz, quant, fh, fw, differential, precision)
         if differential:
             if ref is None:
                 raise ValueError("differential frame without a reference")
@@ -321,7 +375,7 @@ def decode_jpeg_hierarchical(data: bytes) -> np.ndarray:
         else:
             if ref is not None:
                 raise ValueError("second non-differential frame")
-            ref = [np.clip(p, 0, 255) for p in recon]
+            ref = [np.clip(p, 0, (1 << precision) - 1) for p in recon]
         cur = None
         coeffs, dims = [], []
 
@@ -347,15 +401,21 @@ def decode_jpeg_hierarchical(data: bytes) -> np.ndarray:
             i = 0
             while i < len(payload):
                 prec, tid = payload[i] >> 4, payload[i] & 0xF
-                if prec != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                if i + 65 > len(payload):
+                if prec not in (0, 1):
+                    raise ValueError(f"bad DQT precision {prec}")
+                step = 1 + (prec + 1) * 64
+                if i + step > len(payload):
                     raise ValueError("truncated DQT")
                 t = np.zeros((8, 8), dtype=np.int32)
                 for k, (r, c) in enumerate(J.ZIGZAG):
-                    t[r][c] = payload[i + 1 + k]
+                    if prec:
+                        t[r][c] = struct.unpack(
+                            ">H", payload[i + 1 + 2 * k : i + 3 + 2 * k]
+                        )[0]
+                    else:
+                        t[r][c] = payload[i + 1 + k]
                 qtables[tid] = t
-                i += 65
+                i += step
         elif marker == 0xC4:
             i = 0
             while i < len(payload):
@@ -373,10 +433,11 @@ def decode_jpeg_hierarchical(data: bytes) -> np.ndarray:
             if dhp is not None:
                 raise ValueError("multiple DHP markers")
             prec, fh, fw, ncomp = struct.unpack(">BHHB", payload[:6])
-            if prec != 8 or ncomp != 3:
+            if prec not in (8, 12) or ncomp != 3:
                 raise ValueError(
-                    "only 8-bit 3-component hierarchical supported"
+                    "only 8/12-bit 3-component hierarchical supported"
                 )
+            precision = prec
             dhp = (fh, fw)
         elif marker == 0xDF:  # EXP
             if len(payload) != 1:
@@ -387,17 +448,24 @@ def decode_jpeg_hierarchical(data: bytes) -> np.ndarray:
             if eh not in (0, 1) or ev not in (0, 1):
                 raise ValueError("EXP expands by at most 2 per axis")
             pending_exp = (eh, ev)
-        elif marker in (0xC0, 0xC5):
+        elif marker in (0xC0, 0xC1, 0xC5):
+            # base frame: SOF0 (8-bit) or SOF1 (extended sequential,
+            # the 12-bit base a hierarchical stream must use, since
+            # baseline is 8-bit-only per table B.2); SOF5 differential
             if dhp is None:
                 raise ValueError("hierarchical frame before DHP")
             if cur is not None:
                 raise ValueError("frame started before previous finished")
             differential = marker == 0xC5
             prec, fh, fw, ncomp = struct.unpack(">BHHB", payload[:6])
-            if prec != 8 or ncomp != 3:
+            allowed = (8,) if marker == 0xC0 else (8, 12)
+            if prec not in allowed or ncomp != 3:
                 raise ValueError(
-                    "only 8-bit 3-component hierarchical supported"
+                    "unsupported precision/component count for "
+                    f"hierarchical SOF{marker - 0xC0}"
                 )
+            if prec != precision:
+                raise ValueError("frame precision differs from DHP")
             if fh == 0 or fw == 0:
                 raise ValueError("empty frame")
             comps = []
@@ -417,10 +485,11 @@ def decode_jpeg_hierarchical(data: bytes) -> np.ndarray:
             bx, by = -(-fw // 8), -(-fh // 8)
             coeffs = [np.zeros((by, bx, 64), dtype=np.int64) for _ in range(3)]
             dims = [(bx, by, bx, by) for _ in range(3)]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                "hierarchical decode supports sequential base (SOF0) "
-                "and differential sequential (SOF5) frames only"
+                "hierarchical decode supports sequential base "
+                "(SOF0/SOF1) and differential sequential (SOF5) "
+                "frames only"
             )
         elif marker == 0xDD:
             if len(payload) != 2:
@@ -464,4 +533,6 @@ def decode_jpeg_hierarchical(data: bytes) -> np.ndarray:
     fh, fw = dhp
     if ref[0].shape != (fh, fw):
         raise ValueError("decoded pyramid does not reach the DHP dims")
-    return np.clip(np.stack(ref, axis=-1), 0, 255).astype(np.uint8)
+    top = (1 << precision) - 1
+    dtype = np.uint8 if precision == 8 else np.uint16
+    return np.clip(np.stack(ref, axis=-1), 0, top).astype(dtype)

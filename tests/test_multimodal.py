@@ -229,6 +229,11 @@ def test_decode_jpeg_only_raises_valueerror():
             rng.randint(0, 4096, (16, 24, 3)).astype(np.uint16),
             quality=90, precision=12,
         ),
+        # 12-bit hierarchical (DHP + SOF1 base + SOF5 differentials)
+        jpeg_hier_mod.encode_jpeg_hierarchical(
+            rng.randint(0, 4096, (16, 24, 3)).astype(np.uint16),
+            quality=90, precision=12,
+        ),
         # 12-bit arithmetic, sequential and progressive
         jpeg_arith_mod.encode_jpeg_arithmetic(
             rng.randint(0, 4096, (16, 24, 3)).astype(np.uint16),
@@ -267,7 +272,7 @@ def test_decode_jpeg_only_raises_valueerror():
                     f"decode_jpeg raised {type(e).__name__} ({e!r}) on "
                     f"mutation kind={kind} of a valid JPEG"
                 ) from e
-    assert n_mutations == 5600
+    assert n_mutations == 6000
 
 
 def test_decode_stage_handles_jpeg(spark):
@@ -1269,3 +1274,51 @@ def test_12bit_progressive_and_arithmetic_modes():
     ):
         with pytest.raises(ValueError, match="12-bit"):
             enc(bad)
+
+
+def test_12bit_hierarchical_roundtrip():
+    """Hierarchical (Annex J) at precision 12: SOF1 base frame
+    (baseline SOF0 is 8-bit-only per table B.2), 16-bit DQT, 2048
+    level shift, widened differential clamps. Error scale matches the
+    8-bit hierarchical bound x the 16x quant scale; flat content
+    survives exactly; dispatch flows through decode_jpeg."""
+    rng = np.random.default_rng(53)
+    y, x = np.mgrid[0:37, 0:29]
+    img = np.stack(
+        [(y * 53 + x * 11) % 4096, (x * 97) % 4096, ((x + y) * 157) % 4096],
+        axis=-1,
+    ).astype(np.uint16)
+    img = (img // 4 + 1024).astype(np.uint16)
+    for levels in (2, 3):
+        data = jpeg_hier_mod.encode_jpeg_hierarchical(
+            img, quality=90, levels=levels, precision=12
+        )
+        assert b"\xff\xde" in data  # DHP
+        assert b"\xff\xc1" in data  # SOF1 base
+        assert b"\xff\xc5" in data  # SOF5 differential
+        out = codecs.decode_jpeg(data)
+        assert out.dtype == np.uint16 and out.shape == img.shape
+        # 8-bit hierarchical bounds ~13/255 at q90 on this content;
+        # scaled x16 for the 12-bit quant floor with headroom
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 400
+    flat = np.full((10, 9, 3), 2222, np.uint16)
+    assert np.array_equal(
+        codecs.decode_jpeg(
+            jpeg_hier_mod.encode_jpeg_hierarchical(
+                flat, quality=90, precision=12
+            )
+        ),
+        flat,
+    )
+    with pytest.raises(ValueError, match="12-bit"):
+        jpeg_hier_mod.encode_jpeg_hierarchical(
+            np.full((4, 4, 3), 5000, np.uint16), precision=12
+        )
+    # frame/DHP precision mismatch is loud: relabel the SOF1 base of
+    # a 12-bit stream as SOF0 (8-bit-only marker)
+    data = jpeg_hier_mod.encode_jpeg_hierarchical(
+        flat, quality=90, precision=12
+    )
+    bad = data.replace(b"\xff\xc1", b"\xff\xc0", 1)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(bad)
