@@ -75,6 +75,60 @@ def documents_as_media(df: DataFrame) -> DataFrame:
     )
 
 
+def lossless_jpeg_roundtrip(df: DataFrame, width: int = 16) -> DataFrame:
+    """Drive the T.81 LOSSLESS codec (SOF3, Annex H predictor 4)
+    end-to-end under a value check an external oracle can restate:
+    each selected document's utf-8 bytes become a (h, width, 3) pixel
+    grid, encode_jpeg_lossless -> decode_jpeg must reproduce them
+    BIT-EXACTLY (lossless means exact, so the roundtrip flag is a
+    genuine codec invariant, not a tolerance). Emits (doc_id, w, h,
+    ok) — the driver's hash fails on any flipped flag or dimension,
+    putting the JPEG codec itself under the correctness gate the way
+    the BMP/WAV SQL-reimplementation oracle covers those codecs.
+
+    Arrow-batched mapInPandas like the other media stages: per-payload
+    work, embarrassingly parallel at corpus scale."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from etl_property_rumah123_spark.functions import jpeg as J
+        from etl_property_rumah123_spark.functions import jpeg_lossless
+
+        for pdf in batches:
+            out = {"doc_id": [], "w": [], "h": [], "ok": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                if not raw:
+                    continue
+                h = max(1, -(-len(raw) // (width * 3)))
+                px = np.zeros(h * width * 3, dtype=np.uint8)
+                px[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                px = px.reshape(h, width, 3)
+                payload = jpeg_lossless.encode_jpeg_lossless(
+                    px, predictor=4
+                )
+                decoded = J.decode_jpeg(payload)
+                out["doc_id"].append(did)
+                out["w"].append(width)
+                out["h"].append(h)
+                out["ok"].append(
+                    int(
+                        decoded.dtype == np.uint8
+                        and decoded.shape == px.shape
+                        and np.array_equal(decoded, px)
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter((F.col("doc_id") % 5 == 0) & (F.length("text") > 0))
+        .select("doc_id", "text")
+        .mapInPandas(kernel, schema="doc_id long, w long, h long, ok long")
+    )
+
+
 def synthesize_media(df: DataFrame) -> DataFrame:
     """Turn the documents table into a mixed-modality media frame with
     REAL format bytes: ``doc_id % 3`` routes each doc to text

@@ -797,6 +797,10 @@ UNION ALL
 SELECT 'frames', sample_id, md5(substr(fhex, 2*frame_idx*step + 1, 2*step)),
        NULL, frame_idx, NULL, NULL, CAST(NULL AS DOUBLE)
 FROM frames
+UNION ALL
+SELECT 'jpegls', sample_id, NULL, NULL, CAST(16 AS BIGINT),
+       CAST((n+47)//48 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+FROM base WHERE sample_id % 5 = 0 AND n > 0
 """
 
 
@@ -813,8 +817,12 @@ FROM frames
     "sampling. Oracle: a pure-SQL DuckDB reimplementation of the BMP/"
     "WAV encoders reconstructs every payload's exact bytes from "
     "documents.text and matches portable (hex-text) md5 digests, so "
-    "codec round-trips are driver-value-checked. Compressed codecs "
-    "remain the documented production swap (operators/multimodal.py).",
+    "codec round-trips are driver-value-checked. The jpegls member "
+    "additionally drives the T.81 LOSSLESS JPEG codec (SOF3 encode ->"
+    " decode over text-derived pixel grids) under a bit-exact "
+    "roundtrip flag the oracle pins — lossless means exact, so the "
+    "flag is a codec invariant, not a tolerance. A/V codecs remain "
+    "the documented ffmpeg production swap (operators/multimodal.py).",
 )
 def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_property_rumah123_spark.operators import multimodal
@@ -840,12 +848,16 @@ def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("feat_sum"),
     )
     frames = multimodal.sample_frames(media, digest="hex")
+    jpegls = multimodal.lossless_jpeg_roundtrip(
+        table(spark, sf_dir, "documents")
+    )
     return _union(
         [
             _align(decode, "decode", schema, k1="sample_id", s1="modality", s2="portable_digest", n1="payload_bytes", n2="decoded_width", n3="decoded_height", v1="decoded_ms"),
             _align(resized, "resize", schema, k1="sample_id", s2="md5(hex(payload))", n1="out_width", n2="out_height", n3="in_width"),
             _align(feats, "features", schema, k1="sample_id", n1="feat_dim", v1="feat_sum"),
             _align(frames, "frames", schema, k1="sample_id", n1="frame_idx", s1="frame_digest"),
+            _align(jpegls, "jpegls", schema, k1="doc_id", n1="w", n2="h", n3="ok"),
         ]
     )
 
