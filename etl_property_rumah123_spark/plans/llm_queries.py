@@ -1849,6 +1849,59 @@ def events_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@part(
+    "events_session_window_native",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(MAX(ts)) // 1000000
+                - epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS span_s
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="The ENGINE-NATIVE session window (F.session_window): dynamic "
+    "gap-merged sessions as a single aggregation operator — one "
+    "shuffle on the grouping key with the session merge inside the "
+    "aggregate, vs the lag+flag-sum rewrite's two window passes "
+    "(`events_sessionize` keeps that form as the portable twin). "
+    "Session semantics are half-open [ts, ts+gap): a successor at "
+    "EXACTLY gap distance starts a NEW session, so the oracle's "
+    "island break uses >= gap where the lag rewrite uses >.",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.min("ts"), F.max("ts"))
+        .select(
+            F.date_format(F.col("min(ts)"), "yyyy-MM-dd HH:mm:ss").alias(
+                "sess_start"
+            ),
+            "n_events",
+            F.col("user_id").cast("long").alias("user_id"),
+            (
+                F.unix_seconds(F.col("max(ts)"))
+                - F.unix_seconds(F.col("min(ts)"))
+            ).alias("span_s"),
+        )
+    )
+
+
 @register(
     "events_sessionize",
     """

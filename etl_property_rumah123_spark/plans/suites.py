@@ -403,15 +403,18 @@ _suite(
         "gap_fill": {"part": "events_gap_fill", "s1": "hour_start", "n1": "n"},
         "interpolate": {"part": "events_interpolate", "s1": "hour_start", "n1": "known", "v1": "v_interp"},
         "time_rollup": {"part": "events_time_rollup", "n1": "lvl", "n2": "n", "n3": ("coalesce(y * 10000 + coalesce(m, 0) * 100 + coalesce(d, 0), -1)", "coalesce(y * 10000 + coalesce(m, 0) * 100 + coalesce(d, 0), -1)"), "v1": ("CAST(total AS DOUBLE)", "CAST(total AS DOUBLE)")},
+        "session_native": {"part": "events_session_window_native", "s1": "sess_start", "n1": "n_events", "n2": "user_id", "n3": "span_s"},
     },
     [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double")],
     doc="Time windows: tumbling 15-minute aggregation (F.window), "
     "calendar gap-filling of hourly error counts, linear "
     "interpolation of hourly mean purchase value across gaps "
     "(last/first IGNORE NULLS carry pairs + lerp; the global window "
-    "is calendar-sized, not data-sized), and the hypertable-style "
+    "is calendar-sized, not data-sized), the hypertable-style "
     "ROLLUP(y,m,d) time-hierarchy aggregate (date key packed as "
-    "y*10000+m*100+d, -1 at subtotal grains).",
+    "y*10000+m*100+d, -1 at subtotal grains), and the engine-native "
+    "dynamic session window (F.session_window) vs a gaps-and-islands "
+    "oracle.",
 )
 
 
