@@ -53,7 +53,12 @@ import zipfile
 from collections.abc import Callable, Iterator, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 ARCHIVE_SCHEMA = (
     "archive string, member string, size long, payload binary"
@@ -362,9 +367,71 @@ class ArchiveReader(DataSourceReader):
                         yield (name, info.name, info.size, fh.read())
 
 
+class ArchiveStreamReader(DataSourceStreamReader):
+    """Streaming shard ingestion — the CommonCrawl shape: new archive
+    shards land in a directory and each microbatch distributes the
+    NEW shards to executors, ONE InputPartition per shard (this is
+    the partition-based ``DataSourceStreamReader``: offsets are
+    planned on the driver, payload bytes are only ever read
+    executor-side — unlike the listing source's driver-side
+    SimpleDataSourceStreamReader, which is sized for a rate-limited
+    page frontier, shard reads are the heavy path and must scale out).
+
+    Offset model: ``{"count": N}`` over the LEXICOGRAPHICALLY SORTED
+    shard list — the contract is that shards arrive with sorted
+    names (crawl dumps timestamp their segments) and are immutable
+    once landed; a shard inserted behind the frontier is not seen,
+    and shrinking the directory breaks replay (both loud operator
+    errors, not silent drops, via the slice-length check in
+    ``partitions``)."""
+
+    def __init__(self, options: dict) -> None:
+        self._batch = ArchiveReader(options)
+
+    def _shards(self) -> list[str]:
+        path = self._batch.path
+        fs, fs_path = resolve_fs(path)
+        scheme = path.split("://", 1)[0] if "://" in path else None
+        if fs.isdir(fs_path):
+            return sorted(
+                c if ("://" in c or scheme is None) else f"{scheme}://{c}"
+                for c in fs.ls(fs_path)
+                if _is_archive(c)
+            )
+        if _is_archive(path):
+            return [path]
+        return []
+
+    def initialOffset(self) -> dict:
+        return {"count": 0}
+
+    def latestOffset(self) -> dict:
+        return {"count": len(self._shards())}
+
+    def partitions(self, start: dict, end: dict):
+        shards = self._shards()
+        lo, hi = int(start["count"]), int(end["count"])
+        if hi > len(shards):
+            raise ValueError(
+                f"archive dir shrank below committed offset {hi} "
+                f"(have {len(shards)} shards) — shards are immutable "
+                "by contract"
+            )
+        return [ArchiveShard(p) for p in shards[lo:hi]]
+
+    def read(self, partition: ArchiveShard) -> Iterator[tuple]:
+        # executor-side: same member extraction as the batch reader
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint
+
+
 class ArchiveDataSource(DataSource):
-    """``spark.read.format("doc_archive")`` after
-    ``spark.dataSource.register(ArchiveDataSource)``."""
+    """``spark.read.format("doc_archive")`` (batch: one partition per
+    shard) or ``spark.readStream.format("doc_archive")`` (streaming:
+    new sorted-name shards per microbatch, executor-distributed)
+    after ``spark.dataSource.register(ArchiveDataSource)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -375,3 +442,6 @@ class ArchiveDataSource(DataSource):
 
     def reader(self, schema) -> ArchiveReader:
         return ArchiveReader(dict(self.options))
+
+    def streamReader(self, schema) -> ArchiveStreamReader:
+        return ArchiveStreamReader(dict(self.options))
