@@ -1224,3 +1224,82 @@ def test_statestore_reader_exposes_withheld_window_state(spark, tmp_path, events
     # the operator metadata surface names the stateful operator
     md = spark.read.format("state-metadata").load(ckpt)
     assert [r["operatorName"] for r in md.collect()] == ["stateStoreSave"]
+
+
+def test_end_to_end_cdc_stateful_stream_to_mor_to_matview(spark, tmp_path):
+    """CAPSTONE composition: a stateful streaming aggregate
+    (applyInPandasWithState per-user EMA) feeds the snapshot log's
+    MERGE-ON-READ sink via foreachBatch, and a materialized aggregate
+    refreshes off that table's change feed — the full CDC chain
+    source stream -> keyed state -> MoR upsert -> incremental matview.
+    A second tranche of source files updates half the users through
+    the SAME checkpoint; after the second refresh the view must equal
+    a from-scratch aggregate of a table that itself equals the batch
+    truth over all events."""
+    from etl_property_rumah123_spark.sinks import matview, table_log
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "cdc_ck")
+    t = str(tmp_path / "cdc_table")
+    mv = str(tmp_path / "cdc_mv")
+    events = table(spark, SF_SMOKE, "events").filter("user_id < 40")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_stream():
+        q = (
+            pipelines.value_ema_by_user(
+                spark.readStream.schema(events.schema).parquet(str(src))
+            )
+            .writeStream.foreachBatch(
+                table_log.snapshot_stream_writer(t, key="user_id", mor=True)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spec = {"users": ("count", "user_id"), "events_total": ("sum", "n_events")}
+
+    run_stream()
+    # the view groups by n_events (a real table column), so updated
+    # users MOVE between groups across refreshes — both the delete
+    # and insert sides of the MoR change feed are exercised
+    matview.refresh_aggregate(spark, t, mv, ["n_events"], spec)
+
+    half2.coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    matview.refresh_aggregate(spark, t, mv, ["n_events"], spec)
+
+    # the table equals the batch truth per user
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in table_log.read_snapshot(spark, t).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in events.filter("value is not null")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == want
+    # exactly one row per user survived the MoR upserts
+    assert (
+        table_log.read_snapshot(spark, t)
+        .groupBy("user_id").count().filter("count > 1").count() == 0
+    )
+
+    # and the matview equals a from-scratch aggregate of that table
+    got = sorted(map(repr, matview.read_aggregate(spark, mv).collect()))
+    full = matview._aggregate(
+        table_log.read_snapshot(spark, t), ["n_events"], spec
+    )
+    exp = sorted(
+        map(repr, full.filter(F.col("_mv_n") > 0).drop("_mv_n").collect())
+    )
+    assert got == exp
