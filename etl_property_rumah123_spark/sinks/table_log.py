@@ -281,9 +281,10 @@ def delete_snapshot_dv(
     anti-joins every outstanding DV row — so they are for LOW-RATE
     deletes between compactions. :func:`compact_snapshot` materializes
     and clears them; the CoW writers (:func:`delete_snapshot`,
-    :func:`merge_snapshot`) refuse to run while DVs are outstanding
-    (compact first) so no rewrite can double-count a DV'd row. Same
-    time-travel/retention story as the CoW delete: the rows stay
+    :func:`merge_snapshot`) are DV-AWARE — they rewrite from the live
+    view (a rewrite can never resurrect a DV'd row) and carry the DV
+    list, whose entries for rewritten files become harmless no-ops.
+    Same time-travel/retention story as the CoW delete: the rows stay
     readable in pre-delete versions until vacuum."""
     from pyspark.sql import functions as F
 
@@ -689,18 +690,17 @@ def merge_snapshot(
                 extra_meta=extra_meta,
             )
         prev = _manifest(spark, table_path, versions[-1])
-        if prev.get("dvs"):
-            raise ValueError(
-                f"{table_path} has outstanding deletion vectors; run "
-                "compact_snapshot to materialize them before a CoW "
-                "merge (a file rewrite must not resurrect DV'd rows)"
-            )
         version = versions[-1] + 1
-        # mergeSchema: the carry side must keep columns added by
-        # schema evolution, or the rewrite silently truncates them
-        tagged = spark.read.option("mergeSchema", "true").parquet(
-            *[f"{table_path}/{rel}" for rel in prev["files"]]
-        ).withColumn("__file", F.input_file_name())
+        # mergeSchema (inside the row-identity view): the carry side
+        # must keep columns added by schema evolution, or the rewrite
+        # silently truncates them. DV-aware: outstanding deletion
+        # vectors are applied before the rewrite (no resurrection)
+        # and carried in the manifest (stale entries no-op).
+        tagged = (
+            _read_with_row_identity(spark, table_path, prev)
+            .withColumnRenamed("__dv_key", "__file")
+            .drop("__dv_pos")
+        )
         batch_keys = df.select(key).distinct()
         touched = {
             r["__file"]
@@ -710,9 +710,7 @@ def merge_snapshot(
             .collect()
         }
         touched_rel = [
-            rel
-            for rel in prev["files"]
-            if any(f.endswith(rel) for f in touched)
+            rel for rel in prev["files"] if _dv_rel_key(rel) in touched
         ]
         carry = (
             tagged.filter(F.col("__file").isin(*touched) if touched else F.lit(False))
@@ -736,6 +734,7 @@ def merge_snapshot(
             "n_rewritten_files": len(touched_rel),
             "schema": rewrite.schema.json(),
             "stats": stats,
+            **({"dvs": prev["dvs"]} if prev.get("dvs") else {}),
             **(extra_meta or {}),
         }
         if _try_publish(spark, table_path, version, token, manifest):
@@ -892,23 +891,24 @@ def delete_snapshot(
         if not versions:
             raise ValueError(f"no snapshots at {table_path}")
         prev = _manifest(spark, table_path, versions[-1])
-        if prev.get("dvs"):
-            raise ValueError(
-                f"{table_path} has outstanding deletion vectors; run "
-                "compact_snapshot to materialize them before a CoW "
-                "delete (use delete_snapshot_dv for merge-on-read)"
-            )
         version = versions[-1] + 1
-        tagged = spark.read.option("mergeSchema", "true").parquet(
-            *[f"{table_path}/{rel}" for rel in prev["files"]]
-        ).withColumn("__file", F.input_file_name())
+        # DV-aware: the live view (outstanding deletion vectors
+        # applied) is the rewrite source, so a CoW rewrite can never
+        # resurrect a DV'd row; DVs carry unchanged — entries for
+        # rewritten files go stale and no-op (their files leave the
+        # manifest), entries for untouched files keep suppressing.
+        tagged = (
+            _read_with_row_identity(spark, table_path, prev)
+            .withColumnRenamed("__dv_key", "__file")
+            .drop("__dv_pos")
+        )
         pred = F.expr(condition)
         touched = {
             r["__file"]
             for r in tagged.filter(pred).select("__file").distinct().collect()
         }
         touched_rel = [
-            rel for rel in prev["files"] if any(f.endswith(rel) for f in touched)
+            rel for rel in prev["files"] if _dv_rel_key(rel) in touched
         ]
         if not touched_rel:  # nothing matches: still commit an audit row
             survivors = None
@@ -939,6 +939,9 @@ def delete_snapshot(
             "n_rewritten_files": len(touched_rel),
             "schema": tagged.drop("__file").schema.json(),
             "stats": stats,
+            # DVs carry: entries for rewritten files are stale no-ops,
+            # entries for kept files still suppress (compact retires)
+            **({"dvs": prev["dvs"]} if prev.get("dvs") else {}),
         }
         if _try_publish(spark, table_path, version, token, manifest):
             return version
@@ -1033,6 +1036,7 @@ def read_changes(
         removed = sorted(
             rel for rel in prev_files - cur_files if rel not in prev_dvs
         )
+        base_dvs = prev_dvs  # the DVs in force BEFORE this step
         prev_files, prev_dvs = cur_files, cur_dvs
         step: DataFrame | None = None
         if added and not removed:  # pure append: no diff needed
@@ -1040,6 +1044,28 @@ def read_changes(
         elif added or removed:
             new_rows = read_rel(added) if added else None
             old_rows = read_rel(removed) if removed else None
+            # rows a PRIOR deletion vector already suppressed must not
+            # re-emit as deletes when their file is finally rewritten:
+            # diff the removed files' LIVE content, not their raw bytes
+            if old_rows is not None and base_dvs:
+                dv_prev = read_rel(sorted(base_dvs))
+                old_tagged = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*[f"{table_path}/{r}" for r in removed])
+                    .withColumn(
+                        "__dv_key",
+                        F.regexp_extract(
+                            F.col("_metadata.file_path"), _DV_KEY_RE, 1
+                        ),
+                    )
+                    .withColumn("__dv_pos", F.col("_metadata.row_index"))
+                )
+                old_rows = old_tagged.join(
+                    F.broadcast(dv_prev),
+                    (F.col("__dv_key") == dv_prev["file_key"])
+                    & (F.col("__dv_pos") == dv_prev["pos"]),
+                    "left_anti",
+                ).drop("__dv_key", "__dv_pos")
             parts = []
             if new_rows is not None:
                 ins = new_rows.exceptAll(old_rows) if old_rows is not None else new_rows

@@ -1499,24 +1499,35 @@ def test_snapshot_deletion_vectors_merge_on_read(spark, tmp_path):
     ) == [1, 5, 9, 13, 17]
     assert ch.filter("_change_type = 'insert'").count() == 0
 
-    # CoW writers refuse while DVs are outstanding
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="deletion vectors"):
-        table_log.delete_snapshot(spark, t, "k = 0")
-    with _pytest.raises(ValueError, match="deletion vectors"):
-        table_log.merge_snapshot(
-            spark.createDataFrame([(0, 9)], "k long, grp long"), t, key="k"
-        )
+    # CoW writers are DV-AWARE: a merge while DVs are outstanding
+    # rewrites from the LIVE view — the file holding k=0 also held
+    # DV'd rows (k=1 etc.), and the rewrite must not resurrect them —
+    # and carries the DV list (stale entries no-op)
+    table_log.merge_snapshot(
+        spark.createDataFrame([(0, 9)], "k long, grp long"), t, key="k"
+    )
+    assert ks(table_log.read_snapshot(spark, t)) == live  # 0 updated in place
+    assert {
+        r["grp"]
+        for r in table_log.read_snapshot(spark, t).filter("k = 0").collect()
+    } == {9}
+    m_merge = table_log._manifest(
+        spark, t, table_log._list_versions(spark, t)[-1]
+    )
+    assert m_merge["dvs"] == m3["dvs"]  # carried unchanged
 
     # compact materializes: same live content, no dvs, debt cleared
     v4 = table_log.compact_snapshot(spark, t, target_files=2)
     m4 = table_log._manifest(spark, t, v4)
     assert "dvs" not in m4 and m4["materialized_dvs"] == len(m3["dvs"])
     assert ks(table_log.read_snapshot(spark, t)) == live
-    # CDF across the compact adds nothing beyond the DV deletes
+    # CDF from v3 to the compact spans the DV-aware merge: exactly
+    # the k=0 update pair — and NOT re-deletes of rows the DVs had
+    # already suppressed in the rewritten file (the live-diff rule)
     ch_all = table_log.read_changes(spark, t, from_version=v3, to_version=v4)
-    assert ch_all.count() == 0
+    assert sorted(
+        (r["k"], r["_change_type"]) for r in ch_all.collect()
+    ) == [(0, "delete"), (0, "insert")]
     # CoW delete works again post-compact
     table_log.delete_snapshot(spark, t, "k = 0")
     assert ks(table_log.read_snapshot(spark, t)) == live[1:]
