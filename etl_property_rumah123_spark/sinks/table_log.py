@@ -33,12 +33,15 @@ Design choices, each load-bearing at scale:
   re-point).
 - **A crashed commit leaves only an orphaned data dir** (no manifest
   → invisible), removed by :func:`vacuum`.
-- **Two delete shapes**: :func:`delete_snapshot` is copy-on-write
-  (rewrite touched files — read-optimal, write-amplified) and
-  :func:`delete_snapshot_dv` is merge-on-read via deletion vectors
-  (write O(matched rows), readers anti-join the DV set until
-  :func:`compact_snapshot` materializes it) — the Delta DV /
-  Iceberg v2 position-delete idea on this log.
+- **Two delete/merge shapes**: :func:`delete_snapshot` /
+  :func:`merge_snapshot` are copy-on-write (rewrite touched files —
+  read-optimal, write-amplified; DV-aware: they rewrite from the
+  live view and carry outstanding DVs) and :func:`delete_snapshot_dv`
+  / :func:`merge_snapshot_mor` are merge-on-read via deletion
+  vectors (write O(matched rows), readers anti-join the DV set until
+  :func:`compact_snapshot` materializes it; :func:`maybe_compact_dvs`
+  bounds the read debt) — the Delta DV / Iceberg v2 position-delete
+  idea on this log.
 
 This intentionally reimplements the public table-format idea rather
 than wrapping Delta/Iceberg (not shipped in this container); the
@@ -315,6 +318,7 @@ def delete_snapshot_dv(
             "n_files": len(prev["files"]),
             "n_deleted": n_deleted,
             "dvs": prev.get("dvs", []) + new_dv,
+            "dv_rows": prev.get("dv_rows", 0) + n_deleted,
             "schema": prev.get("schema"),
             "stats": prev.get("stats", {}),
         }
@@ -372,6 +376,9 @@ def merge_snapshot_mor(
         )
         new_dv = _write_commit_dir(matched, table_path, f"data/c{token}d")
         new_files = _write_commit_dir(df, table_path, f"data/c{token}a")
+        n_marked = spark.read.parquet(
+            *[f"{table_path}/{r}" for r in new_dv]
+        ).count()
         files = prev["files"] + new_files
         manifest = {
             "version": version,
@@ -380,6 +387,7 @@ def merge_snapshot_mor(
             "files": files,
             "n_files": len(files),
             "dvs": prev.get("dvs", []) + new_dv,
+            "dv_rows": prev.get("dv_rows", 0) + n_marked,
             "schema": df.schema.json(),
             "stats": {
                 **prev.get("stats", {}),
@@ -424,11 +432,13 @@ def commit_snapshot(
         new_files = _write_commit_dir(df, table_path, commit_rel)
         new_stats = _stats_for_files(spark, table_path, new_files)
         dvs: list[str] = []
+        dv_rows = 0
         if mode == "append" and versions:
             prev = _manifest(spark, table_path, versions[-1])
             files = prev["files"] + new_files
             stats = {**prev.get("stats", {}), **new_stats}
             dvs = prev.get("dvs", [])  # appends carry deletion vectors
+            dv_rows = prev.get("dv_rows", 0)
         else:
             files = new_files
             stats = new_stats
@@ -439,7 +449,7 @@ def commit_snapshot(
             "n_files": len(files),
             "schema": df.schema.json(),
             "stats": stats,
-            **({"dvs": dvs} if dvs else {}),
+            **({"dvs": dvs, "dv_rows": dv_rows} if dvs else {}),
             **(extra_meta or {}),
         }
         if _try_publish(spark, table_path, version, token, manifest):
@@ -734,7 +744,11 @@ def merge_snapshot(
             "n_rewritten_files": len(touched_rel),
             "schema": rewrite.schema.json(),
             "stats": stats,
-            **({"dvs": prev["dvs"]} if prev.get("dvs") else {}),
+            **(
+                {"dvs": prev["dvs"], "dv_rows": prev.get("dv_rows", 0)}
+                if prev.get("dvs")
+                else {}
+            ),
             **(extra_meta or {}),
         }
         if _try_publish(spark, table_path, version, token, manifest):
@@ -867,6 +881,31 @@ def compact_snapshot(
     )
 
 
+def maybe_compact_dvs(
+    spark: SparkSession,
+    table_path: str,
+    max_dv_rows: int = 1_000_000,
+    **compact_kwargs,
+) -> int | None:
+    """The DV-debt governor: compact (materializing every outstanding
+    deletion vector) iff the manifest's accumulated ``dv_rows``
+    exceeds ``max_dv_rows``. Readers pay a broadcast anti-join sized
+    by the outstanding DV rows, so unbounded MoR accumulation
+    eventually hits the broadcast ceiling — schedule this after MoR
+    merges / DV deletes (e.g. in the streaming sink's maintenance
+    cadence) to keep the read debt bounded. Returns the compaction's
+    version, or None when under the threshold. ``dv_rows`` counts
+    every entry still riding the dv parquet, including entries CoW
+    rewrites made stale — they still ride the broadcast, so they
+    still count."""
+    versions = _list_versions(spark, table_path)
+    if not versions:
+        return None
+    if _manifest(spark, table_path, versions[-1]).get("dv_rows", 0) <= max_dv_rows:
+        return None
+    return compact_snapshot(spark, table_path, **compact_kwargs)
+
+
 def delete_snapshot(
     spark: SparkSession,
     table_path: str,
@@ -941,7 +980,11 @@ def delete_snapshot(
             "stats": stats,
             # DVs carry: entries for rewritten files are stale no-ops,
             # entries for kept files still suppress (compact retires)
-            **({"dvs": prev["dvs"]} if prev.get("dvs") else {}),
+            **(
+                {"dvs": prev["dvs"], "dv_rows": prev.get("dv_rows", 0)}
+                if prev.get("dvs")
+                else {}
+            ),
         }
         if _try_publish(spark, table_path, version, token, manifest):
             return version

@@ -1737,3 +1737,43 @@ def test_matview_over_dv_and_mor_source(spark, tmp_path):
     table_log.compact_snapshot(spark, src, target_files=1)
     matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
     check()
+
+
+def test_maybe_compact_dvs_governor(spark, tmp_path):
+    """The DV-debt governor: dv_rows accumulates across DV deletes,
+    MoR merges, and carries through appends and CoW rewrites (stale
+    entries still ride the read broadcast, so they still count);
+    maybe_compact_dvs is a no-op under the threshold and compacts —
+    clearing the debt — above it."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "gov")
+    table_log.commit_snapshot(
+        spark.range(0, 30).withColumnRenamed("id", "k"), t
+    )
+    table_log.delete_snapshot_dv(spark, t, "k < 5")  # 5 rows
+    table_log.merge_snapshot_mor(
+        spark.createDataFrame([(7, ), (99, )], "k long"), t, key="k"
+    )  # marks 1 (k=7)
+    table_log.commit_snapshot(
+        spark.range(200, 205).withColumnRenamed("id", "k"), t, mode="append"
+    )
+
+    def latest():
+        return table_log._manifest(
+            spark, t, table_log._list_versions(spark, t)[-1]
+        )
+
+    assert latest()["dv_rows"] == 6
+    assert table_log.maybe_compact_dvs(spark, t, max_dv_rows=10) is None
+    assert latest()["dv_rows"] == 6  # untouched
+    v = table_log.maybe_compact_dvs(
+        spark, t, max_dv_rows=5, target_files=2
+    )
+    assert v is not None
+    m = latest()
+    assert "dvs" not in m and m.get("dv_rows", 0) == 0
+    got = sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t).collect()
+    )
+    assert got == sorted(set(range(5, 30)) | {99} | set(range(200, 205)))
