@@ -236,10 +236,51 @@ def _dv_rel_key(rel: str) -> str:
     return rel.split("/", 1)[1]
 
 
+def _apply_eq_dvs(spark: SparkSession, table_path: str, manifest: dict, data):
+    """Suppress rows matched by EQUALITY deletes: each entry holds a
+    key column, a keys parquet, and the SCOPE (the data-file keys
+    present when the delete committed) — scoping is what lets a later
+    append re-introduce the key (the MoR-upsert composition) and is
+    sequencing-free: a row is deleted iff its key matches AND its file
+    was already present at delete time. Requires ``__dv_key`` on
+    ``data``."""
+    from pyspark.sql import functions as F
+
+    for entry in manifest.get("eq_dvs", []):
+        keys = (
+            spark.read.parquet(
+                *[f"{table_path}/{r}" for r in entry["files"]]
+            )
+            .withColumnRenamed(entry["key"], "__eq_val")
+            .withColumn("__eq_hit", F.lit(1))
+        )
+        scope = spark.createDataFrame(
+            [(k,) for k in entry["scope"]], "__sc_key string"
+        ).withColumn("__sc_hit", F.lit(1))
+        data = (
+            data.join(
+                F.broadcast(keys),
+                data[entry["key"]] == keys["__eq_val"],
+                "left",
+            )
+            .join(
+                F.broadcast(scope),
+                F.col("__dv_key") == scope["__sc_key"],
+                "left",
+            )
+            .filter(
+                ~(F.col("__eq_hit").isNotNull() & F.col("__sc_hit").isNotNull())
+            )
+            .drop("__eq_val", "__eq_hit", "__sc_key", "__sc_hit")
+        )
+    return data
+
+
 def _read_with_row_identity(spark: SparkSession, table_path: str, manifest: dict):
     """The LIVE view of a snapshot with ``__dv_key``/``__dv_pos``
     row-identity columns attached and existing deletion vectors
-    already applied — the base every DV-aware writer reads."""
+    (position AND equality) already applied — the base every DV-aware
+    writer reads."""
     from pyspark.sql import functions as F
 
     data = (
@@ -260,7 +301,7 @@ def _read_with_row_identity(spark: SparkSession, table_path: str, manifest: dict
             & (F.col("__dv_pos") == dv["pos"]),
             "left_anti",
         )
-    return data
+    return _apply_eq_dvs(spark, table_path, manifest, data)
 
 
 def delete_snapshot_dv(
@@ -318,6 +359,7 @@ def delete_snapshot_dv(
             "n_files": len(prev["files"]),
             "n_deleted": n_deleted,
             "dvs": prev.get("dvs", []) + new_dv,
+            "eq_dvs": prev.get("eq_dvs", []),
             "dv_rows": prev.get("dv_rows", 0) + n_deleted,
             "schema": prev.get("schema"),
             "stats": prev.get("stats", {}),
@@ -387,6 +429,7 @@ def merge_snapshot_mor(
             "files": files,
             "n_files": len(files),
             "dvs": prev.get("dvs", []) + new_dv,
+            "eq_dvs": prev.get("eq_dvs", []),
             "dv_rows": prev.get("dv_rows", 0) + n_marked,
             "schema": df.schema.json(),
             "stats": {
@@ -400,6 +443,63 @@ def merge_snapshot_mor(
         token = uuid.uuid4().hex[:12]
     raise RuntimeError(
         f"MoR merge to {table_path} lost {max_retries} version races"
+    )
+
+
+def delete_snapshot_eq(
+    spark: SparkSession,
+    table_path: str,
+    key: str,
+    keys_df: DataFrame,
+    max_retries: int = 10,
+) -> int:
+    """EQUALITY delete (the Iceberg-v2 second MoR delete shape): mark
+    every CURRENT row whose ``key`` appears in ``keys_df`` deleted by
+    recording the keys themselves — O(keys) written, NO scan of the
+    data at commit time at all (where the position DV must find the
+    row positions first, the equality delete is pure metadata until
+    read). The entry is SCOPED to the data files present at commit,
+    so a later append may re-introduce a key (MoR upsert composes)
+    and no sequence numbers are needed. Readers pay a broadcast
+    key-anti-join per outstanding entry; :func:`compact_snapshot`
+    materializes, :func:`maybe_compact_dvs` bounds the debt (keys
+    count toward ``dv_rows``)."""
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        versions = _list_versions(spark, table_path)
+        if not versions:
+            raise ValueError(f"no snapshots at {table_path}")
+        prev = _manifest(spark, table_path, versions[-1])
+        version = versions[-1] + 1
+        key_files = _write_commit_dir(
+            keys_df.select(key).distinct(), table_path, f"data/c{token}"
+        )
+        n_keys = spark.read.parquet(
+            *[f"{table_path}/{r}" for r in key_files]
+        ).count()
+        entry = {
+            "key": key,
+            "files": key_files,
+            "scope": [_dv_rel_key(r) for r in prev["files"]],
+        }
+        manifest = {
+            "version": version,
+            "operation": "delete_eq",
+            "eq_key": key,
+            "files": prev["files"],
+            "n_files": len(prev["files"]),
+            "n_keys": n_keys,
+            "dvs": prev.get("dvs", []),
+            "eq_dvs": prev.get("eq_dvs", []) + [entry],
+            "dv_rows": prev.get("dv_rows", 0) + n_keys,
+            "schema": prev.get("schema"),
+            "stats": prev.get("stats", {}),
+        }
+        if _try_publish(spark, table_path, version, token, manifest):
+            return version
+        token = uuid.uuid4().hex[:12]
+    raise RuntimeError(
+        f"equality delete on {table_path} lost {max_retries} version races"
     )
 
 
@@ -432,12 +532,14 @@ def commit_snapshot(
         new_files = _write_commit_dir(df, table_path, commit_rel)
         new_stats = _stats_for_files(spark, table_path, new_files)
         dvs: list[str] = []
+        eq_dvs: list[dict] = []
         dv_rows = 0
         if mode == "append" and versions:
             prev = _manifest(spark, table_path, versions[-1])
             files = prev["files"] + new_files
             stats = {**prev.get("stats", {}), **new_stats}
             dvs = prev.get("dvs", [])  # appends carry deletion vectors
+            eq_dvs = prev.get("eq_dvs", [])
             dv_rows = prev.get("dv_rows", 0)
         else:
             files = new_files
@@ -449,7 +551,11 @@ def commit_snapshot(
             "n_files": len(files),
             "schema": df.schema.json(),
             "stats": stats,
-            **({"dvs": dvs, "dv_rows": dv_rows} if dvs else {}),
+            **(
+                {"dvs": dvs, "eq_dvs": eq_dvs, "dv_rows": dv_rows}
+                if (dvs or eq_dvs)
+                else {}
+            ),
             **(extra_meta or {}),
         }
         if _try_publish(spark, table_path, version, token, manifest):
@@ -540,7 +646,32 @@ def read_snapshot(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     dv_rels = manifest.get("dvs", [])
-    if dv_rels:
+    if manifest.get("eq_dvs"):
+        # equality deletes may hit any scoped file: tag every row with
+        # its file key once, apply position DVs then the per-entry
+        # scoped key-suppression, and drop the identity columns
+        from pyspark.sql import functions as F
+
+        tagged = (
+            reader.parquet(*paths)
+            .withColumn(
+                "__dv_key",
+                F.regexp_extract(F.col("_metadata.file_path"), _DV_KEY_RE, 1),
+            )
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        )
+        if dv_rels:
+            dv = spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
+            tagged = tagged.join(
+                F.broadcast(dv),
+                (F.col("__dv_key") == dv["file_key"])
+                & (F.col("__dv_pos") == dv["pos"]),
+                "left_anti",
+            )
+        df = _apply_eq_dvs(spark, table_path, manifest, tagged).drop(
+            "__dv_key", "__dv_pos"
+        )
+    elif dv_rels:
         # merge-on-read: suppress DV'd row positions. Only files that
         # carry DVs pay the anti-join; the rest scan plain and union.
         from pyspark.sql import functions as F
@@ -630,6 +761,8 @@ def vacuum(
         m = _manifest(spark, table_path, v)
         live_files.update(m["files"])
         live_files.update(m.get("dvs", []))  # DV parquet is live data
+        for entry in m.get("eq_dvs", []):
+            live_files.update(entry["files"])
     now_ms = time.time() * 1000.0
     min_age_ms = min_age_s * 1000.0
 
@@ -745,8 +878,12 @@ def merge_snapshot(
             "schema": rewrite.schema.json(),
             "stats": stats,
             **(
-                {"dvs": prev["dvs"], "dv_rows": prev.get("dv_rows", 0)}
-                if prev.get("dvs")
+                {
+                    "dvs": prev.get("dvs", []),
+                    "eq_dvs": prev.get("eq_dvs", []),
+                    "dv_rows": prev.get("dv_rows", 0),
+                }
+                if (prev.get("dvs") or prev.get("eq_dvs"))
                 else {}
             ),
             **(extra_meta or {}),
@@ -869,6 +1006,7 @@ def compact_snapshot(
             "n_files": len(files),
             "compacted_from": prev["n_files"],
             "materialized_dvs": len(prev.get("dvs", [])),
+            "materialized_eq_dvs": len(prev.get("eq_dvs", [])),
             "zorder_by": zorder_by or [],
             "schema": df.schema.json(),
             "stats": _stats_for_files(spark, table_path, files),
@@ -981,8 +1119,12 @@ def delete_snapshot(
             # DVs carry: entries for rewritten files are stale no-ops,
             # entries for kept files still suppress (compact retires)
             **(
-                {"dvs": prev["dvs"], "dv_rows": prev.get("dv_rows", 0)}
-                if prev.get("dvs")
+                {
+                    "dvs": prev.get("dvs", []),
+                    "eq_dvs": prev.get("eq_dvs", []),
+                    "dv_rows": prev.get("dv_rows", 0),
+                }
+                if (prev.get("dvs") or prev.get("eq_dvs"))
                 else {}
             ),
         }
@@ -1029,21 +1171,58 @@ def read_changes(
     def read_rel(rels):
         return spark.read.parquet(*[f"{table_path}/{r}" for r in rels])
 
+    def _eq_id(entry: dict) -> tuple:
+        return (entry["key"], tuple(entry["files"]))
+
     start_m = _manifest(spark, table_path, from_version)
     prev_files = set(start_m["files"])
     prev_dvs = set(start_m.get("dvs", []))
+    prev_eq = {_eq_id(e): e for e in start_m.get("eq_dvs", [])}
+    prev_manifest = start_m
     for v in versions:
         if not from_version < v <= to_version:
             continue
         m = _manifest(spark, table_path, v)
         cur_files = set(m["files"])
         cur_dvs = set(m.get("dvs", []))
+        cur_eq = {_eq_id(e): e for e in m.get("eq_dvs", [])}
         if m.get("operation") == "compact":
             # live-content identical by construction: compaction also
-            # MATERIALIZES deletion vectors, whose rows were already
-            # emitted as deletes at their delete_dv step
-            prev_files, prev_dvs = cur_files, cur_dvs
+            # MATERIALIZES deletion vectors (position and equality),
+            # whose rows were already emitted at their delete step
+            prev_files, prev_dvs, prev_eq = cur_files, cur_dvs, cur_eq
+            prev_manifest = m
             continue
+        # Equality-delete delta: a new entry's change set is the rows
+        # its keys suppress in its SCOPED files (through the view in
+        # force before this step, so nothing already-deleted re-emits)
+        new_eq = [e for eid, e in cur_eq.items() if eid not in prev_eq]
+        for entry in new_eq:
+            keys = spark.read.parquet(
+                *[f"{table_path}/{r}" for r in entry["files"]]
+            )
+            scoped_rels = [
+                rel
+                for rel in prev_manifest["files"]
+                if _dv_rel_key(rel) in set(entry["scope"])
+            ]
+            if not scoped_rels:
+                continue
+            base_live = _read_with_row_identity(
+                spark, table_path, prev_manifest
+            ).filter(
+                F.col("__dv_key").isin(
+                    [_dv_rel_key(r) for r in scoped_rels]
+                )
+            )
+            eq_step = (
+                base_live.join(
+                    F.broadcast(keys), entry["key"], "left_semi"
+                )
+                .drop("__dv_key", "__dv_pos")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            out = eq_step if out is None else out.unionByName(eq_step)
         # DV delta first (any operation may add deletion vectors —
         # delete_dv, merge-on-read upsert): new DV rows resolve back
         # to full 'delete' rows via the row identity. The dv'd
@@ -1079,36 +1258,29 @@ def read_changes(
         removed = sorted(
             rel for rel in prev_files - cur_files if rel not in prev_dvs
         )
-        base_dvs = prev_dvs  # the DVs in force BEFORE this step
-        prev_files, prev_dvs = cur_files, cur_dvs
+        base_manifest = prev_manifest  # the view in force BEFORE
+        base_has_dvs = bool(prev_dvs or prev_eq)
+        prev_files, prev_dvs, prev_eq = cur_files, cur_dvs, cur_eq
+        prev_manifest = m
         step: DataFrame | None = None
         if added and not removed:  # pure append: no diff needed
             step = read_rel(added).withColumn("_change_type", F.lit("insert"))
         elif added or removed:
             new_rows = read_rel(added) if added else None
             old_rows = read_rel(removed) if removed else None
-            # rows a PRIOR deletion vector already suppressed must not
-            # re-emit as deletes when their file is finally rewritten:
-            # diff the removed files' LIVE content, not their raw bytes
-            if old_rows is not None and base_dvs:
-                dv_prev = read_rel(sorted(base_dvs))
-                old_tagged = (
-                    spark.read.option("mergeSchema", "true")
-                    .parquet(*[f"{table_path}/{r}" for r in removed])
-                    .withColumn(
-                        "__dv_key",
-                        F.regexp_extract(
-                            F.col("_metadata.file_path"), _DV_KEY_RE, 1
-                        ),
+            # rows a PRIOR deletion vector (position or equality)
+            # already suppressed must not re-emit as deletes when
+            # their file is finally rewritten: diff the removed
+            # files' LIVE content, not their raw bytes
+            if old_rows is not None and base_has_dvs:
+                removed_keys = {_dv_rel_key(r) for r in removed}
+                old_rows = (
+                    _read_with_row_identity(
+                        spark, table_path, base_manifest
                     )
-                    .withColumn("__dv_pos", F.col("_metadata.row_index"))
+                    .filter(F.col("__dv_key").isin(list(removed_keys)))
+                    .drop("__dv_key", "__dv_pos")
                 )
-                old_rows = old_tagged.join(
-                    F.broadcast(dv_prev),
-                    (F.col("__dv_key") == dv_prev["file_key"])
-                    & (F.col("__dv_pos") == dv_prev["pos"]),
-                    "left_anti",
-                ).drop("__dv_key", "__dv_pos")
             parts = []
             if new_rows is not None:
                 ins = new_rows.exceptAll(old_rows) if old_rows is not None else new_rows

@@ -1777,3 +1777,68 @@ def test_maybe_compact_dvs_governor(spark, tmp_path):
         r["k"] for r in table_log.read_snapshot(spark, t).collect()
     )
     assert got == sorted(set(range(5, 30)) | {99} | set(range(200, 205)))
+
+
+def test_snapshot_equality_deletes(spark, tmp_path):
+    """Equality deletes (the Iceberg-v2 second MoR delete shape):
+    O(keys) written with NO data scan at commit; suppression is
+    scoped to the files present at delete time, so a later append
+    re-introduces the key; reads, CDF, composition with position DVs,
+    CoW-merge carry, compact materialization, and the shared dv_rows
+    debt all hold."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "eq_table")
+    table_log.commit_snapshot(
+        spark.range(0, 12).withColumnRenamed("id", "k").withColumn(
+            "v", F.col("k") * 10
+        ),
+        t,
+    )
+
+    def ks():
+        return sorted(
+            r["k"] for r in table_log.read_snapshot(spark, t).collect()
+        )
+
+    v1 = table_log.delete_snapshot_eq(
+        spark, t, "k", spark.createDataFrame([(3,), (7,), (99,)], "k long")
+    )
+    m1 = table_log._manifest(spark, t, v1)
+    assert m1["operation"] == "delete_eq" and m1["dv_rows"] == 3
+    assert ks() == [0, 1, 2, 4, 5, 6, 8, 9, 10, 11]
+    assert table_log.read_snapshot(spark, t, 0).count() == 12  # time travel
+
+    # scoping: re-appending a deleted key later SURVIVES
+    table_log.commit_snapshot(
+        spark.createDataFrame([(3, 333)], "k long, v long"), t, mode="append"
+    )
+    assert 3 in ks()
+    # CDF for the eq step: exactly the matched scoped rows
+    ch = table_log.read_changes(spark, t, from_version=0, to_version=v1)
+    assert sorted((r["k"], r["_change_type"]) for r in ch.collect()) == [
+        (3, "delete"),
+        (7, "delete"),
+    ]
+
+    # composes with a position DV and a DV-aware CoW merge
+    table_log.delete_snapshot_dv(spark, t, "k = 5")
+    table_log.merge_snapshot(
+        spark.createDataFrame([(0, -1)], "k long, v long"), t, key="k"
+    )
+    m = table_log._manifest(spark, t, table_log._list_versions(spark, t)[-1])
+    assert m.get("eq_dvs") and m.get("dvs")  # both kinds carried
+    assert ks() == [0, 1, 2, 3, 4, 6, 8, 9, 10, 11]
+    assert {
+        r["v"]
+        for r in table_log.read_snapshot(spark, t).filter("k = 0").collect()
+    } == {-1}
+
+    # compact materializes BOTH kinds; governor debt clears
+    table_log.compact_snapshot(spark, t, target_files=1)
+    m_c = table_log._manifest(spark, t, table_log._list_versions(spark, t)[-1])
+    assert "eq_dvs" not in m_c and "dvs" not in m_c
+    assert m_c["materialized_eq_dvs"] == 1
+    assert ks() == [0, 1, 2, 3, 4, 6, 8, 9, 10, 11]
