@@ -378,18 +378,31 @@ def merge_snapshot_mor(
     key: str,
     max_retries: int = 10,
     extra_meta: dict | None = None,
+    eq: bool = False,
 ) -> int:
     """MERGE-ON-READ upsert: the DV composition of
     :func:`merge_snapshot`. Old versions of matched keys are marked
-    deleted in a deletion vector and the whole batch lands as new
-    appended files — ONE atomic manifest, ZERO data files rewritten.
-    Where the CoW merge pays touched-file write amplification (a
-    0.1%-of-keys merge still rewrites every file holding one), the
-    MoR merge writes O(batch + matched positions) and defers the cost
-    to readers (broadcast DV anti-join) until :func:`compact_snapshot`
-    materializes. The streaming-sink batch-id stamp rides in
-    ``extra_meta`` exactly as in the CoW form. First commit
-    degenerates to append."""
+    deleted and the whole batch lands as new appended files — ONE
+    atomic manifest, ZERO data files rewritten. Where the CoW merge
+    pays touched-file write amplification (a 0.1%-of-keys merge still
+    rewrites every file holding one), the MoR merge defers the cost
+    to readers until :func:`compact_snapshot` materializes.
+
+    Two marking strategies:
+
+    - ``eq=False`` (default): POSITION deletion vector — one scan of
+      the live view finds matched row positions; readers pay a
+      per-row position anti-join only on files that carry DVs.
+    - ``eq=True``: EQUALITY delete entry — the batch's key column IS
+      the delete, scoped to the current files. Commit cost is
+      O(batch) with NO read of existing data at all (independent of
+      table size — the cheapest possible streaming upsert), traded
+      for a per-entry broadcast key-suppression on every read until
+      compaction; entries also accumulate per commit, so the
+      ``maybe_compact_dvs`` cadence matters more here.
+
+    The streaming-sink batch-id stamp rides in ``extra_meta`` exactly
+    as in the CoW form. First commit degenerates to append."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
@@ -406,21 +419,38 @@ def merge_snapshot_mor(
             )
         prev = _manifest(spark, table_path, versions[-1])
         version = versions[-1] + 1
-        live = _read_with_row_identity(spark, table_path, prev)
-        batch_keys = df.select(key).distinct()
-        matched = live.join(
-            F.broadcast(batch_keys),
-            live[key] == batch_keys[key],
-            "left_semi",
-        ).select(
-            F.col("__dv_key").alias("file_key"),
-            F.col("__dv_pos").alias("pos"),
-        )
-        new_dv = _write_commit_dir(matched, table_path, f"data/c{token}d")
+        new_dv: list[str] = []
+        eq_entry: dict | None = None
+        if eq:
+            key_files = _write_commit_dir(
+                df.select(key).distinct(), table_path, f"data/c{token}d"
+            )
+            n_marked = spark.read.parquet(
+                *[f"{table_path}/{r}" for r in key_files]
+            ).count()
+            eq_entry = {
+                "key": key,
+                "files": key_files,
+                "scope": [_dv_rel_key(r) for r in prev["files"]],
+            }
+        else:
+            live = _read_with_row_identity(spark, table_path, prev)
+            batch_keys = df.select(key).distinct()
+            matched = live.join(
+                F.broadcast(batch_keys),
+                live[key] == batch_keys[key],
+                "left_semi",
+            ).select(
+                F.col("__dv_key").alias("file_key"),
+                F.col("__dv_pos").alias("pos"),
+            )
+            new_dv = _write_commit_dir(
+                matched, table_path, f"data/c{token}d"
+            )
+            n_marked = spark.read.parquet(
+                *[f"{table_path}/{r}" for r in new_dv]
+            ).count()
         new_files = _write_commit_dir(df, table_path, f"data/c{token}a")
-        n_marked = spark.read.parquet(
-            *[f"{table_path}/{r}" for r in new_dv]
-        ).count()
         files = prev["files"] + new_files
         manifest = {
             "version": version,
@@ -429,7 +459,8 @@ def merge_snapshot_mor(
             "files": files,
             "n_files": len(files),
             "dvs": prev.get("dvs", []) + new_dv,
-            "eq_dvs": prev.get("eq_dvs", []),
+            "eq_dvs": prev.get("eq_dvs", [])
+            + ([eq_entry] if eq_entry else []),
             "dv_rows": prev.get("dv_rows", 0) + n_marked,
             "schema": df.schema.json(),
             "stats": {
@@ -899,7 +930,10 @@ def merge_snapshot(
 
 
 def snapshot_stream_writer(
-    table_path: str, key: str | None = None, mor: bool = False
+    table_path: str,
+    key: str | None = None,
+    mor: bool = False,
+    mor_eq: bool = False,
 ):
     """foreachBatch sink committing each micro-batch as a snapshot
     version — EXACTLY-ONCE through the transaction log: the
@@ -934,8 +968,12 @@ def snapshot_stream_writer(
                 break
         stamp = {"stream_batch_id": batch_id}
         if key is not None and versions:
-            merge = merge_snapshot_mor if mor else merge_snapshot
-            merge(batch_df, table_path, key, extra_meta=stamp)
+            if mor:
+                merge_snapshot_mor(
+                    batch_df, table_path, key, extra_meta=stamp, eq=mor_eq
+                )
+            else:
+                merge_snapshot(batch_df, table_path, key, extra_meta=stamp)
         else:
             commit_snapshot(
                 batch_df, table_path, mode="append", extra_meta=stamp

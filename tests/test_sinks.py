@@ -1842,3 +1842,105 @@ def test_snapshot_equality_deletes(spark, tmp_path):
     assert "eq_dvs" not in m_c and "dvs" not in m_c
     assert m_c["materialized_eq_dvs"] == 1
     assert ks() == [0, 1, 2, 3, 4, 6, 8, 9, 10, 11]
+
+
+def test_snapshot_mor_eq_upsert_zero_read_commit(spark, tmp_path):
+    """merge_snapshot_mor(eq=True): the batch's keys ARE the delete —
+    commit reads NOTHING of the existing table (cost independent of
+    table size). Repeated eq-upserts stay last-write-wins because each
+    entry's scope covers the PRIOR version's files including earlier
+    batches; compact materializes everything."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "mor_eq")
+    table_log.commit_snapshot(
+        spark.range(0, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        t,
+    )
+    table_log.merge_snapshot_mor(
+        spark.createDataFrame([(2, 222), (9, 9)], "k long, v long"),
+        t, key="k", eq=True,
+    )
+
+    def got():
+        return {
+            r["k"]: r["v"]
+            for r in table_log.read_snapshot(spark, t).collect()
+        }
+
+    want = {k: k * 10 for k in range(8)} | {2: 222, 9: 9}
+    assert got() == want
+    # second eq-upsert updates a key the FIRST eq-batch introduced:
+    # entry 2's scope includes entry 1's appended files
+    table_log.merge_snapshot_mor(
+        spark.createDataFrame([(9, 99)], "k long, v long"),
+        t, key="k", eq=True,
+    )
+    want[9] = 99
+    assert got() == want
+    m = table_log._manifest(spark, t, table_log._list_versions(spark, t)[-1])
+    assert m["operation"] == "merge_mor" and len(m["eq_dvs"]) == 2
+    assert m["dv_rows"] == 3  # 2 + 1 keys marked
+    # CDF of the second upsert: delete+insert pair for k=9 only
+    ch = table_log.read_changes(
+        spark, t, from_version=m["version"] - 1, to_version=m["version"]
+    )
+    assert sorted(
+        (r["k"], r["_change_type"]) for r in ch.collect()
+    ) == [(9, "delete"), (9, "insert")]
+    table_log.compact_snapshot(spark, t, target_files=1)
+    assert got() == want
+    m2 = table_log._manifest(spark, t, table_log._list_versions(spark, t)[-1])
+    assert "eq_dvs" not in m2
+
+
+def test_snapshot_stream_writer_mor_eq(spark, tmp_path):
+    """The streaming sink's cheapest upsert mode (mor=True,
+    mor_eq=True): per-batch commit cost independent of table size,
+    exactly-once via the batch-id stamp, correct last-write-wins
+    across batches and a replay."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "mor_eq_stream")
+    src = tmp_path / "mor_eq_src"
+    src.mkdir()
+    schema = "k long, v string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run(cp):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                table_log.snapshot_stream_writer(
+                    t, key="k", mor=True, mor_eq=True
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    feed([(1, "a"), (2, "b")])
+    run("cp1")
+    feed([(2, "B"), (3, "c")])
+    run("cp1")
+    rows = sorted(
+        (r["k"], r["v"]) for r in table_log.read_snapshot(spark, t).collect()
+    )
+    assert rows == [(1, "a"), (2, "B"), (3, "c")]
+    n = len(table_log.history(spark, t))
+    run("cp_replay")  # full replay: stamp skips everything
+    assert len(table_log.history(spark, t)) == n
+    assert sorted(
+        (r["k"], r["v"]) for r in table_log.read_snapshot(spark, t).collect()
+    ) == rows
