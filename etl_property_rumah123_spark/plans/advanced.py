@@ -499,6 +499,51 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@part(
+    "array_hof_semantics",
+    """
+    SELECT vec_id AS vec_id,
+      CAST(CASE WHEN len(list_filter(embedding, x -> x > 0.9)) > 0
+           THEN 1 ELSE 0 END AS BIGINT) AS has_big,
+      CAST(CASE WHEN len(list_filter(embedding, x -> NOT (x > -10))) = 0
+           THEN 1 ELSE 0 END AS BIGINT) AS all_sane,
+      ROUND(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * x)), 4) AS sq_sum,
+      ROUND(list_sum(list_transform(
+            list_zip(embedding, list_reverse(embedding)),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS pal_dot
+    FROM embeddings WHERE vec_id % 17 = 0
+    """,
+    doc="The higher-order-function family as SEMANTIC surface: "
+    "exists / forall (quantifiers), aggregate (left fold), transform "
+    "and zip_with (the palindromic self-dot exercises two-array "
+    "lambdas) — oracled against DuckDB's list_* lambdas. NOTE the "
+    "perf contract documented in cleaning.py/BASELINE.md: HOFs run "
+    "interpreted and hot paths reformulate as explode + codegen'd "
+    "aggregates; this part pins the semantics, not the plan shape.",
+)
+def array_hof_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 17 == 0)
+    arr = F.col("embedding")
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.exists(arr, lambda x: x > 0.9).cast("long").alias("has_big"),
+        F.forall(arr, lambda x: x > -10).cast("long").alias("all_sane"),
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + dbl(x) * dbl(x)), 4
+        ).alias("sq_sum"),
+        F.round(
+            F.aggregate(
+                F.zip_with(arr, F.reverse(arr), lambda a, b: dbl(a) * dbl(b)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("pal_dot"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate distinct (sketch; rows-only — algorithms differ by design)
 # ---------------------------------------------------------------------------

@@ -351,6 +351,7 @@ _suite(
         "int8_quant": {"part": "embedding_int8_quant", "k1": "vec_id", "v1": "scale", "v2": "max_abs_err", "v3": "mean_abs_err"},
         "variant": {"part": "variant_typed_extract", "k1": "event_id", "k2": "miss_val", "n1": "u_val", "n2": "a1_val", "s1": "type_val", "s2": "var_schema"},
         "variant_agg": {"part": "variant_shredded_agg", "s1": "event_type", "n1": "n", "n2": "k_sum", "v1": "k_avg"},
+        "hof": {"part": "array_hof_semantics", "k1": "vec_id", "n1": "has_big", "n2": "all_sane", "v1": "sq_sum", "v2": "pal_dot"},
     },
     [("k1", "bigint"), ("k2", "bigint"), ("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("v1", "double"), ("v2", "double"), ("v3", "double"), ("v4", "double")],
     doc="Complex-type functions: posexplode with ordinality, the "
