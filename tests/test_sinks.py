@@ -1944,3 +1944,94 @@ def test_snapshot_stream_writer_mor_eq(spark, tmp_path):
     assert sorted(
         (r["k"], r["v"]) for r in table_log.read_snapshot(spark, t).collect()
     ) == rows
+
+
+def test_table_log_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based stateful check of the whole MoR/CoW surface: a
+    random interleaving of append / CoW merge / CoW delete / position
+    DV delete / equality delete / MoR upsert (both marking modes) /
+    compact is mirrored on a plain dict, and after EVERY op the live
+    read equals the model — the invariant that all the delete shapes,
+    scopes, carries, and materializations compose in any order."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    rng = random.Random(61)
+    t = str(tmp_path / "model_table")
+    model: dict[int, int] = {}
+    next_id = 0
+
+    def fresh(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    def mkdf(pairs):
+        return spark.createDataFrame(list(pairs), "k long, v long")
+
+    def some_keys():
+        pool = list(model) or [0]
+        picked = rng.sample(pool, k=min(len(pool), rng.randint(1, 3)))
+        if rng.random() < 0.5:
+            picked += fresh(1)
+        return picked
+
+    # seed commit
+    ks0 = fresh(6)
+    model.update({k: k * 100 for k in ks0})
+    table_log.commit_snapshot(mkdf([(k, k * 100) for k in ks0]), t)
+
+    ops = ["append", "cow_merge", "cow_delete", "dv_delete",
+           "eq_delete", "mor", "mor_eq", "compact"]
+    for step in range(24):
+        op = rng.choice(ops)
+        if op == "append":
+            ks = fresh(rng.randint(1, 3))
+            rows = [(k, k * 100 + step) for k in ks]
+            model.update(dict(rows))
+            table_log.commit_snapshot(mkdf(rows), t, mode="append")
+        elif op == "cow_merge":
+            rows = [(k, step * 1000 + k) for k in some_keys()]
+            model.update(dict(rows))
+            table_log.merge_snapshot(mkdf(rows), t, key="k")
+        elif op == "cow_delete":
+            m = rng.randint(2, 5)
+            r = rng.randint(0, m - 1)
+            model = {k: v for k, v in model.items() if k % m != r}
+            table_log.delete_snapshot(spark, t, f"k % {m} = {r}")
+        elif op == "dv_delete":
+            m = rng.randint(2, 5)
+            r = rng.randint(0, m - 1)
+            model = {k: v for k, v in model.items() if k % m != r}
+            table_log.delete_snapshot_dv(spark, t, f"k % {m} = {r}")
+        elif op == "eq_delete":
+            ks = rng.sample(list(model) or [0], k=min(len(model), 2)) or [0]
+            for k in ks:
+                model.pop(k, None)
+            table_log.delete_snapshot_eq(
+                spark, t, "k", spark.createDataFrame([(k,) for k in ks], "k long")
+            )
+        elif op in ("mor", "mor_eq"):
+            rows = [(k, step * 1000 + k) for k in some_keys()]
+            model.update(dict(rows))
+            table_log.merge_snapshot_mor(
+                mkdf(rows), t, key="k", eq=(op == "mor_eq")
+            )
+        else:  # compact
+            table_log.compact_snapshot(spark, t, target_files=2)
+        got = {
+            r["k"]: r["v"]
+            for r in table_log.read_snapshot(spark, t).collect()
+        }
+        assert got == model, f"divergence after step {step} ({op})"
+    # closing compact + vacuum leave the final state intact
+    table_log.compact_snapshot(spark, t, target_files=1)
+    table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    got = {
+        r["k"]: r["v"] for r in table_log.read_snapshot(spark, t).collect()
+    }
+    assert got == model
