@@ -1855,7 +1855,7 @@ def events_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -1877,9 +1877,12 @@ def events_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle on the grouping key with the session merge inside the "
     "aggregate, vs the lag+flag-sum rewrite's two window passes "
     "(`events_sessionize` keeps that form as the portable twin). "
-    "Session semantics are half-open [ts, ts+gap): a successor at "
-    "EXACTLY gap distance starts a NEW session, so the oracle's "
-    "island break uses >= gap where the lag rewrite uses >.",
+    "Boundary semantics pinned by an adversarial tie fixture "
+    "(tests/test_advanced.py): a successor at EXACTLY gap distance "
+    "MERGES (the window end is inclusive), so the island break is "
+    "STRICTLY > gap — the same rule the lag rewrite uses. Real "
+    "microsecond data never ties, which is why only a constructed "
+    "fixture can pin this edge.",
 )
 def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")

@@ -633,3 +633,56 @@ def test_lsh_index_meta_guard_refuses_mismatch(spark, tmp_path):
     dedup.lsh_bucket_table(docs).write.parquet(bare)
     with pytest.raises(ValueError, match="no _lsh_meta.json"):
         dedup.probe_lsh_index(docs, bare)
+
+
+def test_session_window_exact_gap_boundary_ties(spark):
+    """The session-window gap-boundary knife-edge, pinned by an
+    adversarial tie fixture (real microsecond data never lands on the
+    exact boundary): a successor at EXACTLY the gap distance MERGES —
+    the window end is inclusive — so the island-rewrite twin (and the
+    registry oracle) must break strictly AFTER the gap. This test
+    exists because the >= rule passes every real-data parity check
+    and only a constructed tie exposes it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    gap = dt.timedelta(seconds=1800)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: second event at exactly gap -> MERGES (inclusive end)
+        (1, base), (1, base + gap),
+        # user 2: at gap - 1us -> ONE session
+        (2, base), (2, base + gap - us),
+        # user 3: at gap + 1us -> TWO sessions
+        (3, base), (3, base + gap + us),
+        # user 4: chain where each hop < gap but total > gap -> ONE
+        (4, base), (4, base + gap - us), (4, base + 2 * gap - 2 * us),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n").alias("n_events"))
+    )
+    out = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got.collect()}
+    assert out == {1: (1, 2), 2: (1, 2), 3: (2, 2), 4: (1, 3)}
+
+    # and the strictly-greater island rule reproduces exactly that
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("e", df.toPandas())
+    drows = con.execute("""
+      WITH g AS (
+        SELECT user_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      )
+      SELECT user_id, SUM(ns), COUNT(*) FROM g GROUP BY user_id
+    """).fetchall()
+    assert {int(u): (int(s), int(c)) for u, s, c in drows} == out
