@@ -686,3 +686,35 @@ def test_session_window_exact_gap_boundary_ties(spark):
       SELECT user_id, SUM(ns), COUNT(*) FROM g GROUP BY user_id
     """).fetchall()
     assert {int(u): (int(s), int(c)) for u, s, c in drows} == out
+
+
+def test_asof_join_equal_timestamp_strictness(spark):
+    """As-of tie semantics pinned: with left_ts == right_ts, strict=True
+    must NOT see the payload (an event at t cannot see a quote stamped
+    t), strict=False must; and a right row strictly later is invisible
+    either way. The side-ordering trick in asof_join encodes this."""
+    from etl_property_rumah123_spark.plans.advanced import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 200, "e2")], "k long, t long, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "p@100"), (1, 150, "p@150"), (1, 201, "p@201")],
+        "k long, t long, payload string",
+    )
+    strict = {
+        r["name"]: r["__asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            payload="payload", strict=True,
+        ).collect()
+    }
+    assert strict == {"e1": None, "e2": "p@150"}
+    incl = {
+        r["name"]: r["__asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            payload="payload", strict=False,
+        ).collect()
+    }
+    assert incl == {"e1": "p@100", "e2": "p@150"}
