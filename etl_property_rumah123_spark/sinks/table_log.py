@@ -750,6 +750,46 @@ def read_snapshot(
     return df
 
 
+def schema_diff(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> dict:
+    """SCHEMA DRIFT between two versions, from the manifests alone (no
+    file reads): ``{"added": {col: type}, "removed": {col: type},
+    "retyped": {col: (old, new)}}``. The audit a consumer pinned to a
+    snapshot runs before upgrading — the complement of
+    ``read_snapshot(merge_schema=True)``'s permissive union."""
+    from pyspark.sql.types import StructType
+
+    versions = _list_versions(spark, table_path)
+    if to_version is None:
+        to_version = versions[-1]
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in {table_path}")
+
+    def cols(v: int) -> dict:
+        sj = _manifest(spark, table_path, v).get("schema")
+        if not sj:
+            return {}
+        return {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(json.loads(sj)).fields
+        }
+    old, new = cols(from_version), cols(to_version)
+    return {
+        "added": {c: t for c, t in new.items() if c not in old},
+        "removed": {c: t for c, t in old.items() if c not in new},
+        "retyped": {
+            c: (old[c], new[c])
+            for c in old.keys() & new.keys()
+            if old[c] != new[c]
+        },
+    }
+
+
 def history(spark: SparkSession, table_path: str) -> list[dict]:
     """All manifests, oldest first (version/operation/n_files)."""
     return [

@@ -2035,3 +2035,36 @@ def test_table_log_random_op_sequences_match_model(spark, tmp_path):
         r["k"]: r["v"] for r in table_log.read_snapshot(spark, t).collect()
     }
     assert got == model
+
+
+def test_snapshot_schema_diff(spark, tmp_path):
+    """schema_diff reads only manifests: added/removed/retyped columns
+    across schema-evolving commits, the pre-upgrade audit for a
+    consumer pinned to an old snapshot."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "drift")
+    table_log.commit_snapshot(
+        spark.range(3).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        ),
+        t,
+    )
+    table_log.commit_snapshot(
+        spark.range(3).select(
+            F.col("id").alias("k"),
+            F.lit(1.5).alias("score"),  # added
+            F.lit(7).alias("tag"),  # retyped string -> int
+        ),
+        t,
+        mode="overwrite",
+    )
+    d = table_log.schema_diff(spark, t, 0, 1)
+    assert d["added"] == {"score": "double"}
+    assert d["removed"] == {}
+    assert d["retyped"] == {"tag": ("string", "int")}
+    assert table_log.schema_diff(spark, t, 1, 1) == {
+        "added": {}, "removed": {}, "retyped": {}
+    }
