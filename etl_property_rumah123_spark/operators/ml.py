@@ -561,3 +561,76 @@ def bloom_probe(
     return probed.groupBy(id_col).agg(
         F.min("hit").cast("int").alias("maybe_present")
     )
+
+
+def cached_embed(
+    docs: DataFrame,
+    cache_path: str,
+    embed,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CONTENT-ADDRESSED EMBEDDING CACHE — the "never embed the same
+    bytes twice" pattern a 100 TB corpus pipeline lives on, since the
+    embedder (a GPU model in production; any deterministic
+    DataFrame -> DataFrame function here) dwarfs every other per-byte
+    cost and recrawls/dedups re-present mostly-unchanged content.
+
+    Probe-then-extend against a snapshot-log table keyed by the md5
+    content digest:
+
+    1. digest each doc (JVM-side md5, no UDF);
+    2. broadcast-probe the cache snapshot (empty on first run);
+    3. run ``embed(misses_df) -> (digest, embedding)`` ONLY on digests
+       not yet cached (distinct digests, so in-batch duplicates embed
+       once);
+    4. append the new rows as a snapshot version (atomic; concurrent
+       runs may race the same digest — duplicates are collapsed at
+       probe time by a keep-any distinct, and embeddings are
+       deterministic per digest, so either copy is the same answer);
+    5. return (docs joined with embeddings, stats dict).
+
+    The cache table composes with the rest of the log: time travel
+    pins "which cache did run X use", vacuum ages it, compaction
+    folds the per-run small files.
+    """
+    spark = docs.sparkSession
+    from etl_property_rumah123_spark.sinks import table_log
+
+    tagged = docs.withColumn("__digest", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+    try:
+        cache = (
+            table_log.read_snapshot(spark, cache_path)
+            .dropDuplicates(["digest"])
+        )
+    except ValueError:  # no snapshots yet: empty cache
+        cache = None
+    if cache is not None:
+        hits = tagged.join(
+            F.broadcast(cache), tagged["__digest"] == cache["digest"], "left"
+        )
+        misses = hits.filter(F.col("digest").isNull())
+    else:
+        hits = None
+        misses = tagged
+    miss_docs = misses.select(
+        F.col("__digest").alias("digest"), F.col(text_col).alias("text")
+    ).dropDuplicates(["digest"])
+    new_rows = embed(miss_docs)  # must return (digest, embedding)
+    n_new = new_rows.count()
+    if n_new:
+        table_log.commit_snapshot(new_rows, cache_path, mode="append")
+    full_cache = table_log.read_snapshot(spark, cache_path).dropDuplicates(
+        ["digest"]
+    )
+    out = tagged.join(
+        F.broadcast(full_cache),
+        tagged["__digest"] == full_cache["digest"],
+        "left",
+    ).drop("__digest", "digest", "text_cached")
+    n_docs = docs.count()
+    return out, {
+        "n_docs": n_docs,
+        "n_embedded": n_new,
+        "n_cache_hits": n_docs - misses.count() if cache is not None else 0,
+    }

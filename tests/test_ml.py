@@ -213,3 +213,51 @@ def test_ml_parts_stable_under_ansi(spark):
             ).mode("overwrite").save()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_cached_embed_probe_then_extend(spark, tmp_path):
+    """The content-addressed embedding cache: first run embeds every
+    distinct digest, an identical second run embeds NOTHING (pure
+    cache hits), an incremental third run embeds only the new
+    content, and embeddings are identical across runs (the cache IS
+    the determinism boundary). In-batch duplicate texts embed once."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.operators.ml import cached_embed
+
+    cache = str(tmp_path / "emb_cache")
+
+    def embed(miss_docs):
+        # deterministic stand-in for a GPU embedder: 4 dims from the
+        # digest hex — pure JVM expressions, no UDF
+        return miss_docs.select(
+            "digest",
+            F.array(
+                *[
+                    F.conv(F.substring("digest", 2 * i + 1, 2), 16, 10)
+                    .cast("double")
+                    for i in range(4)
+                ]
+            ).alias("embedding"),
+        )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],  # 3 != distinct 2
+        "doc_id long, text string",
+    )
+    out1, s1 = cached_embed(docs, cache, embed)
+    assert s1 == {"n_docs": 3, "n_embedded": 2, "n_cache_hits": 0}
+    e1 = {r["doc_id"]: tuple(r["embedding"]) for r in out1.collect()}
+    assert e1[1] == e1[3] != e1[2]  # same content, same vector
+
+    out2, s2 = cached_embed(docs, cache, embed)
+    assert s2 == {"n_docs": 3, "n_embedded": 0, "n_cache_hits": 3}
+    assert {r["doc_id"]: tuple(r["embedding"]) for r in out2.collect()} == e1
+
+    docs3 = spark.createDataFrame(
+        [(1, "alpha"), (4, "gamma")], "doc_id long, text string"
+    )
+    out3, s3 = cached_embed(docs3, cache, embed)
+    assert s3 == {"n_docs": 2, "n_embedded": 1, "n_cache_hits": 1}
+    e3 = {r["doc_id"]: tuple(r["embedding"]) for r in out3.collect()}
+    assert e3[1] == e1[1]
