@@ -108,8 +108,13 @@ def _try_publish(spark, table_path: str, version: int, token: str, manifest: dic
     """Stage the manifest and rename-if-absent into the log — the ONE
     atomic visibility step every writer shares. Returns True when OUR
     manifest won version ``version``."""
+    import time
+
     jvm, fs = _fs(spark, table_path)
     hadoop_path = jvm.org.apache.hadoop.fs.Path
+    # commit wall-clock stamp: powers TIMESTAMP-AS-OF time travel
+    # (best-effort — version order, not the clock, is authoritative)
+    manifest.setdefault("committed_at", time.time())
     staged = f"{table_path}/_log/.v{version}-{token}.json.tmp"
     _write_file(spark, staged, json.dumps(manifest, indent=1).encode())
     if fs.rename(
@@ -615,12 +620,46 @@ def _empty_snapshot_df(spark: SparkSession, manifest: dict) -> DataFrame:
     return spark.createDataFrame([], schema=schema)
 
 
+def version_at_timestamp(
+    spark: SparkSession, table_path: str, ts: float
+) -> int:
+    """TIMESTAMP AS OF resolution: the latest version whose
+    ``committed_at`` stamp is <= ``ts`` (pre-stamp manifests fall
+    back to the manifest file's modification time). Version order is
+    authoritative where clocks disagree: the scan walks versions in
+    order and keeps the last one at-or-before the cut."""
+    versions = _list_versions(spark, table_path)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_path}")
+    jvm, fs = _fs(spark, table_path)
+    chosen = None
+    for v in versions:
+        at = _manifest(spark, table_path, v).get("committed_at")
+        if at is None:  # pre-stamp manifest: file mtime
+            at = (
+                fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{table_path}/_log/v{v}.json"
+                    )
+                ).getModificationTime()
+                / 1000.0
+            )
+        if at <= ts:
+            chosen = v
+    if chosen is None:
+        raise ValueError(
+            f"no version of {table_path} existed at timestamp {ts}"
+        )
+    return chosen
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     merge_schema: bool = False,
     predicates: list[tuple] | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest) — time travel.
     One manifest read; the file list goes straight to the parquet
@@ -646,6 +685,10 @@ def read_snapshot(
     versions = _list_versions(spark, table_path)
     if not versions:
         raise ValueError(f"no snapshots at {table_path}")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(spark, table_path, timestamp)
     if version is None:
         version = versions[-1]
     if version not in versions:
@@ -790,15 +833,26 @@ def schema_diff(
     }
 
 
+#: Optional manifest fields surfaced by :func:`history` when present —
+#: the audit columns (what/when/how big) without dumping file lists.
+_HISTORY_EXTRAS = (
+    "committed_at", "condition", "n_deleted", "n_keys", "dv_rows",
+    "n_rewritten_files", "merge_key", "stream_batch_id",
+    "compacted_from", "eq_key",
+)
+
+
 def history(spark: SparkSession, table_path: str) -> list[dict]:
-    """All manifests, oldest first (version/operation/n_files)."""
-    return [
-        {k: m[k] for k in ("version", "operation", "n_files")}
-        for m in (
-            _manifest(spark, table_path, v)
-            for v in _list_versions(spark, table_path)
-        )
-    ]
+    """All manifests, oldest first: version/operation/n_files plus the
+    per-operation audit fields where present (commit timestamp, delete
+    condition and counts, DV debt, merge key, stream batch id, ...)."""
+    out = []
+    for v in _list_versions(spark, table_path):
+        m = _manifest(spark, table_path, v)
+        row = {k: m[k] for k in ("version", "operation", "n_files")}
+        row.update({k: m[k] for k in _HISTORY_EXTRAS if k in m})
+        out.append(row)
+    return out
 
 
 def vacuum(
@@ -806,12 +860,16 @@ def vacuum(
     table_path: str,
     keep_last: int = 1,
     min_age_s: float = 24 * 3600,
+    dry_run: bool = False,
 ) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and
     delete data no surviving manifest references — including orphaned
     commit dirs and staged .tmp manifests from crashed commits.
     Returns deleted paths. The time-travel horizon after vacuum is
     exactly the kept versions — same contract as Delta's VACUUM.
+    ``dry_run=True`` returns the would-delete list WITHOUT touching
+    anything (the operator's pre-flight, same as Delta's VACUUM DRY
+    RUN).
 
     ``min_age_s`` is the RETENTION GUARD (default 24 h, same idea as
     Delta's retention check): unreferenced data/staging younger than
@@ -844,14 +902,16 @@ def vacuum(
     for v in versions:
         if v not in keep:
             p = f"{table_path}/_log/v{v}.json"
-            fs.delete(hadoop_path(p), False)
+            if not dry_run:
+                fs.delete(hadoop_path(p), False)
             deleted.append(p)
     log_dir = hadoop_path(f"{table_path}/_log")
     if fs.exists(log_dir):
         for status in fs.listStatus(log_dir):
             name = status.getPath().getName()
             if name.endswith(".json.tmp") and old_enough(status):
-                fs.delete(status.getPath(), False)
+                if not dry_run:
+                    fs.delete(status.getPath(), False)
                 deleted.append(f"{table_path}/_log/{name}")
     data_dir = hadoop_path(f"{table_path}/data")
     if fs.exists(data_dir):
@@ -859,7 +919,8 @@ def vacuum(
         for status in fs.listStatus(data_dir):
             name = status.getPath().getName()
             if name not in live_dirs and old_enough(status):
-                fs.delete(status.getPath(), True)
+                if not dry_run:
+                    fs.delete(status.getPath(), True)
                 deleted.append(f"{table_path}/data/{name}")
     return deleted
 

@@ -2128,3 +2128,53 @@ def test_snapshot_mor_concurrent_writers_serialize(spark, tmp_path):
     assert {
         r["k"]: r["v"] for r in table_log.read_snapshot(spark, t).collect()
     } == want
+
+
+def test_snapshot_timestamp_as_of_dry_run_and_history_extras(spark, tmp_path):
+    """Three operator utilities: TIMESTAMP-AS-OF time travel resolves
+    the latest version at-or-before a wall-clock cut (commit stamps
+    recorded atomically in the manifest), vacuum dry_run reports its
+    would-delete list without touching anything, and history surfaces
+    the per-operation audit fields."""
+    import time
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "ts_travel")
+    table_log.commit_snapshot(
+        spark.range(0, 4).withColumnRenamed("id", "k"), t
+    )
+    cut = time.time()
+    time.sleep(0.05)
+    table_log.commit_snapshot(
+        spark.range(4, 8).withColumnRenamed("id", "k"), t, mode="append"
+    )
+    table_log.delete_snapshot_dv(spark, t, "k = 0")
+
+    assert table_log.version_at_timestamp(spark, t, cut) == 0
+    assert table_log.read_snapshot(spark, t, timestamp=cut).count() == 4
+    assert (
+        table_log.read_snapshot(spark, t, timestamp=time.time()).count() == 7
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="existed at"):
+        table_log.version_at_timestamp(spark, t, cut - 1e6)
+    with _pytest.raises(ValueError, match="not both"):
+        table_log.read_snapshot(spark, t, version=0, timestamp=cut)
+
+    # history carries the audit fields
+    h = table_log.history(spark, t)
+    assert [r["operation"] for r in h] == ["append", "append", "delete_dv"]
+    assert all("committed_at" in r for r in h)
+    assert h[-1]["condition"] == "k = 0" and h[-1]["n_deleted"] == 1
+
+    # dry-run vacuum: reports, touches nothing
+    would = table_log.vacuum(spark, t, keep_last=1, min_age_s=0, dry_run=True)
+    assert would  # old manifests + now-unreferenced dirs listed
+    assert len(table_log.history(spark, t)) == 3  # nothing deleted
+    assert table_log.read_snapshot(spark, t, 0).count() == 4
+    # the real vacuum deletes exactly the reported set
+    gone = table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    assert sorted(gone) == sorted(would)
+    assert table_log.read_snapshot(spark, t).count() == 7
