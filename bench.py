@@ -50,6 +50,40 @@ def sf_of(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+# Box-load stamp: same-code rounds have shown 15-30% per-query swings
+# (r6 vs r7 on byte-identical trees). Recording 1/5/15-min loadavg in
+# the bench JSON lets any reader separate plan regressions from a busy
+# box without re-running. When the 1-min load is already high BEFORE
+# the bench starts, wait (bounded) for it to settle so the recorded
+# numbers start from a quiet baseline.
+LOAD_QUIET_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_QUIET", "4.0"))
+LOAD_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "120"))
+
+
+def loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platforms without getloadavg
+        return [-1.0, -1.0, -1.0]
+
+
+def wait_for_quiet_box() -> list[float]:
+    """Poll until 1-min loadavg < threshold or the wait budget is spent.
+
+    Returns the loadavg observed at bench start (post-wait)."""
+    deadline = time.monotonic() + LOAD_WAIT_SEC
+    la = loadavg()
+    while la[0] >= LOAD_QUIET_THRESHOLD and time.monotonic() < deadline:
+        print(
+            f"bench: 1-min load {la[0]} >= {LOAD_QUIET_THRESHOLD}, "
+            "waiting for quiet box...",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        la = loadavg()
+    return la
+
+
 def run_once(spec, spark, sf_dir: str = SF_DIR) -> float:
     t0 = time.perf_counter()
     spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -59,6 +93,7 @@ def run_once(spec, spark, sf_dir: str = SF_DIR) -> float:
 def main() -> None:
     registry = load_all()
     headline = {n: s for n, s in registry.items() if s.headline}
+    load_at_start = wait_for_quiet_box()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -79,6 +114,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_of(SF_DIR),
+        "loadavg_start": load_at_start,
     }
 
     if SWEEP:
@@ -120,6 +156,8 @@ def main() -> None:
     # numbers. Keep stdout to ONE COMPACT line (metric/value/queries/
     # totals) and write the full detail — per-query sweep + sf1 series —
     # to BENCH_DETAILS.json next to this script.
+    out["loadavg_end"] = loadavg()
+
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
     )
@@ -132,6 +170,8 @@ def main() -> None:
         "unit": out["unit"],
         "queries": out["queries"],
         "sf": out["sf"],
+        "loadavg_start": out["loadavg_start"],
+        "loadavg_end": out["loadavg_end"],
     }
     if "registry_total_sec" in out:
         compact["registry_total_sec"] = out["registry_total_sec"]
