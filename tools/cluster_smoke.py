@@ -1,0 +1,179 @@
+"""Cluster-mode smoke: run the headline + worker-Python queries on a
+multi-JVM master and value-diff against the DuckDB oracle.
+
+Every other check in this repo runs on ``local[N]`` — one JVM, where
+broadcast, Python-worker imports, and task serialization all share the
+driver process. This script re-runs the riskiest registry entries on
+``local-cluster[2,8,4096]`` (2 separate executor JVMs, 8 cores and
+4 GiB each — Spark's real multi-process scheduler, same code path as
+standalone mode) so cross-process assumptions actually cross a process:
+
+- ``addPyFile`` package shipping (__spark_entry__._ensure_workers_can_import):
+  the DataSource entry (listing_pipeline_end_to_end) and the pandas-UDF
+  entries (multimodal_process_suite, knn/ann) import the package inside
+  executor-side Python workers that did NOT inherit the driver's
+  sys.path.
+- Broadcast joins / broadcast model state actually serialize over the
+  block-transfer service instead of staying heap-local.
+- Arrow batches for pandas_udf / mapInPandas / applyInPandas move
+  through executor Python workers launched by the executor JVMs.
+
+Usage (from /root/repo, must be the only Spark JVM up):
+
+    python tools/cluster_smoke.py                 # sf0.01, 11 queries
+    SMOKE_SF=/root/testdata/sf0.001 python tools/cluster_smoke.py
+    SMOKE_QUERIES=all python tools/cluster_smoke.py   # full 50-entry registry
+
+Expect ``failures: 0`` and ``executor JVMs: 2 (distinct from driver)``.
+Exit code 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = os.environ.get("SMOKE_SF", "/root/testdata/sf0.01")
+MASTER = os.environ.get("SMOKE_MASTER", "local-cluster[2,8,4096]")
+WHICH = os.environ.get("SMOKE_QUERIES", "")
+
+# The named scope from the round-6 verdict: every headline query, the
+# Python DataSource entry, and the heaviest pandas-UDF suite.
+EXTRA = ["listing_pipeline_end_to_end", "multimodal_process_suite", "ann_suite"]
+
+
+def main() -> int:
+    # Load the driver contract exactly as the external driver does.
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # Executor JVMs launch their own Python workers; pin them to this
+    # interpreter so the smoke is not at the mercy of PATH.
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(MASTER)
+        .appName("cluster_smoke")
+        # Bare-driver session on purpose: no ansi/legacy/Arrow configs,
+        # mirroring the external driver. 3g < the 4096 MiB worker cap.
+        .config("spark.executor.memory", "3g")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Prove we really have >1 executor JVM, all distinct from the driver:
+    # collect (pid) per task across enough partitions to hit both workers.
+    import operator
+
+    driver_pid = os.getpid()
+    pids = set(
+        spark.sparkContext.parallelize(range(64), 64)
+        .map(lambda _: os.getpid())
+        .distinct()
+        .collect()
+    )
+    exec_hosts = (
+        spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+    )  # executors + driver
+    multi_jvm = driver_pid not in pids and exec_hosts >= 3
+    print(
+        f"executor python-worker pids: {sorted(pids)} driver_pid={driver_pid} "
+        f"executor-map size={exec_hosts} multi_jvm={multi_jvm}"
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for t in tables:
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    from etl_property_rumah123_spark.plans import load_all
+
+    registry = load_all()
+    if WHICH == "all":
+        names = list(registry)
+    elif WHICH:
+        names = [n for n in WHICH.split(",") if n]
+    else:
+        names = [n for n, s in registry.items() if s.headline] + EXTRA
+
+    failures = 0
+    results: dict[str, str] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, SF)
+            cols = sorted(sdf.columns)
+            srows = sorted(
+                repr(tuple(r[c] for c in cols)) for r in sdf.collect()
+            )
+            res = con.execute(oracles[name])
+            rcols = [d[0] for d in res.description]
+            ocols = sorted(rcols)
+            idx = [rcols.index(c) for c in ocols]
+            orows = sorted(
+                repr(tuple(row[i] for i in idx)) for row in res.fetchall()
+            )
+            if cols != ocols:
+                results[name] = f"FAIL schema spark={cols} oracle={ocols}"
+                failures += 1
+            elif srows != orows:
+                n_bad = sum(map(operator.ne, srows, orows)) + abs(
+                    len(srows) - len(orows)
+                )
+                results[name] = (
+                    f"FAIL values rows spark={len(srows)} oracle={len(orows)} "
+                    f"diff={n_bad}"
+                )
+                failures += 1
+            else:
+                results[name] = f"ok ({len(srows)} rows, {time.time()-t0:.1f}s)"
+        except Exception as ex:  # noqa: BLE001
+            results[name] = f"ERROR {type(ex).__name__}: {str(ex)[:200]}"
+            failures += 1
+        print(f"{name}: {results[name]}", flush=True)
+
+    if not multi_jvm:
+        failures += 1
+        print("FAIL: not actually multi-JVM (driver pid ran tasks)")
+
+    print(
+        json.dumps(
+            {
+                "master": MASTER,
+                "sf": SF,
+                "queries": len(names),
+                "failures": failures,
+                "multi_jvm": multi_jvm,
+            }
+        )
+    )
+    print(f"failures: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
