@@ -44,7 +44,32 @@ from etl_property_rumah123_spark.sinks import table_log
 #: sketches cannot subtract, which is exactly what the hybrid already
 #: handles. Read the estimate via :func:`read_aggregate`'s
 #: ``estimate_sketches`` flag.
-_FNS = ("count", "sum", "min", "max", "approx_distinct")
+#: ``avg`` is NOT stored directly — averages don't fold (old_avg and
+#: delta_avg can't combine without their weights), so the view stores
+#: the classic sum/count decomposition (``__avg_sum__/__avg_cnt__``
+#: internal columns, both additive) and :func:`read_aggregate`
+#: projects the ratio. Exact, including all-NULL groups (0/0 -> NULL,
+#: matching SQL AVG).
+_FNS = ("count", "sum", "min", "max", "approx_distinct", "avg")
+
+#: Internal column prefixes for the avg decomposition.
+_AVG_SUM = "__avg_sum__"
+_AVG_CNT = "__avg_cnt__"
+
+
+def _expand_spec(agg_spec: dict) -> dict:
+    """Rewrite ``avg`` entries into their stored sum/count pair; all
+    other entries pass through. The refresh pipeline then only ever
+    sees additive/monotone functions."""
+    out: dict = {}
+    for name, (fn, src) in agg_spec.items():
+        if fn == "avg":
+            # F.count(src) is non-null count, exactly AVG's denominator
+            out[f"{_AVG_SUM}{name}"] = ("sum", src)
+            out[f"{_AVG_CNT}{name}"] = ("count", src)
+        else:
+            out[name] = (fn, src)
+    return out
 
 #: Internal columns: composite merge key, group row count (tombstone
 #: marker), refresh watermark manifest key.
@@ -94,13 +119,16 @@ def refresh_aggregate(
     CURRENT version of the snapshot table at ``source_path``.
 
     ``agg_spec``: ``{out_col: (fn, src_col)}`` with fn in
-    count/sum/min/max (count ignores src_col). Returns the source
-    version the view now reflects. First call (no view yet) runs the
-    full aggregate once; every later call processes only the change
-    feed since the recorded watermark. Idempotent: a refresh at an
+    count/sum/min/max/avg/approx_distinct (count counts non-null
+    src_col rows; avg is stored as its additive sum/count pair and
+    surfaced by :func:`read_aggregate`). Returns the source version
+    the view now reflects. First call (no view yet) runs the full
+    aggregate once; every later call processes only the change feed
+    since the recorded watermark. Idempotent: a refresh at an
     unchanged watermark is a no-op.
     """
     _check_spec(group_cols, agg_spec)
+    agg_spec = _expand_spec(agg_spec)
     src_versions = table_log._list_versions(spark, source_path)
     if not src_versions:
         raise ValueError(f"no snapshots at {source_path}")
@@ -275,10 +303,22 @@ def read_aggregate(
     estimate_sketches: dict[str, str] | None = None,
 ) -> DataFrame:
     """The maintained aggregate, tombstones filtered, internals
-    hidden. ``estimate_sketches``: ``{sketch_col: estimate_col}`` —
-    project each stored HLL sketch to its cardinality estimate."""
+    hidden. Stored avg decompositions project back to their ratio
+    (``sum / count``, NULL for all-NULL groups — SQL AVG semantics).
+    ``estimate_sketches``: ``{sketch_col: estimate_col}`` — project
+    each stored HLL sketch to its cardinality estimate."""
     v = table_log.read_snapshot(spark, view_path)
     out = v.filter(F.col(_N) > 0).drop(_KEY, _N)
+    for c in out.columns:
+        if c.startswith(_AVG_SUM):
+            name = c[len(_AVG_SUM):]
+            cnt = f"{_AVG_CNT}{name}"
+            out = out.withColumn(
+                name,
+                F.when(
+                    F.col(cnt) > 0, F.col(c) / F.col(cnt)
+                ),
+            ).drop(c, cnt)
     for col, alias in (estimate_sketches or {}).items():
         out = out.withColumn(
             alias, F.hll_sketch_estimate(col).cast("long")

@@ -53,6 +53,7 @@ works.
 from __future__ import annotations
 
 import json
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -154,16 +155,45 @@ _STATS_TYPES = (
     "byte", "short", "integer", "long", "float", "double", "string"
 )
 
+#: File-count envelope for manifest stats. The stats dict is
+#: driver-held and JSON-embedded in every manifest, so it must be
+#: bounded by something the driver controls — at ~10⁶ files (a 100 TB
+#: table at 100 MB/file) an uncapped dict is a ~GB manifest and a
+#: million-row commit-time collect. Past the cap the engine DEGRADES
+#: CONSERVATIVELY, never incorrectly: files without stats are simply
+#: never pruned (``_file_may_match`` keeps them), so reads stay
+#: correct and only lose the skipping optimization. The newest files'
+#: stats are kept preferentially (recent data is what incremental
+#: queries prune on). Env-tunable for big drivers.
+MAX_STATS_FILES = int(os.environ.get("SPARK_GRAFT_MAX_STATS_FILES", "100000"))
+
+
+def _cap_stats(stats: dict) -> dict:
+    """Bound a manifest stats dict to ``MAX_STATS_FILES`` entries,
+    keeping the LAST (newest — dict insertion order is carry-then-new
+    at every call site) entries. Dropping an entry is always safe:
+    pruning treats a stats-less file as may-match."""
+    if len(stats) <= MAX_STATS_FILES:
+        return stats
+    keys = list(stats)[len(stats) - MAX_STATS_FILES:]
+    return {k: stats[k] for k in keys}
+
 
 def _stats_for_files(spark: SparkSession, table_path: str, rels: list[str]) -> dict:
     """Per-file column stats for manifest-level data skipping:
     ``{rel_path: {col: [min, max, null_count]}}`` over the stats-
     eligible columns. ONE aggregate job grouped by file path — runs
     over data just written (page-cache warm), with map-side partial
-    aggregation, so the commit-time cost is a single cheap pass."""
+    aggregation, so the commit-time cost is a single cheap pass.
+
+    Guarded by ``MAX_STATS_FILES``: a commit writing more files than
+    the cap skips stats collection entirely (the groupBy-file collect
+    is one row PER FILE on the driver — fine at 10⁴, a flood at 10⁶).
+    Those files scan unpruned, which is the documented conservative
+    degradation, not an error."""
     from pyspark.sql import functions as F
 
-    if not rels:
+    if not rels or len(rels) > MAX_STATS_FILES:
         return {}
     df = spark.read.parquet(*[f"{table_path}/{rel}" for rel in rels])
     eligible = [
@@ -468,10 +498,10 @@ def merge_snapshot_mor(
             + ([eq_entry] if eq_entry else []),
             "dv_rows": prev.get("dv_rows", 0) + n_marked,
             "schema": df.schema.json(),
-            "stats": {
+            "stats": _cap_stats({
                 **prev.get("stats", {}),
                 **_stats_for_files(spark, table_path, new_files),
-            },
+            }),
             **(extra_meta or {}),
         }
         if _try_publish(spark, table_path, version, token, manifest):
@@ -586,7 +616,7 @@ def commit_snapshot(
             "files": files,
             "n_files": len(files),
             "schema": df.schema.json(),
-            "stats": stats,
+            "stats": _cap_stats(stats),
             **(
                 {"dvs": dvs, "eq_dvs": eq_dvs, "dv_rows": dv_rows}
                 if (dvs or eq_dvs)
@@ -1008,7 +1038,7 @@ def merge_snapshot(
             "n_files": len(files),
             "n_rewritten_files": len(touched_rel),
             "schema": rewrite.schema.json(),
-            "stats": stats,
+            "stats": _cap_stats(stats),
             **(
                 {
                     "dvs": prev.get("dvs", []),
@@ -1254,7 +1284,7 @@ def delete_snapshot(
             "n_files": len(files),
             "n_rewritten_files": len(touched_rel),
             "schema": tagged.drop("__file").schema.json(),
-            "stats": stats,
+            "stats": _cap_stats(stats),
             # DVs carry: entries for rewritten files are stale no-ops,
             # entries for kept files still suppress (compact retires)
             **(

@@ -166,6 +166,7 @@ def merge_into_partitioned(
     files_per_partition: int = 1,
     with_stats: bool = True,
     allow_schema_evolution: bool = False,
+    max_touched_partitions: int = 10_000,
 ) -> dict:
     """MERGE (upsert) a batch into a hive-partitioned Parquet dataset —
     the reference's L3 full-row last-write-wins semantics
@@ -213,6 +214,18 @@ def merge_into_partitioned(
     (and, when ``with_stats``, ``n_updated``/``n_inserted`` — the
     reference's xmax=0 accounting, computed as a semi-join count
     against the pruned existing slice before it is replaced).
+
+    ``max_touched_partitions`` bounds the driver-side collect of
+    distinct partition tuples (same loud-guard pattern as the LSH
+    ``max_bucket_size``): an incremental batch touches a handful of
+    partitions, so a batch touching more than the cap almost always
+    means the caller partitioned on a high-cardinality column (id,
+    timestamp) and the "prune then rewrite" plan has silently become
+    "rewrite the table through the driver". The collect itself is
+    LIMIT-bounded, so the driver never materializes more than
+    ``max_touched_partitions + 1`` tuples even when the batch would
+    touch millions. Raise the cap explicitly for a genuine wide
+    backfill.
     """
     spark = batch.sparkSession
     if order_col is not None:
@@ -227,7 +240,22 @@ def merge_into_partitioned(
     else:
         batch = batch.dropDuplicates(key_cols)
 
-    touched = [tuple(r) for r in batch.select(*partition_cols).distinct().collect()]
+    touched = [
+        tuple(r)
+        for r in batch.select(*partition_cols)
+        .distinct()
+        .limit(max_touched_partitions + 1)
+        .collect()
+    ]
+    if len(touched) > max_touched_partitions:
+        raise ValueError(
+            f"batch touches more than max_touched_partitions="
+            f"{max_touched_partitions} distinct {partition_cols} values; "
+            "this rewrite would flood the driver and rewrite most of the "
+            "table. Check that partition_cols is a low-cardinality "
+            "partitioning column, or raise max_touched_partitions for a "
+            "deliberate wide backfill."
+        )
     if not touched:
         out = {"path": path, "n_upserted": 0, "n_carried": 0, "n_partitions": 0}
         if with_stats:

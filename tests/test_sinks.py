@@ -394,6 +394,27 @@ def test_merge_into_partitioned_upserts_and_preserves_untouched(spark, tmp_path)
     assert bogor_file_before == bogor_file_after
 
 
+def test_merge_into_partitioned_touched_partition_guard(spark, tmp_path):
+    """A batch whose partition column is high-cardinality (here: the
+    key itself) trips max_touched_partitions loudly instead of
+    flooding the driver with distinct tuples; raising the cap lets a
+    deliberate wide backfill through."""
+    path = str(tmp_path / "lake_guard")
+    batch = spark.range(50).select(
+        F.col("id").alias("link"),
+        F.col("id").alias("region"),
+        F.lit(1).alias("price"),
+    )
+    with pytest.raises(ValueError, match="max_touched_partitions"):
+        writers.merge_into_partitioned(
+            batch, path, ["link"], ["region"], max_touched_partitions=10
+        )
+    stats = writers.merge_into_partitioned(
+        batch, path, ["link"], ["region"], max_touched_partitions=50
+    )
+    assert stats["n_partitions"] == 50 and stats["n_upserted"] == 50
+
+
 def test_merge_into_partitioned_is_idempotent(spark, tmp_path):
     """Same batch twice == once (the retry-safety the reference gets
     from truncate-staging + ON CONFLICT)."""
@@ -1146,6 +1167,48 @@ def test_snapshot_stats_data_skipping(spark, tmp_path):
         table_log.read_snapshot(spark, t, predicates=[("k", "!=", 1)])
 
 
+def test_snapshot_stats_file_count_envelope(spark, tmp_path, monkeypatch):
+    """MAX_STATS_FILES bounds the driver-held stats dict: an over-cap
+    commit skips the per-file stats job entirely, an over-cap table
+    keeps only the newest files' stats — and in both regimes commits
+    succeed and reads stay value-correct (files without stats are
+    never pruned, so degradation is conservative full-scan)."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    monkeypatch.setattr(table_log, "MAX_STATS_FILES", 4)
+
+    # One commit writing MORE files than the cap: stats for that
+    # commit are skipped (no million-row collect at 10^6 files), the
+    # commit itself lands, and the unpruned read is still correct.
+    t = str(tmp_path / "wide")
+    wide = spark.range(80).select(F.col("id").alias("k")).repartition(8)
+    table_log.commit_snapshot(wide, t, mode="append")
+    m = table_log._manifest(spark, t, 0)
+    assert m["n_files"] == 8 and m["stats"] == {}
+    got = table_log.read_snapshot(spark, t, predicates=[("k", ">=", 70)])
+    assert len(got.inputFiles()) == 8  # nothing pruned — conservative
+    assert sorted(r["k"] for r in got.collect()) == list(range(70, 80))
+
+    # Many small commits: the carried dict is capped at 4 entries and
+    # keeps the NEWEST files (insertion order is carry-then-new).
+    t2 = str(tmp_path / "tall")
+    for lo in range(0, 700, 100):
+        df = spark.range(lo, lo + 100).select(F.col("id").alias("k")).coalesce(1)
+        table_log.commit_snapshot(df, t2, mode="append")
+    m2 = table_log._manifest(spark, t2, 6)
+    assert m2["n_files"] == 7 and len(m2["stats"]) == 4
+    newest = m2["files"][-1]
+    assert newest in m2["stats"]
+    # newest files prune, stats-less older files are kept (scanned)
+    pr = table_log.read_snapshot(spark, t2, predicates=[("k", ">=", 650)])
+    assert len(pr.inputFiles()) == 4  # 3 stats-less + the 600-699 file
+    assert sorted(r["k"] for r in pr.collect()) == list(range(650, 700))
+    lo_read = table_log.read_snapshot(spark, t2, predicates=[("k", "<", 50)])
+    assert sorted(r["k"] for r in lo_read.collect()) == list(range(50))
+
+
 def test_snapshot_stats_survive_merge_delete_and_nulls(spark, tmp_path):
     from pyspark.sql import functions as F
 
@@ -1248,6 +1311,52 @@ def test_matview_incremental_equals_full_recompute(spark, tmp_path):
     assert table_log._list_versions(spark, mv) == before
 
 
+def test_matview_avg_delta_refresh_equals_full_recompute(spark, tmp_path):
+    """avg is stored as its additive sum/count pair and surfaced as
+    the ratio by read_aggregate — pinned against a from-scratch
+    F.avg after insert-only folds, a delete-dirty recompute, and an
+    all-NULL group (AVG -> NULL, never 0/0)."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import matview, table_log
+
+    src, mv = str(tmp_path / "asrc"), str(tmp_path / "amv")
+    spec = {"n": ("count", "doc_id"), "mean_v": ("avg", "v")}
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, lang string, v long")
+
+    def check():
+        got = sorted(
+            map(repr, matview.read_aggregate(spark, mv)
+                .select("lang", "n", "mean_v").collect())
+        )
+        exp = sorted(
+            map(repr, table_log.read_snapshot(spark, src)
+                .groupBy("lang")
+                .agg(F.count("doc_id").alias("n"), F.avg("v").alias("mean_v"))
+                .collect())
+        )
+        assert got == exp
+
+    # bootstrap incl. an all-NULL-v group (sv)
+    table_log.commit_snapshot(
+        mk([(1, "en", 5), (2, "en", 9), (3, "fr", 1), (4, "sv", None)]), src
+    )
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+    # additive fold: inserts only, including a NULL into a live group
+    table_log.commit_snapshot(
+        mk([(5, "en", 2), (6, "sv", None), (7, "fr", None)]), src, mode="append"
+    )
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+    # delete-dirty recompute path
+    table_log.delete_snapshot(spark, src, "doc_id = 2")
+    matview.refresh_aggregate(spark, src, mv, ["lang"], spec)
+    check()
+
+
 def test_matview_guards(spark, tmp_path):
     import pytest as _pytest
 
@@ -1258,7 +1367,7 @@ def test_matview_guards(spark, tmp_path):
     table_log.commit_snapshot(df, src)
     with _pytest.raises(ValueError, match="fn must be"):
         matview.refresh_aggregate(
-            spark, src, mv, ["lang"], {"a": ("avg", "v")}
+            spark, src, mv, ["lang"], {"a": ("median", "v")}
         )
     with _pytest.raises(ValueError, match="non-empty"):
         matview.refresh_aggregate(spark, src, mv, [], {"a": ("sum", "v")})
