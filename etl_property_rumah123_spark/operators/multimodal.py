@@ -197,6 +197,66 @@ def synthesize_media(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_av_media(df: DataFrame) -> DataFrame:
+    """A/V fixture synthesis, the MP3/MP4 sibling of
+    :func:`synthesize_media`: ``doc_id % 2`` routes each non-empty doc
+    to a deterministic MPEG-1 Layer III stream (ID3v2 tag +
+    ``1 + n % 7`` real 417-byte frames at 128 kbps / 44.1 kHz, payload
+    bytes cycled from the text) or an ISO BMFF MP4 (real ftyp/moov/
+    mvhd/tkhd boxes: ``16*(1 + id%4) x 16*(1 + id%3)`` dims,
+    ``1000 + n % 5000`` ms duration, text bytes as mdat), where ``n``
+    is the utf-8 byte length. Every header field conforms to the
+    public spec, so the metadata the decode stage extracts
+    (functions/av_meta.py frame-walk / box-walk) is checkable by any
+    independent reimplementation — including the DuckDB oracle, which
+    rebuilds the exact container bytes in SQL."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        from etl_property_rumah123_spark.functions import av_meta
+
+        for pdf in batches:
+            out = {
+                "sample_id": [], "modality": [], "payload": [],
+                "mime_type": [], "width": [], "height": [],
+                "duration_ms": [], "caption": [],
+            }
+            for sid, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                if not raw:
+                    continue
+                n = len(raw)
+                if sid % 2 == 0:
+                    payload = av_meta.encode_mp3_stub(raw, 1 + n % 7)
+                    mod, mime = "mp3", "audio/mpeg"
+                    width = height = dur = None
+                else:
+                    w, h = 16 * (1 + sid % 4), 16 * (1 + sid % 3)
+                    dur = 1000 + n % 5000
+                    payload = av_meta.encode_mp4_stub(w, h, dur, raw)
+                    mod, mime = "mp4", "video/mp4"
+                    width, height = w, h
+                out["sample_id"].append(sid)
+                out["modality"].append(mod)
+                out["payload"].append(payload)
+                out["mime_type"].append(mime)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["duration_ms"].append(dur)
+                out["caption"].append(text)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "text").mapInPandas(
+        kernel,
+        schema=(
+            "sample_id long, modality string, payload binary, "
+            "mime_type string, width int, height int, "
+            "duration_ms long, caption string"
+        ),
+    )
+
+
 def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
     """mapInPandas kernel: per-batch decode of payload bytes.
 
@@ -204,11 +264,15 @@ def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame
     ``image/jpeg`` run the real parsers (true width/height from the
     actual decode — BITMAPINFOHEADER, inflated scanlines, or the
     T.81 entropy-decoded frame), ``audio/wav`` runs the real PCM WAV
-    parser (true duration from frame count / rate); anything else
-    (text, A/V codecs) yields byte-level metadata with NULL
-    dimensions. Undecodable bytes of a claimed media type also fall
-    back to NULLs rather than failing the batch — corrupt samples are
-    a data-quality fact, not a pipeline error.
+    parser (true duration from frame count / rate), ``audio/mpeg``
+    and ``video/mp4`` run the METADATA-grade container parsers
+    (functions/av_meta.py: MP3 frame-header walk for duration, ISO
+    BMFF box walk for dims + duration — no sample decode, O(header)
+    per file); anything else (text, unknown codecs) yields byte-level
+    metadata with NULL dimensions. Undecodable bytes of a claimed
+    media type also fall back to NULLs rather than failing the
+    batch — corrupt samples are a data-quality fact, not a pipeline
+    error.
     """
     import hashlib
 
@@ -239,6 +303,21 @@ def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame
                     ms = len(samples) * 1000 // rate
                 except ValueError:
                     pass
+            elif raw and mime == "audio/mpeg":
+                # metadata-grade: frame-header walk, no sample decode
+                from etl_property_rumah123_spark.functions import av_meta
+
+                meta = av_meta.parse_mp3_meta(raw)
+                if meta is not None:
+                    ms = meta["duration_ms"]
+            elif raw and mime in ("video/mp4", "video/quicktime"):
+                from etl_property_rumah123_spark.functions import av_meta
+
+                meta = av_meta.parse_mp4_meta(raw)
+                if meta is not None:
+                    width = meta["width"]
+                    height = meta["height"]
+                    ms = meta["duration_ms"]
             rows["sample_id"].append(sid)
             rows["modality"].append(mod)
             rows["payload_bytes"].append(len(raw))
@@ -455,8 +534,10 @@ def decode_compressed(payload: bytes) -> "np.ndarray":  # noqa: F821
     if payload[:2] == b"\xff\xd8":
         return codecs.decode_jpeg(payload)
     raise NotImplementedError(
-        "video/audio codecs (H.264/MP3) are not available in this "
-        "environment; PNG and baseline JPEG decode natively via "
-        "functions/codecs.py + functions/jpeg.py — swap this fallback "
-        "for PIL/ffmpeg in production"
+        "video/audio SAMPLE decode (H.264 pixels / MP3 PCM) is not "
+        "available in this environment; PNG and baseline JPEG decode "
+        "natively via functions/codecs.py + functions/jpeg.py, and "
+        "MP3/MP4 CONTAINER METADATA (duration, dims, rates) parses "
+        "natively via functions/av_meta.py — swap this fallback for "
+        "PIL/ffmpeg in production only if you need the raw samples"
     )

@@ -805,6 +805,44 @@ UNION ALL
 SELECT 'jpegls', sample_id, NULL, NULL, CAST(16 AS BIGINT),
        CAST((n+47)//48 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
 FROM base WHERE sample_id % 5 = 0 AND n > 0
+UNION ALL
+SELECT 'av', sample_id,
+       CASE WHEN sample_id % 2 = 0 THEN 'mp3' ELSE 'mp4' END,
+       md5(avhex),
+       CAST(length(avhex)//2 AS BIGINT),
+       CASE WHEN sample_id % 2 = 1 THEN 16*(1 + sample_id % 4) END,
+       CASE WHEN sample_id % 2 = 1 THEN 16*(1 + sample_id % 3) END,
+       CAST(CASE WHEN sample_id % 2 = 0 THEN ((1 + n % 7)*1152*1000)//44100
+                 ELSE 1000 + n % 5000 END AS DOUBLE)
+FROM (
+  SELECT sample_id, n,
+    CASE WHEN sample_id % 2 = 0 THEN
+      -- ID3v2.3 (32-byte zero body) + (1 + n%7) MPEG1-L3 frames:
+      -- 4-byte header FFFB9000 (128kbps/44100/pad0) + 413 filler
+      -- bytes cycled from the text
+      '494433' || '030000' || '00000020' || repeat('00', 32)
+      || repeat('FFFB9000' || substr(repeat(thex, 826//length(thex) + 1), 1, 826),
+                1 + n % 7)
+    ELSE
+      -- ISO BMFF: ftyp(isom) + moov(mvhd v0 ts=1000 + trak(tkhd v0)) + mdat
+      '0000001466747970' || '69736F6D' || '00000200' || '69736F6D'
+      || '000000D8' || '6D6F6F76'
+      || '0000006C' || '6D766864' || '00000000' || '00000000' || '00000000'
+      || '000003E8' || printf('%08X', 1000 + n % 5000) || '00010000'
+      || '01000000' || repeat('00', 8)
+      || '00010000' || repeat('00', 12) || '00010000' || repeat('00', 12) || '40000000'
+      || repeat('00', 24) || '00000002'
+      || '00000064' || '7472616B'
+      || '0000005C' || '746B6864' || '00000007' || '00000000' || '00000000'
+      || '00000001' || '00000000' || printf('%08X', 1000 + n % 5000)
+      || repeat('00', 16)
+      || '00010000' || repeat('00', 12) || '00010000' || repeat('00', 12) || '40000000'
+      || printf('%08X', 65536*16*(1 + sample_id % 4))
+      || printf('%08X', 65536*16*(1 + sample_id % 3))
+      || printf('%08X', 8 + n) || '6D646174' || thex
+    END AS avhex
+  FROM base WHERE n > 0
+)
 """
 
 
@@ -825,8 +863,16 @@ FROM base WHERE sample_id % 5 = 0 AND n > 0
     "additionally drives the T.81 LOSSLESS JPEG codec (SOF3 encode ->"
     " decode over text-derived pixel grids) under a bit-exact "
     "roundtrip flag the oracle pins — lossless means exact, so the "
-    "flag is a codec invariant, not a tolerance. A/V codecs remain "
-    "the documented ffmpeg production swap (operators/multimodal.py).",
+    "flag is a codec invariant, not a tolerance. The av member drives "
+    "METADATA-grade MP3/MP4 support (functions/av_meta.py): real "
+    "MPEG1-L3 frame streams and ISO-BMFF boxes synthesized from "
+    "documents.text, frame-walk/box-walk parsed for duration and "
+    "dims, with the oracle rebuilding the exact container bytes in "
+    "SQL (digest-pinned) and restating duration/dims from the "
+    "generator formulas — parser and generator must agree through "
+    "the actual header fields. A/V SAMPLE decode (H.264 pixels, MP3 "
+    "PCM) remains the documented ffmpeg production swap "
+    "(operators/multimodal.py).",
 )
 def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_property_rumah123_spark.operators import multimodal
@@ -855,6 +901,9 @@ def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpegls = multimodal.lossless_jpeg_roundtrip(
         table(spark, sf_dir, "documents")
     )
+    av = multimodal.decode_media(
+        multimodal.synthesize_av_media(table(spark, sf_dir, "documents"))
+    )
     return _union(
         [
             _align(decode, "decode", schema, k1="sample_id", s1="modality", s2="portable_digest", n1="payload_bytes", n2="decoded_width", n3="decoded_height", v1="decoded_ms"),
@@ -862,6 +911,7 @@ def multimodal_process_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             _align(feats, "features", schema, k1="sample_id", n1="feat_dim", v1="feat_sum"),
             _align(frames, "frames", schema, k1="sample_id", n1="frame_idx", s1="frame_digest"),
             _align(jpegls, "jpegls", schema, k1="doc_id", n1="w", n2="h", n3="ok"),
+            _align(av, "av", schema, k1="sample_id", s1="modality", s2="portable_digest", n1="payload_bytes", n2="decoded_width", n3="decoded_height", v1="decoded_ms"),
         ]
     )
 

@@ -1322,3 +1322,106 @@ def test_12bit_hierarchical_roundtrip():
     bad = data.replace(b"\xff\xc1", b"\xff\xc0", 1)
     with pytest.raises(ValueError):
         codecs.decode_jpeg(bad)
+
+
+# ---------------------------------------------------------------------------
+# A/V container metadata (functions/av_meta.py): MP3 frame walk + MP4 box walk
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_meta_fixture_roundtrip_and_id3_skip():
+    from etl_property_rumah123_spark.functions import av_meta
+
+    for nf in (1, 4, 7):
+        data = av_meta.encode_mp3_stub(b"payload bytes", nf)
+        m = av_meta.parse_mp3_meta(data)
+        assert m["n_frames"] == nf
+        assert m["sample_rate"] == 44100 and m["bitrate_kbps"] == 128
+        assert m["duration_ms"] == nf * 1152 * 1000 // 44100
+    # same frames without the ID3 tag parse identically
+    raw = av_meta.encode_mp3_stub(b"x", 3)[42:]
+    assert av_meta.parse_mp3_meta(raw)["n_frames"] == 3
+    # a truncated final frame is not counted (salvage-what-parses)
+    cut = av_meta.encode_mp3_stub(b"x", 3)[:-10]
+    assert av_meta.parse_mp3_meta(cut)["n_frames"] == 2
+
+
+def test_mp3_meta_parses_other_spec_shapes_not_just_the_fixture():
+    """The parser implements the 11172-3 tables, not the fixture: a
+    hand-built MPEG-2 Layer III mono frame (16 kHz, 64 kbps — 576
+    samples, coefficient 72) and an MPEG-1 Layer II frame parse with
+    the right arithmetic."""
+    from etl_property_rumah123_spark.functions import av_meta
+
+    # MPEG2 (version bits 10 -> 0xF3), L3, bitrate idx 8=64k, rate idx 1=16k?
+    # _SAMPLE_RATES[2] = (22050, 24000, 16000) -> idx 2 = 16000
+    h = bytes([0xFF, 0xF3, 0x80 | (2 << 2), 0x00])
+    flen = 72 * 64000 // 16000  # 288
+    m = av_meta.parse_mp3_meta(h + b"\x00" * (flen - 4))
+    assert m["n_frames"] == 1 and m["sample_rate"] == 16000
+    assert m["duration_ms"] == 576 * 1000 // 16000  # 36 ms
+    # MPEG1 Layer II (layer bits 10 -> 0xFD), idx 9=160k, 44100
+    h2 = bytes([0xFF, 0xFD, 0x90, 0x00])
+    flen2 = 144 * 160000 // 44100
+    m2 = av_meta.parse_mp3_meta(h2 + b"\x00" * (flen2 - 4))
+    assert m2["n_frames"] == 1 and m2["duration_ms"] == 1152 * 1000 // 44100
+    # free-format (idx 0) and reserved rate refuse
+    assert av_meta.parse_mp3_meta(bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 500) is None
+    assert av_meta.parse_mp3_meta(bytes([0xFF, 0xFB, 0x9C, 0x00]) + b"\x00" * 500) is None
+
+
+def test_mp4_meta_box_walk_v0_v1_and_largesize():
+    from etl_property_rumah123_spark.functions import av_meta
+
+    data = av_meta.encode_mp4_stub(640, 360, 2500, b"mdat body")
+    m = av_meta.parse_mp4_meta(data)
+    assert (m["width"], m["height"], m["duration_ms"]) == (640, 360, 2500)
+    assert m["timescale"] == 1000 and m["n_tracks"] == 1
+
+    # version-1 mvhd (64-bit duration) with timescale 90000
+    u32, u64 = (lambda v: v.to_bytes(4, "big")), (lambda v: v.to_bytes(8, "big"))
+    mvhd_v1 = (
+        u32(120) + b"mvhd" + bytes([1, 0, 0, 0])
+        + u64(0) + u64(0) + u32(90000) + u64(90000 * 7)
+        + b"\x00" * (120 - 8 - 4 - 8 - 8 - 4 - 8)
+    )
+    moov = u32(8 + len(mvhd_v1)) + b"moov" + mvhd_v1
+    m1 = av_meta.parse_mp4_meta(moov)
+    assert m1["duration_ms"] == 7000 and m1["timescale"] == 90000
+
+    # 64-bit largesize box wrapping the same moov content
+    large = u32(1) + b"moov" + u64(16 + len(mvhd_v1)) + mvhd_v1
+    assert av_meta.parse_mp4_meta(large)["duration_ms"] == 7000
+
+    # malformed: size pointing past the buffer stops the walk cleanly
+    bad = u32(10_000) + b"moov" + b"\x00" * 8
+    assert av_meta.parse_mp4_meta(bad) is None
+
+
+def test_decode_media_extracts_av_container_metadata(spark):
+    """The Arrow-batched decode stage reads MP3 duration and MP4
+    dims+duration through the mime router — NULL pixel dims for audio,
+    no sample decode anywhere."""
+    from etl_property_rumah123_spark.operators.multimodal import (
+        decode_media,
+        synthesize_av_media,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").limit(40)
+    out = decode_media(synthesize_av_media(docs)).collect()
+    assert out, "no av rows synthesized"
+    by_id = {r["sample_id"]: r for r in out}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for sid, r in by_id.items():
+        n = len((texts[sid] or "").encode("utf-8"))
+        if sid % 2 == 0:
+            assert r["modality"] == "mp3"
+            assert r["decoded_ms"] == (1 + n % 7) * 1152 * 1000 // 44100
+            assert r["decoded_width"] is None and r["decoded_height"] is None
+            assert r["payload_bytes"] == 42 + 417 * (1 + n % 7)
+        else:
+            assert r["modality"] == "mp4"
+            assert r["decoded_width"] == 16 * (1 + sid % 4)
+            assert r["decoded_height"] == 16 * (1 + sid % 3)
+            assert r["decoded_ms"] == 1000 + n % 5000
+            assert r["payload_bytes"] == 244 + n
