@@ -19,7 +19,7 @@ volume (S-curve), and AQE skew handling splits pathological buckets
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_property_rumah123_spark.functions import hashing
@@ -394,6 +394,90 @@ def write_lsh_index(
     finally:
         out.close()
     return path
+
+
+def compact_lsh_index(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 32,
+    retain_condition: str | None = None,
+) -> dict:
+    """Maintenance for the append-only persisted LSH index: collapse
+    the accumulated per-append file debris into ``target_files``
+    parquet files, dropping exact-duplicate ``(doc_id, bucket)`` rows
+    (a batch re-ingested after a retry appends its buckets twice;
+    probes are ``distinct`` so the duplicates never changed results —
+    they only inflated the join input). ``retain_condition`` is the
+    TTL hook: a SQL predicate over the bucket table's columns selects
+    the rows to KEEP (e.g. ``"doc_id >= 20250101000"`` for time-coded
+    ids); expired docs stop matching as `indexed_id` from the next
+    probe on.
+
+    Probe results over the compacted index are IDENTICAL to the
+    uncompacted one (minus retired rows) by construction — same rows,
+    same bucket space, sidecar carried verbatim — which the caller
+    can assert cheaply because this returns row/file accounting.
+
+    Contract: single maintainer — run in a maintenance window, not
+    concurrently with appends (the swap is delete-then-rename; plain
+    parquet dirs have no manifest to race on). An interrupted swap
+    leaves the complete compacted copy at ``<path>.__compact__`` for
+    manual recovery. For multi-writer commit semantics store the
+    bucket table in a snapshot-log table (sinks/table_log.py) — this
+    plain-dir form is the bulk-batch shape.
+    """
+    import json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    root = hadoop_path(path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(hadoop_path(path + "/_lsh_meta.json")):
+        raise ValueError(
+            f"{path} has no _lsh_meta.json sidecar — not a "
+            "write_lsh_index artifact"
+        )
+    stream = fs.open(hadoop_path(path + "/_lsh_meta.json"))
+    try:
+        meta_raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+    spark.catalog.refreshByPath(path)
+    idx = spark.read.parquet(path)
+    n_files_before = len(idx.inputFiles())
+    rows_before = idx.count()
+    if retain_condition is not None:
+        idx = idx.filter(retain_condition)
+    compacted = idx.dropDuplicates().repartition(target_files, "bucket")
+
+    tmp = path + ".__compact__"
+    if fs.exists(hadoop_path(tmp)):
+        fs.delete(hadoop_path(tmp), True)
+    compacted.write.mode("errorifexists").parquet(tmp)
+    out = fs.create(hadoop_path(tmp + "/_lsh_meta.json"), True)
+    try:
+        out.write(meta_raw)
+    finally:
+        out.close()
+    rows_after = spark.read.parquet(tmp).count()
+
+    fs.delete(root, True)
+    if not fs.rename(hadoop_path(tmp), root):
+        raise RuntimeError(
+            f"compaction swap failed: compacted index left at {tmp}"
+        )
+    spark.catalog.refreshByPath(path)
+    n_files_after = len(spark.read.parquet(path).inputFiles())
+    _ = json.loads(meta_raw.decode("utf-8"))  # sidecar stays parseable
+    return {
+        "path": path,
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": n_files_before,
+        "files_after": n_files_after,
+    }
 
 
 def probe_lsh_index(

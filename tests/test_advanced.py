@@ -338,6 +338,33 @@ def test_lsh_index_artifact_probe_and_append(spark, tmp_path):
     # because the index was appended
     assert sum(1 for n, i in got2 if n == i + 100) >= 4
 
+    # --- compaction: fewer files, identical probe results ----------
+    # a retried batch re-appends its buckets: rows duplicate, probe
+    # results don't (distinct), and compaction drops the debris
+    dedup.write_lsh_index(b1, path, mode="append")
+    spark.catalog.refreshByPath(path)
+    files_before = len(spark.read.parquet(path).inputFiles())
+    stats = dedup.compact_lsh_index(spark, path, target_files=2)
+    assert stats["files_after"] <= 2 < files_before
+    assert stats["rows_after"] < stats["rows_before"]  # dup rows dropped
+    got2_compacted = {
+        (r["new_id"], r["indexed_id"])
+        for r in dedup.probe_lsh_index(b2, path).collect()
+    }
+    assert got2_compacted == got2
+    # sidecar survived the swap: params still validate
+    dedup.probe_lsh_index(b2, path).limit(1).collect()
+
+    # TTL: retire the original history docs; only batch1 ids remain
+    dedup.compact_lsh_index(
+        spark, path, target_files=2, retain_condition="doc_id >= 100"
+    )
+    got_ttl = {
+        r["indexed_id"]
+        for r in dedup.probe_lsh_index(b2, path).collect()
+    }
+    assert got_ttl and all(i >= 100 for i in got_ttl)
+
 
 def test_interval_count_join_subday_matches_bruteforce(spark):
     """The boundary-day decomposition must equal the naive theta-join
@@ -718,3 +745,62 @@ def test_asof_join_equal_timestamp_strictness(spark):
         ).collect()
     }
     assert incl == {"e1": "p@100", "e2": "p@150"}
+
+
+def test_aqe_skew_join_split_fires_on_planted_hot_key(spark):
+    """The q3/q5 join shape under a planted hot key: one key carrying
+    ~70% of the fact side must trigger AQE's skew-join split (the
+    runtime lever the session factory enables for exactly this), not
+    a single straggler partition. Pinned on the EXECUTED adaptive
+    plan, with thresholds lowered so the 200k-row fixture exercises
+    the same code path a 100 TB hot customer would."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        )
+    }
+    try:
+        # no broadcast (force the shuffle join AQE must repair), and
+        # thresholds scaled down to the fixture's byte volume
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB"
+        )
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 7, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.lpad(F.col("id").cast("string"), 100, "x").alias("pad"),
+        )
+        dim = spark.range(200_001).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).alias("grp"),
+        )
+        j = fact.join(dim, "k").groupBy("grp").agg(
+            F.count("*").alias("n"), F.max("pad").alias("mx")
+        )
+        rows = j.collect()
+        assert sum(r["n"] for r in rows) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE skew split did not fire:\n{plan[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
