@@ -155,6 +155,80 @@ def main() -> int:
             failures += 1
         print(f"{name}: {results[name]}", flush=True)
 
+    # --- streaming stage: the state-server surfaces the batch registry
+    # cannot reach. transformWithStateInPandas runs the protolite
+    # protocol shim inside EXECUTOR-launched Python workers against
+    # executor-local RocksDB state servers — the exact cross-process
+    # hop a single local[N] JVM never exercises. Pinned equal to the
+    # applyInPandasWithState gate on the same data, same cluster.
+    if os.environ.get("SMOKE_STREAMING", "1") != "0":
+        t0 = time.time()
+        try:
+            import shutil
+            import tempfile
+
+            from etl_property_rumah123_spark.sources.catalog import table
+            from etl_property_rumah123_spark.streaming import pipelines, tws
+
+            events_dir = tempfile.mkdtemp(prefix="smoke_events_")
+            try:
+                table(spark, SF, "events").limit(20000).write.mode(
+                    "overwrite"
+                ).parquet(events_dir)
+                schema = spark.read.parquet(events_dir).schema
+
+                def stream():
+                    return spark.readStream.schema(schema).parquet(events_dir)
+
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass",
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider",
+                )
+
+                def drain(df, name):
+                    q = pipelines.run_to_memory_sink(
+                        df, name, output_mode="append"
+                    )
+                    q.awaitTermination()
+                    return spark.table(name)
+
+                got = drain(
+                    tws.streaming_dedup_admission_tws(stream(), n_recent=1000),
+                    "smoke_tws",
+                )
+                want = drain(
+                    pipelines.streaming_dedup_admission(
+                        stream(), n_recent=1000
+                    ),
+                    "smoke_gate_ref",
+                )
+                g = {
+                    (r["user_id"], r["event_id"], r["digest"])
+                    for r in got.collect()
+                }
+                w = {
+                    (r["user_id"], r["event_id"], r["digest"])
+                    for r in want.collect()
+                }
+                if g and g == w:
+                    results["streaming_tws_gate"] = (
+                        f"ok ({len(g)} admissions, {time.time()-t0:.1f}s)"
+                    )
+                else:
+                    results["streaming_tws_gate"] = (
+                        f"FAIL tws={len(g)} ref={len(w)} equal={g == w}"
+                    )
+                    failures += 1
+            finally:
+                shutil.rmtree(events_dir, ignore_errors=True)
+        except Exception as ex:  # noqa: BLE001
+            results["streaming_tws_gate"] = (
+                f"ERROR {type(ex).__name__}: {str(ex)[:200]}"
+            )
+            failures += 1
+        print(f"streaming_tws_gate: {results['streaming_tws_gate']}", flush=True)
+
     if not multi_jvm:
         failures += 1
         print("FAIL: not actually multi-JVM (driver pid ran tasks)")
