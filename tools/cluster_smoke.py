@@ -48,6 +48,93 @@ WHICH = os.environ.get("SMOKE_QUERIES", "")
 EXTRA = ["listing_pipeline_end_to_end", "multimodal_process_suite", "ann_suite"]
 
 
+def _pgwire_stage(spark) -> str:
+    """Throwaway Postgres + the full reference load path from the
+    cluster: staging truncate, per-partition batched wire INSERTs
+    from executor Python workers, ON CONFLICT merge with xmax
+    accounting, and an idempotent second run (0 fresh inserts)."""
+    import shutil
+    import subprocess
+    import tempfile
+    import time as _time
+
+    if not shutil.which("initdb") or not shutil.which("pg_ctl"):
+        return "skipped (no postgres server binaries)"
+
+    def run_as_pg(args):
+        if os.geteuid() == 0:
+            args = ["runuser", "-u", "postgres", "--", *args]
+        return subprocess.run(args, capture_output=True, text=True)
+
+    base = tempfile.mkdtemp(prefix="pgsmoke_", dir="/tmp")
+    data, sock = os.path.join(base, "data"), os.path.join(base, "sock")
+    os.makedirs(data)
+    os.makedirs(sock)
+    try:
+        if os.geteuid() == 0:
+            r = subprocess.run(
+                ["chown", "-R", "postgres:postgres", base],
+                capture_output=True, text=True,
+            )
+            if r.returncode != 0:
+                return f"skipped (chown: {r.stderr[:120]})"
+        r = run_as_pg(
+            ["initdb", "-D", data, "--auth=trust",
+             "--username=postgres", "-E", "UTF8"]
+        )
+        if r.returncode != 0:
+            return f"skipped (initdb: {r.stderr[-120:]})"
+        r = run_as_pg(
+            ["pg_ctl", "-D", data, "-w", "-o",
+             f"-c listen_addresses='' -c unix_socket_directories={sock}",
+             "-l", os.path.join(base, "log"), "start"]
+        )
+        if r.returncode != 0:
+            return f"skipped (pg_ctl: {r.stderr[-120:]})"
+        try:
+            from pyspark.sql import functions as F
+
+            from etl_property_rumah123_spark.sinks.pgwire import (
+                PgConnection,
+                load_to_postgres_wire,
+            )
+
+            cols = (
+                "link VARCHAR PRIMARY KEY, name VARCHAR, price_rp BIGINT"
+            )
+            conn = PgConnection(sock)
+            conn.run(f"CREATE TABLE property_rumah ({cols})")
+            conn.run(f"CREATE TABLE stg_property_rumah ({cols})")
+            conn.close()
+
+            t0 = _time.time()
+            df = spark.range(2000).select(
+                F.concat(F.lit("https://l/"), F.col("id")).alias("link"),
+                F.concat(F.lit("prop "), F.col("id")).alias("name"),
+                (F.col("id") * 1000).alias("price_rp"),
+            ).repartition(8)
+            fresh1 = load_to_postgres_wire(
+                df, sock, "stg_property_rumah", "property_rumah", "link",
+                batch_size=250,
+            )
+            fresh2 = load_to_postgres_wire(
+                df, sock, "stg_property_rumah", "property_rumah", "link",
+                batch_size=250,
+            )
+            conn = PgConnection(sock)
+            n = conn.run("SELECT count(*) FROM property_rumah")[0][0]
+            conn.close()
+            if fresh1 == 2000 and fresh2 == 0 and int(n) == 2000:
+                return f"ok (2000 rows, xmax replay 0, {_time.time()-t0:.1f}s)"
+            return f"FAIL fresh1={fresh1} fresh2={fresh2} rows={n}"
+        finally:
+            run_as_pg(["pg_ctl", "-D", data, "-m", "immediate", "stop"])
+    except Exception as ex:  # noqa: BLE001
+        return f"ERROR {type(ex).__name__}: {str(ex)[:200]}"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> int:
     # Load the driver contract exactly as the external driver does.
     spec = importlib.util.spec_from_file_location(
@@ -228,6 +315,19 @@ def main() -> int:
             )
             failures += 1
         print(f"streaming_tws_gate: {results['streaming_tws_gate']}", flush=True)
+
+    # --- pgwire stage: the executor-side sink fan-out. write_staging
+    # runs per-PARTITION inside executor Python workers, each opening
+    # its own wire connection — on local[N] those workers share the
+    # driver process tree; here they are children of the executor
+    # JVMs. Boots the same throwaway trust-auth Postgres as
+    # tests/test_pg_real.py; records "skipped" (not a failure) when
+    # the environment cannot run a server.
+    if os.environ.get("SMOKE_PGWIRE", "1") != "0":
+        results["pgwire_fanout"] = _pgwire_stage(spark)
+        if results["pgwire_fanout"].startswith(("FAIL", "ERROR")):
+            failures += 1
+        print(f"pgwire_fanout: {results['pgwire_fanout']}", flush=True)
 
     if not multi_jvm:
         failures += 1
