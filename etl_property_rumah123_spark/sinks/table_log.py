@@ -339,6 +339,28 @@ def _read_with_row_identity(spark: SparkSession, table_path: str, manifest: dict
     return _apply_eq_dvs(spark, table_path, manifest, data)
 
 
+def _dv_count_and_keys(
+    spark: SparkSession, table_path: str, dv_rels: list[str]
+) -> tuple[int, set]:
+    """One job over a just-written DV parquet: (row count, distinct
+    file keys). The keys land in the manifest as ``dv_keys`` so READS
+    never re-derive them — the clean/DV'd file split used to collect
+    the key set from the DV parquet on every read; now it is paid
+    once at commit. Bounded by the table's file count, same envelope
+    as the manifest itself."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
+        .agg(
+            F.count("*").alias("n"),
+            F.collect_set("file_key").alias("ks"),
+        )
+        .first()
+    )
+    return row["n"], set(row["ks"])
+
+
 def delete_snapshot_dv(
     spark: SparkSession,
     table_path: str,
@@ -383,9 +405,7 @@ def delete_snapshot_dv(
             )
         )
         new_dv = _write_commit_dir(matches, table_path, f"data/c{token}")
-        n_deleted = spark.read.parquet(
-            *[f"{table_path}/{r}" for r in new_dv]
-        ).count()
+        n_deleted, new_keys = _dv_count_and_keys(spark, table_path, new_dv)
         manifest = {
             "version": version,
             "operation": "delete_dv",
@@ -394,6 +414,7 @@ def delete_snapshot_dv(
             "n_files": len(prev["files"]),
             "n_deleted": n_deleted,
             "dvs": prev.get("dvs", []) + new_dv,
+            "dv_keys": sorted(set(prev.get("dv_keys", [])) | new_keys),
             "eq_dvs": prev.get("eq_dvs", []),
             "dv_rows": prev.get("dv_rows", 0) + n_deleted,
             "schema": prev.get("schema"),
@@ -455,6 +476,7 @@ def merge_snapshot_mor(
         prev = _manifest(spark, table_path, versions[-1])
         version = versions[-1] + 1
         new_dv: list[str] = []
+        new_keys: set = set()
         eq_entry: dict | None = None
         if eq:
             key_files = _write_commit_dir(
@@ -482,9 +504,9 @@ def merge_snapshot_mor(
             new_dv = _write_commit_dir(
                 matched, table_path, f"data/c{token}d"
             )
-            n_marked = spark.read.parquet(
-                *[f"{table_path}/{r}" for r in new_dv]
-            ).count()
+            n_marked, new_keys = _dv_count_and_keys(
+                spark, table_path, new_dv
+            )
         new_files = _write_commit_dir(df, table_path, f"data/c{token}a")
         files = prev["files"] + new_files
         manifest = {
@@ -494,6 +516,7 @@ def merge_snapshot_mor(
             "files": files,
             "n_files": len(files),
             "dvs": prev.get("dvs", []) + new_dv,
+            "dv_keys": sorted(set(prev.get("dv_keys", [])) | new_keys),
             "eq_dvs": prev.get("eq_dvs", [])
             + ([eq_entry] if eq_entry else []),
             "dv_rows": prev.get("dv_rows", 0) + n_marked,
@@ -556,6 +579,7 @@ def delete_snapshot_eq(
             "n_files": len(prev["files"]),
             "n_keys": n_keys,
             "dvs": prev.get("dvs", []),
+            "dv_keys": prev.get("dv_keys", []),
             "eq_dvs": prev.get("eq_dvs", []) + [entry],
             "dv_rows": prev.get("dv_rows", 0) + n_keys,
             "schema": prev.get("schema"),
@@ -598,6 +622,7 @@ def commit_snapshot(
         new_files = _write_commit_dir(df, table_path, commit_rel)
         new_stats = _stats_for_files(spark, table_path, new_files)
         dvs: list[str] = []
+        dv_keys: list[str] = []
         eq_dvs: list[dict] = []
         dv_rows = 0
         if mode == "append" and versions:
@@ -605,6 +630,7 @@ def commit_snapshot(
             files = prev["files"] + new_files
             stats = {**prev.get("stats", {}), **new_stats}
             dvs = prev.get("dvs", [])  # appends carry deletion vectors
+            dv_keys = prev.get("dv_keys", [])
             eq_dvs = prev.get("eq_dvs", [])
             dv_rows = prev.get("dv_rows", 0)
         else:
@@ -618,7 +644,12 @@ def commit_snapshot(
             "schema": df.schema.json(),
             "stats": _cap_stats(stats),
             **(
-                {"dvs": dvs, "eq_dvs": eq_dvs, "dv_rows": dv_rows}
+                {
+                    "dvs": dvs,
+                    "dv_keys": dv_keys,
+                    "eq_dvs": eq_dvs,
+                    "dv_rows": dv_rows,
+                }
                 if (dvs or eq_dvs)
                 else {}
             ),
@@ -781,7 +812,18 @@ def read_snapshot(
         from pyspark.sql import functions as F
 
         dv = spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
-        dv_keys = {r["file_key"] for r in dv.select("file_key").distinct().collect()}
+        # the clean/DV'd split comes from the manifest's dv_keys —
+        # recorded once at DV-commit time, so reads run NO job and
+        # collect nothing here. Manifests from before dv_keys fall
+        # back to deriving the set from the DV parquet (one bounded
+        # collect, the old behavior).
+        if "dv_keys" in manifest:
+            dv_keys = set(manifest["dv_keys"])
+        else:
+            dv_keys = {
+                r["file_key"]
+                for r in dv.select("file_key").distinct().collect()
+            }
         dvd = [p for p, rel in zip(paths, files) if _dv_rel_key(rel) in dv_keys]
         clean = [p for p, rel in zip(paths, files) if _dv_rel_key(rel) not in dv_keys]
         parts = []
@@ -1042,6 +1084,7 @@ def merge_snapshot(
             **(
                 {
                     "dvs": prev.get("dvs", []),
+                    "dv_keys": prev.get("dv_keys", []),
                     "eq_dvs": prev.get("eq_dvs", []),
                     "dv_rows": prev.get("dv_rows", 0),
                 }
@@ -1290,6 +1333,7 @@ def delete_snapshot(
             **(
                 {
                     "dvs": prev.get("dvs", []),
+                    "dv_keys": prev.get("dv_keys", []),
                     "eq_dvs": prev.get("eq_dvs", []),
                     "dv_rows": prev.get("dv_rows", 0),
                 }

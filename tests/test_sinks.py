@@ -2287,3 +2287,62 @@ def test_snapshot_timestamp_as_of_dry_run_and_history_extras(spark, tmp_path):
     gone = table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
     assert sorted(gone) == sorted(would)
     assert table_log.read_snapshot(spark, t).count() == 7
+
+
+def test_dv_keys_recorded_in_manifest_and_legacy_fallback(spark, tmp_path):
+    """dv_keys is recorded at DV-commit time (delete_snapshot_dv and
+    merge_snapshot_mor), equals the distinct file_key set of the DV
+    parquet, carries through appends — so reads split clean/DV'd
+    files from the manifest with no job — and a manifest WITHOUT the
+    field (pre-dv_keys table) still reads via the derive-on-read
+    fallback."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "dvk")
+    df = spark.range(0, 20).withColumnRenamed("id", "k").withColumn(
+        "grp", (F.col("k") % 4).cast("long")
+    ).repartition(4)
+    table_log.commit_snapshot(df, t, mode="append")
+    v1 = table_log.delete_snapshot_dv(spark, t, "grp = 1")
+    m1 = table_log._manifest(spark, t, v1)
+    dv_truth = {
+        r["file_key"]
+        for r in spark.read.parquet(
+            *[f"{t}/{rel}" for rel in m1["dvs"]]
+        ).select("file_key").distinct().collect()
+    }
+    assert sorted(dv_truth) == m1["dv_keys"]
+
+    # MoR merge extends the key set; append carries it verbatim
+    v2 = table_log.merge_snapshot_mor(
+        spark.createDataFrame([(3, 99), (300, 0)], "k long, grp long"),
+        t, key="k",
+    )
+    m2 = table_log._manifest(spark, t, v2)
+    assert set(m1["dv_keys"]) <= set(m2["dv_keys"])
+    v3 = table_log.commit_snapshot(
+        spark.createDataFrame([(500, 0)], "k long, grp long"), t, mode="append"
+    )
+    assert table_log._manifest(spark, t, v3)["dv_keys"] == m2["dv_keys"]
+
+    live = sorted(
+        [k for k in range(20) if k % 4 != 1 and k != 3] + [3, 300, 500]
+    )
+    assert sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t).collect()
+    ) == live
+
+    # legacy manifest: strip dv_keys in place -> fallback derive path
+    # (rewritten through the module's FS writer so the checksum
+    # sidecar stays valid)
+    mpath = f"{t}/_log/v{v3}.json"
+    raw = _json.loads(open(mpath).read())
+    del raw["dv_keys"]
+    table_log._write_file(spark, mpath, _json.dumps(raw).encode())
+    assert sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t, v3).collect()
+    ) == live
