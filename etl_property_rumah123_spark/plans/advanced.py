@@ -1649,7 +1649,8 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
            CAST(SUM(price_dec) * 100 AS BIGINT) AS tot_cents,
            CAST(MIN(price_dec) * 100 AS BIGINT) AS lo_cents,
-           CAST(MAX(price_dec) * 100 AS BIGINT) AS hi_cents
+           CAST(MAX(price_dec) * 100 AS BIGINT) AS hi_cents,
+           CAST(1 AS INT) AS avg_consistent
     FROM src GROUP BY o_orderpriority
     """,
     doc="Incrementally maintained aggregate under the driver's value "
@@ -1663,8 +1664,13 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the hash passes only if every intermediate delta (CDF diff, "
     "additive fold, dirty-group recompute, tombstoning) composed "
     "correctly. Sums/extremes ride DECIMAL cents end-to-end: exact "
-    "and accumulation-order-free on both engines "
-    "(sinks/matview.py:refresh_aggregate).",
+    "and accumulation-order-free on both engines. The spec also "
+    "maintains avg (stored sum/count decomposition) and the part "
+    "pins the projection as a FLAG — read_aggregate's avg must equal "
+    "the view's own sum/count ratio per group — because a direct "
+    "cross-engine avg hash would ride decimal-division rounding "
+    "knife-edges, while the components are value-hashed exactly "
+    "(sinks/matview.py:refresh_aggregate,_expand_spec).",
 )
 def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1698,6 +1704,7 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tot": ("sum", "price_dec"),
         "lo": ("min", "price_dec"),
         "hi": ("max", "price_dec"),
+        "avg_p": ("avg", "price_dec"),
     }
     group = ["o_orderpriority"]
 
@@ -1721,6 +1728,12 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tot") * 100).cast("long").alias("tot_cents"),
         (F.col("lo") * 100).cast("long").alias("lo_cents"),
         (F.col("hi") * 100).cast("long").alias("hi_cents"),
+        # price_dec is never null here, so avg's own denominator
+        # equals n_orders and the projection must equal tot/n exactly
+        # (identical division semantics on both sides of the ==)
+        (F.col("avg_p") == F.col("tot") / F.col("n_orders"))
+        .cast("int")
+        .alias("avg_consistent"),
     )
 
 

@@ -179,7 +179,7 @@ _suite(
         "hist": {"part": "value_histogram", "s1": ("CAST(bucket AS STRING)", "CAST(bucket AS VARCHAR)"), "n1": "n", "v1": "lo", "v2": "hi"},
         "dq": {"part": "dq_lineitem_checks", "s1": "rule", "n1": "n_rows", "n2": "n_violations", "v1": "pass_rate"},
         "snapshot": {"part": "snapshot_table_lifecycle", "s1": "op", "n1": "version", "n2": "n_rows", "n3": "total"},
-        "matview": {"part": "matview_incremental_refresh", "s1": "o_orderpriority", "n1": "n_orders", "n2": "tot_cents", "n3": "hi_cents", "v1": "lo_cents"},
+        "matview": {"part": "matview_incremental_refresh", "s1": "o_orderpriority", "n1": "n_orders", "n2": "tot_cents", "n3": "hi_cents", "v1": "lo_cents", "v2": "avg_consistent"},
     },
     [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double"), ("v2", "double")],
     doc="Aggregation shapes: HAVING, COUNT DISTINCT, FILTERed "

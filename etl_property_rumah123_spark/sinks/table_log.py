@@ -593,6 +593,114 @@ def delete_snapshot_eq(
     )
 
 
+def consolidate_eq_dvs(
+    spark: SparkSession, table_path: str, max_retries: int = 10
+) -> int | None:
+    """Equality-delete entry maintenance — the light sibling of
+    :func:`compact_snapshot` for the takedown pattern (many eq
+    deletes, few appends). Readers pay one broadcast key-anti-join
+    PER ENTRY, so a nightly purge run accretes entries linearly;
+    full compaction clears them but rewrites the table. This instead:
+
+    1. NORMALIZES each entry's scope to the files still in the
+       manifest (scope entries for departed files can never match —
+       dropping them shrinks the manifest and the broadcast);
+    2. DROPS entries whose normalized scope is empty;
+    3. MERGES entries with the same key column and identical
+       normalized scope into one entry whose keys parquet is the
+       distinct union (repeated purge batches between appends all
+       share a scope, so the common case collapses to one entry).
+
+    Entries with genuinely different scopes cannot merge — "deleted
+    iff key matches AND file predates the delete" is per-entry — and
+    are left alone; an eq-UPSERT stream (scope grows every commit)
+    should rely on :func:`maybe_compact_dvs` instead. Commits a new
+    version (operation ``consolidate_eq``) only when something
+    changed; returns it, or None for a no-op. ``dv_rows`` is
+    recounted from what actually remains."""
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        versions = _list_versions(spark, table_path)
+        if not versions:
+            raise ValueError(f"no snapshots at {table_path}")
+        prev = _manifest(spark, table_path, versions[-1])
+        entries = prev.get("eq_dvs", [])
+        if not entries:
+            return None
+        version = versions[-1] + 1
+        current = {_dv_rel_key(rel) for rel in prev["files"]}
+        groups: dict[tuple, list[dict]] = {}
+        dropped = 0
+        for e in entries:
+            scope = tuple(sorted(set(e["scope"]) & current))
+            if not scope:
+                dropped += 1
+                continue
+            groups.setdefault((e["key"], scope), []).append(e)
+        new_entries = []
+        merged_any = False
+        for (key, scope), group in groups.items():
+            if len(group) == 1 and tuple(sorted(set(group[0]["scope"]))) == scope:
+                new_entries.append(group[0])
+                continue
+            merged_any = True
+            union_keys = (
+                spark.read.parquet(
+                    *[
+                        f"{table_path}/{r}"
+                        for e in group
+                        for r in e["files"]
+                    ]
+                )
+                .select(key)
+                .distinct()
+            )
+            key_files = _write_commit_dir(
+                union_keys, table_path, f"data/c{token}e{len(new_entries)}"
+            )
+            new_entries.append(
+                {"key": key, "files": key_files, "scope": list(scope)}
+            )
+        if not merged_any and not dropped:
+            return None
+        # recount the read debt from what remains: outstanding
+        # position-DV rows + surviving eq keys
+        n_eq = sum(
+            spark.read.parquet(
+                *[f"{table_path}/{r}" for r in e["files"]]
+            ).count()
+            for e in new_entries
+        )
+        dv_rels = prev.get("dvs", [])
+        n_pos = (
+            spark.read.parquet(
+                *[f"{table_path}/{r}" for r in dv_rels]
+            ).count()
+            if dv_rels
+            else 0
+        )
+        manifest = {
+            "version": version,
+            "operation": "consolidate_eq",
+            "files": prev["files"],
+            "n_files": prev.get("n_files", len(prev["files"])),
+            "n_entries_before": len(entries),
+            "n_entries_after": len(new_entries),
+            "dvs": prev.get("dvs", []),
+            "dv_keys": prev.get("dv_keys", []),
+            "eq_dvs": new_entries,
+            "dv_rows": n_pos + n_eq,
+            "schema": prev.get("schema"),
+            "stats": prev.get("stats", {}),
+        }
+        if _try_publish(spark, table_path, version, token, manifest):
+            return version
+        token = uuid.uuid4().hex[:12]
+    raise RuntimeError(
+        f"eq consolidation on {table_path} lost {max_retries} version races"
+    )
+
+
 def commit_snapshot(
     df: DataFrame,
     table_path: str,

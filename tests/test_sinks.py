@@ -2346,3 +2346,59 @@ def test_dv_keys_recorded_in_manifest_and_legacy_fallback(spark, tmp_path):
     assert sorted(
         r["k"] for r in table_log.read_snapshot(spark, t, v3).collect()
     ) == live
+
+
+def test_consolidate_eq_dvs_merges_same_scope_entries(spark, tmp_path):
+    """Equality-delete maintenance: entries sharing a normalized scope
+    merge into one (distinct-union keys), entries with a different
+    scope stay, entries whose scoped files all departed are dropped —
+    and the live read is IDENTICAL before and after each step."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "eqc")
+
+    def ks():
+        return sorted(r["k"] for r in table_log.read_snapshot(spark, t).collect())
+
+    def keys_df(vals):
+        return spark.createDataFrame([(v,) for v in vals], "k long")
+
+    base = spark.range(0, 10).withColumnRenamed("id", "k").withColumn(
+        "grp", (F.col("k") % 2).cast("long")
+    ).coalesce(2)
+    table_log.commit_snapshot(base, t)
+    # two purge batches, NO append between -> identical scopes
+    table_log.delete_snapshot_eq(spark, t, "k", keys_df([1, 2]))
+    table_log.delete_snapshot_eq(spark, t, "k", keys_df([3]))
+    # append re-introduces k=1 (upsert composition), then a third
+    # purge whose scope includes the appended file
+    table_log.commit_snapshot(
+        spark.createDataFrame([(1, 1), (20, 0)], "k long, grp long"),
+        t, mode="append",
+    )
+    table_log.delete_snapshot_eq(spark, t, "k", keys_df([5]))
+    before = ks()
+    assert before == [0, 1, 4, 6, 7, 8, 9, 20]  # 1 back, 2/3/5 gone
+
+    m = table_log._manifest(spark, t, table_log._list_versions(spark, t)[-1])
+    assert len(m["eq_dvs"]) == 3
+    v = table_log.consolidate_eq_dvs(spark, t)
+    assert v is not None
+    m2 = table_log._manifest(spark, t, v)
+    assert m2["operation"] == "consolidate_eq"
+    assert m2["n_entries_before"] == 3 and len(m2["eq_dvs"]) == 2
+    assert ks() == before
+    # idempotent: nothing left to merge
+    assert table_log.consolidate_eq_dvs(spark, t) is None
+    assert ks() == before
+
+    # CoW delete rewrites every file the early entries were scoped to
+    # -> their normalized scope empties -> consolidation drops them
+    table_log.delete_snapshot(spark, t, "k >= 8 AND k <= 9")
+    v3 = table_log.consolidate_eq_dvs(spark, t)
+    if v3 is not None:  # entries whose scope died are dropped
+        m3 = table_log._manifest(spark, t, v3)
+        assert len(m3["eq_dvs"]) <= 2
+    assert ks() == [0, 1, 4, 6, 7, 20]
