@@ -1570,7 +1570,15 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT o_orderkey, o_totalprice FROM urg
     ),
-    v3 AS (SELECT o_totalprice FROM v2 WHERE o_orderkey % 10 <> 7)
+    v3 AS (SELECT o_orderkey, o_totalprice FROM v2 WHERE o_orderkey % 10 <> 7),
+    eq1 AS (SELECT o_orderkey FROM orders
+            WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0),
+    eq2 AS (SELECT o_orderkey FROM orders
+            WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 7 = 1),
+    v4 AS (SELECT * FROM v3
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM eq1)),
+    v5 AS (SELECT * FROM v4
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM eq2))
     SELECT 'v0' AS op, CAST(0 AS BIGINT) AS version,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS total
@@ -1584,6 +1592,15 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'v3', 3, CAST(COUNT(*) AS BIGINT),
            CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) FROM v3
+    UNION ALL
+    SELECT 'v4', 4, CAST(COUNT(*) AS BIGINT),
+           CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) FROM v4
+    UNION ALL
+    SELECT 'v5', 5, CAST(COUNT(*) AS BIGINT),
+           CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) FROM v5
+    UNION ALL
+    SELECT 'vc', 6, CAST(COUNT(*) AS BIGINT),
+           CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) FROM v5
     """,
     doc="The snapshot-log lifecycle under the driver's value hash: "
     "commit filled orders (v0), append open orders (v1), file-grain "
@@ -1591,10 +1608,15 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— urgent rows replace or insert, untouched files carried by "
     "reference), MERGE-ON-READ deletion-vector delete of "
     "orderkey%10=7 (v3 — zero data files rewritten, readers apply "
-    "the DV anti-join), then TIME-TRAVEL every version and "
-    "aggregate. The oracle restates the four versions in plain SQL "
-    "over orders — any commit/merge/DV/time-travel defect in "
-    "sinks/table_log.py changes a version's rows and fails the hash.",
+    "the DV anti-join), two EQUALITY deletes (v4: high-priority "
+    "key batch, v5: medium-priority — pure-metadata commits, "
+    "per-entry broadcast key suppression on read), then "
+    "consolidate_eq_dvs (vc — the same-scope entries merge to one; "
+    "the read must not change), TIME-TRAVELING every version and "
+    "aggregating. The oracle restates all seven states in plain SQL "
+    "over orders — any commit/merge/DV/eq-delete/consolidation/"
+    "time-travel defect in sinks/table_log.py changes a version's "
+    "rows and fails the hash.",
 )
 def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1617,9 +1639,30 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table_log.merge_snapshot(urgent, tdir, key="o_orderkey")
     table_log.delete_snapshot_dv(spark, tdir, "o_orderkey % 10 = 7")
+    table_log.delete_snapshot_eq(
+        spark, tdir, "o_orderkey",
+        orders.filter(
+            (F.col("o_orderpriority") == "2-HIGH")
+            & (F.col("o_orderkey") % 3 == 0)
+        ).select("o_orderkey"),
+    )
+    table_log.delete_snapshot_eq(
+        spark, tdir, "o_orderkey",
+        orders.filter(
+            (F.col("o_orderpriority") == "3-MEDIUM")
+            & (F.col("o_orderkey") % 7 == 1)
+        ).select("o_orderkey"),
+    )
+    # no appends between the two eq deletes -> identical scopes, so
+    # consolidation MUST merge them into one entry and MUST NOT
+    # change the read (the vc row pins exactly that)
+    table_log.consolidate_eq_dvs(spark, tdir)
 
     frames = []
-    for v, op in ((0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")):
+    for v, op in (
+        (0, "v0"), (1, "v1"), (2, "v2"), (3, "v3"),
+        (4, "v4"), (5, "v5"), (6, "vc"),
+    ):
         frames.append(
             table_log.read_snapshot(spark, tdir, v).agg(
                 F.lit(op).alias("op"),
