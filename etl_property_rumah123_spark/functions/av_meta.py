@@ -68,6 +68,65 @@ def _id3v2_size(data: bytes) -> int:
     return 10 + size
 
 
+#: ID3v2 text-frame ids -> friendly names (id3.org v2.3 §4.2.1).
+_ID3_TEXT_FRAMES = {
+    b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+    b"TYER": "year", b"TDRC": "year", b"TCON": "genre",
+}
+
+
+def parse_id3v2_tags(data: bytes) -> dict:
+    """Extract the common text frames (title/artist/album/year/genre)
+    from a leading ID3v2.3/2.4 tag. Frame sizes are plain 32-bit in
+    v2.3 and syncsafe in v2.4 (the spec's one incompatible change);
+    text encodings 0 (latin-1), 1 (UTF-16 w/ BOM), 3 (UTF-8) decode,
+    others are skipped. Returns {} when no tag or nothing parseable —
+    tags are enrichment, never a failure."""
+    total = _id3v2_size(data)
+    if total == 0 or len(data) < 10:
+        return {}
+    version = data[3]
+    out: dict = {}
+    pos, end = 10, min(total, len(data))
+    while pos + 10 <= end:
+        fid = data[pos:pos + 4]
+        if not fid.strip(b"\x00"):  # zero padding reached
+            break
+        raw_sz = data[pos + 4:pos + 8]
+        if version >= 4:
+            if any(b & 0x80 for b in raw_sz):
+                break
+            sz = (
+                (raw_sz[0] << 21) | (raw_sz[1] << 14)
+                | (raw_sz[2] << 7) | raw_sz[3]
+            )
+        else:
+            sz = int.from_bytes(raw_sz, "big")
+        body = data[pos + 10:pos + 10 + sz]
+        pos += 10 + sz
+        if sz <= 0 or pos > end:
+            break
+        name = _ID3_TEXT_FRAMES.get(fid)
+        if name is None or name in out or len(body) < 2:
+            continue
+        enc, text = body[0], body[1:]
+        try:
+            if enc == 0:
+                val = text.decode("latin-1")
+            elif enc == 1:
+                val = text.decode("utf-16")
+            elif enc == 3:
+                val = text.decode("utf-8")
+            else:
+                continue
+        except UnicodeDecodeError:
+            continue
+        val = val.rstrip("\x00").strip()
+        if val:
+            out[name] = val
+    return out
+
+
 def _parse_frame_header(h: bytes):
     """Parse a 4-byte MPEG audio frame header. Returns
     ``(frame_len, samples, sample_rate, bitrate_kbps)`` or None."""
@@ -138,15 +197,34 @@ def parse_mp3_meta(data: bytes) -> dict | None:
     }
 
 
-def encode_mp3_stub(filler: bytes, n_frames: int) -> bytes:
+def encode_mp3_stub(
+    filler: bytes, n_frames: int, tags: dict | None = None
+) -> bytes:
     """Deterministic MPEG-1 Layer III fixture stream: a minimal ID3v2.3
-    tag (32-byte zero body) + ``n_frames`` 417-byte frames at
-    128 kbps / 44.1 kHz / padding 0, each frame's payload the filler
-    bytes cycled. Every header field is real, so any spec-conforming
-    MP3 parser reads the same frame count/duration — this is fixture
-    synthesis for :func:`parse_mp3_meta`, not an encoder (the frame
-    payloads are not Huffman audio data)."""
-    tag = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 32]) + b"\x00" * 32
+    tag (32-byte zero body, or real text frames when ``tags`` maps
+    title/artist/album/year/genre to strings) + ``n_frames`` 417-byte
+    frames at 128 kbps / 44.1 kHz / padding 0, each frame's payload
+    the filler bytes cycled. Every header field is real, so any
+    spec-conforming MP3 parser reads the same frame count/duration —
+    this is fixture synthesis for :func:`parse_mp3_meta`, not an
+    encoder (the frame payloads are not Huffman audio data)."""
+    if tags:
+        ids = {v: k for k, v in _ID3_TEXT_FRAMES.items() if k != b"TDRC"}
+        body = b""
+        for name, val in tags.items():
+            fid = ids[name]
+            frame_body = b"\x03" + val.encode("utf-8")
+            body += (
+                fid + len(frame_body).to_bytes(4, "big") + b"\x00\x00"
+                + frame_body
+            )
+        sz = len(body)
+        syncsafe = bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        )
+        tag = b"ID3" + bytes([3, 0, 0]) + syncsafe + body
+    else:
+        tag = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 32]) + b"\x00" * 32
     header = bytes([0xFF, 0xFB, 0x90, 0x00])  # V1 L3, 128k, 44100, pad 0
     body_len = 417 - 4
     if filler:
@@ -195,19 +273,25 @@ def _find_box(data: bytes, start: int, end: int, btype: bytes):
 
 def parse_mp4_meta(data: bytes) -> dict | None:
     """Box-walk an ISO BMFF (MP4/MOV/M4A) stream: movie duration from
-    ``moov/mvhd`` (version 0: 32-bit times, version 1: 64-bit) and the
+    ``moov/mvhd`` (version 0: 32-bit times, version 1: 64-bit), the
     first video track's pixel dims from ``moov/trak/tkhd`` (16.16
-    fixed point; audio-only tracks carry 0x0 and are skipped). Returns
-    ``{"duration_ms", "timescale", "width", "height", "n_tracks"}``
-    or None when no ``moov`` exists. No sample tables are touched —
-    this is O(header bytes) regardless of mdat size, which is the
-    property that makes it safe inside an ingest kernel."""
+    fixed point; audio-only tracks carry 0x0 and are skipped),
+    per-track handler types from ``mdia/hdlr`` (``vide``/``soun`` →
+    video/audio track counts), and the first audio track's sample
+    rate from its ``mdia/mdhd`` media timescale (the container-level
+    rate — by convention the audio sampling rate). Returns
+    ``{"duration_ms", "timescale", "width", "height", "n_tracks",
+    "n_video", "n_audio", "audio_sample_rate"}`` or None when no
+    ``moov`` exists. No sample tables are touched — this is O(header
+    bytes) regardless of mdat size, which is the property that makes
+    it safe inside an ingest kernel."""
     moov = _find_box(data, 0, len(data), b"moov")
     if moov is None:
         return None
     mstart, mend = moov
     out: dict = {"duration_ms": None, "timescale": None,
-                 "width": None, "height": None, "n_tracks": 0}
+                 "width": None, "height": None, "n_tracks": 0,
+                 "n_video": 0, "n_audio": 0, "audio_sample_rate": None}
     mvhd = _find_box(data, mstart, mend, b"mvhd")
     if mvhd is not None:
         b, e = mvhd
@@ -228,16 +312,35 @@ def parse_mp4_meta(data: bytes) -> dict | None:
             continue
         out["n_tracks"] += 1
         tkhd = _find_box(data, b, e, b"tkhd")
-        if tkhd is None:
+        if tkhd is not None:
+            tb, te = tkhd
+            version = data[tb]
+            # width/height are the LAST 8 bytes of tkhd in both versions
+            if te - tb >= (92 if version == 0 else 104) - 8:
+                w = _be(data, te - 8, 4) >> 16
+                h = _be(data, te - 4, 4) >> 16
+                if w and h and out["width"] is None:
+                    out["width"], out["height"] = w, h
+        mdia = _find_box(data, b, e, b"mdia")
+        if mdia is None:
             continue
-        tb, te = tkhd
-        version = data[tb]
-        # width/height are the LAST 8 bytes of tkhd in both versions
-        if te - tb >= (92 if version == 0 else 104) - 8:
-            w = _be(data, te - 8, 4) >> 16
-            h = _be(data, te - 4, 4) >> 16
-            if w and h and out["width"] is None:
-                out["width"], out["height"] = w, h
+        hdlr = _find_box(data, mdia[0], mdia[1], b"hdlr")
+        handler = None
+        if hdlr is not None and hdlr[1] - hdlr[0] >= 12:
+            handler = data[hdlr[0] + 8:hdlr[0] + 12]
+        if handler == b"vide":
+            out["n_video"] += 1
+        elif handler == b"soun":
+            out["n_audio"] += 1
+            if out["audio_sample_rate"] is None:
+                mdhd = _find_box(data, mdia[0], mdia[1], b"mdhd")
+                if mdhd is not None:
+                    hb, he = mdhd
+                    v = data[hb]
+                    if v == 1 and he - hb >= 24:
+                        out["audio_sample_rate"] = _be(data, hb + 20, 4)
+                    elif he - hb >= 16:
+                        out["audio_sample_rate"] = _be(data, hb + 12, 4)
     return out
 
 
@@ -254,13 +357,20 @@ _MATRIX = (
 
 
 def encode_mp4_stub(
-    width: int, height: int, duration_ms: int, mdat: bytes
+    width: int,
+    height: int,
+    duration_ms: int,
+    mdat: bytes,
+    audio_rate: int | None = None,
 ) -> bytes:
     """Deterministic minimal-but-valid ISO BMFF fixture:
     ``ftyp(isom) + moov(mvhd v0 timescale=1000 + trak(tkhd v0)) +
     mdat``. Every box size and field is real per 14496-12, so any
     conforming parser reads the same dims/duration; only the media
-    sample data inside mdat is opaque filler."""
+    sample data inside mdat is opaque filler. ``audio_rate`` appends
+    a second track carrying ``mdia/hdlr('soun')`` and a ``mdhd``
+    whose media timescale is the audio sample rate — the shape
+    :func:`parse_mp4_meta` reads rates and track kinds from."""
     ftyp = _u32(20) + b"ftypisom" + _u32(0x200) + b"isom"
     mvhd = (
         _u32(108) + b"mvhd" + _u32(0)          # version 0, flags 0
@@ -281,5 +391,29 @@ def encode_mp4_stub(
         + _u32(width << 16) + _u32(height << 16)
     )
     trak = _u32(8 + len(tkhd)) + b"trak" + tkhd
-    moov = _u32(8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    traks = trak
+    if audio_rate is not None:
+        tkhd2 = (
+            _u32(92) + b"tkhd" + _u32(7)
+            + _u32(0) + _u32(0)
+            + _u32(2) + _u32(0)                 # track id 2
+            + _u32(duration_ms) + b"\x00" * 8
+            + b"\x00" * 8
+            + _MATRIX
+            + _u32(0) + _u32(0)                 # audio: no pixel dims
+        )
+        mdhd = (
+            _u32(32) + b"mdhd" + _u32(0)
+            + _u32(0) + _u32(0)                 # creation/modification
+            + _u32(audio_rate)                  # media timescale = rate
+            + _u32(duration_ms * audio_rate // 1000)
+            + _u32(0x55C40000)                  # language 'und' + pre_def
+        )
+        hdlr = (
+            _u32(33) + b"hdlr" + _u32(0)
+            + _u32(0) + b"soun" + b"\x00" * 12 + b"\x00"
+        )
+        mdia = _u32(8 + len(mdhd) + len(hdlr)) + b"mdia" + mdhd + hdlr
+        traks += _u32(8 + len(tkhd2) + len(mdia)) + b"trak" + tkhd2 + mdia
+    moov = _u32(8 + len(mvhd) + len(traks)) + b"moov" + mvhd + traks
     return ftyp + moov + _u32(8 + len(mdat)) + b"mdat" + mdat

@@ -1425,3 +1425,44 @@ def test_decode_media_extracts_av_container_metadata(spark):
             assert r["decoded_height"] == 16 * (1 + sid % 3)
             assert r["decoded_ms"] == 1000 + n % 5000
             assert r["payload_bytes"] == 244 + n
+
+
+def test_id3v2_text_frames_and_mp4_track_metadata():
+    """Tag/track enrichment: ID3v2.3 (plain frame sizes) and v2.4
+    (syncsafe) text frames decode across latin-1/UTF-16/UTF-8; the
+    MP4 walk counts handler types and reads the first audio track's
+    sample rate from its mdhd media timescale. Default fixture bytes
+    are UNCHANGED (the suite oracle rebuilds them in SQL)."""
+    from etl_property_rumah123_spark.functions import av_meta
+
+    # default stubs stay byte-stable for the DuckDB oracle
+    assert av_meta.encode_mp3_stub(b"hello", 3)[:10] == (
+        b"ID3\x03\x00\x00\x00\x00\x00\x20"
+    )
+    assert len(av_meta.encode_mp4_stub(16, 32, 1234, b"x")) == 245
+
+    tags = {"title": "Nightfall", "artist": "Band ünïcode", "year": "1999"}
+    data = av_meta.encode_mp3_stub(b"x", 2, tags=tags)
+    assert av_meta.parse_id3v2_tags(data) == tags
+    assert av_meta.parse_mp3_meta(data)["n_frames"] == 2  # frames follow tag
+    assert av_meta.parse_id3v2_tags(b"not a tag") == {}
+
+    # v2.4 syncsafe frame size + UTF-16 text encoding
+    body = b"TIT2" + bytes([0, 0, 0, 5]) + b"\x00\x00" + b"\x03abcd"
+    sz = len(body)
+    tag24 = b"ID3" + bytes([4, 0, 0]) + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    ) + body
+    assert av_meta.parse_id3v2_tags(tag24) == {"title": "abcd"}
+    fb = b"\x01" + "Tïtle".encode("utf-16")
+    body = b"TIT2" + len(fb).to_bytes(4, "big") + b"\x00\x00" + fb
+    tag = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, len(body)]) + body
+    assert av_meta.parse_id3v2_tags(tag) == {"title": "Tïtle"}
+
+    v = av_meta.encode_mp4_stub(640, 360, 2500, b"pay", audio_rate=48000)
+    m = av_meta.parse_mp4_meta(v)
+    assert m["n_tracks"] == 2 and m["n_audio"] == 1
+    assert m["audio_sample_rate"] == 48000
+    assert (m["width"], m["height"], m["duration_ms"]) == (640, 360, 2500)
+    m0 = av_meta.parse_mp4_meta(av_meta.encode_mp4_stub(16, 32, 9, b""))
+    assert m0["n_video"] == 0 and m0["audio_sample_rate"] is None
