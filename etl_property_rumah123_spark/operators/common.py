@@ -44,3 +44,20 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
             "'localcheckpoint' or 'persist'"
         )
     return df.localCheckpoint(eager=eager)
+
+
+def scratch_base() -> str:
+    """Base directory for EPHEMERAL part-local tables (the snapshot
+    lifecycle and matview parts rebuild a throwaway table_log table
+    per run). Prefers a tmpfs (/dev/shm) when one exists — the data
+    is by definition disposable, and the parts' cost is commit I/O,
+    not compute, so skipping the disk round-trip is a pure win on
+    the local bench — with /tmp as the portable fallback.
+    ``SPARK_GRAFT_SCRATCH`` overrides both (point it at real disk if
+    the box's shm is tight)."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm/spark_graft_scratch"
+    return "/tmp/spark_graft_scratch"

@@ -1623,8 +1623,13 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_property_rumah123_spark.sinks import table_log
 
+    from etl_property_rumah123_spark.operators.common import scratch_base
+
     orders = table(spark, sf_dir, "orders")
-    tdir = f"/tmp/sg_snapshot_part/{os.path.basename(os.path.normpath(sf_dir))}"
+    tdir = (
+        f"{scratch_base()}/sg_snapshot_part/"
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+    )
     jvm, fs = table_log._fs(spark, tdir)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tdir), True)  # clean slate
 
@@ -1720,11 +1725,13 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_property_rumah123_spark.sinks import matview, table_log
 
+    from etl_property_rumah123_spark.operators.common import scratch_base
+
     base = os.path.basename(os.path.normpath(sf_dir))
-    src_dir = f"/tmp/sg_matview_part/{base}/src"
-    mv_dir = f"/tmp/sg_matview_part/{base}/mv"
+    root = f"{scratch_base()}/sg_matview_part/{base}"
+    src_dir, mv_dir = f"{root}/src", f"{root}/mv"
     jvm, fs = table_log._fs(spark, src_dir)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(f"/tmp/sg_matview_part/{base}"), True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(root), True)
 
     # 25% slice (o_orderkey % 4 = 2): every refresh path still runs —
     # all five priority groups survive, and % 4 = 2 intersects the

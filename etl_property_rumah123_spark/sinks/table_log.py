@@ -488,6 +488,7 @@ def merge_snapshot_mor(
             eq_entry = {
                 "key": key,
                 "files": key_files,
+                "n": n_marked,
                 "scope": [_dv_rel_key(r) for r in prev["files"]],
             }
         else:
@@ -569,6 +570,7 @@ def delete_snapshot_eq(
         entry = {
             "key": key,
             "files": key_files,
+            "n": n_keys,
             "scope": [_dv_rel_key(r) for r in prev["files"]],
         }
         manifest = {
@@ -658,27 +660,44 @@ def consolidate_eq_dvs(
             key_files = _write_commit_dir(
                 union_keys, table_path, f"data/c{token}e{len(new_entries)}"
             )
+            n_union = spark.read.parquet(
+                *[f"{table_path}/{r}" for r in key_files]
+            ).count()
             new_entries.append(
-                {"key": key, "files": key_files, "scope": list(scope)}
+                {
+                    "key": key,
+                    "files": key_files,
+                    "n": n_union,
+                    "scope": list(scope),
+                }
             )
         if not merged_any and not dropped:
             return None
+
         # recount the read debt from what remains: outstanding
-        # position-DV rows + surviving eq keys
-        n_eq = sum(
-            spark.read.parquet(
+        # position-DV rows + surviving eq keys. Entries written since
+        # the "n" field carry their key count; only legacy entries
+        # (and the position-DV total, when any legacy entry forces a
+        # re-derive) pay a count job.
+        def entry_n(e: dict) -> int:
+            if "n" in e:
+                return e["n"]
+            return spark.read.parquet(
                 *[f"{table_path}/{r}" for r in e["files"]]
             ).count()
-            for e in new_entries
-        )
-        dv_rels = prev.get("dvs", [])
-        n_pos = (
-            spark.read.parquet(
-                *[f"{table_path}/{r}" for r in dv_rels]
-            ).count()
-            if dv_rels
-            else 0
-        )
+
+        n_eq = sum(entry_n(e) for e in new_entries)
+        if all("n" in e for e in entries):
+            n_pos = prev.get("dv_rows", 0) - sum(e["n"] for e in entries)
+        else:
+            dv_rels = prev.get("dvs", [])
+            n_pos = (
+                spark.read.parquet(
+                    *[f"{table_path}/{r}" for r in dv_rels]
+                ).count()
+                if dv_rels
+                else 0
+            )
         manifest = {
             "version": version,
             "operation": "consolidate_eq",
