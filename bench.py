@@ -67,6 +67,21 @@ def loadavg() -> list[float]:
         return [-1.0, -1.0, -1.0]
 
 
+def other_jvms() -> int:
+    """JVMs already running when the bench starts — overlapping
+    local[32] JVMs inflate timings ~4x (documented measurement trap),
+    so the count is stamped into the JSON for post-hoc reading."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["pgrep", "-c", "java"], capture_output=True, text=True
+        )
+        return int(out.stdout.strip() or 0)
+    except (OSError, ValueError):
+        return -1
+
+
 def wait_for_quiet_box() -> list[float]:
     """Poll until 1-min loadavg < threshold or the wait budget is spent.
 
@@ -94,6 +109,7 @@ def main() -> None:
     registry = load_all()
     headline = {n: s for n, s in registry.items() if s.headline}
     load_at_start = wait_for_quiet_box()
+    jvms_at_start = other_jvms()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -115,6 +131,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_of(SF_DIR),
         "loadavg_start": load_at_start,
+        "other_jvms_at_start": jvms_at_start,
     }
 
     if SWEEP:
@@ -172,6 +189,7 @@ def main() -> None:
         "sf": out["sf"],
         "loadavg_start": out["loadavg_start"],
         "loadavg_end": out["loadavg_end"],
+        "other_jvms_at_start": out["other_jvms_at_start"],
     }
     if "registry_total_sec" in out:
         compact["registry_total_sec"] = out["registry_total_sec"]
