@@ -296,7 +296,7 @@ def parse_mp4_meta(data: bytes) -> dict | None:
     if mvhd is not None:
         b, e = mvhd
         version = data[b]
-        if version == 1 and e - b >= 28:
+        if version == 1 and e - b >= 32:
             timescale = _be(data, b + 20, 4)
             duration = _be(data, b + 24, 8)
         elif e - b >= 20:

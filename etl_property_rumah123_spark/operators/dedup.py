@@ -419,10 +419,11 @@ def compact_lsh_index(
     can assert cheaply because this returns row/file accounting.
 
     Contract: single maintainer — run in a maintenance window, not
-    concurrently with appends (the swap is delete-then-rename; plain
-    parquet dirs have no manifest to race on). An interrupted swap
-    leaves the complete compacted copy at ``<path>.__compact__`` for
-    manual recovery. For multi-writer commit semantics store the
+    concurrently with appends (plain parquet dirs have no manifest to
+    race on). The swap is rename-aside / rename-in / delete-old, so an
+    index exists at ``path`` except during two metadata renames; an
+    interrupted swap leaves the original at ``<path>.__old__`` (rename
+    back to recover) and the compacted copy at ``<path>.__compact__``. For multi-writer commit semantics store the
     bucket table in a snapshot-log table (sinks/table_log.py) — this
     plain-dir form is the bulk-batch shape.
     """
@@ -463,11 +464,25 @@ def compact_lsh_index(
         out.close()
     rows_after = spark.read.parquet(tmp).count()
 
-    fs.delete(root, True)
-    if not fs.rename(hadoop_path(tmp), root):
+    # Swap order keeps an index present at `path` except during two
+    # metadata renames: live -> .__old__, tmp -> live, delete .__old__.
+    # A failure between the renames leaves .__old__ as a trivially
+    # restorable copy (rename it back) instead of an empty path.
+    old = hadoop_path(path + ".__old__")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(root, old):
         raise RuntimeError(
-            f"compaction swap failed: compacted index left at {tmp}"
+            f"compaction swap failed moving live index aside: "
+            f"compacted index left at {tmp}"
         )
+    if not fs.rename(hadoop_path(tmp), root):
+        fs.rename(old, root)  # restore the live index
+        raise RuntimeError(
+            f"compaction swap failed: compacted index left at {tmp}, "
+            f"original restored at {path}"
+        )
+    fs.delete(old, True)
     spark.catalog.refreshByPath(path)
     n_files_after = len(spark.read.parquet(path).inputFiles())
     _ = json.loads(meta_raw.decode("utf-8"))  # sidecar stays parseable

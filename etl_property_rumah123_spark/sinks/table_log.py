@@ -55,6 +55,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -166,6 +167,41 @@ _STATS_TYPES = (
 #: stats are kept preferentially (recent data is what incremental
 #: queries prune on). Env-tunable for big drivers.
 MAX_STATS_FILES = int(os.environ.get("SPARK_GRAFT_MAX_STATS_FILES", "100000"))
+
+#: Driver-memory envelope for the CoW MERGE/DELETE *touched-file*
+#: collect: both operators must know WHICH files contain a matched
+#: row, a per-file (not per-row) driver collect that is fine at 10⁴
+#: files but a ~10⁶-string flood for a broad predicate over a 100 TB
+#: table. Past the cap the engine DEGRADES CONSERVATIVELY, never
+#: incorrectly: ALL files are treated as touched — a full
+#: copy-on-write rewrite, which is exactly what a predicate matching
+#: rows in >cap files is asking for anyway — and a loud warning names
+#: the knob. Env-tunable for big drivers.
+MAX_TOUCHED_FILES = int(
+    os.environ.get("SPARK_GRAFT_MAX_TOUCHED_FILES", "100000")
+)
+
+
+def _touched_file_set(keys_df: DataFrame) -> set | None:
+    """Bounded driver-side collect of the distinct touched-file keys:
+    at most ``MAX_TOUCHED_FILES + 1`` single-string rows ever reach
+    the driver (the ``limit`` is applied BEFORE the collect). Returns
+    ``None`` when over the cap — the degrade signal meaning treat
+    EVERY file as touched (full CoW rewrite: correct, deliberately
+    expensive, loud)."""
+    rows = keys_df.limit(MAX_TOUCHED_FILES + 1).collect()
+    if len(rows) > MAX_TOUCHED_FILES:
+        warnings.warn(
+            f"CoW operation touches more than MAX_TOUCHED_FILES="
+            f"{MAX_TOUCHED_FILES} data files; degrading to a FULL "
+            "copy-on-write rewrite (all files treated as touched). "
+            "Correctness is unaffected. For broad predicates this is "
+            "the honest cost; to collect the larger file list instead, "
+            "raise SPARK_GRAFT_MAX_TOUCHED_FILES.",
+            stacklevel=3,
+        )
+        return None
+    return {r[0] for r in rows}
 
 
 def _cap_stats(stats: dict) -> dict:
@@ -361,6 +397,33 @@ def _dv_count_and_keys(
     return row["n"], set(row["ks"])
 
 
+def _prev_dv_keys(
+    spark: SparkSession, table_path: str, prev: dict
+) -> set:
+    """The previous manifest's DV'd-file key set. Manifests written
+    since ``dv_keys`` landed carry it directly; a LEGACY manifest that
+    has ``dvs`` but predates ``dv_keys`` must have its key set derived
+    from the DV parquet itself — silently treating it as empty would
+    record an incomplete ``dv_keys`` in the NEW manifest, and since
+    reads prefer the manifest field over the derive fallback, the
+    legacy files' deleted rows would resurrect. One bounded job, paid
+    only on the first post-upgrade commit of a legacy table."""
+    if "dv_keys" in prev:
+        return set(prev["dv_keys"])
+    dv_rels = prev.get("dvs", [])
+    if not dv_rels:
+        return set()
+    return {
+        r["file_key"]
+        for r in spark.read.parquet(
+            *[f"{table_path}/{r}" for r in dv_rels]
+        )
+        .select("file_key")
+        .distinct()
+        .collect()
+    }
+
+
 def delete_snapshot_dv(
     spark: SparkSession,
     table_path: str,
@@ -414,7 +477,9 @@ def delete_snapshot_dv(
             "n_files": len(prev["files"]),
             "n_deleted": n_deleted,
             "dvs": prev.get("dvs", []) + new_dv,
-            "dv_keys": sorted(set(prev.get("dv_keys", [])) | new_keys),
+            "dv_keys": sorted(
+                _prev_dv_keys(spark, table_path, prev) | new_keys
+            ),
             "eq_dvs": prev.get("eq_dvs", []),
             "dv_rows": prev.get("dv_rows", 0) + n_deleted,
             "schema": prev.get("schema"),
@@ -517,7 +582,9 @@ def merge_snapshot_mor(
             "files": files,
             "n_files": len(files),
             "dvs": prev.get("dvs", []) + new_dv,
-            "dv_keys": sorted(set(prev.get("dv_keys", [])) | new_keys),
+            "dv_keys": sorted(
+                _prev_dv_keys(spark, table_path, prev) | new_keys
+            ),
             "eq_dvs": prev.get("eq_dvs", [])
             + ([eq_entry] if eq_entry else []),
             "dv_rows": prev.get("dv_rows", 0) + n_marked,
@@ -581,7 +648,7 @@ def delete_snapshot_eq(
             "n_files": len(prev["files"]),
             "n_keys": n_keys,
             "dvs": prev.get("dvs", []),
-            "dv_keys": prev.get("dv_keys", []),
+            "dv_keys": sorted(_prev_dv_keys(spark, table_path, prev)),
             "eq_dvs": prev.get("eq_dvs", []) + [entry],
             "dv_rows": prev.get("dv_rows", 0) + n_keys,
             "schema": prev.get("schema"),
@@ -706,7 +773,7 @@ def consolidate_eq_dvs(
             "n_entries_before": len(entries),
             "n_entries_after": len(new_entries),
             "dvs": prev.get("dvs", []),
-            "dv_keys": prev.get("dv_keys", []),
+            "dv_keys": sorted(_prev_dv_keys(spark, table_path, prev)),
             "eq_dvs": new_entries,
             "dv_rows": n_pos + n_eq,
             "schema": prev.get("schema"),
@@ -757,7 +824,7 @@ def commit_snapshot(
             files = prev["files"] + new_files
             stats = {**prev.get("stats", {}), **new_stats}
             dvs = prev.get("dvs", [])  # appends carry deletion vectors
-            dv_keys = prev.get("dv_keys", [])
+            dv_keys = sorted(_prev_dv_keys(spark, table_path, prev))
             eq_dvs = prev.get("eq_dvs", [])
             dv_rows = prev.get("dv_rows", 0)
         else:
@@ -1176,21 +1243,22 @@ def merge_snapshot(
             .drop("__dv_pos")
         )
         batch_keys = df.select(key).distinct()
-        touched = {
-            r["__file"]
-            for r in tagged.join(batch_keys, key, "left_semi")
+        touched = _touched_file_set(
+            tagged.join(batch_keys, key, "left_semi")
             .select("__file")
             .distinct()
-            .collect()
-        }
-        touched_rel = [
-            rel for rel in prev["files"] if _dv_rel_key(rel) in touched
-        ]
-        carry = (
-            tagged.filter(F.col("__file").isin(*touched) if touched else F.lit(False))
-            .drop("__file")
-            .join(batch_keys, key, "left_anti")
         )
+        if touched is None:  # over MAX_TOUCHED_FILES: full CoW rewrite
+            touched_rel = list(prev["files"])
+            carry_src = tagged
+        else:
+            touched_rel = [
+                rel for rel in prev["files"] if _dv_rel_key(rel) in touched
+            ]
+            carry_src = tagged.filter(
+                F.col("__file").isin(*touched) if touched else F.lit(False)
+            )
+        carry = carry_src.drop("__file").join(batch_keys, key, "left_anti")
         rewrite = carry.unionByName(df, allowMissingColumns=True)
         new_files = _write_commit_dir(rewrite, table_path, f"data/c{token}")
         kept = [rel for rel in prev["files"] if rel not in set(touched_rel)]
@@ -1211,7 +1279,7 @@ def merge_snapshot(
             **(
                 {
                     "dvs": prev.get("dvs", []),
-                    "dv_keys": prev.get("dv_keys", []),
+                    "dv_keys": sorted(_prev_dv_keys(spark, table_path, prev)),
                     "eq_dvs": prev.get("eq_dvs", []),
                     "dv_rows": prev.get("dv_rows", 0),
                 }
@@ -1419,21 +1487,28 @@ def delete_snapshot(
             .drop("__dv_pos")
         )
         pred = F.expr(condition)
-        touched = {
-            r["__file"]
-            for r in tagged.filter(pred).select("__file").distinct().collect()
-        }
-        touched_rel = [
-            rel for rel in prev["files"] if _dv_rel_key(rel) in touched
-        ]
-        if not touched_rel:  # nothing matches: still commit an audit row
-            survivors = None
-        else:
+        touched = _touched_file_set(
+            tagged.filter(pred).select("__file").distinct()
+        )
+        if touched is None:  # over MAX_TOUCHED_FILES: full CoW rewrite
+            touched_rel = list(prev["files"])
             survivors = (
-                tagged.filter(
-                    F.col("__file").isin(*touched) & ~F.coalesce(pred, F.lit(False))
-                ).drop("__file")
+                tagged.filter(~F.coalesce(pred, F.lit(False)))
+                .drop("__file")
             )
+        else:
+            touched_rel = [
+                rel for rel in prev["files"] if _dv_rel_key(rel) in touched
+            ]
+            if not touched_rel:  # nothing matches: still commit audit row
+                survivors = None
+            else:
+                survivors = (
+                    tagged.filter(
+                        F.col("__file").isin(*touched)
+                        & ~F.coalesce(pred, F.lit(False))
+                    ).drop("__file")
+                )
         new_files: list[str] = []
         if survivors is not None:
             new_files = _write_commit_dir(
@@ -1460,7 +1535,7 @@ def delete_snapshot(
             **(
                 {
                     "dvs": prev.get("dvs", []),
-                    "dv_keys": prev.get("dv_keys", []),
+                    "dv_keys": sorted(_prev_dv_keys(spark, table_path, prev)),
                     "eq_dvs": prev.get("eq_dvs", []),
                     "dv_rows": prev.get("dv_rows", 0),
                 }

@@ -1397,6 +1397,20 @@ def test_mp4_meta_box_walk_v0_v1_and_largesize():
     bad = u32(10_000) + b"moov" + b"\x00" * 8
     assert av_meta.parse_mp4_meta(bad) is None
 
+    # truncated version-1 mvhd (body 28..31 bytes): the 8-byte
+    # duration at offset 24 needs a 32-byte body — a shorter box must
+    # be REJECTED (duration None), never read the next box's header
+    # bytes as duration
+    for body_len in (28, 31):
+        short = (
+            u32(8 + body_len) + b"mvhd" + bytes([1, 0, 0, 0])
+            + b"\x00" * (body_len - 4)
+        )
+        trailer = u32(16) + b"free" + b"\xff" * 8
+        moov_short = u32(8 + len(short) + len(trailer)) + b"moov" + short + trailer
+        ms = av_meta.parse_mp4_meta(moov_short)
+        assert ms["duration_ms"] is None and ms["timescale"] is None
+
 
 def test_decode_media_extracts_av_container_metadata(spark):
     """The Arrow-batched decode stage reads MP3 duration and MP4

@@ -2348,6 +2348,161 @@ def test_dv_keys_recorded_in_manifest_and_legacy_fallback(spark, tmp_path):
     ) == live
 
 
+def test_cow_touched_file_cap_degrades_to_full_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """The CoW MERGE/DELETE touched-file collect is bounded by
+    MAX_TOUCHED_FILES (the last ungated driver O(files) envelope): a
+    predicate/batch touching more files than the cap degrades LOUDLY
+    to a full copy-on-write rewrite — every file treated as touched —
+    with results byte-identical to the uncapped path. The limit is
+    applied before the collect, so at most cap+1 one-string rows ever
+    reach the driver regardless of table size (the 10⁶-file case is
+    this same code path with a bigger constant)."""
+    import warnings as _warnings
+
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    def build(path):
+        df = spark.range(0, 40).withColumnRenamed("id", "k").withColumn(
+            "v", (F.col("k") * 10).cast("long")
+        ).repartition(8)
+        table_log.commit_snapshot(df, path, mode="append")
+
+    # ---- merge over the cap vs merge under it: identical final state
+    batch = spark.createDataFrame(
+        [(k, 999) for k in range(0, 40, 2)] + [(100, 1)], "k long, v long"
+    )
+    t_cap = str(tmp_path / "cap_m")
+    t_ref = str(tmp_path / "ref_m")
+    build(t_cap)
+    build(t_ref)
+    table_log.merge_snapshot(batch, t_ref, key="k")
+    expect = sorted(
+        (r["k"], r["v"])
+        for r in table_log.read_snapshot(spark, t_ref).collect()
+    )
+
+    monkeypatch.setattr(table_log, "MAX_TOUCHED_FILES", 3)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        v = table_log.merge_snapshot(batch, t_cap, key="k")
+    assert any("MAX_TOUCHED_FILES" in str(x.message) for x in w)
+    m = table_log._manifest(spark, t_cap, v)
+    assert m["n_rewritten_files"] == 8  # every previous file rewritten
+    got = sorted(
+        (r["k"], r["v"])
+        for r in table_log.read_snapshot(spark, t_cap).collect()
+    )
+    assert got == expect
+
+    # ---- delete over the cap: full rewrite, same survivors
+    t_capd = str(tmp_path / "cap_d")
+    t_refd = str(tmp_path / "ref_d")
+    monkeypatch.setattr(table_log, "MAX_TOUCHED_FILES", 100000)
+    build(t_capd)
+    build(t_refd)
+    table_log.delete_snapshot(spark, t_refd, "k % 2 = 1")
+    expect_d = sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t_refd).collect()
+    )
+    monkeypatch.setattr(table_log, "MAX_TOUCHED_FILES", 3)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        vd = table_log.delete_snapshot(spark, t_capd, "k % 2 = 1")
+    assert any("MAX_TOUCHED_FILES" in str(x.message) for x in w)
+    md = table_log._manifest(spark, t_capd, vd)
+    assert md["n_rewritten_files"] == 8
+    got_d = sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t_capd).collect()
+    )
+    assert got_d == expect_d
+
+    # under the cap nothing changes: partial rewrite, no warning
+    monkeypatch.setattr(table_log, "MAX_TOUCHED_FILES", 100000)
+    t_ok = str(tmp_path / "ok")
+    build(t_ok)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        vo = table_log.delete_snapshot(spark, t_ok, "k = 7")
+    assert not any("MAX_TOUCHED_FILES" in str(x.message) for x in w)
+    assert table_log._manifest(spark, t_ok, vo)["n_rewritten_files"] == 1
+
+
+def test_dv_keys_legacy_manifest_commit_no_resurrect(spark, tmp_path):
+    """Committing ON TOP of a legacy manifest (dvs present, no
+    dv_keys — written before dv_keys existed) must derive the legacy
+    key set from the DV parquet, not treat it as empty: the new
+    manifest carries an EXPLICIT dv_keys, so reads stop falling back
+    to derive-on-read, and an incomplete set would silently resurrect
+    the legacy DVs' deleted rows. Exercises every commit shape that
+    writes dv_keys: DV delete, MoR merge, append, equality delete."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "dvk_legacy")
+    df = spark.range(0, 20).withColumnRenamed("id", "k").withColumn(
+        "grp", (F.col("k") % 4).cast("long")
+    ).repartition(4)
+    table_log.commit_snapshot(df, t, mode="append")
+    v1 = table_log.delete_snapshot_dv(spark, t, "grp = 1")
+
+    def make_legacy(version):
+        mpath = f"{t}/_log/v{version}.json"
+        raw = _json.loads(open(mpath).read())
+        raw.pop("dv_keys", None)
+        table_log._write_file(spark, mpath, _json.dumps(raw).encode())
+
+    make_legacy(v1)
+    live = sorted(k for k in range(20) if k % 4 != 1)
+
+    # DV delete on top of legacy: no matches, but the manifest must
+    # still carry the legacy keys forward
+    v2 = table_log.delete_snapshot_dv(spark, t, "k = -1")
+    m2 = table_log._manifest(spark, t, v2)
+    truth = {
+        r["file_key"]
+        for r in spark.read.parquet(
+            *[f"{t}/{rel}" for rel in m2["dvs"]]
+        ).select("file_key").distinct().collect()
+    }
+    assert set(m2["dv_keys"]) == truth
+    got = sorted(r["k"] for r in table_log.read_snapshot(spark, t).collect())
+    assert got == live, "legacy DV'd rows resurrected after DV delete"
+
+    # MoR merge on top of legacy
+    make_legacy(v2)
+    table_log.merge_snapshot_mor(
+        spark.createDataFrame([(0, 99)], "k long, grp long"), t, key="k"
+    )
+    got = sorted(r["k"] for r in table_log.read_snapshot(spark, t).collect())
+    assert got == live, "legacy DV'd rows resurrected after MoR merge"
+
+    # append on top of legacy
+    v4 = table_log._list_versions(spark, t)[-1]
+    make_legacy(v4)
+    table_log.commit_snapshot(
+        spark.createDataFrame([(500, 0)], "k long, grp long"), t, mode="append"
+    )
+    got = sorted(r["k"] for r in table_log.read_snapshot(spark, t).collect())
+    assert got == live + [500], "legacy DV'd rows resurrected after append"
+
+    # equality delete on top of legacy
+    v5 = table_log._list_versions(spark, t)[-1]
+    make_legacy(v5)
+    table_log.delete_snapshot_eq(
+        spark, t, "k",
+        spark.createDataFrame([(500,)], "k long"),
+    )
+    got = sorted(r["k"] for r in table_log.read_snapshot(spark, t).collect())
+    assert got == live, "legacy DV'd rows resurrected after eq delete"
+
+
 def test_consolidate_eq_dvs_merges_same_scope_entries(spark, tmp_path):
     """Equality-delete maintenance: entries sharing a normalized scope
     merge into one (distinct-union keys), entries with a different
