@@ -304,15 +304,19 @@ def insert_rows(
     columns: list[str],
     rows,
     batch_size: int,
+    on_conflict: str | None = None,
 ) -> int:
     """Stream rows into ``table`` as multi-row INSERTs of
     ``batch_size`` on an open connection (no commit — the caller owns
     the transaction). Shared by the foreachPartition staging writer
     and the pgwire DataSource writer so the batching/quoting logic
     has one home. Rows are mappings/Row objects indexable by column
-    name. Returns the row count."""
+    name. ``on_conflict`` appends an ``ON CONFLICT <clause>`` suffix
+    (e.g. ``"DO NOTHING"``) to every statement. Returns the row
+    count."""
     cur = conn.cursor()
     prefix = f"INSERT INTO {table} ({', '.join(columns)}) VALUES "
+    suffix = f" ON CONFLICT {on_conflict}" if on_conflict else ""
     batch = []
     n = 0
     for row in rows:
@@ -321,10 +325,10 @@ def insert_rows(
         )
         n += 1
         if len(batch) >= batch_size:
-            cur.execute(prefix + ",\n".join(batch))
+            cur.execute(prefix + ",\n".join(batch) + suffix)
             batch = []
     if batch:
-        cur.execute(prefix + ",\n".join(batch))
+        cur.execute(prefix + ",\n".join(batch) + suffix)
     return n
 
 
@@ -336,6 +340,7 @@ def write_staging_wire(
     num_partitions: int | None = None,
     database: str = "postgres",
     user: str = "postgres",
+    post_commit_hook=None,
 ) -> None:
     """L1+L2 without a JDBC jar: truncate the staging table, then each
     Spark PARTITION opens its own wire connection and streams its rows
@@ -345,8 +350,26 @@ def write_staging_wire(
     ``num_partitions`` bounds connection fan-out exactly like the JDBC
     path's ``numPartitions`` — 1000 executors must not open 1000
     connections against one Postgres. Each partition commits its own
-    transaction; the staging table is fully replaced per run, so task
-    retries can at worst re-insert rows the idempotent merge dedups.
+    transaction, and the writer is RETRY-SAFE under BOTH staging
+    schemas: the inserts carry ``ON CONFLICT DO NOTHING``, so with the
+    reference's keyed staging (``init.sql`` puts a PRIMARY KEY on
+    staging too) a retried task whose first attempt already committed
+    re-inserts as a no-op instead of dying on the PK violation
+    (which would fail the JOB after maxFailures — the reference never
+    hits this because its orchestrator retries the whole
+    truncate+insert task, /root/reference/dags/dags.py:17-24, while
+    Spark retries a single partition). With an UNKEYED staging the
+    clause never fires, retries leave exact duplicate rows, and the
+    merge's DISTINCT collapses them — fault-injection tests pin both
+    regimes.
+
+    ``post_commit_hook`` is a FAULT-INJECTION SEAM for the
+    exactly-once tests: called (no args) on the executor after a
+    partition's transaction commits, it models the worst retry window
+    — the task dying AFTER its insert landed, so the retried attempt
+    re-inserts the whole partition and staging holds exact duplicates
+    (the hazard the merge's DISTINCT exists for). Production callers
+    leave it None.
     """
     conn = PgConnection(dsn, user=user, database=database)
     try:
@@ -360,13 +383,18 @@ def write_staging_wire(
     def insert_partition(rows_iter):
         pconn = PgConnection(dsn, user=user, database=database)
         try:
-            insert_rows(pconn, stg_table, columns, rows_iter, batch_size)
+            insert_rows(
+                pconn, stg_table, columns, rows_iter, batch_size,
+                on_conflict="DO NOTHING",
+            )
             pconn.commit()
         except Exception:
             pconn.rollback()
             raise
         finally:
             pconn.close()
+        if post_commit_hook is not None:
+            post_commit_hook()
 
     df.foreachPartition(insert_partition)
 

@@ -356,6 +356,9 @@ def _read_with_row_identity(spark: SparkSession, table_path: str, manifest: dict
 
     data = (
         spark.read.option("mergeSchema", "true")
+        # same fail-loud contract as read_snapshot: a rewrite source
+        # must never silently drop files a concurrent vacuum removed
+        .option("ignoreMissingFiles", "false")
         .parquet(*[f"{table_path}/{rel}" for rel in manifest["files"]])
         .withColumn(
             "__dv_key",
@@ -971,7 +974,14 @@ def read_snapshot(
     if not files:
         return _empty_snapshot_df(spark, manifest)
     paths = [f"{table_path}/{rel}" for rel in files]
-    reader = spark.read
+    # Vacuum-vs-reader contract: a snapshot read races a concurrent
+    # vacuum only through the retention guard (min_age_s); if an
+    # operator vacuums with retention off while this version's files
+    # are being read, the scan must FAIL LOUDLY, never silently
+    # return the subset of files that still exist — pinned here so a
+    # session-level ignoreMissingFiles=true cannot turn a torn read
+    # into partial rows.
+    reader = spark.read.option("ignoreMissingFiles", "false")
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     dv_rels = manifest.get("dvs", [])

@@ -2348,6 +2348,64 @@ def test_dv_keys_recorded_in_manifest_and_legacy_fallback(spark, tmp_path):
     ) == live
 
 
+def test_vacuum_vs_reader_race_fails_loud_never_partial(spark, tmp_path):
+    """The reader side of the vacuum race (writer races are covered by
+    the model-based stateful tests): (1) time-travel to an already-
+    vacuumed version is REFUSED with a clear error (its manifest is
+    gone); (2) a DataFrame resolved at version V before vacuum removed
+    V's files must FAIL LOUDLY at execution — never silently return
+    the rows of whichever files still exist — even when the session
+    sets ignoreMissingFiles=true (the snapshot reader pins it off);
+    (3) the retention guard (min_age_s) refuses to delete young files,
+    so a correctly configured vacuum cannot tear an in-flight read."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "race")
+    df1 = spark.range(0, 30).withColumnRenamed("id", "k").repartition(3)
+    table_log.commit_snapshot(df1, t, mode="append")  # v0
+    table_log.delete_snapshot(spark, t, "k < 10")  # v1 rewrites v0 files
+
+    # capture a v0 reader BEFORE any vacuum
+    v0_df = table_log.read_snapshot(spark, t, 0)
+
+    # (3) retention guard: a keep_last=1 vacuum drops v0's MANIFEST
+    # immediately (re-resolution refused below) but keeps its young
+    # DATA files, so the in-flight reader still returns complete rows
+    # throughout the retention window
+    dropped = table_log.vacuum(spark, t, keep_last=1, min_age_s=3600)
+    assert dropped == [f"{t}/_log/v0.json"]
+    assert v0_df.count() == 30
+
+    # (1) re-resolving the vacuumed version is a loud refusal
+    with _pytest.raises(ValueError, match="version 0 not in"):
+        table_log.read_snapshot(spark, t, 0)
+
+    # retention off: the unreferenced v0 data files actually go
+    deleted = table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    assert any("/data/" in p for p in deleted)
+
+    # (2) the in-flight plan fails loudly even if the session opts
+    # into ignoring missing files
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try:
+        with _pytest.raises(Exception) as exc:
+            v0_df.count()
+        msg = str(exc.value)
+        assert "FileNotFound" in msg or "does not exist" in msg or (
+            "PATH_NOT_FOUND" in msg
+        ), f"expected missing-file error, got: {msg[:300]}"
+    finally:
+        spark.conf.set("spark.sql.files.ignoreMissingFiles", "false")
+
+    # the surviving version still reads clean
+    assert sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t).collect()
+    ) == list(range(10, 30))
+
+
 def test_cow_touched_file_cap_degrades_to_full_rewrite(
     spark, tmp_path, monkeypatch
 ):

@@ -158,6 +158,9 @@ def main() -> int:
         .config("spark.executor.memory", "3g")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.driver.memory", "4g")
+        # task retries ON (cluster default is 4; pinned explicit so the
+        # fault_retry stage below genuinely exercises cross-JVM retry)
+        .config("spark.task.maxFailures", "3")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -328,6 +331,38 @@ def main() -> int:
         if results["pgwire_fanout"].startswith(("FAIL", "ERROR")):
             failures += 1
         print(f"pgwire_fanout: {results['pgwire_fanout']}", flush=True)
+
+    # --- fault-retry stage: exactly-once under a REAL task death in a
+    # separate executor JVM. A data-write task raises on attempt 0
+    # (TaskContext.attemptNumber()); the scheduler re-runs it in an
+    # executor process, and the committed snapshot must equal a clean
+    # run — the cross-JVM form of tests/test_fault_injection.py.
+    if os.environ.get("SMOKE_FAULT", "1") != "0":
+        t0 = time.time()
+        try:
+            import shutil
+            import tempfile
+
+            from tools.fault_drill import scenario_snapshot_task_retry
+
+            work = tempfile.mkdtemp(prefix="smoke_fault_")
+            try:
+                res = scenario_snapshot_task_retry(spark, work)
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+            results["fault_retry"] = (
+                f"{res} [{time.time()-t0:.1f}s]"
+                if res.startswith("ok")
+                else res
+            )
+            if not res.startswith("ok"):
+                failures += 1
+        except Exception as ex:  # noqa: BLE001
+            results["fault_retry"] = (
+                f"ERROR {type(ex).__name__}: {str(ex)[:200]}"
+            )
+            failures += 1
+        print(f"fault_retry: {results['fault_retry']}", flush=True)
 
     if not multi_jvm:
         failures += 1
