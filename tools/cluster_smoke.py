@@ -178,8 +178,12 @@ def main() -> int:
     )
     exec_hosts = (
         spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
-    )  # executors + driver
-    multi_jvm = driver_pid not in pids and exec_hosts >= 3
+    )  # executors + driver: local[N] = 1, standalone 1 worker = 2,
+    # local-cluster[2,..] = 3. >= 2 means at least one executor JVM
+    # that is not the driver ran the tasks (the python-worker pid
+    # check alone cannot distinguish: workers fork off-driver even in
+    # local mode).
+    multi_jvm = driver_pid not in pids and exec_hosts >= 2
     print(
         f"executor python-worker pids: {sorted(pids)} driver_pid={driver_pid} "
         f"executor-map size={exec_hosts} multi_jvm={multi_jvm}"
