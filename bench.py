@@ -43,6 +43,9 @@ SWEEP_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_SWEEP_RUNS", "2")))
 # the main run is the default sf0.1, the headline set is ALSO timed at
 # sf1 so every recorded bench carries a 10x-scaling data point.
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_synth")
+# Streaming micro-bench (TWS dedup gate + native session windows over
+# the events table): throughput, per-batch latency, state-store size.
+STREAMING = os.environ.get("SPARK_GRAFT_STREAMING", "1") != "0"
 
 
 def sf_of(path: str) -> float:
@@ -103,6 +106,103 @@ def run_once(spec, spark, sf_dir: str = SF_DIR) -> float:
     t0 = time.perf_counter()
     spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+def streaming_bench(spark) -> dict:
+    """Throughput/latency for the stateful streaming surface at SF_DIR.
+
+    Drives two stateful queries over the events table as a bounded
+    file stream (availableNow, maxFilesPerTrigger=4 so the run spans
+    multiple micro-batches with real state handoff between them, on
+    the RocksDB state store):
+
+    - ``tws_dedup_gate`` — the transformWithStateInPandas admission
+      gate (executor-side Python state server, Arrow batches per key
+      group);
+    - ``session_windows`` — engine-native session_window aggregation
+      with watermark eviction.
+
+    Records rows/sec drained end-to-end, batch count, mean/max batch
+    latency from the progress feed, and the final state-store footprint
+    (rows + bytes) so round-over-round comparisons can see state bloat,
+    not just wall time."""
+    import shutil
+    import tempfile
+
+    from etl_property_rumah123_spark.sources.catalog import table
+    from etl_property_rumah123_spark.streaming import pipelines, tws
+
+    events_dir = tempfile.mkdtemp(prefix="bench_events_")
+    out: dict[str, dict] = {}
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        src = table(spark, SF_DIR, "events")
+        n_in = src.count()
+        src.repartition(16).write.mode("overwrite").parquet(events_dir)
+        schema = spark.read.parquet(events_dir).schema
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
+        def run(build, name):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "4")
+                .parquet(events_dir)
+            )
+            t0 = time.perf_counter()
+            q = pipelines.run_to_memory_sink(
+                build(stream), name, output_mode="append"
+            )
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+            prog = [p.json for p in q.recentProgress]
+            prog = [json.loads(p) for p in prog]
+            durs = [
+                p["batchDuration"]
+                for p in prog
+                if p.get("numInputRows", 0) > 0
+            ]
+            state_rows = state_bytes = 0
+            for p in reversed(prog):
+                ops = p.get("stateOperators") or []
+                if ops:
+                    state_rows = sum(o.get("numRowsTotal", 0) for o in ops)
+                    state_bytes = sum(
+                        o.get("memoryUsedBytes", 0) for o in ops
+                    )
+                    break
+            rows_out = spark.table(name).count()
+            return {
+                "rows_in": n_in,
+                "rows_out": rows_out,
+                "wall_sec": round(wall, 3),
+                "rows_per_sec": round(n_in / wall) if wall > 0 else -1,
+                "batches": len(durs),
+                "batch_ms_mean": round(sum(durs) / len(durs)) if durs else -1,
+                "batch_ms_max": max(durs) if durs else -1,
+                "state_rows": state_rows,
+                "state_bytes": state_bytes,
+            }
+
+        out["tws_dedup_gate"] = run(
+            lambda s: tws.streaming_dedup_admission_tws(s, n_recent=1000),
+            "bench_tws_gate",
+        )
+        out["session_windows"] = run(
+            pipelines.session_windows, "bench_session_windows"
+        )
+    finally:
+        shutil.rmtree(events_dir, ignore_errors=True)
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return out
 
 
 def main() -> None:
@@ -168,6 +268,12 @@ def main() -> None:
             sum(v for v in sf1.values() if v > 0), 3
         )
 
+    if STREAMING:
+        try:
+            out["streaming"] = streaming_bench(spark)
+        except Exception as ex:  # visible, not fatal
+            out["streaming"] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
+
     # The driver records a bounded slice of stdout; round 3's artifact
     # truncated the head of the (long) JSON line and lost the headline
     # numbers. Keep stdout to ONE COMPACT line (metric/value/queries/
@@ -195,6 +301,10 @@ def main() -> None:
         compact["registry_total_sec"] = out["registry_total_sec"]
     if "sf1_headline_total_sec" in out:
         compact["sf1_headline_total_sec"] = out["sf1_headline_total_sec"]
+    if isinstance(out.get("streaming"), dict) and "error" not in out["streaming"]:
+        compact["streaming_rows_per_sec"] = {
+            k: v["rows_per_sec"] for k, v in out["streaming"].items()
+        }
     print(json.dumps(compact))
 
 
