@@ -13,6 +13,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_property_rumah123_spark.operators import similarity
+
+import os
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 from etl_property_rumah123_spark.sinks.writers import save_bucketed_table
 
 DIM = 16
@@ -169,3 +173,47 @@ def test_bucketed_join_has_no_exchange(spark, clustered):
         assert joined.count() == 5000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@pytest.mark.slow
+def test_recall_holds_at_sf1_scale():
+    """The production-parameterization anchor: at sf1-equivalent scale
+    (20 000 corpus vectors, dim 64 — the sf1 embeddings table's shape,
+    50x the fixtures above) the registered serving configs still clear
+    recall@10 >= 0.8 against brute-force ground truth on clustered
+    data: IVF at n_lists=64/n_probe=2 and RP-LSH at planes=8 with
+    multi-probe. Uses the same generator as tools/ann_recall_curve.py
+    (the recorded BASELINE.md curve); small-fixture recall passing
+    while scale recall collapsed would mean the bucket geometry does
+    not survive density growth — this pins that it does."""
+    import sys
+
+    from etl_property_rumah123_spark.session import get_spark
+
+    sys.path.insert(0, REPO_ROOT)
+    from tools import ann_recall_curve as curve
+
+    spark = get_spark(app_name="engine-tests")
+    corpus, queries = curve.make_data(spark, n_corpus=20000, n_queries=100)
+    try:
+        gt = curve.topk_sets(
+            similarity.brute_force_topk(queries, corpus, k=10)
+        )
+        ivf = curve.topk_sets(
+            similarity.ivf_topk_seeded(
+                queries, corpus, k=10, n_lists=64, n_probe=2
+            )
+        )
+        lsh = curve.topk_sets(
+            similarity.ann_topk(
+                queries, corpus, dim=64, k=10, num_planes=8,
+                hamming_probes=1,
+            )
+        )
+        r_ivf = curve.recall_against(gt, ivf)
+        r_lsh = curve.recall_against(gt, lsh)
+        assert r_ivf >= 0.8, f"IVF recall at sf1 scale: {r_ivf:.3f}"
+        assert r_lsh >= 0.8, f"RP-LSH recall at sf1 scale: {r_lsh:.3f}"
+    finally:
+        corpus.unpersist()
+        queries.unpersist()

@@ -1,0 +1,173 @@
+"""ANN recall-vs-cost curve at sf1 scale — the measured anchor for the
+100 TB parameterization claim.
+
+The testdata embeddings are uniform random (verified: intra-label and
+inter-label cosine both ~0.0), where NO sublinear ANN can beat chance —
+bucketing only helps when the data has neighborhood structure. So this
+drill generates CLUSTERED unit vectors at sf1-equivalent scale (20 000
+corpus vectors, dim 64 — the same shape as sf1's embeddings table, 50x
+the recall-test fixture) and sweeps the two registered ANN families'
+recall knobs against brute-force ground truth:
+
+- IVF (``ivf_topk_seeded``): n_probe in {1, 2, 4, 8} at n_lists=64 —
+  the probe-more-cells axis.
+- RP-LSH (``ann_topk``): num_planes in {10, 8, 6} x multi-probe
+  {off, on} — the bigger-buckets and probe-adjacent-buckets axes.
+
+For each config: recall@10 over 200 held-out queries (drawn from the
+same cluster process, not corpus members) plus the wall time of the
+full topk job — the cost axis. Prints a markdown table + one JSON line
+for BASELINE.md.
+
+Usage:  python tools/ann_recall_curve.py            (~2-3 min)
+        ANN_CURVE_N=200000 python tools/ann_recall_curve.py   (bigger)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_CORPUS = int(os.environ.get("ANN_CURVE_N", "20000"))
+N_QUERIES = int(os.environ.get("ANN_CURVE_Q", "200"))
+DIM = 64
+N_CLUSTERS = 100
+K = 10
+SEED = 20260815
+
+
+def make_data(spark, n_corpus: int = N_CORPUS, n_queries: int = N_QUERIES):
+    rng = random.Random(SEED)
+    centers = [
+        [rng.gauss(0, 1) for _ in range(DIM)] for _ in range(N_CLUSTERS)
+    ]
+
+    def point(center):
+        v = [x + rng.gauss(0, 0.15) for x in center]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    corpus_rows = [
+        (i, point(centers[i % N_CLUSTERS])) for i in range(n_corpus)
+    ]
+    query_rows = [
+        (1_000_000 + i, point(centers[i % N_CLUSTERS]))
+        for i in range(n_queries)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(corpus_rows, schema).repartition(32).cache()
+    queries = spark.createDataFrame(query_rows, schema).cache()
+    corpus.count(), queries.count()
+    return corpus, queries
+
+
+def topk_sets(df) -> dict[int, set]:
+    out: dict[int, set] = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def recall_against(gt: dict[int, set], got: dict[int, set]) -> float:
+    hits = sum(len(gt[q] & got.get(q, set())) for q in gt)
+    total = sum(len(v) for v in gt.values())
+    return hits / total
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from etl_property_rumah123_spark.operators import similarity
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("ann_recall_curve")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus, queries = make_data(spark)
+
+    t0 = time.perf_counter()
+    gt = topk_sets(similarity.brute_force_topk(queries, corpus, k=K))
+    brute_sec = time.perf_counter() - t0
+    print(
+        f"corpus={N_CORPUS} dim={DIM} queries={N_QUERIES} k={K} "
+        f"brute-force ground truth: {brute_sec:.1f}s",
+        flush=True,
+    )
+
+    results = []
+
+    def record(family, config, fn):
+        t0 = time.perf_counter()
+        got = topk_sets(fn())
+        wall = time.perf_counter() - t0
+        rec = recall_against(gt, got)
+        results.append(
+            {
+                "family": family,
+                "config": config,
+                "recall_at_10": round(rec, 3),
+                "wall_sec": round(wall, 1),
+                "vs_brute": round(wall / brute_sec, 2),
+            }
+        )
+        print(
+            f"{family} {config}: recall@10={rec:.3f} wall={wall:.1f}s "
+            f"({wall / brute_sec:.2f}x brute)",
+            flush=True,
+        )
+
+    for n_probe in (1, 2, 4, 8):
+        record(
+            "ivf", f"n_lists=64 n_probe={n_probe}",
+            lambda n_probe=n_probe: similarity.ivf_topk_seeded(
+                queries, corpus, k=K, n_lists=64, n_probe=n_probe
+            ),
+        )
+    for planes in (10, 8, 6):
+        for probe in (0, 1):
+            record(
+                "rp-lsh", f"planes={planes} multiprobe={probe}",
+                lambda planes=planes, probe=probe: similarity.ann_topk(
+                    queries, corpus, dim=DIM, k=K, num_planes=planes,
+                    hamming_probes=probe,
+                ),
+            )
+
+    print("\n| family | config | recall@10 | wall s | vs brute |")
+    print("|---|---|---|---|---|")
+    for r in results:
+        print(
+            f"| {r['family']} | {r['config']} | {r['recall_at_10']} "
+            f"| {r['wall_sec']} | {r['vs_brute']}x |"
+        )
+    print(
+        json.dumps(
+            {
+                "n_corpus": N_CORPUS,
+                "dim": DIM,
+                "n_queries": N_QUERIES,
+                "k": K,
+                "brute_sec": round(brute_sec, 1),
+                "curve": results,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
