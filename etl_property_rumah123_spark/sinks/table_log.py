@@ -58,6 +58,7 @@ import uuid
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _fs(spark: SparkSession, path: str):
@@ -133,17 +134,47 @@ def _try_publish(spark, table_path: str, version: int, token: str, manifest: dic
 def _write_commit_dir(df: DataFrame, table_path: str, commit_rel: str) -> list[str]:
     """Write ``df`` into ``commit_rel`` (skipped if it already exists —
     retry reuse) and return the relative parquet file list."""
+    files, _ = _write_commit_dir_observed(df, table_path, commit_rel, None)
+    return files
+
+
+def _write_commit_dir_observed(
+    df: DataFrame,
+    table_path: str,
+    commit_rel: str,
+    metrics: dict | None,
+) -> tuple[list[str], dict | None]:
+    """:func:`_write_commit_dir` plus aggregate ``metrics`` (name ->
+    Column) computed ON the write job via ``Observation`` — the
+    commit-time accountings (DV row count, distinct file keys, key
+    counts) ride the write for ZERO extra jobs instead of a read-back
+    pass over what was just written. Returns ``(files, values)``;
+    ``values`` is None when the metrics could not be observed — no
+    metrics requested, or the commit dir already existed (retry reuse
+    skips the write, so there is no job to observe) — and the caller
+    falls back to its read-back job."""
     spark = df.sparkSession
     jvm, fs = _fs(spark, table_path)
     hadoop_path = jvm.org.apache.hadoop.fs.Path
     commit_dir = f"{table_path}/{commit_rel}"
+    values = None
     if not fs.exists(hadoop_path(commit_dir)):
-        df.write.mode("errorifexists").parquet(commit_dir)
-    return sorted(
+        if metrics:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df.observe(
+                obs, *[expr.alias(k) for k, expr in metrics.items()]
+            ).write.mode("errorifexists").parquet(commit_dir)
+            values = obs.get
+        else:
+            df.write.mode("errorifexists").parquet(commit_dir)
+    files = sorted(
         f"{commit_rel}/{status.getPath().getName()}"
         for status in fs.listStatus(hadoop_path(commit_dir))
         if status.getPath().getName().endswith(".parquet")
     )
+    return files, values
 
 
 #: Column types that get per-file min/max/null-count stats in the
@@ -307,6 +338,14 @@ def _dv_rel_key(rel: str) -> str:
     return rel.split("/", 1)[1]
 
 
+#: Scope lists up to this size are applied as an ``isin`` literal
+#: filter instead of a broadcast join — one less join per equality-
+#: delete entry on every read. The scope already lives driver-side in
+#: the manifest JSON, so the bound protects the EXPRESSION TREE (a
+#: 10⁶-literal isin would bloat the plan), not driver memory.
+_EQ_SCOPE_ISIN_MAX = 10_000
+
+
 def _apply_eq_dvs(spark: SparkSession, table_path: str, manifest: dict, data):
     """Suppress rows matched by EQUALITY deletes: each entry holds a
     key column, a keys parquet, and the SCOPE (the data-file keys
@@ -314,7 +353,12 @@ def _apply_eq_dvs(spark: SparkSession, table_path: str, manifest: dict, data):
     append re-introduce the key (the MoR-upsert composition) and is
     sequencing-free: a row is deleted iff its key matches AND its file
     was already present at delete time. Requires ``__dv_key`` on
-    ``data``."""
+    ``data``.
+
+    Per entry: one broadcast join on the key (the keys parquet can be
+    arbitrarily large) plus an in-scope check — a literal ``isin``
+    for normal file counts, degrading to a second broadcast join only
+    past ``_EQ_SCOPE_ISIN_MAX`` files."""
     from pyspark.sql import functions as F
 
     for entry in manifest.get("eq_dvs", []):
@@ -325,25 +369,38 @@ def _apply_eq_dvs(spark: SparkSession, table_path: str, manifest: dict, data):
             .withColumnRenamed(entry["key"], "__eq_val")
             .withColumn("__eq_hit", F.lit(1))
         )
-        scope = spark.createDataFrame(
-            [(k,) for k in entry["scope"]], "__sc_key string"
-        ).withColumn("__sc_hit", F.lit(1))
-        data = (
-            data.join(
-                F.broadcast(keys),
-                data[entry["key"]] == keys["__eq_val"],
-                "left",
-            )
-            .join(
-                F.broadcast(scope),
-                F.col("__dv_key") == scope["__sc_key"],
-                "left",
-            )
-            .filter(
-                ~(F.col("__eq_hit").isNotNull() & F.col("__sc_hit").isNotNull())
-            )
-            .drop("__eq_val", "__eq_hit", "__sc_key", "__sc_hit")
+        data = data.join(
+            F.broadcast(keys),
+            data[entry["key"]] == keys["__eq_val"],
+            "left",
         )
+        if len(entry["scope"]) <= _EQ_SCOPE_ISIN_MAX:
+            in_scope = (
+                F.col("__dv_key").isin(*entry["scope"])
+                if entry["scope"]
+                else F.lit(False)
+            )
+            data = data.filter(
+                ~(F.col("__eq_hit").isNotNull() & in_scope)
+            ).drop("__eq_val", "__eq_hit")
+        else:
+            scope = spark.createDataFrame(
+                [(k,) for k in entry["scope"]], "__sc_key string"
+            ).withColumn("__sc_hit", F.lit(1))
+            data = (
+                data.join(
+                    F.broadcast(scope),
+                    F.col("__dv_key") == scope["__sc_key"],
+                    "left",
+                )
+                .filter(
+                    ~(
+                        F.col("__eq_hit").isNotNull()
+                        & F.col("__sc_hit").isNotNull()
+                    )
+                )
+                .drop("__eq_val", "__eq_hit", "__sc_key", "__sc_hit")
+            )
     return data
 
 
@@ -470,8 +527,14 @@ def delete_snapshot_dv(
                 F.col("__dv_pos").alias("pos"),
             )
         )
-        new_dv = _write_commit_dir(matches, table_path, f"data/c{token}")
-        n_deleted, new_keys = _dv_count_and_keys(spark, table_path, new_dv)
+        new_dv, obs = _write_commit_dir_observed(
+            matches, table_path, f"data/c{token}",
+            {"n": F.count(F.lit(1)), "ks": F.collect_set("file_key")},
+        )
+        if obs is not None:
+            n_deleted, new_keys = obs["n"], set(obs["ks"])
+        else:  # retry reuse: no write job to observe, read back
+            n_deleted, new_keys = _dv_count_and_keys(spark, table_path, new_dv)
         manifest = {
             "version": version,
             "operation": "delete_dv",
@@ -547,12 +610,17 @@ def merge_snapshot_mor(
         new_keys: set = set()
         eq_entry: dict | None = None
         if eq:
-            key_files = _write_commit_dir(
-                df.select(key).distinct(), table_path, f"data/c{token}d"
+            key_files, obs = _write_commit_dir_observed(
+                df.select(key).distinct(), table_path, f"data/c{token}d",
+                {"n": F.count(F.lit(1))},
             )
-            n_marked = spark.read.parquet(
-                *[f"{table_path}/{r}" for r in key_files]
-            ).count()
+            n_marked = (
+                obs["n"]
+                if obs is not None
+                else spark.read.parquet(
+                    *[f"{table_path}/{r}" for r in key_files]
+                ).count()
+            )
             eq_entry = {
                 "key": key,
                 "files": key_files,
@@ -570,12 +638,16 @@ def merge_snapshot_mor(
                 F.col("__dv_key").alias("file_key"),
                 F.col("__dv_pos").alias("pos"),
             )
-            new_dv = _write_commit_dir(
-                matched, table_path, f"data/c{token}d"
+            new_dv, obs = _write_commit_dir_observed(
+                matched, table_path, f"data/c{token}d",
+                {"n": F.count(F.lit(1)), "ks": F.collect_set("file_key")},
             )
-            n_marked, new_keys = _dv_count_and_keys(
-                spark, table_path, new_dv
-            )
+            if obs is not None:
+                n_marked, new_keys = obs["n"], set(obs["ks"])
+            else:
+                n_marked, new_keys = _dv_count_and_keys(
+                    spark, table_path, new_dv
+                )
         new_files = _write_commit_dir(df, table_path, f"data/c{token}a")
         files = prev["files"] + new_files
         manifest = {
@@ -631,12 +703,17 @@ def delete_snapshot_eq(
             raise ValueError(f"no snapshots at {table_path}")
         prev = _manifest(spark, table_path, versions[-1])
         version = versions[-1] + 1
-        key_files = _write_commit_dir(
-            keys_df.select(key).distinct(), table_path, f"data/c{token}"
+        key_files, obs = _write_commit_dir_observed(
+            keys_df.select(key).distinct(), table_path, f"data/c{token}",
+            {"n": F.count(F.lit(1))},
         )
-        n_keys = spark.read.parquet(
-            *[f"{table_path}/{r}" for r in key_files]
-        ).count()
+        n_keys = (
+            obs["n"]
+            if obs is not None
+            else spark.read.parquet(
+                *[f"{table_path}/{r}" for r in key_files]
+            ).count()
+        )
         entry = {
             "key": key,
             "files": key_files,
@@ -727,12 +804,17 @@ def consolidate_eq_dvs(
                 .select(key)
                 .distinct()
             )
-            key_files = _write_commit_dir(
-                union_keys, table_path, f"data/c{token}e{len(new_entries)}"
+            key_files, obs = _write_commit_dir_observed(
+                union_keys, table_path, f"data/c{token}e{len(new_entries)}",
+                {"n": F.count(F.lit(1))},
             )
-            n_union = spark.read.parquet(
-                *[f"{table_path}/{r}" for r in key_files]
-            ).count()
+            n_union = (
+                obs["n"]
+                if obs is not None
+                else spark.read.parquet(
+                    *[f"{table_path}/{r}" for r in key_files]
+                ).count()
+            )
             new_entries.append(
                 {
                     "key": key,
