@@ -121,12 +121,53 @@ def _pgwire_stage(spark) -> str:
                 df, sock, "stg_property_rumah", "property_rumah", "link",
                 batch_size=250,
             )
+            # Third load with an injected post-commit task death
+            # (attempt 0 of partition 0 dies AFTER its staging
+            # transaction committed; the retry runs in an executor
+            # JVM). Keyed staging + ON CONFLICT DO NOTHING makes the
+            # re-insert a no-op: staging holds exactly the batch and
+            # the merge stays idempotent.
+            import tempfile as _tf
+
+            from etl_property_rumah123_spark.sinks.jdbc_merge import (
+                merge_staging_to_main,
+            )
+            from etl_property_rumah123_spark.sinks.pgwire import (
+                write_staging_wire,
+            )
+            from tools.fault_drill import make_pg_post_commit_fault
+
+            marker = _tf.mkdtemp(prefix="smoke_pgfault_")
+            write_staging_wire(
+                df, sock, "stg_property_rumah", batch_size=250,
+                post_commit_hook=make_pg_post_commit_fault(marker),
+            )
+            fault_fired = len(os.listdir(marker)) >= 1
+            conn = PgConnection(sock)
+            stg_n = conn.run(
+                "SELECT count(*) FROM stg_property_rumah"
+            )[0][0]
+            conn.close()
+            fresh3 = merge_staging_to_main(
+                lambda: PgConnection(sock), df.columns,
+                "stg_property_rumah", "property_rumah", "link",
+                distinct=True,
+            )
             conn = PgConnection(sock)
             n = conn.run("SELECT count(*) FROM property_rumah")[0][0]
             conn.close()
-            if fresh1 == 2000 and fresh2 == 0 and int(n) == 2000:
-                return f"ok (2000 rows, xmax replay 0, {_time.time()-t0:.1f}s)"
-            return f"FAIL fresh1={fresh1} fresh2={fresh2} rows={n}"
+            if (
+                fresh1 == 2000 and fresh2 == 0 and int(n) == 2000
+                and fault_fired and int(stg_n) == 2000 and fresh3 == 0
+            ):
+                return (
+                    f"ok (2000 rows, xmax replay 0, post-commit task "
+                    f"death retried exactly-once, {_time.time()-t0:.1f}s)"
+                )
+            return (
+                f"FAIL fresh1={fresh1} fresh2={fresh2} rows={n} "
+                f"fault_fired={fault_fired} stg={stg_n} fresh3={fresh3}"
+            )
         finally:
             run_as_pg(["pg_ctl", "-D", data, "-m", "immediate", "stop"])
     except Exception as ex:  # noqa: BLE001
