@@ -385,6 +385,30 @@ try:
         out, r = codecs.decode_wav_pcm16(codecs.encode_wav_pcm16(samples, rate))
         assert r == rate and np.array_equal(out, samples)
 
+    @given(data=st.binary(min_size=0, max_size=256))
+    @settings(max_examples=100, deadline=None)
+    def test_av_meta_parsers_total_on_arbitrary_bytes(data):
+        """The A/V metadata parsers are TOTAL on arbitrary bytes: any
+        input returns a dict/None, never raises — these run inside an
+        Arrow ingest kernel where one hostile byte string must not
+        kill a 10k-row batch. Also seeds with valid-prefix mutations
+        (a plausible header followed by garbage)."""
+        from etl_property_rumah123_spark.functions import av_meta
+
+        for blob in (
+            data,
+            b"ID3" + data,
+            b"\xff\xfb" + data,
+            (len(data) + 8).to_bytes(4, "big") + b"moov" + data,
+            b"\x00\x00\x00\x01moov" + data,  # largesize header, truncated
+        ):
+            out = av_meta.parse_id3v2_tags(blob)
+            assert isinstance(out, dict)
+            m3 = av_meta.parse_mp3_meta(blob)
+            assert m3 is None or isinstance(m3, dict)
+            m4 = av_meta.parse_mp4_meta(blob)
+            assert m4 is None or isinstance(m4, dict)
+
 except ImportError:  # pragma: no cover - hypothesis is baked in here
     pass
 
