@@ -1137,6 +1137,48 @@ def connected_components_star(
 # ---------------------------------------------------------------------------
 
 
+def canonical_per_component(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """CANONICAL-DOCUMENT SELECTION: within each near-dup component,
+    keep the best member — the standard last step of a fuzzy-dedup
+    pipeline (cluster via LSH + connected components, then retain one
+    canonical representative instead of dropping all-but-lowest-id).
+    ``components`` is (id, component) from
+    :func:`connected_components`/``_star``; ``scores`` is (id, score)
+    with HIGHER better — callers pick the policy (char length for
+    keep-longest, a quality logit, recency). Ties break on lowest id
+    so selection is deterministic.
+
+    Output: one row per input id — (id, component, canonical_id,
+    is_canonical). Downstream keeps ``is_canonical = 1`` rows, or
+    joins ``canonical_id`` to rewrite references.
+
+    Scale shape: one equi-join on id, one window + one equi-join on
+    component — all key-partitioned shuffles, no driver state. A
+    pathological giant component makes a hot window partition; the
+    upstream candidate-generation guards (``max_bucket_size``,
+    ``max_block_size``) bound component size the same way they bound
+    pair volume, and AQE skew-split covers the join."""
+    joined = components.join(scores, id_col)
+    w = Window.partitionBy(comp_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    canon = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(comp_col), F.col(id_col).alias("canonical_id"))
+    )
+    return joined.join(canon, comp_col).withColumn(
+        "is_canonical",
+        (F.col(id_col) == F.col("canonical_id")).cast("int"),
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",

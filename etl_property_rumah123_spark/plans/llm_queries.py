@@ -443,20 +443,51 @@ def components_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.src AS node, reach.r AS r
       FROM edges_sym e JOIN reach ON reach.node = e.dst
+    ), comp AS (
+      SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    ), scored AS (
+      SELECT c.doc_id, c.component,
+             COALESCE(length(trim(d.text)), 0) AS score
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ), canon AS (
+      SELECT component, doc_id AS canonical_id
+      FROM (SELECT component, doc_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY component
+                     ORDER BY score DESC, doc_id ASC
+                   ) AS rn
+            FROM scored)
+      WHERE rn = 1
     )
-    SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
-    FROM reach GROUP BY node
+    SELECT s.doc_id AS doc_id, s.component AS component,
+           CAST(c.canonical_id AS BIGINT) AS canonical_id,
+           CAST(s.doc_id = c.canonical_id AS INT) AS is_canonical
+    FROM scored s JOIN canon c ON s.component = c.component
     """,
-    doc="Dedup clustering: MinHash-LSH candidate pairs -> connected "
-    "components via iterative min-label propagation (checkpointed "
-    "DataFrame loop), oracled against a DuckDB RECURSIVE CTE "
-    "transitive closure — two fully independent algorithms.",
+    doc="Dedup clustering + CANONICAL SELECTION: MinHash-LSH candidate "
+    "pairs -> connected components via iterative min-label propagation "
+    "(checkpointed DataFrame loop) -> keep-best-per-cluster (longest "
+    "trimmed text, lowest-id tiebreak — the fuzzy-dedup pipeline's "
+    "retain-one step), oracled against a DuckDB RECURSIVE CTE "
+    "transitive closure + window argmax — two fully independent "
+    "algorithms. The score is integer char length so the argmax is "
+    "exact on both engines.",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     edges = dedup.lsh_candidate_pairs(docs, shingle_n=3, num_hashes=16, bands=4)
-    return dedup.connected_components(docs, edges).select(
+    comp = dedup.connected_components(docs, edges).select(
         F.col("node").alias("doc_id"), F.col("component")
+    )
+    scores = docs.select(
+        "doc_id",
+        F.coalesce(F.length(F.trim("text")), F.lit(0))
+        .cast("long")
+        .alias("score"),
+    )
+    return dedup.canonical_per_component(comp, scores).select(
+        "doc_id", "component", "canonical_id", "is_canonical"
     )
 
 

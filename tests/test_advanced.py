@@ -53,6 +53,39 @@ def test_connected_components_path_and_singleton(spark):
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
 
 
+def test_canonical_per_component_keep_best_deterministic(spark):
+    """Canonical selection within components: highest score wins, ties
+    break on LOWEST id (deterministic re-runs), singleton components
+    are their own canonical, and every input row survives with an
+    is_canonical flag — exactly one canonical per component."""
+    from etl_property_rumah123_spark.operators.dedup import (
+        canonical_per_component,
+    )
+
+    comp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (5, 5), (6, 5), (7, 7)],
+        "doc_id long, component long",
+    )
+    scores = spark.createDataFrame(
+        # comp 0: doc 1 wins on score; comp 5: tie -> lowest id (5);
+        # comp 7: singleton
+        [(0, 10), (1, 99), (2, 50), (5, 7), (6, 7), (7, 1)],
+        "doc_id long, score long",
+    )
+    rows = {
+        r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in canonical_per_component(comp, scores).collect()
+    }
+    assert rows == {
+        0: (1, 0), 1: (1, 1), 2: (1, 0),
+        5: (5, 1), 6: (5, 0),
+        7: (7, 1),
+    }
+    # exactly one canonical per component
+    canon = [d for d, (c, f) in rows.items() if f == 1]
+    assert sorted(canon) == [1, 5, 7]
+
+
 def test_blocked_cosine_matches_pairwise_join_form(spark):
     """The block-nested-loop all-pairs kernel must emit exactly the
     same pair set as the per-pair Column-expression reference."""
