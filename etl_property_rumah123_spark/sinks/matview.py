@@ -176,7 +176,7 @@ def refresh_aggregate(
 
     # --- insert-only groups: additive fold against the stored row ---
     ins_delta = _aggregate(inserts, group_cols, agg_spec).join(
-        dirty, group_cols, "left_anti"
+        F.broadcast(dirty), group_cols, "left_anti"
     )
     old = view.select(
         *group_cols,
@@ -220,8 +220,11 @@ def refresh_aggregate(
             spark, source_path, dirty, group_cols
         ),
     )
+    # dirty is a handful of group keys; the semi join's other side is
+    # the TABLE-sized scan — broadcast the keys or Spark's unknown-size
+    # estimate may shuffle the whole source on the group columns.
     recomputed = _aggregate(
-        source_now.join(dirty, group_cols, "left_semi"),
+        source_now.join(F.broadcast(dirty), group_cols, "left_semi"),
         group_cols,
         agg_spec,
     )

@@ -1334,7 +1334,14 @@ def merge_snapshot(
             .withColumnRenamed("__dv_key", "__file")
             .drop("__dv_pos")
         )
-        batch_keys = df.select(key).distinct()
+        # Broadcast the batch-key side (same choice as the MoR merge):
+        # a merge batch is normally orders of magnitude smaller than
+        # the table, and without the hint Spark's unknown-size
+        # estimate can pick a sort-merge join that shuffles the WHOLE
+        # tagged table on key — the difference between "scan + probe"
+        # and "shuffle 100 TB". Callers merging a genuinely huge batch
+        # should split it into key-ranged sub-batches.
+        batch_keys = F.broadcast(df.select(key).distinct())
         touched = _touched_file_set(
             tagged.join(batch_keys, key, "left_semi")
             .select("__file")

@@ -310,13 +310,15 @@ def merge_into_partitioned(
         if with_stats:
             stats["n_updated"] = 0
     else:
-        carried = existing.join(
-            batch.select(*key_cols), on=key_cols, how="left_anti"
-        )
+        # The batch-key side is small relative to the (already
+        # partition-pruned) existing rows — broadcast it so the carry
+        # anti-join probes in place instead of shuffling the touched
+        # partitions on the key columns.
+        bkeys = F.broadcast(batch.select(*key_cols))
+        carried = existing.join(bkeys, on=key_cols, how="left_anti")
         if with_stats:
             stats["n_updated"] = (
-                existing.join(batch.select(*key_cols), on=key_cols, how="left_semi")
-                .count()
+                existing.join(bkeys, on=key_cols, how="left_semi").count()
             )
         merged = carried.unionByName(
             batch, allowMissingColumns=allow_schema_evolution
