@@ -86,6 +86,47 @@ def test_canonical_per_component_keep_best_deterministic(spark):
     assert sorted(canon) == [1, 5, 7]
 
 
+def test_canonical_per_component_property_vs_reference(spark):
+    """Property check against a plain-Python reference on randomized
+    component/score tables (seeded): for every component the canonical
+    is the max-score member with lowest-id tiebreak, every row is
+    preserved exactly once, and the flag column marks exactly the
+    canonical rows."""
+    import random
+
+    from etl_property_rumah123_spark.operators.dedup import (
+        canonical_per_component,
+    )
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = rng.randint(1, 60)
+        comp_of = {i: rng.randint(0, max(1, n // 4)) for i in range(n)}
+        score_of = {i: rng.randint(0, 5) for i in range(n)}  # many ties
+        comp = spark.createDataFrame(
+            [(i, c) for i, c in comp_of.items()], "doc_id long, component long"
+        )
+        scores = spark.createDataFrame(
+            [(i, s) for i, s in score_of.items()], "doc_id long, score long"
+        )
+        # python reference
+        want_canon = {}
+        for i, c in comp_of.items():
+            cur = want_canon.get(c)
+            cand = (-score_of[i], i)
+            if cur is None or cand < cur:
+                want_canon[c] = cand
+        want = {
+            i: (want_canon[c][1], int(i == want_canon[c][1]))
+            for i, c in comp_of.items()
+        }
+        got = {
+            r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+            for r in canonical_per_component(comp, scores).collect()
+        }
+        assert got == want, f"trial {trial}: mismatch"
+
+
 def test_blocked_cosine_matches_pairwise_join_form(spark):
     """The block-nested-loop all-pairs kernel must emit exactly the
     same pair set as the per-pair Column-expression reference."""
