@@ -93,6 +93,12 @@ def main() -> int:
         .appName("ann_recall_curve")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
+        # local[N] puts executors in the driver JVM: the 200k-corpus
+        # sweep's scored windows need real heap (default 1g OOMs)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("ANN_CURVE_DRIVER_MEM", "8g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
