@@ -457,6 +457,31 @@ def _dv_count_and_keys(
     return row["n"], set(row["ks"])
 
 
+def _cow_merge_probe_frames(
+    tagged: DataFrame, df: DataFrame, key: str
+) -> tuple[DataFrame, DataFrame]:
+    """The CoW merge's probe-side plans, exposed so tests can PIN the
+    join strategy without executing a merge: ``(batch_keys,
+    touched_keys)`` where ``batch_keys`` carries an explicit broadcast
+    hint and ``touched_keys`` is the semi join finding which files
+    hold a matched key.
+
+    The hint is load-bearing at scale (same choice as the MoR merge):
+    a merge batch is normally orders of magnitude smaller than the
+    table, and without it Spark's unknown-size estimate can pick a
+    sort-merge join that shuffles the WHOLE tagged table on key — the
+    difference between "scan + probe" and "shuffle 100 TB". Callers
+    merging a genuinely huge batch should split it into key-ranged
+    sub-batches."""
+    batch_keys = F.broadcast(df.select(key).distinct())
+    touched_keys = (
+        tagged.join(batch_keys, key, "left_semi")
+        .select("__file")
+        .distinct()
+    )
+    return batch_keys, touched_keys
+
+
 def _prev_dv_keys(
     spark: SparkSession, table_path: str, prev: dict
 ) -> set:
@@ -1334,19 +1359,10 @@ def merge_snapshot(
             .withColumnRenamed("__dv_key", "__file")
             .drop("__dv_pos")
         )
-        # Broadcast the batch-key side (same choice as the MoR merge):
-        # a merge batch is normally orders of magnitude smaller than
-        # the table, and without the hint Spark's unknown-size
-        # estimate can pick a sort-merge join that shuffles the WHOLE
-        # tagged table on key — the difference between "scan + probe"
-        # and "shuffle 100 TB". Callers merging a genuinely huge batch
-        # should split it into key-ranged sub-batches.
-        batch_keys = F.broadcast(df.select(key).distinct())
-        touched = _touched_file_set(
-            tagged.join(batch_keys, key, "left_semi")
-            .select("__file")
-            .distinct()
+        batch_keys, touched_keys_plan = _cow_merge_probe_frames(
+            tagged, df, key
         )
+        touched = _touched_file_set(touched_keys_plan)
         if touched is None:  # over MAX_TOUCHED_FILES: full CoW rewrite
             touched_rel = list(prev["files"])
             carry_src = tagged

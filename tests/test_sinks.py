@@ -2348,6 +2348,56 @@ def test_dv_keys_recorded_in_manifest_and_legacy_fallback(spark, tmp_path):
     ) == live
 
 
+def test_cow_merge_probe_is_broadcast_join(spark, tmp_path):
+    """PLAN PIN for the CoW merge's scale-critical join strategy: the
+    touched-file semi join and the carry anti join must probe via a
+    BROADCAST of the batch-key side — with auto-broadcast disabled, so
+    only the explicit hint can produce it. Without the hint, Spark's
+    unknown-size estimate can shuffle the whole table on the key."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    ).repartition(4)
+    t = str(tmp_path / "pin")
+    table_log.commit_snapshot(base, t, mode="append")
+    prev = table_log._manifest(spark, t, 0)
+    tagged = (
+        table_log._read_with_row_identity(spark, t, prev)
+        .withColumnRenamed("__dv_key", "__file")
+        .drop("__dv_pos")
+    )
+    batch = spark.createDataFrame([(1, 9), (3, 9)], "k long, v long")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch_keys, touched_keys = table_log._cow_merge_probe_frames(
+            tagged, batch, "k"
+        )
+        semi_plan = plan_of(touched_keys)
+        assert "BroadcastHashJoin" in semi_plan, semi_plan
+        assert "SortMergeJoin" not in semi_plan
+        carry = (
+            tagged.filter(F.col("__file").isNotNull())
+            .drop("__file")
+            .join(batch_keys, "k", "left_anti")
+        )
+        anti_plan = plan_of(carry)
+        assert "BroadcastHashJoin" in anti_plan, anti_plan
+        assert "SortMergeJoin" not in anti_plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", prev_thresh
+        )
+
+
 def test_vacuum_vs_reader_race_fails_loud_never_partial(spark, tmp_path):
     """The reader side of the vacuum race (writer races are covered by
     the model-based stateful tests): (1) time-travel to an already-
