@@ -98,6 +98,17 @@ def _key_col(group_cols: list[str]):
     )
 
 
+def _dirty_probe(
+    source_now: DataFrame, dirty: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """The refresh's dirty-group semi join, exposed for plan pinning:
+    ``dirty`` is a handful of group keys while ``source_now`` is the
+    TABLE-sized scan — the keys carry an explicit broadcast hint, or
+    Spark's unknown-size estimate may shuffle the whole source on the
+    group columns."""
+    return source_now.join(F.broadcast(dirty), group_cols, "left_semi")
+
+
 def _aggregate(df: DataFrame, group_cols: list[str], agg_spec: dict) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias(_N)]
     for out, (fn, src) in agg_spec.items():
@@ -206,6 +217,9 @@ def refresh_aggregate(
         *group_cols, *combined_cols
     )
 
+    # (probe construction lives in _dirty_probe so tests can pin the
+    # join strategy without running a refresh)
+
     # --- delete-dirty groups: exact key-pruned recompute ------------
     # The semi join is the ONLY table-size-proportional read in a
     # refresh — compose it with manifest data skipping: one tiny agg
@@ -220,13 +234,8 @@ def refresh_aggregate(
             spark, source_path, dirty, group_cols
         ),
     )
-    # dirty is a handful of group keys; the semi join's other side is
-    # the TABLE-sized scan — broadcast the keys or Spark's unknown-size
-    # estimate may shuffle the whole source on the group columns.
     recomputed = _aggregate(
-        source_now.join(F.broadcast(dirty), group_cols, "left_semi"),
-        group_cols,
-        agg_spec,
+        _dirty_probe(source_now, dirty, group_cols), group_cols, agg_spec
     )
     # vanished groups keep a tombstone row (count 0, aggregates null)
     dirty_rows = dirty.join(recomputed, group_cols, "left").select(

@@ -157,6 +157,23 @@ def compact_partitions(
     return {"path": path, "n_rows": n_rows}
 
 
+def _carry_frames(
+    existing: DataFrame, batch: DataFrame, key_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """The partition-merge carry joins, exposed for plan pinning:
+    ``(carried, updated)`` — existing rows not in the batch, and
+    existing rows the batch replaces. The batch-key side is small
+    relative to the (already partition-pruned) existing rows, so it
+    carries an explicit broadcast hint: the anti/semi joins probe in
+    place instead of shuffling the touched partitions on the key
+    columns."""
+    bkeys = F.broadcast(batch.select(*key_cols))
+    return (
+        existing.join(bkeys, on=key_cols, how="left_anti"),
+        existing.join(bkeys, on=key_cols, how="left_semi"),
+    )
+
+
 def merge_into_partitioned(
     batch: DataFrame,
     path: str,
@@ -310,16 +327,9 @@ def merge_into_partitioned(
         if with_stats:
             stats["n_updated"] = 0
     else:
-        # The batch-key side is small relative to the (already
-        # partition-pruned) existing rows — broadcast it so the carry
-        # anti-join probes in place instead of shuffling the touched
-        # partitions on the key columns.
-        bkeys = F.broadcast(batch.select(*key_cols))
-        carried = existing.join(bkeys, on=key_cols, how="left_anti")
+        carried, updated = _carry_frames(existing, batch, key_cols)
         if with_stats:
-            stats["n_updated"] = (
-                existing.join(bkeys, on=key_cols, how="left_semi").count()
-            )
+            stats["n_updated"] = updated.count()
         merged = carried.unionByName(
             batch, allowMissingColumns=allow_schema_evolution
         )

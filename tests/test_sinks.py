@@ -2392,6 +2392,29 @@ def test_cow_merge_probe_is_broadcast_join(spark, tmp_path):
         anti_plan = plan_of(carry)
         assert "BroadcastHashJoin" in anti_plan, anti_plan
         assert "SortMergeJoin" not in anti_plan
+
+        # same pin for the matview dirty-group recompute probe and the
+        # partition-merge carry joins (the other table-sized joins
+        # whose small side must broadcast by hint, not by estimate)
+        from etl_property_rumah123_spark.sinks import matview, writers
+
+        src = spark.range(0, 200).select(
+            (F.col("id") % 5).alias("g"), F.col("id").alias("x")
+        )
+        dirty = spark.createDataFrame([(1,), (3,)], "g long")
+        mv_plan = plan_of(matview._dirty_probe(src, dirty, ["g"]))
+        assert "BroadcastHashJoin" in mv_plan, mv_plan
+        assert "SortMergeJoin" not in mv_plan
+
+        existing = spark.range(0, 200).select(
+            F.col("id").alias("k"), F.lit(1).alias("v")
+        )
+        wbatch = spark.createDataFrame([(5, 2), (7, 2)], "k long, v long")
+        carried, updated = writers._carry_frames(existing, wbatch, ["k"])
+        for frame in (carried, updated):
+            p = plan_of(frame)
+            assert "BroadcastHashJoin" in p, p
+            assert "SortMergeJoin" not in p
     finally:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", prev_thresh
