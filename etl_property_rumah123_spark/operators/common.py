@@ -28,8 +28,57 @@ iterative plan, which persist() does not do.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Row-count envelope for EXPLICIT broadcast hints on the sinks'
+#: "small by contract" join sides (merge batch keys, matview dirty
+#: groups, partition-merge carry keys). The hint is load-bearing at
+#: scale — without it Spark's unknown-size estimate can shuffle the
+#: table side — but an UNGATED hint turns a contract violation (a
+#: genuinely huge batch) into an 8 GB broadcast failure or a driver
+#: OOM instead of a slow-but-correct shuffle join. Past the cap the
+#: hint is DROPPED with a loud warning and Spark plans the join by
+#: its own estimates. ~32 B/key at the default cap is a ~160 MB
+#: broadcast table — comfortably inside executor memory, far from
+#: the 8 GB hard limit. Env-tunable for big drivers.
+MAX_BROADCAST_KEYS = int(
+    os.environ.get("SPARK_GRAFT_MAX_BROADCAST_KEYS", "5000000")
+)
+
+
+def gated_broadcast(
+    small: DataFrame,
+    count_frame: DataFrame | None = None,
+    what: str = "small join side",
+) -> DataFrame:
+    """``F.broadcast(small)`` gated on a bounded row-count probe.
+
+    ``count_frame`` is an optional CHEAPER frame whose row count
+    upper-bounds ``small``'s (e.g. the un-distinct batch for a
+    ``batch.select(key).distinct()`` side — counting the batch skips
+    the distinct's shuffle; distinct keys <= rows, so an under-cap
+    batch can never hide an over-cap key set). The probe is
+    ``limit(cap + 1).count()`` — at most cap+1 rows are ever gathered,
+    so the probe's cost is bounded no matter how large the frame is.
+    One extra (bounded) job per call is the price of never feeding an
+    unbounded frame to the broadcast machinery."""
+    probe = count_frame if count_frame is not None else small
+    n = probe.limit(MAX_BROADCAST_KEYS + 1).count()
+    if n > MAX_BROADCAST_KEYS:
+        warnings.warn(
+            f"{what} exceeds SPARK_GRAFT_MAX_BROADCAST_KEYS="
+            f"{MAX_BROADCAST_KEYS} rows; dropping the broadcast hint "
+            "so Spark plans a shuffle join instead of risking the "
+            "8 GB broadcast limit / driver OOM. Correctness is "
+            "unaffected; split the batch or raise the env knob to "
+            "restore the hinted plan.",
+            stacklevel=3,
+        )
+        return small
+    return F.broadcast(small)
 
 
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:

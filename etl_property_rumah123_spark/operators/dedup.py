@@ -477,10 +477,20 @@ def compact_lsh_index(
             f"compacted index left at {tmp}"
         )
     if not fs.rename(hadoop_path(tmp), root):
-        fs.rename(old, root)  # restore the live index
+        # restore the live index — and CHECK the restore: if it also
+        # fails, `path` is empty and the original sits at .__old__;
+        # claiming it was restored would send the operator to an
+        # empty index instead of the recoverable copy.
+        if fs.rename(old, root):
+            raise RuntimeError(
+                f"compaction swap failed: compacted index left at "
+                f"{tmp}, original restored at {path}"
+            )
         raise RuntimeError(
-            f"compaction swap failed: compacted index left at {tmp}, "
-            f"original restored at {path}"
+            f"compaction swap failed AND the restore rename failed: "
+            f"{path} is empty, the original index is intact at "
+            f"{path}.__old__ (rename it back to recover), compacted "
+            f"copy at {tmp}"
         )
     fs.delete(old, True)
     spark.catalog.refreshByPath(path)
@@ -1143,6 +1153,8 @@ def canonical_per_component(
     id_col: str = "doc_id",
     comp_col: str = "component",
     score_col: str = "score",
+    max_component_size: int | None = None,
+    on_oversize: str = "error",
 ) -> DataFrame:
     """CANONICAL-DOCUMENT SELECTION: within each near-dup component,
     keep the best member — the standard last step of a fuzzy-dedup
@@ -1163,17 +1175,71 @@ def canonical_per_component(
     pathological giant component makes a hot window partition; the
     upstream candidate-generation guards (``max_bucket_size``,
     ``max_block_size``) bound component size the same way they bound
-    pair volume, and AQE skew-split covers the join."""
+    pair volume, and AQE skew-split covers the join.
+
+    ``max_component_size`` makes that envelope LOCAL instead of
+    inherited: component sizes are counted over the SAME window
+    partitioning the rank already shuffles on (zero extra shuffle),
+    and an over-cap component either fails the job loudly at
+    execution time (``on_oversize='error'`` — the guard rides the
+    canonical-id expression via ``assert_true`` so Catalyst cannot
+    prune it) or degrades conservatively (``on_oversize='flag'``:
+    every member of the over-cap component stays its own canonical —
+    nothing merged, nothing lost — and an ``is_oversize`` column
+    marks the rows for downstream triage)."""
+    if on_oversize not in ("error", "flag"):
+        raise ValueError(
+            f"on_oversize must be 'error' or 'flag', got {on_oversize!r}"
+        )
     joined = components.join(scores, id_col)
+    if max_component_size is not None:
+        joined = joined.withColumn(
+            "__csize", F.count(F.lit(1)).over(Window.partitionBy(comp_col))
+        )
     w = Window.partitionBy(comp_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
+    canon_id = F.col(id_col)
+    if max_component_size is not None and on_oversize == "error":
+        # assert_true returns NULL when the predicate holds and raises
+        # at execution when it does not; riding the canonical-id
+        # expression keeps it in the live data path of every component.
+        guard = F.assert_true(
+            F.col("__csize") <= max_component_size,
+            F.concat(
+                F.lit("canonical_per_component: component "),
+                F.col(comp_col).cast("string"),
+                F.lit(
+                    f" has more than max_component_size="
+                    f"{max_component_size} members — a giant near-dup"
+                    " cluster makes a hot window partition; tighten the"
+                    " upstream candidate guards (max_bucket_size/"
+                    "max_block_size), raise the cap, or pass "
+                    "on_oversize='flag' to skip merging it."
+                ),
+            ),
+        )
+        canon_id = F.when(guard.isNull(), F.col(id_col))
     canon = (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(F.col(comp_col), F.col(id_col).alias("canonical_id"))
+        .select(F.col(comp_col), canon_id.alias("canonical_id"))
     )
-    return joined.join(canon, comp_col).withColumn(
+    out = joined.join(canon, comp_col)
+    if max_component_size is not None and on_oversize == "flag":
+        oversize = F.col("__csize") > max_component_size
+        out = (
+            out.withColumn(
+                "canonical_id",
+                F.when(oversize, F.col(id_col)).otherwise(
+                    F.col("canonical_id")
+                ),
+            )
+            .withColumn("is_oversize", oversize.cast("int"))
+        )
+    if max_component_size is not None:
+        out = out.drop("__csize")
+    return out.withColumn(
         "is_canonical",
         (F.col(id_col) == F.col("canonical_id")).cast("int"),
     )

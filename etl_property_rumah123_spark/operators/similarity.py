@@ -235,6 +235,7 @@ def pq_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     refine_factor: int = 8,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """PQ-ADC approximate top-k with exact re-ranking.
 
@@ -251,16 +252,29 @@ def pq_topk(
     clustered test fixture; 4x drops to ~0.65).
 
     Scale shape: queries are collected (small by contract, same as the
-    broadcast in brute_force_topk); the corpus is touched twice —
-    once to encode (reusable artifact), once streaming code lookups —
-    and the only shuffle carries (query, candidate, score) triples.
+    broadcast in brute_force_topk) — the collect is BOUNDED by
+    ``max_queries`` with the limit applied before it, so a caller that
+    violates the small-query-batch contract gets a loud error naming
+    the knob instead of a silent driver flood (each query also costs
+    an m x 2**nbits LUT row, so the cap bounds the broadcast LUT too).
+    The corpus is touched twice — once to encode (reusable artifact),
+    once streaming code lookups — and the only shuffle carries
+    (query, candidate, score) triples.
     Output: (query_id, neighbor_id, rank), same contract as ann_topk.
     """
     import numpy as np
 
     books = train_pq_codebooks(corpus, m, nbits, vec_col, seed=seed)
     _, ksub, dsub = books.shape
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk received a query batch larger than max_queries="
+            f"{max_queries}: the query side is collected to the driver "
+            "to build the ADC lookup tables, so an unbounded batch is a "
+            "driver OOM. Split the batch, or raise max_queries if the "
+            "driver really has the memory."
+        )
     q_ids = np.array([r[0] for r in q_rows])
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     # LUT[q, j, c] = <query_q subspace_j, centroid_c> ; ADC score =

@@ -105,8 +105,17 @@ def _dirty_probe(
     ``dirty`` is a handful of group keys while ``source_now`` is the
     TABLE-sized scan — the keys carry an explicit broadcast hint, or
     Spark's unknown-size estimate may shuffle the whole source on the
-    group columns."""
-    return source_now.join(F.broadcast(dirty), group_cols, "left_semi")
+    group columns. The hint is GATED (operators/common.py:
+    gated_broadcast): a pathological backlog delta with more dirty
+    groups than SPARK_GRAFT_MAX_BROADCAST_KEYS degrades loudly to a
+    shuffle join instead of an 8 GB broadcast failure."""
+    from etl_property_rumah123_spark.operators.common import gated_broadcast
+
+    return source_now.join(
+        gated_broadcast(dirty, what="matview dirty-group key set"),
+        group_cols,
+        "left_semi",
+    )
 
 
 def _aggregate(df: DataFrame, group_cols: list[str], agg_spec: dict) -> DataFrame:

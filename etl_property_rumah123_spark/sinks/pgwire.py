@@ -313,22 +313,53 @@ def insert_rows(
     has one home. Rows are mappings/Row objects indexable by column
     name. ``on_conflict`` appends an ``ON CONFLICT <clause>`` suffix
     (e.g. ``"DO NOTHING"``) to every statement. Returns the row
-    count."""
+    count (rows SENT; see the conflict warning below for rows the
+    server skipped).
+
+    DO NOTHING exists to make RETRIES idempotent (a retried task
+    whose first attempt committed re-inserts as a no-op), but the
+    same clause would also SILENTLY swallow genuine intra-run
+    duplicate keys carrying different payloads — previously a loud PK
+    violation. To keep real data issues visible, each statement's
+    command-complete tag is compared against the batch size and a
+    warning reporting the skipped-row total fires whenever conflicts
+    were hit — expected and harmless on a retry, a data-quality
+    signal on a clean first run."""
     cur = conn.cursor()
     prefix = f"INSERT INTO {table} ({', '.join(columns)}) VALUES "
     suffix = f" ON CONFLICT {on_conflict}" if on_conflict else ""
     batch = []
     n = 0
+    skipped = 0
+
+    def flush():
+        nonlocal skipped
+        cur.execute(prefix + ",\n".join(batch) + suffix)
+        if on_conflict and 0 <= cur.rowcount < len(batch):
+            skipped += len(batch) - cur.rowcount
+
     for row in rows:
         batch.append(
             "(" + ", ".join(quote_literal(row[c]) for c in columns) + ")"
         )
         n += 1
         if len(batch) >= batch_size:
-            cur.execute(prefix + ",\n".join(batch) + suffix)
+            flush()
             batch = []
     if batch:
-        cur.execute(prefix + ",\n".join(batch) + suffix)
+        flush()
+    if skipped:
+        import warnings
+
+        warnings.warn(
+            f"insert_rows: ON CONFLICT {on_conflict} skipped {skipped} "
+            f"of {n} rows inserting into {table} — expected if this is "
+            "a task retry re-inserting an already-committed partition; "
+            "on a clean first run it means the batch carries duplicate "
+            "keys with differing payloads and first-writer-wins rows "
+            "reached staging.",
+            stacklevel=2,
+        )
     return n
 
 

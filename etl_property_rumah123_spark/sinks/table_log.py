@@ -138,6 +138,19 @@ def _write_commit_dir(df: DataFrame, table_path: str, commit_rel: str) -> list[s
     return files
 
 
+def _speculation_enabled(spark: SparkSession) -> bool:
+    """Whether speculative execution is on (a STATIC core conf, read
+    from the SparkContext — spark.conf cannot modify it at runtime).
+    Observed commit metrics are disabled under speculation; see
+    :func:`_write_commit_dir_observed`."""
+    return (
+        str(
+            spark.sparkContext.getConf().get("spark.speculation", "false")
+        ).lower()
+        == "true"
+    )
+
+
 def _write_commit_dir_observed(
     df: DataFrame,
     table_path: str,
@@ -150,16 +163,23 @@ def _write_commit_dir_observed(
     counts) ride the write for ZERO extra jobs instead of a read-back
     pass over what was just written. Returns ``(files, values)``;
     ``values`` is None when the metrics could not be observed — no
-    metrics requested, or the commit dir already existed (retry reuse
-    skips the write, so there is no job to observe) — and the caller
-    falls back to its read-back job."""
+    metrics requested, the commit dir already existed (retry reuse
+    skips the write, so there is no job to observe), or SPECULATIVE
+    EXECUTION is enabled — and the caller falls back to its read-back
+    job. The speculation gate matters for correctness of the
+    accounting: observe() metrics are accumulator-backed, and a
+    speculative duplicate attempt of a task double-counts its rows,
+    inflating n_deleted/dv_rows/n_keys in the manifest (set-union
+    metrics like dv_keys are idempotent, but the counts are not).
+    The read-back path counts what is ON DISK, which only one attempt
+    ever commits, so it is immune."""
     spark = df.sparkSession
     jvm, fs = _fs(spark, table_path)
     hadoop_path = jvm.org.apache.hadoop.fs.Path
     commit_dir = f"{table_path}/{commit_rel}"
     values = None
     if not fs.exists(hadoop_path(commit_dir)):
-        if metrics:
+        if metrics and not _speculation_enabled(spark):
             from pyspark.sql import Observation
 
             obs = Observation()
@@ -472,8 +492,18 @@ def _cow_merge_probe_frames(
     sort-merge join that shuffles the WHOLE tagged table on key — the
     difference between "scan + probe" and "shuffle 100 TB". Callers
     merging a genuinely huge batch should split it into key-ranged
-    sub-batches."""
-    batch_keys = F.broadcast(df.select(key).distinct())
+    sub-batches; a batch past SPARK_GRAFT_MAX_BROADCAST_KEYS drops
+    the hint loudly (shuffle join, never an 8 GB broadcast failure).
+    The gate probe counts the raw batch, not the distinct key set —
+    distinct keys <= rows, so the cheaper count is a sound upper
+    bound and the probe never pays the distinct's shuffle."""
+    from etl_property_rumah123_spark.operators.common import gated_broadcast
+
+    batch_keys = gated_broadcast(
+        df.select(key).distinct(),
+        count_frame=df,
+        what="CoW merge batch key set",
+    )
     touched_keys = (
         tagged.join(batch_keys, key, "left_semi")
         .select("__file")

@@ -166,8 +166,14 @@ def _carry_frames(
     relative to the (already partition-pruned) existing rows, so it
     carries an explicit broadcast hint: the anti/semi joins probe in
     place instead of shuffling the touched partitions on the key
-    columns."""
-    bkeys = F.broadcast(batch.select(*key_cols))
+    columns. The hint is gated on SPARK_GRAFT_MAX_BROADCAST_KEYS
+    (operators/common.py:gated_broadcast) — an over-cap batch
+    degrades loudly to a shuffle join."""
+    from etl_property_rumah123_spark.operators.common import gated_broadcast
+
+    bkeys = gated_broadcast(
+        batch.select(*key_cols), what="partition-merge batch key set"
+    )
     return (
         existing.join(bkeys, on=key_cols, how="left_anti"),
         existing.join(bkeys, on=key_cols, how="left_semi"),

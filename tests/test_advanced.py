@@ -127,6 +127,61 @@ def test_canonical_per_component_property_vs_reference(spark):
         assert got == want, f"trial {trial}: mismatch"
 
 
+def test_canonical_max_component_size_guard(spark):
+    """The LOCAL size envelope on canonical selection (a planted giant
+    component, the window-skew hazard): on_oversize='error' fails the
+    job loudly at execution naming the knob; on_oversize='flag' keeps
+    every giant-component member self-canonical (nothing merged,
+    nothing lost) with is_oversize=1, while under-cap components keep
+    exact keep-best semantics in both modes."""
+    import pytest
+
+    from etl_property_rumah123_spark.operators.dedup import (
+        canonical_per_component,
+    )
+
+    # component 0: planted giant (30 members); component 5: normal pair
+    comp = spark.createDataFrame(
+        [(i, 0) for i in range(30)] + [(100, 5), (101, 5)],
+        "doc_id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(i, i) for i in range(30)] + [(100, 1), (101, 9)],
+        "doc_id long, score long",
+    )
+
+    with pytest.raises(Exception, match="max_component_size"):
+        canonical_per_component(
+            comp, scores, max_component_size=10, on_oversize="error"
+        ).collect()
+
+    flagged = canonical_per_component(
+        comp, scores, max_component_size=10, on_oversize="flag"
+    ).collect()
+    rows = {
+        r["doc_id"]: (r["canonical_id"], r["is_canonical"], r["is_oversize"])
+        for r in flagged
+    }
+    assert len(rows) == 32  # every input row survives
+    # giant component: each member its own canonical, marked oversize
+    for i in range(30):
+        assert rows[i] == (i, 1, 1), rows[i]
+    # normal component untouched: 101 wins on score
+    assert rows[100] == (101, 0, 0)
+    assert rows[101] == (101, 1, 0)
+
+    # cap not exceeded -> identical to the unguarded run (plus flag col)
+    ok = canonical_per_component(
+        comp, scores, max_component_size=50, on_oversize="error"
+    ).collect()
+    assert {r["doc_id"]: r["canonical_id"] for r in ok}[0] == 29
+
+    with pytest.raises(ValueError, match="on_oversize"):
+        canonical_per_component(
+            comp, scores, max_component_size=10, on_oversize="bogus"
+        )
+
+
 def test_blocked_cosine_matches_pairwise_join_form(spark):
     """The block-nested-loop all-pairs kernel must emit exactly the
     same pair set as the per-pair Column-expression reference."""

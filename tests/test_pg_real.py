@@ -185,6 +185,43 @@ def test_wire_client_types_and_quoting(pg_sock):
         conn.close()
 
 
+def test_insert_rows_warns_when_on_conflict_skips(pg_sock):
+    """ON CONFLICT DO NOTHING keeps retries idempotent, but must not
+    SILENTLY eat genuine intra-run duplicate keys with differing
+    payloads: insert_rows compares each statement's command-complete
+    rowcount against the batch size and warns with the skipped total.
+    Unique keys insert warning-free; first-writer-wins rows land."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    conn = PgConnection(pg_sock)
+    try:
+        conn.run("DROP TABLE IF EXISTS cw")
+        conn.run("CREATE TABLE cw (k INT PRIMARY KEY, v VARCHAR)")
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # clean batch: no warning
+            n = pgwire.insert_rows(
+                conn, "cw", ["k", "v"],
+                [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}],
+                batch_size=10, on_conflict="DO NOTHING",
+            )
+        assert n == 2
+        with _pytest.warns(UserWarning, match="skipped 2 of 3"):
+            pgwire.insert_rows(
+                conn, "cw", ["k", "v"],
+                # k=2 dup-with-different-payload, k=1 exact retry dup
+                [{"k": 2, "v": "CHANGED"}, {"k": 1, "v": "a"},
+                 {"k": 3, "v": "c"}],
+                batch_size=10, on_conflict="DO NOTHING",
+            )
+        conn.commit()
+        got = dict(conn.run("SELECT k, v FROM cw ORDER BY k"))
+    finally:
+        conn.close()
+    assert got == {1: "a", 2: "b", 3: "c"}  # first writer won on k=2
+
+
 def test_load_twice_with_overlap_xmax_accounting(spark, pg_sock):
     """The reference's two-run scenario: run 1 loads 3 listings; run 2
     overlaps on one key (changed price) and adds two fresh ones. The

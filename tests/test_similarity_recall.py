@@ -96,6 +96,22 @@ def test_seeded_ivf_and_pq_recall(spark, clustered):
     assert recall(pq, truth) >= 0.8
 
 
+def test_pq_topk_max_queries_guard(spark, clustered):
+    """pq_topk collects the query side to build the ADC lookup tables;
+    the collect is bounded — a batch past max_queries raises loudly
+    (limit applied before the collect) instead of flooding the
+    driver, and an in-bound batch is unaffected by the guard."""
+    import pytest
+
+    q = clustered.filter(F.col("vec_id") % 40 == 0)  # 8 queries
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.pq_topk(q, clustered, k=5, m=4, nbits=4, max_queries=3)
+    ok = similarity.pq_topk(
+        q, clustered, k=5, m=4, nbits=4, max_queries=8
+    )
+    assert ok.count() > 0
+
+
 def test_pq_encode_shape_and_determinism(spark, clustered):
     books = similarity.train_pq_codebooks(clustered, m=4, nbits=4)
     assert books.shape == (4, 16, 4)

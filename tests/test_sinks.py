@@ -2421,6 +2421,82 @@ def test_cow_merge_probe_is_broadcast_join(spark, tmp_path):
         )
 
 
+def test_observed_metrics_fall_back_under_speculation(spark, tmp_path, monkeypatch):
+    """observe() metrics are accumulator-backed — a speculative
+    duplicate task attempt double-counts rows, inflating the commit
+    accounting (n_deleted/dv_rows/n_keys). With spark.speculation on,
+    the observed write must return values=None so callers take the
+    read-back path, which counts what is on disk."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    # spark.speculation is a STATIC core conf (cannot be set on a live
+    # session), so the gate is exercised through its seam
+    monkeypatch.setattr(table_log, "_speculation_enabled", lambda s: True)
+    files, values = table_log._write_commit_dir_observed(
+        df, str(tmp_path / "spec"), "c0",
+        {"n": F.count(F.lit(1))},
+    )
+    assert files and values is None
+    monkeypatch.setattr(table_log, "_speculation_enabled", lambda s: False)
+    # speculation off: the same call observes on the write job
+    files, values = table_log._write_commit_dir_observed(
+        df, str(tmp_path / "nospec"), "c0", {"n": F.count(F.lit(1))}
+    )
+    assert files and values == {"n": 10}
+
+
+def test_gated_broadcast_drops_hint_past_cap(spark, monkeypatch):
+    """The sinks' explicit broadcast hints (merge batch keys, matview
+    dirty groups, carry keys) are GATED: an over-cap small side drops
+    the hint with a loud warning — Spark plans by its own estimates
+    instead of risking the 8 GB broadcast limit — while an in-bound
+    side keeps the hinted BroadcastHashJoin plan."""
+    import warnings as _warnings
+
+    from etl_property_rumah123_spark.operators import common
+
+    big = spark.range(0, 50).select(F.col("id").alias("k"))
+    table_side = spark.range(0, 500).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        monkeypatch.setattr(common, "MAX_BROADCAST_KEYS", 10)
+        with pytest.warns(UserWarning, match="MAX_BROADCAST_KEYS"):
+            hinted = common.gated_broadcast(big, what="test side")
+        over_plan = plan_of(table_side.join(hinted, "k", "left_semi"))
+        assert "BroadcastHashJoin" not in over_plan, over_plan
+
+        monkeypatch.setattr(common, "MAX_BROADCAST_KEYS", 1000)
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # no warning under the cap
+            hinted = common.gated_broadcast(big, what="test side")
+        under_plan = plan_of(table_side.join(hinted, "k", "left_semi"))
+        assert "BroadcastHashJoin" in under_plan, under_plan
+
+        # count_frame is the probe: an over-cap probe frame drops the
+        # hint even when the hinted frame itself would be small
+        monkeypatch.setattr(common, "MAX_BROADCAST_KEYS", 10)
+        with pytest.warns(UserWarning, match="MAX_BROADCAST_KEYS"):
+            hinted = common.gated_broadcast(
+                big.limit(2), count_frame=big, what="test side"
+            )
+        probe_plan = plan_of(table_side.join(hinted, "k", "left_semi"))
+        assert "BroadcastHashJoin" not in probe_plan, probe_plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", prev_thresh
+        )
+
+
 def test_vacuum_vs_reader_race_fails_loud_never_partial(spark, tmp_path):
     """The reader side of the vacuum race (writer races are covered by
     the model-based stateful tests): (1) time-travel to an already-
