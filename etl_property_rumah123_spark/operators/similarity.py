@@ -357,6 +357,40 @@ def _hash_sample_rows(
     return [(i, r["sid"], [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
 
 
+def _assign_cells(
+    df: DataFrame,
+    cent_df: DataFrame,
+    id_alias: str,
+    keep_n: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Nearest-cell assignment against a (broadcast) centroid table:
+    each vector gets its ``keep_n`` nearest cells by squared L2, ties
+    broken on the lower cell id. The distance is the shared
+    LEFT-TO-RIGHT fold so assignments are bit-identical across runs,
+    the persisted index, and the DuckDB oracle. Output columns:
+    (id_alias, __v, cell)."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__v"),
+            F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_alias).orderBy(F.col("d2").asc(), F.col("cell"))
+    return (
+        df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"))
+        .crossJoin(cent_df)
+        .withColumn("d2", d2)
+        .withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= keep_n)
+        .select(id_alias, F.col("__v"), "cell")
+    )
+
+
 def ivf_topk_seeded(
     queries: DataFrame,
     corpus: DataFrame,
@@ -391,37 +425,12 @@ def ivf_topk_seeded(
             [(i, v) for i, _sid, v in seeds], "cell int, centroid array<double>"
         )
     )
-
-    def d2_to(centroid_col):
-        return F.aggregate(
-            F.zip_with(
-                F.col("__v"),
-                centroid_col,
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def assign(df, id_alias, keep_n):
-        w = Window.partitionBy(id_alias).orderBy(F.col("d2").asc(), F.col("cell"))
-        return (
-            df.select(
-                F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v")
-            )
-            .crossJoin(cent_df)
-            .withColumn("d2", d2_to(F.col("centroid")))
-            .withColumn("__cr", F.row_number().over(w))
-            .filter(F.col("__cr") <= keep_n)
-            .select(id_alias, F.col("__v"), "cell")
-        )
-
-    c_assigned = assign(corpus, "neighbor_id", 1).select(
-        "neighbor_id", F.col("__v").alias("cv"), "cell"
-    )
-    probes = assign(queries, "query_id", n_probe).select(
-        "query_id", F.col("__v").alias("qv"), "cell"
-    )
+    c_assigned = _assign_cells(
+        corpus, cent_df, "neighbor_id", 1, vec_col, id_col
+    ).select("neighbor_id", F.col("__v").alias("cv"), "cell")
+    probes = _assign_cells(
+        queries, cent_df, "query_id", n_probe, vec_col, id_col
+    ).select("query_id", F.col("__v").alias("qv"), "cell")
     scored = (
         probes.join(c_assigned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -642,3 +651,321 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index artifact (seeded IVF): write / append / probe / compact
+# ---------------------------------------------------------------------------
+#
+# The vector twin of the text-LSH index trio (operators/dedup.py:
+# write_lsh_index / probe_lsh_index / compact_lsh_index): the expensive
+# part of IVF serving — assigning every corpus vector to its nearest
+# coarse cell — is paid ONCE at build time and persisted, so a query
+# batch probes at batch cost (assign the batch, scan only the probed
+# cells) and a new corpus batch appends at batch cost (assign against
+# the FROZEN centroids, no refit). At 100 TB this is the shape an
+# embedding store actually runs: the alternative (ivf_topk re-bucketing
+# the corpus per call) re-pays the full-corpus assignment on every
+# query batch.
+#
+# Layout at <path>:
+#   _ann_meta.json   {format, kind, n_lists, dim, salt, vec_col, id_col}
+#   centroids/       parquet (cell int, centroid array<double>)  [tiny]
+#   cells/           parquet (id, vec) HIVE-PARTITIONED BY cell — the
+#                    probe reads ONLY the probed cells' directories
+#                    (partition pruning at planning time, n_probe/n_lists
+#                    of the data for a uniform index)
+#
+# The quantizer is the SEEDED one (hash-picked corpus rows, zero fitted
+# state — see ivf_topk_seeded): the whole artifact is a pure function
+# of (corpus, salt, n_lists), so the DuckDB oracle reproduces the
+# build+probe bit-for-bit and the driver value-checks the persisted
+# serving path end to end.
+
+_ANN_META = "_ann_meta.json"
+
+
+def _ann_fs(spark, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path
+    return jvm, hp, hp(path).getFileSystem(conf)
+
+
+def _ann_meta_dict(n_lists: int, dim: int, salt: str, vec_col: str, id_col: str) -> dict:
+    return {
+        "format": 1,
+        "kind": "ivf_seeded",
+        "n_lists": n_lists,
+        "dim": dim,
+        "salt": salt,
+        "vec_col": vec_col,
+        "id_col": id_col,
+    }
+
+
+def read_ann_meta(spark, path: str) -> dict:
+    """The index sidecar, or a loud error when ``path`` is not a
+    write_ann_index artifact — probing a directory that merely looks
+    like one would silently match nothing."""
+    import json
+
+    jvm, hp, fs = _ann_fs(spark, path)
+    p = hp(f"{path}/{_ANN_META}")
+    if not fs.exists(p):
+        raise ValueError(
+            f"{path} has no {_ANN_META} sidecar — not a "
+            "write_ann_index artifact (or written by a newer format)."
+        )
+    stream = fs.open(p)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _write_ann_meta(spark, path: str, meta: dict) -> None:
+    import json
+
+    _jvm, hp, fs = _ann_fs(spark, path)
+    out = fs.create(hp(f"{path}/{_ANN_META}"), True)
+    try:
+        out.write(json.dumps(meta, sort_keys=True).encode())
+    finally:
+        out.close()
+
+
+def _with_dim_check(df: DataFrame, col: str, dim: int) -> DataFrame:
+    """Fail loud at execution when a vector's length differs from the
+    index dim — zip_with would otherwise null-pad and assign the
+    vector to an arbitrary cell silently."""
+    ok = F.assert_true(
+        F.size(F.col(col)) == dim,
+        F.lit(
+            f"ANN index dim mismatch: vector length != index dim {dim}"
+        ),
+    )
+    return df.withColumn(col, F.when(ok.isNull(), F.col(col)))
+
+
+def _cell_layout(assigned: DataFrame, n_lists: int, files_per_cell: int) -> DataFrame:
+    """Shuffle assignments so each cell directory gets exactly
+    ``files_per_cell`` files per write, instead of one file per
+    (upstream partition x cell) — without this, a 32-partition write
+    into 16 cells leaves up to 512 tiny files PER APPEND, and probe
+    cost becomes file-listing-bound. files_per_cell > 1 splits a
+    cell across tasks by an id-hash, bounding per-task volume when
+    cells are large (corpus/n_lists rows at 100 TB)."""
+    split = F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(files_per_cell))
+    return assigned.repartition(
+        n_lists * files_per_cell, F.col("cell"), split
+    )
+
+
+def write_ann_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "ivf|",
+    files_per_cell: int = 1,
+) -> dict:
+    """Build and persist the IVF index: hash-pick ``n_lists`` seed
+    centroids from the corpus, assign every corpus vector to its
+    nearest cell (one pass, the only full-corpus job this index ever
+    runs), and write centroids + cell-partitioned assignments +
+    sidecar. Overwrites any index at ``path``. Returns accounting
+    ``{path, n_lists, dim, n_vectors}``."""
+    spark = corpus.sparkSession
+    seeds = _hash_sample_rows(corpus, n_lists, salt, vec_col, id_col)
+    if not seeds:
+        raise ValueError("write_ann_index: corpus is empty")
+    dim = len(seeds[0][2])
+    meta = _ann_meta_dict(n_lists, dim, salt, vec_col, id_col)
+    cent_df = spark.createDataFrame(
+        [(i, v) for i, _sid, v in seeds], "cell int, centroid array<double>"
+    )
+    _jvm, hp, fs = _ann_fs(spark, path)
+    if fs.exists(hp(path)):
+        fs.delete(hp(path), True)
+    cent_df.write.mode("errorifexists").parquet(f"{path}/centroids")
+    assigned = _assign_cells(
+        _with_dim_check(corpus, vec_col, dim),
+        F.broadcast(cent_df),
+        "id",
+        1,
+        vec_col,
+        id_col,
+    ).select("id", F.col("__v").alias("vec"), "cell")
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    _cell_layout(assigned, n_lists, files_per_cell).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).write.mode("errorifexists").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+    _write_ann_meta(spark, path, meta)
+    return {
+        "path": path,
+        "n_lists": n_lists,
+        "dim": dim,
+        "n_vectors": obs.get["n"],
+    }
+
+
+def append_ann_index(
+    new_vectors: DataFrame, path: str, files_per_cell: int = 1
+) -> dict:
+    """Add a corpus batch to a standing index WITHOUT refitting: the
+    batch is assigned against the FROZEN persisted centroids (batch
+    cost only — the standing corpus is never touched) and appended to
+    the cell-partitioned table. The sidecar is validated first; the
+    centroid set defines the cell space, and appending with different
+    parameters would not error — it would silently mis-route probes.
+    Retried appends duplicate rows; probes dedupe candidates, and
+    compact_ann_index drops the duplicates (same regime as the LSH
+    index). Returns ``{path, n_appended}``."""
+    spark = new_vectors.sparkSession
+    meta = read_ann_meta(spark, path)
+    cent_df = spark.read.parquet(f"{path}/centroids")
+    assigned = _assign_cells(
+        _with_dim_check(new_vectors, meta["vec_col"], meta["dim"]),
+        F.broadcast(cent_df),
+        "id",
+        1,
+        meta["vec_col"],
+        meta["id_col"],
+    ).select("id", F.col("__v").alias("vec"), "cell")
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    _cell_layout(assigned, meta["n_lists"], files_per_cell).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+    return {"path": path, "n_appended": obs.get["n"]}
+
+
+def probe_ann_index(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Top-k neighbors for a query batch against a persisted index, at
+    BATCH COST: assign each query to its ``n_probe`` nearest cells
+    (against the tiny broadcast centroid table), then exact-score only
+    those cells' vectors. The probed cell ids are collected (bounded
+    by ``n_lists`` — index metadata, never data volume) and pushed as
+    a partition filter, so the cells/ scan reads only the probed
+    directories: planning-time partition pruning, ~n_probe/n_lists of
+    the index for a uniform corpus. ``vec_col``/``id_col`` default to
+    the sidecar's (override when the query frame names differ).
+    Output: (query_id, neighbor_id, rank) — the knn/ann contract.
+    Self-pairs are excluded; duplicate index rows (retried appends)
+    are collapsed before ranking."""
+    spark = queries.sparkSession
+    meta = read_ann_meta(spark, path)
+    vc = vec_col or meta["vec_col"]
+    ic = id_col or meta["id_col"]
+    cent_df = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    probes = _assign_cells(
+        _with_dim_check(queries, vc, meta["dim"]), cent_df, "query_id",
+        n_probe, vc, ic,
+    ).select("query_id", F.col("__v").alias("qv"), "cell")
+    # bounded by n_lists (sidecar metadata), NOT by query or corpus size
+    probed_cells = sorted(
+        r[0] for r in probes.select("cell").distinct().collect()
+    )
+    # a probe before any append in the same session must not see a
+    # stale (or negatively-cached) listing — same trap as the LSH index
+    spark.catalog.refreshByPath(f"{path}/cells")
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(probed_cells))
+        .select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "cell")
+    )
+    scored = (
+        probes.join(cells, "cell")
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()  # multi-probe / retried-append duplicates
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def compact_ann_index(
+    spark,
+    path: str,
+    files_per_cell: int = 1,
+    retain_condition: str | None = None,
+) -> dict:
+    """Maintenance for the append-only index: collapse per-append file
+    debris to ``files_per_cell`` files per cell and drop exact
+    duplicate (id, cell) rows left by retried appends (keep-one is
+    safe: duplicates are byte-equal assignments, probes already
+    collapsed them). ``retain_condition`` is the TTL hook — a SQL
+    predicate over (id, vec, cell) selecting rows to KEEP. Same
+    single-maintainer contract and rename-aside/rename-in swap as
+    compact_lsh_index (operators/dedup.py): the cells table exists at
+    its path except during two metadata renames, and an interrupted
+    swap leaves the original at ``cells.__old__``."""
+    meta = read_ann_meta(spark, path)  # also guards "is an index"
+    cells_path = f"{path}/cells"
+    _jvm, hp, fs = _ann_fs(spark, path)
+    spark.catalog.refreshByPath(cells_path)
+    idx = spark.read.parquet(cells_path)
+    rows_before = idx.count()
+    files_before = len(idx.inputFiles())
+    if retain_condition is not None:
+        idx = idx.filter(retain_condition)
+    compacted = (
+        idx.dropDuplicates(["id", "cell"])
+        .repartition(meta["n_lists"] * files_per_cell, "cell")
+    )
+    tmp = cells_path + ".__compact__"
+    if fs.exists(hp(tmp)):
+        fs.delete(hp(tmp), True)
+    compacted.write.mode("errorifexists").partitionBy("cell").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    old = hp(cells_path + ".__old__")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(hp(cells_path), old):
+        raise RuntimeError(
+            f"ANN compaction swap failed moving live cells aside; "
+            f"compacted copy left at {tmp}"
+        )
+    if not fs.rename(hp(tmp), hp(cells_path)):
+        if fs.rename(old, hp(cells_path)):
+            raise RuntimeError(
+                f"ANN compaction swap failed: compacted copy left at "
+                f"{tmp}, original restored at {cells_path}"
+            )
+        raise RuntimeError(
+            f"ANN compaction swap failed AND the restore rename "
+            f"failed: {cells_path} is empty, the original is intact "
+            f"at {cells_path}.__old__ (rename back to recover), "
+            f"compacted copy at {tmp}"
+        )
+    fs.delete(old, True)
+    spark.catalog.refreshByPath(cells_path)
+    return {
+        "path": path,
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": files_before,
+        "files_after": len(spark.read.parquet(cells_path).inputFiles()),
+    }

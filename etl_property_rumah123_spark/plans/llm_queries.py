@@ -2166,6 +2166,39 @@ WITH phex AS (
     FROM pq_cand pc
     JOIN embeddings q ON q.vec_id = pc.query_id
     JOIN embeddings c ON c.vec_id = pc.neighbor_id) WHERE rnk <= 5
+), ix_seeds AS (
+  -- the PERSISTED index: centroids hash-picked from the STANDING
+  -- corpus only (vec_id % 4 <> 0) at write time; the % 4 = 0 batch is
+  -- appended later against those frozen centroids, so the final cells
+  -- table assigns EVERY vector to the standing-corpus seeds
+  SELECT rn - 1 AS cell, embedding AS centroid FROM (
+    SELECT embedding, row_number() OVER (ORDER BY md5('ivfx|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings WHERE vec_id % 4 <> 0) WHERE rn <= 16
+), ix_d2 AS (
+  SELECT e.vec_id, s.cell,
+    list_reduce([(CAST(e.embedding[d+1] AS DOUBLE) - CAST(s.centroid[d+1] AS DOUBLE))
+                 * (CAST(e.embedding[d+1] AS DOUBLE) - CAST(s.centroid[d+1] AS DOUBLE))
+                 FOR d IN range(64)], (x, y) -> x + y) AS d2
+  FROM embeddings e, ix_seeds s
+), ix_cassign AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell) AS rn
+    FROM ix_d2) WHERE rn = 1
+), ix_probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell) AS rn
+    FROM ix_d2 WHERE vec_id < 10) WHERE rn <= 2
+), ix_scored AS (
+  SELECT p.query_id, ca.neighbor_id, __DOT_QC__ AS sim
+  FROM ix_probes p
+  JOIN ix_cassign ca ON ca.cell = p.cell AND ca.neighbor_id <> p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.vec_id = ca.neighbor_id
+), ix_top AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM ix_scored) WHERE rnk <= 5
 )
 SELECT 'rp_lsh' AS method, CAST(query_id AS BIGINT) AS query_id,
        CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(rnk AS BIGINT) AS rank FROM lsh_top
@@ -2173,26 +2206,38 @@ UNION ALL
 SELECT 'ivf', query_id, neighbor_id, CAST(rnk AS BIGINT) FROM ivf_top
 UNION ALL
 SELECT 'pq_adc', query_id, neighbor_id, CAST(rnk AS BIGINT) FROM pq_top
+UNION ALL
+SELECT 'ivf_index', query_id, neighbor_id, CAST(rnk AS BIGINT) FROM ix_top
 """.replace("__DOT_QC__", _DUCK_DOT.format(a="q.embedding", b="c.embedding"))
 
 
 @register(
     "ann_suite",
     _ANN_ORACLE,
-    doc="Approximate nearest-neighbor suite, tagged union of the three "
-    "index families over the same 10-query workload: 'rp_lsh' "
+    doc="Approximate nearest-neighbor suite, tagged union of four "
+    "serving paths over the same 10-query workload: 'rp_lsh' "
     "(md5-derived random-hyperplane buckets + multi-probe), 'ivf' "
     "(hash-seeded coarse cells — the 0-iteration-KMeans baseline — "
     "n_probe=2), 'pq_adc' (product quantization with hash-seeded "
     "codebooks: corpus encode -> asymmetric-distance lookup scoring "
-    "-> exact re-rank of the candidate set). Zero fitted state, so "
-    "the DuckDB oracle reproduces buckets/cells/codes/rankings "
-    "bit-for-bit and the driver value-checks the whole serving path; "
-    "the KMeans-fitted ivf_topk/pq_topk remain the production tuning "
-    "(recall-tested in test_similarity_recall.py). All three share "
+    "-> exact re-rank of the candidate set), and 'ivf_index' — the "
+    "PERSISTED index artifact exercised end to end: write_ann_index "
+    "on the standing corpus (vec_id % 4 <> 0), append_ann_index of "
+    "the % 4 = 0 batch against the frozen centroids (no refit), then "
+    "probe_ann_index at batch cost with cell-partition pruning "
+    "(operators/similarity.py). Zero fitted state everywhere, so the "
+    "DuckDB oracle reproduces buckets/cells/codes/rankings "
+    "bit-for-bit and the driver value-checks the whole serving path "
+    "INCLUDING the on-disk build/append/probe lifecycle; the "
+    "KMeans-fitted ivf_topk/pq_topk remain the production tuning "
+    "(recall-tested in test_similarity_recall.py). All four share "
     "the (query_id, neighbor_id, rank) contract of knn_bruteforce.",
 )
 def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from etl_property_rumah123_spark.operators.common import scratch_base
+
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     lsh = similarity.ann_topk(
@@ -2204,9 +2249,23 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = similarity.pq_topk_seeded(q, e, k=5, m=8, nbits=4).withColumn(
         "method", F.lit("pq_adc")
     )
+    # persisted-index lifecycle: build on the standing corpus, append
+    # the new batch (frozen centroids), probe through the artifact
+    idx = (
+        f"{scratch_base()}/sg_ann_index/"
+        f"{_os.path.basename(_os.path.normpath(sf_dir))}"
+    )
+    similarity.write_ann_index(
+        e.filter(F.col("vec_id") % 4 != 0), idx, n_lists=16, salt="ivfx|"
+    )
+    similarity.append_ann_index(e.filter(F.col("vec_id") % 4 == 0), idx)
+    ixp = similarity.probe_ann_index(q, idx, k=5, n_probe=2).withColumn(
+        "method", F.lit("ivf_index")
+    )
     return (
         lsh.unionByName(ivf)
         .unionByName(pq)
+        .unionByName(ixp)
         .select("method", "query_id", "neighbor_id", "rank")
     )
 

@@ -233,3 +233,110 @@ def test_recall_holds_at_sf1_scale():
     finally:
         corpus.unpersist()
         queries.unpersist()
+
+
+def test_ann_index_roundtrip_probe_matches_in_memory(spark, clustered, tmp_path):
+    """The persisted IVF index must serve EXACTLY what the in-memory
+    seeded IVF serves for the same (corpus, salt, n_lists): build,
+    probe, and compare row sets — the artifact adds persistence, never
+    different math."""
+    idx = str(tmp_path / "annidx")
+    info = similarity.write_ann_index(clustered, idx, n_lists=8)
+    assert info["n_vectors"] == 320 and info["dim"] == DIM
+    q = clustered.filter(F.col("vec_id") % 40 == 0)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.probe_ann_index(q, idx, k=5, n_probe=2).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ivf_topk_seeded(
+            q, clustered, k=5, n_lists=8, n_probe=2
+        ).collect()
+    }
+    assert got == want
+    truth = similarity.brute_force_topk(q, clustered, k=5)
+    ann = similarity.probe_ann_index(q, idx, k=5, n_probe=2)
+    assert recall(ann, truth) >= 0.8  # recall THROUGH the artifact
+
+
+def test_ann_index_probe_scans_only_probed_cells(spark, clustered, tmp_path):
+    """The scale contract of the artifact: a probe must read only the
+    probed cells' partition directories, not the whole index — the
+    collected cell set is pushed as a planning-time partition filter."""
+    idx = str(tmp_path / "annidx_prune")
+    similarity.write_ann_index(clustered, idx, n_lists=8)
+    one_q = clustered.filter(F.col("vec_id") == 0)
+    cent = spark.read.parquet(f"{idx}/centroids")
+    probes = similarity._assign_cells(
+        one_q, F.broadcast(cent), "query_id", 2, "embedding", "vec_id"
+    )
+    probed = {r["cell"] for r in probes.select("cell").collect()}
+    assert len(probed) == 2
+    pruned = spark.read.parquet(f"{idx}/cells").filter(
+        F.col("cell").isin(sorted(probed))
+    )
+    # inputFiles() lists the relation pre-pruning; what matters is the
+    # set of files the EXECUTED scan touches
+    touched = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched, "pruned scan saw no files"
+    for f in touched:
+        assert any(f"cell={c}/" in f for c in probed), f
+    all_files = spark.read.parquet(f"{idx}/cells").inputFiles()
+    assert len(touched) < len(all_files)
+    # and the filter lands as a planning-time partition filter
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_ann_index_append_no_refit_and_compact(spark, clustered, tmp_path):
+    """Appending a batch must (a) validate the sidecar, (b) assign
+    against the FROZEN centroids (centroid files byte-identical), and
+    (c) make the new vectors visible to the next probe. A retried
+    (duplicate) append changes no probe results, and compaction drops
+    the duplicate rows while preserving probe results exactly."""
+    import pytest
+
+    idx = str(tmp_path / "annidx_app")
+    standing = clustered.filter(F.col("vec_id") < 280)
+    batch = clustered.filter(F.col("vec_id") >= 280)
+    similarity.write_ann_index(standing, idx, n_lists=8)
+    cent_before = sorted(spark.read.parquet(f"{idx}/centroids").inputFiles())
+
+    out = similarity.append_ann_index(batch, idx)
+    assert out["n_appended"] == 40
+    assert sorted(spark.read.parquet(f"{idx}/centroids").inputFiles()) == cent_before
+
+    q = clustered.filter(F.col("vec_id") % 40 == 1)
+    res1 = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.probe_ann_index(q, idx, k=5, n_probe=2).collect()
+    }
+    # appended ids can now be neighbors
+    assert any(n >= 280 for _, n, _ in res1)
+
+    similarity.append_ann_index(batch, idx)  # retried append: dup rows
+    res2 = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.probe_ann_index(q, idx, k=5, n_probe=2).collect()
+    }
+    assert res2 == res1  # probes collapse duplicates
+
+    acct = similarity.compact_ann_index(spark, idx, files_per_cell=1)
+    assert acct["rows_after"] == 320 and acct["rows_before"] == 360
+    assert acct["files_after"] < acct["files_before"]
+    res3 = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.probe_ann_index(q, idx, k=5, n_probe=2).collect()
+    }
+    assert res3 == res1
+
+    # not-an-index path fails loud before any work
+    with pytest.raises(ValueError, match="_ann_meta"):
+        similarity.append_ann_index(batch, str(tmp_path / "nonsuch"))
+    with pytest.raises(ValueError, match="_ann_meta"):
+        similarity.probe_ann_index(q, str(tmp_path / "nonsuch"))
