@@ -39,6 +39,13 @@ from etl_property_rumah123_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SWEEP = os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0"
 SWEEP_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_SWEEP_RUNS", "2")))
+# Headline timed runs per query (post-warm-up). Same-code rounds have
+# shown 15-30% per-query swings on this box, so the recorded number is
+# the MIN of N runs — the variance-reduced anchor previous rounds had
+# to reconstruct by hand — and the per-query SPREAD (max - min) rides
+# along in the compact line so a reader can see how noisy the box was
+# without re-running.
+BENCH_RUNS = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 # Synthetic ~sf1 dir (tools/make_scaled_testdata.py). When present and
 # the main run is the default sf0.1, the headline set is ALSO timed at
 # sf1 so every recorded bench carries a 10x-scaling data point.
@@ -196,6 +203,14 @@ def streaming_bench(spark) -> dict:
         out["session_windows"] = run(
             pipelines.session_windows, "bench_session_windows"
         )
+        # the engine-native alternative to the TWS gate, re-measured
+        # every round so the routing guidance (use the native operator
+        # when first-arrival-within-watermark semantics suffice; the
+        # TWS gate buys recency-window/bootstrap semantics at a
+        # group-call cost) stays a live number, not a one-off drill
+        out["native_dedup_watermark"] = run(
+            pipelines.dedup_within_watermark, "bench_native_dedup"
+        )
     finally:
         shutil.rmtree(events_dir, ignore_errors=True)
         if prev_provider:
@@ -214,21 +229,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm EVERY headline query once (JVM, parquet footers, codegen
-    # caches) so both timed runs measure the plan, not first-touch
+    # caches) so the timed runs measure the plan, not first-touch
     # costs; the warm-up run is not recorded.
     for spec in headline.values():
         run_once(spec, spark)
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name, spec in headline.items():
-        best = min(run_once(spec, spark) for _ in range(2))
-        timings[name] = round(best, 3)
+        runs = [run_once(spec, spark) for _ in range(BENCH_RUNS)]
+        timings[name] = round(min(runs), 3)
+        spreads[name] = round(max(runs) - min(runs), 3)
+        all_runs[name] = [round(r, 3) for r in runs]
 
     out = {
         "metric": "headline_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spreads,
+        "queries_runs": all_runs,
+        "bench_runs": BENCH_RUNS,
         "sf": sf_of(SF_DIR),
         "loadavg_start": load_at_start,
         "other_jvms_at_start": jvms_at_start,
@@ -292,6 +314,8 @@ def main() -> None:
         "value": out["value"],
         "unit": out["unit"],
         "queries": out["queries"],
+        "queries_spread": out["queries_spread"],
+        "bench_runs": out["bench_runs"],
         "sf": out["sf"],
         "loadavg_start": out["loadavg_start"],
         "loadavg_end": out["loadavg_end"],
