@@ -48,23 +48,57 @@ MAX_BROADCAST_KEYS = int(
     os.environ.get("SPARK_GRAFT_MAX_BROADCAST_KEYS", "5000000")
 )
 
+#: Planning-time fast path for the gate: when Catalyst's own size
+#: estimate of the (pruned, filtered) small side is already under this
+#: many bytes, the hint is applied with ZERO extra jobs. The estimate
+#: errs large for opaque plans (unknown-size defaults), which routes
+#: exactly those to the bounded count probe — the fast path can only
+#: be taken when the optimizer has real file-size evidence.
+MAX_BROADCAST_BYTES = int(
+    os.environ.get(
+        "SPARK_GRAFT_MAX_BROADCAST_BYTES", str(512 * 1024 * 1024)
+    )
+)
+
 
 def gated_broadcast(
     small: DataFrame,
     count_frame: DataFrame | None = None,
     what: str = "small join side",
 ) -> DataFrame:
-    """``F.broadcast(small)`` gated on a bounded row-count probe.
+    """``F.broadcast(small)`` gated against contract-violating sizes.
+
+    Two tiers, cheapest first:
+
+    1. **Planning-time estimate** — ``optimizedPlan().stats()``'s
+       sizeInBytes under ``MAX_BROADCAST_BYTES`` applies the hint with
+       no job at all (the common case: merge batches and dirty-key
+       frames trace back to file scans the optimizer can size).
+    2. **Bounded count probe** — otherwise ``limit(cap + 1).count()``
+       (at most cap+1 rows gathered, whatever the frame's true size)
+       decides: under ``MAX_BROADCAST_KEYS`` rows the hint is applied;
+       past it the hint is DROPPED with a loud warning and Spark plans
+       by its own estimates — a shuffle join instead of an 8 GB
+       broadcast failure or driver OOM.
 
     ``count_frame`` is an optional CHEAPER frame whose row count
     upper-bounds ``small``'s (e.g. the un-distinct batch for a
     ``batch.select(key).distinct()`` side — counting the batch skips
     the distinct's shuffle; distinct keys <= rows, so an under-cap
-    batch can never hide an over-cap key set). The probe is
-    ``limit(cap + 1).count()`` — at most cap+1 rows are ever gathered,
-    so the probe's cost is bounded no matter how large the frame is.
-    One extra (bounded) job per call is the price of never feeding an
-    unbounded frame to the broadcast machinery."""
+    batch can never hide an over-cap key set)."""
+    try:
+        est = int(
+            str(
+                small._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:  # estimate unavailable -> fall through to probe
+        est = None
+    if est is not None and 0 <= est <= MAX_BROADCAST_BYTES:
+        return F.broadcast(small)
     probe = count_frame if count_frame is not None else small
     n = probe.limit(MAX_BROADCAST_KEYS + 1).count()
     if n > MAX_BROADCAST_KEYS:

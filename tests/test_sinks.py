@@ -2421,6 +2421,46 @@ def test_cow_merge_probe_is_broadcast_join(spark, tmp_path):
         )
 
 
+def test_data_skipping_ratio_floor(spark, tmp_path):
+    """The EFFECTIVENESS floor of manifest min/max pruning (the drill
+    in tools/skipping_drill.py records the at-scale number — 96% of
+    files skipped at sf10): a table ingested in 12 non-overlapping
+    key bands must serve a one-band predicate from <= 1/6 of its
+    files, with rows identical to the unpruned filter."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    tdir = str(tmp_path / "skip")
+    df = spark.range(0, 1200).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+    )
+    for band in range(12):
+        table_log.commit_snapshot(
+            df.filter(
+                (F.col("k") >= band * 100) & (F.col("k") < (band + 1) * 100)
+            ).coalesce(1),
+            tdir,
+            mode="append",
+        )
+    total = len(table_log.read_snapshot(spark, tdir).inputFiles())
+    preds = [("k", ">=", 400), ("k", "<=", 499)]
+    pruned = table_log.read_snapshot(spark, tdir, predicates=preds)
+    scanned = len(pruned.inputFiles())
+    assert scanned * 6 <= total, (scanned, total)  # skip ratio >= ~83%
+    want = {
+        r["k"]
+        for r in table_log.read_snapshot(spark, tdir)
+        .filter((F.col("k") >= 400) & (F.col("k") <= 499))
+        .collect()
+    }
+    got = {
+        r["k"]
+        for r in pruned.filter(
+            (F.col("k") >= 400) & (F.col("k") <= 499)
+        ).collect()
+    }
+    assert got == want and len(got) == 100
+
+
 def test_observed_metrics_fall_back_under_speculation(spark, tmp_path, monkeypatch):
     """observe() metrics are accumulator-backed — a speculative
     duplicate task attempt double-counts rows, inflating the commit
@@ -2469,6 +2509,9 @@ def test_gated_broadcast_drops_hint_past_cap(spark, monkeypatch):
     prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # byte cap 0 disables the planning-time fast path so the
+        # count-probe tier is what gets exercised
+        monkeypatch.setattr(common, "MAX_BROADCAST_BYTES", -1)
         monkeypatch.setattr(common, "MAX_BROADCAST_KEYS", 10)
         with pytest.warns(UserWarning, match="MAX_BROADCAST_KEYS"):
             hinted = common.gated_broadcast(big, what="test side")
@@ -2491,6 +2534,16 @@ def test_gated_broadcast_drops_hint_past_cap(spark, monkeypatch):
             )
         probe_plan = plan_of(table_side.join(hinted, "k", "left_semi"))
         assert "BroadcastHashJoin" not in probe_plan, probe_plan
+
+        # planning-time fast path: a tiny estimated side is hinted
+        # with no probe (and no warning) even at a 0 row cap
+        monkeypatch.setattr(common, "MAX_BROADCAST_BYTES", 512 << 20)
+        monkeypatch.setattr(common, "MAX_BROADCAST_KEYS", 0)
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            hinted = common.gated_broadcast(big, what="test side")
+        fast_plan = plan_of(table_side.join(hinted, "k", "left_semi"))
+        assert "BroadcastHashJoin" in fast_plan, fast_plan
     finally:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", prev_thresh
