@@ -266,22 +266,140 @@ def _cap_stats(stats: dict) -> dict:
     return {k: stats[k] for k in keys}
 
 
+#: Footer-based commit stats (round 10). The parquet footers of the
+#: files a commit just wrote ALREADY hold per-column-chunk min/max and
+#: null counts — reading them driver-side is O(files) metadata I/O,
+#: versus the job path's FULL RE-READ of the committed data (at 100 TB
+#: that second pass doubles write-path I/O just to learn numbers the
+#: writer already recorded). Set to "0" to force the job path.
+FOOTER_STATS = os.environ.get("SPARK_GRAFT_FOOTER_STATS", "1") != "0"
+
+
+def _stats_from_footers(
+    spark: SparkSession, table_path: str, rels: list[str]
+) -> dict:
+    """`_stats_for_files` from parquet FOOTER metadata — no Spark job,
+    no data re-read. Mapping rules (all conservative: an unusable
+    column is OMITTED, and an omitted column never prunes):
+
+    - accepted physical types: INT32/INT64 (plain or signed INT
+      annotation — DATE/DECIMAL/TIMESTAMP annotations rejected),
+      FLOAT/DOUBLE (no annotation), BINARY with STRING annotation;
+      top-level columns only — mirrors ``_STATS_TYPES``.
+    - a chunk with no min/max but numNulls == rowCount is all-NULL;
+      a chunk with no min/max and numNulls < rowCount is parquet's
+      NaN-invalidated-stats case (the writer drops float/double stats
+      when NaN is present) or an unknown writer — the column is
+      omitted for the file, so NaN files simply never prune on that
+      column (the job path's NaN→+inf encoding is strictly tighter;
+      both are correct).
+    - string min/max may be writer-truncated; a truncated min is a
+      prefix (<= true min) and a truncated max is incremented
+      (>= true max), so the interval stays valid.
+    - UTF-8 byte order == code-point order, so Python-side string
+      comparisons at prune time match Spark's UTF8String ordering.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    open_file = jvm.org.apache.parquet.hadoop.ParquetFileReader.open
+    from_path = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath
+
+    def value_of(v, kind):
+        if kind == "string":
+            return v.toStringUsingUTF8()
+        return v
+
+    out: dict = {}
+    for rel in rels:
+        reader = open_file(from_path(hadoop_path(f"{table_path}/{rel}"), conf))
+        try:
+            blocks = reader.getFooter().getBlocks()
+            # per column: [min, max, nulls, usable, saw_values]
+            acc: dict[str, list] = {}
+            for bi in range(blocks.size()):
+                block = blocks.get(bi)
+                n_rows = block.getRowCount()
+                cols = block.getColumns()
+                for ci in range(cols.size()):
+                    c = cols.get(ci)
+                    name = c.getPath().toDotString()
+                    if "." in name:
+                        continue
+                    pt = c.getPrimitiveType()
+                    ptn = pt.getPrimitiveTypeName().toString()
+                    ann = pt.getLogicalTypeAnnotation()
+                    ann_s = "" if ann is None else str(ann)
+                    if ptn == "BINARY" and ann_s == "STRING":
+                        kind = "string"
+                    elif ptn in ("INT32", "INT64") and (
+                        ann_s == ""
+                        or (ann_s.startswith("INT(") and ann_s.endswith("true)"))
+                    ):
+                        kind = "int"
+                    elif ptn in ("FLOAT", "DOUBLE") and ann_s == "":
+                        kind = "float"
+                    else:
+                        continue
+                    a = acc.setdefault(name, [None, None, 0, True, False])
+                    if not a[3]:
+                        continue
+                    st = c.getStatistics()
+                    if st is None or not st.isNumNullsSet():
+                        a[3] = False
+                        continue
+                    nulls = st.getNumNulls()
+                    a[2] += nulls
+                    if st.hasNonNullValue():
+                        mn = value_of(st.genericGetMin(), kind)
+                        mx = value_of(st.genericGetMax(), kind)
+                        a[0] = mn if (a[0] is None or mn < a[0]) else a[0]
+                        a[1] = mx if (a[1] is None or mx > a[1]) else a[1]
+                        a[4] = True
+                    elif nulls != n_rows:
+                        # values exist but no bounds: NaN-invalidated
+                        # (or unknown writer) -> unusable, keep file
+                        a[3] = False
+        finally:
+            reader.close()
+        out[rel] = {
+            name: [a[0], a[1], a[2]]
+            for name, a in acc.items()
+            if a[3] and (a[4] or a[0] is None)
+        }
+    return out
+
+
 def _stats_for_files(spark: SparkSession, table_path: str, rels: list[str]) -> dict:
     """Per-file column stats for manifest-level data skipping:
     ``{rel_path: {col: [min, max, null_count]}}`` over the stats-
-    eligible columns. ONE aggregate job grouped by file path — runs
-    over data just written (page-cache warm), with map-side partial
-    aggregation, so the commit-time cost is a single cheap pass.
+    eligible columns. Default path (round 10): driver-side parquet
+    FOOTER reads — O(files) metadata I/O, zero Spark jobs, no second
+    pass over the data the commit just wrote (see
+    :func:`_stats_from_footers`). Falls back to the original ONE
+    aggregate job grouped by file path (map-side partial aggregation
+    over page-cache-warm data) when footer reading fails or
+    SPARK_GRAFT_FOOTER_STATS=0.
 
     Guarded by ``MAX_STATS_FILES``: a commit writing more files than
-    the cap skips stats collection entirely (the groupBy-file collect
-    is one row PER FILE on the driver — fine at 10⁴, a flood at 10⁶).
-    Those files scan unpruned, which is the documented conservative
+    the cap skips stats collection entirely (both paths are one entry
+    PER FILE on the driver — fine at 10⁴, a flood at 10⁶). Those
+    files scan unpruned, which is the documented conservative
     degradation, not an error."""
     from pyspark.sql import functions as F
 
     if not rels or len(rels) > MAX_STATS_FILES:
         return {}
+    if FOOTER_STATS:
+        try:
+            return _stats_from_footers(spark, table_path, rels)
+        except Exception as ex:  # fall back to the job path, loudly
+            warnings.warn(
+                f"footer-based commit stats failed ({type(ex).__name__}: "
+                f"{ex}); falling back to the aggregate-job path. Set "
+                "SPARK_GRAFT_FOOTER_STATS=0 to silence.",
+                stacklevel=2,
+            )
     df = spark.read.parquet(*[f"{table_path}/{rel}" for rel in rels])
     eligible = [
         f.name
@@ -293,10 +411,24 @@ def _stats_for_files(spark: SparkSession, table_path: str, rels: list[str]) -> d
     aggs = []
     for i, c in enumerate(eligible):
         col = df[c]  # bracket access: names need no identifier quoting
+        if df.schema[c].dataType.typeName() in ("float", "double"):
+            # Spark orders NaN ABOVE every double (NaN >= x is TRUE
+            # for any finite x — unlike IEEE), so an unfiltered max
+            # over a NaN-containing column is NaN, and the pruner's
+            # Python-side `mx >= val` is then False: the file is
+            # WRONGLY skipped despite holding matches (both its real
+            # values and, under Spark semantics, the NaN rows
+            # themselves). Encoding NaN as +Infinity in the stats
+            # domain makes the [min, max] interval exact under Spark's
+            # ordering: a NaN-containing file keeps mx = inf (never
+            # pruned for >, >=, kept for = only when val >= mn), and
+            # an all-NaN file gets [inf, inf] — correctly skippable
+            # for <, <=, and finite = while kept for > and >=.
+            col = F.when(F.isnan(col), F.lit(float("inf"))).otherwise(col)
         aggs += [
             F.min(col).alias(f"mn_{i}"),
             F.max(col).alias(f"mx_{i}"),
-            F.sum(col.isNull().cast("long")).alias(f"nu_{i}"),
+            F.sum(df[c].isNull().cast("long")).alias(f"nu_{i}"),
         ]
     rows = (
         df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
@@ -326,6 +458,12 @@ def _file_may_match(file_stats: dict, col: str, op: str, val) -> bool:
     null-rejecting)."""
     st = file_stats.get(col)
     if st is None:
+        return True
+    if isinstance(val, float) and val != val:
+        # NaN literal: Spark's NaN ordering (NaN == NaN is TRUE, NaN
+        # beats every double) is not what the Python comparisons below
+        # implement — never prune on a NaN literal, let the row filter
+        # decide.
         return True
     mn, mx, _nulls = st
     if mn is None or mx is None:

@@ -2421,6 +2421,95 @@ def test_cow_merge_probe_is_broadcast_join(spark, tmp_path):
         )
 
 
+@pytest.mark.parametrize("footer_stats", [True, False])
+def test_data_skipping_nan_columns_never_over_prune(
+    spark, tmp_path, monkeypatch, footer_stats
+):
+    """REGRESSION (round 10): Spark orders NaN above every double
+    (NaN >= finite is TRUE), so a naive file max over a NaN-containing
+    column is NaN — and the pruner's Python `mx >= val` was then
+    False, silently dropping a file that held real matches. Both stats
+    paths must return exactly the right ROWS for every op; the file
+    counts differ by design — the job path encodes NaN as +Infinity
+    (tight: an all-NaN file is skippable for </<=/finite =), while the
+    footer path omits NaN-invalidated columns (conservative: NaN
+    files are never pruned on that column)."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    monkeypatch.setattr(table_log, "FOOTER_STATS", footer_stats)
+    t = str(tmp_path / f"nan_{footer_stats}")
+    for rows in ([(1, 1.0), (2, float("nan"))], [(3, float("nan"))], [(4, 5.0)]):
+        table_log.commit_snapshot(
+            spark.createDataFrame(rows, "k long, v double").coalesce(1),
+            t,
+            mode="append",
+        )
+
+    def got(op, val):
+        pruned = table_log.read_snapshot(spark, t, predicates=[("v", op, val)])
+        op_sql = "==" if op == "=" else op
+        return (
+            sorted(
+                r["k"]
+                for r in pruned.filter(F.expr(f"v {op_sql} {val}")).collect()
+            ),
+            len(pruned.inputFiles()),
+        )
+
+    # Spark semantics: NaN satisfies > and >= against any finite value.
+    # Files: A=(1.0, NaN), B=(all NaN), C=(5.0). Footer path keeps A
+    # and B on every v predicate (column omitted); job path's NaN->inf
+    # encoding additionally skips B for </<=/finite = and A for <=0.5.
+    assert got(">=", 0.5) == ([1, 2, 3, 4], 3)
+    assert got(">", 2.0) == ([2, 3, 4], 3)  # the 1.0/NaN file must stay
+    assert got("<", 2.0) == ([1], 2 if footer_stats else 1)
+    assert got("=", 5.0) == ([4], 3 if footer_stats else 2)
+    assert got("<=", 0.5) == ([], 2 if footer_stats else 0)
+    # NaN literal: never prune (Python comparisons cannot model it)
+    assert table_log._file_may_match(
+        {"v": [1.0, 2.0, 0]}, "v", ">=", float("nan")
+    )
+
+
+def test_footer_stats_match_job_stats(spark, tmp_path):
+    """The footer-based commit stats (zero jobs, no data re-read) must
+    produce byte-identical manifest stats to the aggregate-job path on
+    NaN-free data — ints (with nulls), strings, doubles, an all-null
+    column — and exclude exactly the non-eligible types."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 1.5, None, None),
+            (2, "omega", -3.25, 7, None),
+            (3, "beta", 0.0, 2, None),
+        ],
+        "k long, s string, v double, n int, z string",
+    ).coalesce(1)
+    base = str(tmp_path / "fs")
+    df.write.parquet(base)
+    import os as _os
+
+    rels = sorted(
+        f for f in _os.listdir(base) if f.endswith(".parquet")
+    )
+    via_footers = table_log._stats_from_footers(spark, base, rels)
+    # force the job path for the comparison
+    prev = table_log.FOOTER_STATS
+    try:
+        table_log.FOOTER_STATS = False
+        via_job = table_log._stats_for_files(spark, base, rels)
+    finally:
+        table_log.FOOTER_STATS = prev
+    assert via_footers == via_job, (via_footers, via_job)
+    stats = via_footers[rels[0]]
+    assert stats["k"] == [1, 3, 0]
+    assert stats["s"] == ["alpha", "omega", 0]
+    assert stats["v"] == [-3.25, 1.5, 0]
+    assert stats["n"] == [2, 7, 1]
+    assert stats["z"] == [None, None, 3]  # all-null column: skippable
+
+
 def test_data_skipping_ratio_floor(spark, tmp_path):
     """The EFFECTIVENESS floor of manifest min/max pruning (the drill
     in tools/skipping_drill.py records the at-scale number — 96% of
