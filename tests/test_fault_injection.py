@@ -76,6 +76,18 @@ def test_fault_drill_snapshot_exactly_once():
 
 
 @pytest.mark.slow
+def test_fault_drill_ann_index_append_exactly_once():
+    """A task dying on attempt 0 during append_ann_index's cell write
+    must leave the persisted index identical (row count and probe
+    results) to a clean build+append — the parquet committer publishes
+    exactly one attempt's files."""
+    out = _run_drill("--only", "ann_index_task_retry")
+    assert out["failures"] == 0, out["results"]
+    res = out["results"]["ann_index_task_retry"]
+    assert res.startswith("ok") and "faults fired" in res, res
+
+
+@pytest.mark.slow
 def test_fault_drill_pgwire_staging_retry(pg_sock):  # noqa: F811
     """The reference load path with a staging task dying AFTER its
     transaction committed: the retried attempt re-inserts the whole

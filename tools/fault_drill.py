@@ -313,6 +313,71 @@ def scenario_pgwire_staging_retry(spark, work: str, sock: str) -> str:
     return f"ok ({n} rows exactly once; {'; '.join(outcomes)})"
 
 
+def scenario_ann_index_task_retry(spark, work: str) -> str:
+    """Task retry during ``append_ann_index``'s cell write: the
+    parquet job committer publishes exactly one attempt's files, so a
+    task dying on attempt 0 must leave the persisted ANN index
+    byte-equal (row counts and probe results) to a clean build+append
+    — no duplicated and no lost vectors. This is the committer-level
+    exactly-once the index's append contract leans on (a RETRIED WHOLE
+    append is the documented duplicate case that probes collapse and
+    compaction removes — different regime, covered in
+    test_similarity_recall.py)."""
+    import math
+
+    from etl_property_rumah123_spark.operators import similarity
+
+    marker = os.path.join(work, "m_ann")
+    os.makedirs(marker)
+
+    def vec(i: int) -> list[float]:
+        return [math.sin(i * 17.0 + d) for d in range(8)]
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(200)], schema
+    ).repartition(4)
+    batch = spark.createDataFrame(
+        [(i, vec(i)) for i in range(200, 240)], schema
+    ).repartition(4)
+
+    clean = os.path.join(work, "ann_clean")
+    faulty = os.path.join(work, "ann_faulty")
+    similarity.write_ann_index(corpus, clean, n_lists=4)
+    similarity.append_ann_index(batch, clean)
+    similarity.write_ann_index(corpus, faulty, n_lists=4)
+    poisoned = batch.mapInPandas(make_fault_map(marker), schema)
+    similarity.append_ann_index(poisoned, faulty)
+    if _markers(marker) < 1:
+        return "FAIL ann_index: fault never fired (injection is vacuous)"
+
+    spark.catalog.refreshByPath(f"{clean}/cells")
+    spark.catalog.refreshByPath(f"{faulty}/cells")
+    n_clean = spark.read.parquet(f"{clean}/cells").count()
+    n_faulty = spark.read.parquet(f"{faulty}/cells").count()
+    if n_faulty != n_clean:
+        return (
+            f"FAIL ann_index: cells rows {n_faulty} != clean {n_clean} "
+            "(task retry duplicated or lost vectors)"
+        )
+    q = corpus.filter("vec_id % 50 = 0")
+
+    def probe(path: str):
+        return sorted(
+            tuple(r)
+            for r in similarity.probe_ann_index(
+                q, path, k=5, n_probe=2
+            ).collect()
+        )
+
+    if probe(faulty) != probe(clean):
+        return "FAIL ann_index: probe results differ from clean run"
+    return (
+        f"ok ({n_faulty} index rows exactly once, "
+        f"{_markers(marker)} faults fired)"
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pg-sock", default=None)
@@ -359,6 +424,10 @@ def main() -> int:
         if wanted("mor_merge_task_retry"):
             results["mor_merge_task_retry"] = _merge_scenario(
                 spark, work, mor=True
+            )
+        if wanted("ann_index_task_retry"):
+            results["ann_index_task_retry"] = scenario_ann_index_task_retry(
+                spark, work
             )
         if args.pg_sock and wanted("pgwire_staging_retry"):
             results["pgwire_staging_retry"] = scenario_pgwire_staging_retry(
