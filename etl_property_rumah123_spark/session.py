@@ -78,6 +78,12 @@ def get_spark(
         # try_cast explicitly so they stay correct under ANSI sessions.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT64 micros instead of the legacy INT96: INT96 timestamps
+        # carry NO parquet statistics, so snapshot tables written with
+        # them can never prune on a timestamp predicate (the footer-
+        # based manifest stats need the INT64 min/max). Also the
+        # non-deprecated encoding every other engine reads natively.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if master is None and not os.environ.get("SPARK_MASTER"):
         master = f"local[{cpus}]"

@@ -197,12 +197,16 @@ def _write_commit_dir_observed(
     return files, values
 
 
-#: Column types that get per-file min/max/null-count stats in the
-#: manifest. Dates/timestamps/decimals are excluded on purpose: their
-#: values would need a type-tagged JSON encoding and a matching
-#: comparator at prune time — numeric + string covers the predicate
-#: shapes the reader prunes on, and anything without stats is simply
-#: never skipped (pruning is always conservative).
+#: Column types that get per-file min/max/null-count stats via the
+#: AGGREGATE-JOB path. Decimals are excluded on purpose (they would
+#: need a type-tagged JSON encoding); anything without stats is simply
+#: never skipped (pruning is always conservative). The FOOTER path
+#: (round 10, the default) additionally covers DATE (epoch-day ints)
+#: and INT64 TIMESTAMP columns (epoch-micros ints) — the most common
+#: selective predicates on event tables — with the matching
+#: datetime/date literal conversion in ``_file_may_match``. Note the
+#: legacy INT96 timestamp encoding carries no parquet stats at all;
+#: the engine session writes TIMESTAMP_MICROS (session.py).
 _STATS_TYPES = (
     "byte", "short", "integer", "long", "float", "double", "string"
 )
@@ -305,9 +309,15 @@ def _stats_from_footers(
     open_file = jvm.org.apache.parquet.hadoop.ParquetFileReader.open
     from_path = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath
 
-    def value_of(v, kind):
+    def value_of(v, kind, is_max=False):
         if kind == "string":
             return v.toStringUsingUTF8()
+        if kind == "ts_ms":
+            return int(v) * 1000
+        if kind == "ts_ns":
+            # floor the min, ceil the max: the micros interval must
+            # CONTAIN the true nanos interval to stay conservative
+            return -((-int(v)) // 1000) if is_max else int(v) // 1000
         return v
 
     out: dict = {}
@@ -339,6 +349,25 @@ def _stats_from_footers(
                         kind = "int"
                     elif ptn in ("FLOAT", "DOUBLE") and ann_s == "":
                         kind = "float"
+                    elif ptn == "INT32" and ann_s == "DATE":
+                        # days since epoch — _file_may_match converts a
+                        # datetime.date literal to the same unit
+                        kind = "int"
+                    elif ptn == "INT64" and ann_s.startswith("TIMESTAMP("):
+                        # stored as epoch MICROS in the manifest
+                        # whatever the file's unit (INT96 timestamps —
+                        # Spark's legacy default — carry no stats and
+                        # never reach here; write with
+                        # spark.sql.parquet.outputTimestampType=
+                        # TIMESTAMP_MICROS, the engine session default)
+                        if "MICROS" in ann_s:
+                            kind = "ts_us"
+                        elif "MILLIS" in ann_s:
+                            kind = "ts_ms"
+                        elif "NANOS" in ann_s:
+                            kind = "ts_ns"
+                        else:
+                            continue
                     else:
                         continue
                     a = acc.setdefault(name, [None, None, 0, True, False])
@@ -352,7 +381,7 @@ def _stats_from_footers(
                     a[2] += nulls
                     if st.hasNonNullValue():
                         mn = value_of(st.genericGetMin(), kind)
-                        mx = value_of(st.genericGetMax(), kind)
+                        mx = value_of(st.genericGetMax(), kind, is_max=True)
                         a[0] = mn if (a[0] is None or mn < a[0]) else a[0]
                         a[1] = mx if (a[1] is None or mx > a[1]) else a[1]
                         a[4] = True
@@ -465,6 +494,18 @@ def _file_may_match(file_stats: dict, col: str, op: str, val) -> bool:
         # implement — never prune on a NaN literal, let the row filter
         # decide.
         return True
+    import datetime as _dt
+
+    if isinstance(val, _dt.datetime):
+        # timestamp stats are epoch MICROS ints (footer path); a naive
+        # literal is taken as UTC — the engine's session timezone
+        if val.tzinfo is None:
+            val = val.replace(tzinfo=_dt.timezone.utc)
+        val = (
+            val - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        ) // _dt.timedelta(microseconds=1)
+    elif isinstance(val, _dt.date):
+        val = (val - _dt.date(1970, 1, 1)).days  # DATE stats: epoch days
     mn, mx, _nulls = st
     if mn is None or mx is None:
         return False  # all-NULL column: no comparison can hold

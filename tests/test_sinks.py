@@ -2471,6 +2471,64 @@ def test_data_skipping_nan_columns_never_over_prune(
     )
 
 
+def test_data_skipping_on_timestamp_and_date_predicates(spark, tmp_path):
+    """Timestamp/date pruning (round 10): the footer stats path covers
+    DATE (epoch-day ints) and INT64-micros TIMESTAMP columns, and the
+    pruner converts datetime/date literals to the same units — the
+    most common selective predicate on an event table prunes at the
+    manifest, files are skipped, rows stay exact. Requires the
+    engine's TIMESTAMP_MICROS writer setting (INT96 has no stats)."""
+    import datetime as dt
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "ts")
+    # three yearly bands, one file each
+    for year in (1998, 1999, 2000):
+        rows = [
+            (
+                i,
+                dt.datetime(year, 1 + i % 12, 3, 4, 5, 6),
+                dt.date(year, 1 + i % 12, 7),
+            )
+            for i in range(24)
+        ]
+        table_log.commit_snapshot(
+            spark.createDataFrame(rows, "k long, ts timestamp, d date")
+            .coalesce(1),
+            t,
+            mode="append",
+        )
+    total = len(table_log.read_snapshot(spark, t).inputFiles())
+    assert total == 3
+
+    def run(preds, expect_files):
+        pruned = table_log.read_snapshot(spark, t, predicates=preds)
+        assert len(pruned.inputFiles()) == expect_files, preds
+        return pruned
+
+    # one-year timestamp range: only that band's file is scanned
+    got = run(
+        [
+            ("ts", ">=", dt.datetime(1999, 1, 1)),
+            ("ts", "<", dt.datetime(2000, 1, 1)),
+        ],
+        1,
+    ).count()
+    assert got == 24
+    # date predicate prunes the same way
+    assert run([("d", ">=", dt.date(2000, 1, 1))], 1).count() == 24
+    # rows identical to an unpruned filter (correctness invariant)
+    want = (
+        table_log.read_snapshot(spark, t)
+        .filter(F.col("ts") >= F.lit(dt.datetime(2000, 1, 1)))
+        .count()
+    )
+    assert (
+        run([("ts", ">=", dt.datetime(2000, 1, 1))], 1).count() == want == 24
+    )
+
+
 def test_footer_stats_match_job_stats(spark, tmp_path):
     """The footer-based commit stats (zero jobs, no data re-read) must
     produce byte-identical manifest stats to the aggregate-job path on
