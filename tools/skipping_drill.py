@@ -11,10 +11,11 @@ parquet row-group stats still apply, so the delta isolates what the
 manifest tier adds on top of parquet's own).
 
 Setup mirrors incremental ingest: orders arrives in per-quarter
-commits (each commit's files carry tight [min, max] stats on a numeric
-yyyymmdd date key — dates/timestamps are deliberately outside the
-stats tier, see table_log._STATS_TYPES, so the drill uses the standard
-int-date pattern), then one quarter is read back.
+commits, then one quarter is read back TWO ways — by a numeric
+yyyymmdd date key (the classic int-date pattern) and, since round 10,
+by a NATIVE timestamp predicate directly on o_orderdate (footer stats
+record INT64-micros timestamps; the engine session writes
+TIMESTAMP_MICROS instead of stats-less INT96).
 
 Usage:
     python tools/skipping_drill.py               # /tmp/sf10_synth
@@ -102,12 +103,24 @@ def main() -> None:
     files_scanned = len(
         table_log.read_snapshot(spark, tdir, predicates=preds).inputFiles()
     )
+    # native timestamp predicate over the same quarter (round 10)
+    import datetime as dt
+
+    ts_preds = [
+        ("o_orderdate", ">=", dt.datetime(1998, 4, 1)),
+        ("o_orderdate", "<", dt.datetime(1998, 7, 1)),
+    ]
+    ts_df = table_log.read_snapshot(spark, tdir, predicates=ts_preds)
+    ts_files = len(ts_df.inputFiles())
+    n_ts = ts_df.count()
+    assert n_ts == n_pruned, (n_ts, n_pruned)
     out = {
         "metric": "data_skipping_ratio",
         "sf_dir": SF,
         "n_commits": len(bands),
         "files_total": files_total,
         "files_scanned": files_scanned,
+        "files_scanned_ts_pred": ts_files,
         "skip_ratio": round(1 - files_scanned / files_total, 4),
         "rows_selected": n_pruned,
         "pruned_sec": round(pruned_sec, 3),
