@@ -692,7 +692,14 @@ def _ann_fs(spark, path: str):
     return jvm, hp, hp(path).getFileSystem(conf)
 
 
-def _ann_meta_dict(n_lists: int, dim: int, salt: str, vec_col: str, id_col: str) -> dict:
+def _ann_meta_dict(
+    n_lists: int,
+    dim: int,
+    salt: str,
+    vec_col: str,
+    id_col: str,
+    transactional: bool = False,
+) -> dict:
     return {
         "format": 1,
         "kind": "ivf_seeded",
@@ -701,6 +708,7 @@ def _ann_meta_dict(n_lists: int, dim: int, salt: str, vec_col: str, id_col: str)
         "salt": salt,
         "vec_col": vec_col,
         "id_col": id_col,
+        "transactional": transactional,
     }
 
 
@@ -771,19 +779,32 @@ def write_ann_index(
     id_col: str = "vec_id",
     salt: str = "ivf|",
     files_per_cell: int = 1,
+    transactional: bool = False,
 ) -> dict:
     """Build and persist the IVF index: hash-pick ``n_lists`` seed
     centroids from the corpus, assign every corpus vector to its
     nearest cell (one pass, the only full-corpus job this index ever
     runs), and write centroids + cell-partitioned assignments +
     sidecar. Overwrites any index at ``path``. Returns accounting
-    ``{path, n_lists, dim, n_vectors}``."""
+    ``{path, n_lists, dim, n_vectors}``.
+
+    ``transactional=True`` stores the assignments in a SNAPSHOT-LOG
+    table (sinks/table_log.py) instead of a plain hive-partitioned
+    dir: appends become manifest commits (multi-writer safe under the
+    version-rename race machinery, vs the plain dir's single-
+    maintainer contract), the index is TIME-TRAVELABLE (probe an
+    older version while a backfill lands), and old files are vacuumed
+    with the standard table tooling. Probes prune via the manifest's
+    per-file cell [min, max] stats (``("cell", "in", probed)``)
+    instead of hive partition pruning — the same scan shape."""
     spark = corpus.sparkSession
     seeds = _hash_sample_rows(corpus, n_lists, salt, vec_col, id_col)
     if not seeds:
         raise ValueError("write_ann_index: corpus is empty")
     dim = len(seeds[0][2])
-    meta = _ann_meta_dict(n_lists, dim, salt, vec_col, id_col)
+    meta = _ann_meta_dict(
+        n_lists, dim, salt, vec_col, id_col, transactional
+    )
     cent_df = spark.createDataFrame(
         [(i, v) for i, _sid, v in seeds], "cell int, centroid array<double>"
     )
@@ -799,20 +820,27 @@ def write_ann_index(
         vec_col,
         id_col,
     ).select("id", F.col("__v").alias("vec"), "cell")
-    from pyspark.sql import Observation
+    laid = _cell_layout(assigned, n_lists, files_per_cell)
+    if transactional:
+        from etl_property_rumah123_spark.sinks import table_log
 
-    obs = Observation()
-    _cell_layout(assigned, n_lists, files_per_cell).observe(
-        obs, F.count(F.lit(1)).alias("n")
-    ).write.mode("errorifexists").partitionBy("cell").parquet(
-        f"{path}/cells"
-    )
+        laid = laid.localCheckpoint()  # one computation: count + commit
+        n = laid.count()
+        table_log.commit_snapshot(laid, f"{path}/cells_log", mode="overwrite")
+    else:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        laid.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "errorifexists"
+        ).partitionBy("cell").parquet(f"{path}/cells")
+        n = obs.get["n"]
     _write_ann_meta(spark, path, meta)
     return {
         "path": path,
         "n_lists": n_lists,
         "dim": dim,
-        "n_vectors": obs.get["n"],
+        "n_vectors": n,
     }
 
 
@@ -827,7 +855,10 @@ def append_ann_index(
     parameters would not error — it would silently mis-route probes.
     Retried appends duplicate rows; probes dedupe candidates, and
     compact_ann_index drops the duplicates (same regime as the LSH
-    index). Returns ``{path, n_appended}``."""
+    index). On a TRANSACTIONAL index the append is a snapshot-log
+    commit instead — multi-writer safe, versioned, vacuum-able.
+    Returns ``{path, n_appended}`` (plus ``version`` when
+    transactional)."""
     spark = new_vectors.sparkSession
     meta = read_ann_meta(spark, path)
     cent_df = spark.read.parquet(f"{path}/centroids")
@@ -839,12 +870,22 @@ def append_ann_index(
         meta["vec_col"],
         meta["id_col"],
     ).select("id", F.col("__v").alias("vec"), "cell")
+    laid = _cell_layout(assigned, meta["n_lists"], files_per_cell)
+    if meta.get("transactional"):
+        from etl_property_rumah123_spark.sinks import table_log
+
+        laid = laid.localCheckpoint()
+        n = laid.count()
+        v = table_log.commit_snapshot(
+            laid, f"{path}/cells_log", mode="append"
+        )
+        return {"path": path, "n_appended": n, "version": v}
     from pyspark.sql import Observation
 
     obs = Observation()
-    _cell_layout(assigned, meta["n_lists"], files_per_cell).observe(
-        obs, F.count(F.lit(1)).alias("n")
-    ).write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+    laid.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/cells")
     return {"path": path, "n_appended": obs.get["n"]}
 
 
@@ -855,6 +896,7 @@ def probe_ann_index(
     n_probe: int = 2,
     vec_col: str | None = None,
     id_col: str | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Top-k neighbors for a query batch against a persisted index, at
     BATCH COST: assign each query to its ``n_probe`` nearest cells
@@ -867,7 +909,13 @@ def probe_ann_index(
     the sidecar's (override when the query frame names differ).
     Output: (query_id, neighbor_id, rank) — the knn/ann contract.
     Self-pairs are excluded; duplicate index rows (retried appends)
-    are collapsed before ranking."""
+    are collapsed before ranking.
+
+    On a TRANSACTIONAL index the scan goes through the snapshot log
+    (manifest cell-stats pruning via a ``("cell", "in", probed)``
+    predicate — same probed-fraction scan shape) and ``version``
+    TIME-TRAVELS the probe: serve yesterday's index while a backfill
+    lands. ``version`` on a plain-dir index is an error."""
     spark = queries.sparkSession
     meta = read_ann_meta(spark, path)
     vc = vec_col or meta["vec_col"]
@@ -881,13 +929,30 @@ def probe_ann_index(
     probed_cells = sorted(
         r[0] for r in probes.select("cell").distinct().collect()
     )
-    # a probe before any append in the same session must not see a
-    # stale (or negatively-cached) listing — same trap as the LSH index
-    spark.catalog.refreshByPath(f"{path}/cells")
-    cells = (
-        spark.read.parquet(f"{path}/cells")
-        .filter(F.col("cell").isin(probed_cells))
-        .select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "cell")
+    if meta.get("transactional"):
+        from etl_property_rumah123_spark.sinks import table_log
+
+        cells_raw = table_log.read_snapshot(
+            spark,
+            f"{path}/cells_log",
+            version=version,
+            predicates=[("cell", "in", probed_cells)],
+        )
+    else:
+        if version is not None:
+            raise ValueError(
+                "version= time travel needs a transactional index "
+                "(write_ann_index(..., transactional=True)); this is a "
+                "plain-dir index with no version history."
+            )
+        # a probe before any append in the same session must not see a
+        # stale (or negatively-cached) listing — same LSH-index trap
+        spark.catalog.refreshByPath(f"{path}/cells")
+        cells_raw = spark.read.parquet(f"{path}/cells").filter(
+            F.col("cell").isin(probed_cells)
+        )
+    cells = cells_raw.select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "cell"
     )
     scored = (
         probes.join(cells, "cell")
@@ -921,8 +986,38 @@ def compact_ann_index(
     single-maintainer contract and rename-aside/rename-in swap as
     compact_lsh_index (operators/dedup.py): the cells table exists at
     its path except during two metadata renames, and an interrupted
-    swap leaves the original at ``cells.__old__``."""
+    swap leaves the original at ``cells.__old__``. On a TRANSACTIONAL
+    index the rewrite is simply a new snapshot version (an atomic
+    manifest commit — no rename dance, old versions stay probe-able
+    until vacuumed by the standard table tooling)."""
     meta = read_ann_meta(spark, path)  # also guards "is an index"
+    if meta.get("transactional"):
+        from etl_property_rumah123_spark.sinks import table_log
+
+        log_path = f"{path}/cells_log"
+        idx = table_log.read_snapshot(spark, log_path)
+        rows_before = idx.count()
+        files_before = len(idx.inputFiles())
+        if retain_condition is not None:
+            idx = idx.filter(retain_condition)
+        compacted = (
+            idx.dropDuplicates(["id", "cell"])
+            .repartition(meta["n_lists"] * files_per_cell, "cell")
+            .localCheckpoint()
+        )
+        rows_after = compacted.count()
+        version = table_log.commit_snapshot(
+            compacted, log_path, mode="overwrite"
+        )
+        after = table_log.read_snapshot(spark, log_path)
+        return {
+            "path": path,
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+            "files_before": files_before,
+            "files_after": len(after.inputFiles()),
+            "version": version,
+        }
     cells_path = f"{path}/cells"
     _jvm, hp, fs = _ann_fs(spark, path)
     spark.catalog.refreshByPath(cells_path)

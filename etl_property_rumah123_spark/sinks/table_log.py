@@ -476,7 +476,7 @@ def _stats_for_files(spark: SparkSession, table_path: str, rels: list[str]) -> d
 
 #: Predicate operators the pruner understands; anything else must go
 #: through a post-read filter instead.
-_PRUNE_OPS = ("<", "<=", ">", ">=", "=", "==")
+_PRUNE_OPS = ("<", "<=", ">", ">=", "=", "==", "in")
 
 
 def _file_may_match(file_stats: dict, col: str, op: str, val) -> bool:
@@ -494,22 +494,35 @@ def _file_may_match(file_stats: dict, col: str, op: str, val) -> bool:
         # implement — never prune on a NaN literal, let the row filter
         # decide.
         return True
+    if op == "in" and any(
+        isinstance(v, float) and v != v for v in val
+    ):
+        return True  # same NaN rule for list membership
     import datetime as _dt
 
-    if isinstance(val, _dt.datetime):
-        # timestamp stats are epoch MICROS ints (footer path); a naive
-        # literal is taken as UTC — the engine's session timezone
-        if val.tzinfo is None:
-            val = val.replace(tzinfo=_dt.timezone.utc)
-        val = (
-            val - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
-        ) // _dt.timedelta(microseconds=1)
-    elif isinstance(val, _dt.date):
-        val = (val - _dt.date(1970, 1, 1)).days  # DATE stats: epoch days
+    def _conv(v):
+        # timestamp stats are epoch MICROS ints and DATE stats are
+        # epoch-day ints (footer path); a naive datetime literal is
+        # taken as UTC — the engine's session timezone
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return (
+                v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            ) // _dt.timedelta(microseconds=1)
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        return v
+
+    val = [_conv(v) for v in val] if op == "in" else _conv(val)
     mn, mx, _nulls = st
     if mn is None or mx is None:
         return False  # all-NULL column: no comparison can hold
     try:
+        if op == "in":
+            # keep the file iff ANY listed value falls in [mn, mx];
+            # an empty list provably matches nothing
+            return any(mn <= v <= mx for v in val)
         if op in ("=", "=="):
             return mn <= val <= mx
         if op == "<":
@@ -1246,7 +1259,9 @@ def read_snapshot(
     costs a footer pass, not a data rewrite).
 
     ``predicates``: ``[(col, op, literal), ...]`` with op in
-    ``< <= > >= = ==``, ANDed — MANIFEST-LEVEL DATA SKIPPING. Files
+    ``< <= > >= = == in`` (``in`` takes a list literal — the
+    enum/bucket shape, e.g. probing an index's cells), ANDed —
+    MANIFEST-LEVEL DATA SKIPPING. Files
     whose committed [min, max] interval provably excludes the
     predicate are dropped from the scan before Spark ever lists them:
     at 100 TB that is the difference between "planner touches 3 files"
@@ -1381,7 +1396,10 @@ def read_snapshot(
             ">=": _op.ge, "=": _op.eq, "==": _op.eq,
         }
         for c, op, v in predicates:
-            df = df.filter(ops[op](df[c], F.lit(v)))
+            if op == "in":
+                df = df.filter(df[c].isin(list(v)))
+            else:
+                df = df.filter(ops[op](df[c], F.lit(v)))
     return df
 
 

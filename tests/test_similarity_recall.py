@@ -340,3 +340,65 @@ def test_ann_index_append_no_refit_and_compact(spark, clustered, tmp_path):
         similarity.append_ann_index(batch, str(tmp_path / "nonsuch"))
     with pytest.raises(ValueError, match="_ann_meta"):
         similarity.probe_ann_index(q, str(tmp_path / "nonsuch"))
+
+
+def test_ann_index_transactional_variant(spark, clustered, tmp_path):
+    """The snapshot-log-backed index: same probe results as the
+    plain-dir form, appends are versioned commits, probes can
+    TIME-TRAVEL to a pre-append version, compaction is an atomic
+    overwrite commit, and the manifest's cell stats prune the probe
+    scan. version= on a plain index fails loud."""
+    import pytest
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    plain = str(tmp_path / "plain")
+    txn = str(tmp_path / "txn")
+    standing = clustered.filter(F.col("vec_id") < 280)
+    batch = clustered.filter(F.col("vec_id") >= 280)
+    similarity.write_ann_index(standing, plain, n_lists=8)
+    info = similarity.write_ann_index(
+        standing, txn, n_lists=8, transactional=True
+    )
+    assert info["n_vectors"] == 280
+    q = clustered.filter(F.col("vec_id") % 40 == 1)
+
+    def probe(path, **kw):
+        return sorted(
+            tuple(r)
+            for r in similarity.probe_ann_index(
+                q, path, k=5, n_probe=2, **kw
+            ).collect()
+        )
+
+    base = probe(plain)
+    assert probe(txn) == base  # identical serving math
+
+    out = similarity.append_ann_index(batch, txn)
+    assert out["n_appended"] == 40 and out["version"] == 1
+    after = probe(txn)
+    assert any(n >= 280 for _, n, _ in after)
+    # time travel: version 0 predates the append
+    assert probe(txn, version=0) == base
+    with pytest.raises(ValueError, match="transactional"):
+        similarity.probe_ann_index(q, plain, version=0)
+
+    # retried (duplicate) append -> compaction drops dupes atomically
+    similarity.append_ann_index(batch, txn)
+    assert probe(txn) == after
+    acct = similarity.compact_ann_index(spark, txn)
+    assert acct["rows_before"] == 360 and acct["rows_after"] == 320
+    assert probe(txn) == after
+    # pre-compaction versions remain probe-able until vacuumed
+    assert probe(txn, version=0) == base
+
+    # the probe scan is manifest-pruned: an explicit one-cell read
+    # touches fewer files than the table holds
+    log = f"{txn}/cells_log"
+    total = len(table_log.read_snapshot(spark, log).inputFiles())
+    one = len(
+        table_log.read_snapshot(
+            spark, log, predicates=[("cell", "in", [0])]
+        ).inputFiles()
+    )
+    assert 0 < one < total

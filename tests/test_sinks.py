@@ -2529,6 +2529,48 @@ def test_data_skipping_on_timestamp_and_date_predicates(spark, tmp_path):
     )
 
 
+def test_data_skipping_in_predicate(spark, tmp_path):
+    """The `in` pruner op (round 10 — the enum/bucket predicate shape,
+    e.g. probing an ANN index's cells): a file is kept iff ANY listed
+    value falls inside its [min, max]; an empty list provably matches
+    nothing; datetime elements convert like scalar literals; NaN
+    elements never prune."""
+    import datetime as dt
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "inop")
+    for lo in (0, 100, 200):  # three files with disjoint k bands
+        table_log.commit_snapshot(
+            spark.range(lo, lo + 100).selectExpr("id as k").coalesce(1),
+            t,
+            mode="append",
+        )
+    def files(preds):
+        return len(table_log.read_snapshot(spark, t, predicates=preds).inputFiles())
+
+    assert files([("k", "in", [5, 7])]) == 1
+    assert files([("k", "in", [5, 150])]) == 2
+    assert files([("k", "in", [])]) == 0
+    rows = (
+        table_log.read_snapshot(spark, t, predicates=[("k", "in", [5, 150])])
+        .collect()
+    )
+    assert sorted(r["k"] for r in rows) == [5, 150]  # post-read isin too
+    # unit checks on the comparator
+    st = {"k": [10, 20, 0]}
+    assert table_log._file_may_match(st, "k", "in", [15])
+    assert not table_log._file_may_match(st, "k", "in", [9, 21])
+    assert table_log._file_may_match(st, "k", "in", [1.0, float("nan")])
+    ts = {"ts": [946684800000000, 946771200000000, 0]}  # 2000-01-01..02 us
+    assert table_log._file_may_match(
+        ts, "ts", "in", [dt.datetime(2000, 1, 1, 12)]
+    )
+    assert not table_log._file_may_match(
+        ts, "ts", "in", [dt.datetime(1999, 1, 1)]
+    )
+
+
 def test_footer_stats_match_job_stats(spark, tmp_path):
     """The footer-based commit stats (zero jobs, no data re-read) must
     produce byte-identical manifest stats to the aggregate-job path on
