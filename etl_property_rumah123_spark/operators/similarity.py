@@ -131,8 +131,11 @@ def ann_topk(
     cb = rp_lsh_buckets(corpus, dim, num_planes, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
     )
+    # broadcast the query-bucket side (|Q| x (1 + num_planes) rows at
+    # most) so corpus buckets are never shuffled — the same
+    # small-query-side contract as brute_force_topk
     scored = (
-        qb.join(cb, "bucket")
+        F.broadcast(qb).join(cb, "bucket")
         .select("query_id", "neighbor_id", "qv", "cv")
         .distinct()  # multi-probe may reach one candidate via 2 buckets
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -431,8 +434,10 @@ def ivf_topk_seeded(
     probes = _assign_cells(
         queries, cent_df, "query_id", n_probe, vec_col, id_col
     ).select("query_id", F.col("__v").alias("qv"), "cell")
+    # broadcast the |Q| x n_probe probe side so the corpus assignments
+    # are never shuffled on `cell` (same contract as brute_force_topk)
     scored = (
-        probes.join(c_assigned, "cell")
+        F.broadcast(probes).join(c_assigned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", dot(F.col("qv"), F.col("cv")))
     )
@@ -639,7 +644,8 @@ def ivf_topk(
         .select("query_id", "qv", "cell")
     )
     scored = (
-        probes.join(c_assigned, "cell")
+        F.broadcast(probes)  # |Q| x n_probe rows: index stays in place
+        .join(c_assigned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", dot(F.col("qv"), F.col("cv")))
     )
@@ -954,8 +960,13 @@ def probe_ann_index(
     cells = cells_raw.select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "cell"
     )
+    # The probe side is bounded by |queries| x n_probe (small by the
+    # same contract as brute_force_topk's broadcast query side); the
+    # explicit hint keeps the INDEX data in place — without it Spark's
+    # unknown-size estimate shuffles the probed cells on `cell`, which
+    # at 100 TB moves n_probe/n_lists of the index per query batch.
     scored = (
-        probes.join(cells, "cell")
+        F.broadcast(probes).join(cells, "cell")
         .select("query_id", "neighbor_id", "qv", "cv")
         .distinct()  # multi-probe / retried-append duplicates
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -402,3 +402,34 @@ def test_ann_index_transactional_variant(spark, clustered, tmp_path):
         ).inputFiles()
     )
     assert 0 < one < total
+
+
+def test_ann_probe_joins_broadcast_query_side(spark, clustered, tmp_path):
+    """The ANN family's candidate joins must BROADCAST the bounded
+    query/probe side (|Q| x n_probe rows) so corpus buckets/cells —
+    the 100 TB side — are never shuffled. Pinned with auto-broadcast
+    disabled: the hint, not Spark's estimate, must carry it."""
+    idx = str(tmp_path / "pinidx")
+    similarity.write_ann_index(clustered, idx, n_lists=8)
+    q = clustered.filter(F.col("vec_id") % 40 == 1)
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for df in (
+            similarity.probe_ann_index(q, idx, k=5, n_probe=2),
+            similarity.ivf_topk_seeded(q, clustered, k=5, n_lists=8, n_probe=2),
+            similarity.ann_topk(
+                q, clustered, dim=DIM, k=5, num_planes=6, hamming_probes=1
+            ),
+        ):
+            p = plan_of(df)
+            assert "BroadcastHashJoin" in p, p
+            assert "SortMergeJoin" not in p, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
