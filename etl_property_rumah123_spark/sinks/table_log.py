@@ -318,6 +318,23 @@ def _stats_from_footers(
             # floor the min, ceil the max: the micros interval must
             # CONTAIN the true nanos interval to stay conservative
             return -((-int(v)) // 1000) if is_max else int(v) // 1000
+        if isinstance(kind, tuple):  # ("dec", scale): unscaled -> float
+            import math
+
+            _tag, scale = kind
+            if not isinstance(v, int):
+                # FIXED_LEN_BYTE_ARRAY decimals: big-endian two's
+                # complement unscaled value in a Binary
+                v = int.from_bytes(bytes(v.getBytes()), "big", signed=True)
+            out = float(v) / (10.0 ** scale)
+            # exact decimals rarely round-trip through binary floats;
+            # widen the bound by a few ulps OUTWARD so the stored
+            # [min, max] interval always CONTAINS the true decimal
+            # interval — pruning stays conservative, never wrong
+            target = float("inf") if is_max else float("-inf")
+            for _ in range(4):
+                out = math.nextafter(out, target)
+            return out
         return v
 
     out: dict = {}
@@ -353,6 +370,17 @@ def _stats_from_footers(
                         # days since epoch — _file_may_match converts a
                         # datetime.date literal to the same unit
                         kind = "int"
+                    elif ann_s.startswith("DECIMAL(") and ptn in (
+                        "INT32",
+                        "INT64",
+                        "FIXED_LEN_BYTE_ARRAY",
+                    ):
+                        # money columns — stored as ulp-widened floats
+                        # (see value_of): the interval CONTAINS the
+                        # true decimal range, so range predicates with
+                        # Decimal/float/int literals prune safely
+                        scale = int(ann_s[len("DECIMAL("):-1].split(",")[1])
+                        kind = ("dec", scale)
                     elif ptn == "INT64" and ann_s.startswith("TIMESTAMP("):
                         # stored as epoch MICROS in the manifest
                         # whatever the file's unit (INT96 timestamps —

@@ -2571,6 +2571,47 @@ def test_data_skipping_in_predicate(spark, tmp_path):
     )
 
 
+def test_data_skipping_on_decimal_predicates(spark, tmp_path):
+    """Decimal (money) pruning: footer stats decode the unscaled
+    int/binary min/max into ulp-widened floats whose interval CONTAINS
+    the true decimal range, so range predicates with Decimal or float
+    literals skip files safely and never lose an edge row. Covers the
+    INT64 physical encoding (p <= 18) and the knife-edge where the
+    literal equals a file's exact boundary."""
+    from decimal import Decimal
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "dec")
+    # three files with price bands [0.25, 49.25], [100.25, 149.25],
+    # [200.25, 249.25]
+    for lo in (0, 100, 200):
+        rows = [(i, Decimal(f"{lo + i}.25")) for i in range(50)]
+        table_log.commit_snapshot(
+            spark.createDataFrame(rows, "k long, price decimal(17,2)")
+            .coalesce(1),
+            t,
+            mode="append",
+        )
+
+    def run(preds):
+        df = table_log.read_snapshot(spark, t, predicates=preds)
+        return len(df.inputFiles()), df.count()
+
+    assert run([("price", ">=", Decimal("230.25"))]) == (1, 20)
+    assert run([("price", "<", 100)]) == (1, 50)
+    # knife-edge: literal equals band 2's exact max (149.25); the
+    # widened interval must keep that file AND its edge row
+    files, n = run([("price", ">=", Decimal("149.25"))])
+    assert (files, n) == (2, 51)
+    # exact-match probe inside one band
+    assert run([("price", "=", Decimal("120.25"))]) == (1, 1)
+    # nothing matches above every band: all three files pruned (a
+    # boundary-exact literal like > 249.25 keeps the last file — the
+    # ulp-widening is deliberately conservative — so probe past it)
+    assert run([("price", ">", Decimal("249.26"))]) == (0, 0)
+
+
 def test_footer_stats_match_job_stats(spark, tmp_path):
     """The footer-based commit stats (zero jobs, no data re-read) must
     produce byte-identical manifest stats to the aggregate-job path on
