@@ -2612,6 +2612,101 @@ def test_data_skipping_on_decimal_predicates(spark, tmp_path):
     assert run([("price", ">", Decimal("249.26"))]) == (0, 0)
 
 
+def test_pruning_never_changes_results_randomized(spark, tmp_path):
+    """PROPERTY: for ANY predicate the pruner supports, a pruned read
+    returns exactly the rows of an unpruned read + the same filter —
+    across every stats encoding added this round (NaN->inf doubles,
+    epoch-micros timestamps, epoch-day dates, ulp-widened decimals,
+    `in` lists) and across both overlapping and disjoint file bands.
+    Seeded-random literals include values present in the data, band
+    boundaries, NaN, and misses."""
+    import datetime as dt
+    import random
+    from decimal import Decimal
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    rng = random.Random(20260815)
+    t = str(tmp_path / "prop")
+    rows = []
+    for i in range(120):
+        f = rng.choice(
+            [rng.uniform(-50, 50), float("nan"), float("inf"), None]
+            if i % 7 == 0
+            else [rng.uniform(-50, 50)]
+        )
+        rows.append(
+            (
+                i,
+                f,
+                rng.choice(["alpha", "beta", "gamma", "omega", None]),
+                dt.datetime(2024, rng.randint(1, 12), rng.randint(1, 28)),
+                dt.date(2024, rng.randint(1, 12), rng.randint(1, 28)),
+                Decimal(f"{rng.randint(-999, 999)}.{rng.randint(0, 99):02d}"),
+            )
+        )
+    schema = (
+        "i long, f double, s string, ts timestamp, d date, dec decimal(9,2)"
+    )
+    # bands: 2 disjoint on i (pruning fires) + 2 random (overlap)
+    shuffled = rows[60:]
+    rng.shuffle(shuffled)
+    bands = [rows[:30], rows[30:60], shuffled[:30], shuffled[30:]]
+    for band in bands:
+        table_log.commit_snapshot(
+            spark.createDataFrame(band, schema).coalesce(1), t, mode="append"
+        )
+    full = table_log.read_snapshot(spark, t)
+
+    def key(r):
+        return tuple(repr(v) for v in r)
+
+    import operator as op
+
+    py_ops = {"<": op.lt, "<=": op.le, ">": op.gt, ">=": op.ge, "=": op.eq}
+
+    def literals(col):
+        present = [r[{"i": 0, "f": 1, "s": 2, "ts": 3, "d": 4, "dec": 5}[col]]
+                   for r in rows]
+        present = [v for v in present if v is not None][:40]
+        extra = {
+            "i": [0, 29, 30, 60, 1000, -5],
+            "f": [0.0, float("nan"), 49.9, -49.9],
+            "s": ["alpha", "omega", "zzz", ""],
+            "ts": [dt.datetime(2024, 6, 15), dt.datetime(2023, 1, 1)],
+            "d": [dt.date(2024, 6, 15), dt.date(2025, 1, 1)],
+            "dec": [Decimal("0.00"), Decimal("999.99"), Decimal("-1000.00")],
+        }[col]
+        return present + extra
+
+    checked = 0
+    for col in ("i", "f", "s", "ts", "d", "dec"):
+        lits = literals(col)
+        for _ in range(6):
+            o = rng.choice(list(py_ops) + ["in"])
+            v = (
+                rng.sample(lits, k=min(3, len(lits)))
+                if o == "in"
+                else rng.choice(lits)
+            )
+            preds = [(col, o, v)]
+            pruned = {
+                key(r)
+                for r in table_log.read_snapshot(
+                    spark, t, predicates=preds
+                ).collect()
+            }
+            cond = (
+                full[col].isin(list(v))
+                if o == "in"
+                else py_ops[o](full[col], F.lit(v))
+            )
+            want = {key(r) for r in full.filter(cond).collect()}
+            assert pruned == want, (col, o, v)
+            checked += 1
+    assert checked == 36
+
+
 def test_footer_stats_match_job_stats(spark, tmp_path):
     """The footer-based commit stats (zero jobs, no data re-read) must
     produce byte-identical manifest stats to the aggregate-job path on
