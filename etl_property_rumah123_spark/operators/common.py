@@ -85,19 +85,32 @@ def gated_broadcast(
     upper-bounds ``small``'s (e.g. the un-distinct batch for a
     ``batch.select(key).distinct()`` side — counting the batch skips
     the distinct's shuffle; distinct keys <= rows, so an under-cap
-    batch can never hide an over-cap key set)."""
+    batch can never hide an over-cap key set).
+
+    The fast path is only trusted when the plan contains no
+    OUTPUT-INFLATING operators: without CBO, Catalyst's size visitor
+    passes a Generate (explode), Expand (rollup/cube), or Join node's
+    estimate through from its inputs, so a tiny scan exploded into
+    millions of rows still *estimates* tiny — trusting it would
+    broadcast something huge. Those plans route to the count probe,
+    whose limit(cap + 1) bounds the work regardless of true size.
+    (Filters/projects only shrink relative to their scan-based
+    estimate, so the common merge-batch shape keeps the zero-job
+    path.)"""
     try:
-        est = int(
-            str(
-                small._jdf.queryExecution()
-                .optimizedPlan()
-                .stats()
-                .sizeInBytes()
-            )
-        )
+        plan = small._jdf.queryExecution().optimizedPlan()
+        est = int(str(plan.stats().sizeInBytes()))
+        tree = plan.treeString()
     except Exception:  # estimate unavailable -> fall through to probe
-        est = None
-    if est is not None and 0 <= est <= MAX_BROADCAST_BYTES:
+        est, tree = None, ""
+    inflating = any(
+        marker in tree for marker in ("Generate ", "Expand", "Join ")
+    )
+    if (
+        est is not None
+        and not inflating
+        and 0 <= est <= MAX_BROADCAST_BYTES
+    ):
         return F.broadcast(small)
     probe = count_frame if count_frame is not None else small
     n = probe.limit(MAX_BROADCAST_KEYS + 1).count()

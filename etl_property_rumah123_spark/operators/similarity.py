@@ -753,24 +753,65 @@ def _write_ann_meta(spark, path: str, meta: dict) -> None:
 def _with_dim_check(df: DataFrame, col: str, dim: int) -> DataFrame:
     """Fail loud at execution when a vector's length differs from the
     index dim — zip_with would otherwise null-pad and assign the
-    vector to an arbitrary cell silently."""
+    vector to an arbitrary cell silently. A NULL vector also trips the
+    check (size(NULL) is NULL, never == dim) and the message says so:
+    a null-embedding ingest is a different bug than a wrong-dim model
+    swap, and 'dim mismatch' alone sends the operator down the wrong
+    debugging path."""
     ok = F.assert_true(
         F.size(F.col(col)) == dim,
         F.lit(
-            f"ANN index dim mismatch: vector length != index dim {dim}"
+            f"ANN index vector is NULL or its length != index dim "
+            f"{dim} (column {col!r}: null embeddings must be filtered "
+            f"or imputed before indexing; a length mismatch usually "
+            f"means a different embedding model than the index was "
+            f"built with)"
         ),
     )
     return df.withColumn(col, F.when(ok.isNull(), F.col(col)))
 
 
+def _observed_cell_write(laid: DataFrame, dest: str, mode: str) -> int:
+    """Write the laid-out cells and return the row count. Fast path:
+    an ``observe()`` counter riding the write (zero extra jobs).
+    observe() is accumulator-backed, and a SPECULATIVE duplicate task
+    attempt double-counts — the same hazard table_log's observed
+    commit metrics gate on — so under spark.speculation the frame is
+    localCheckpoint-ed and counted instead (one extra pass, exact
+    accounting; the n_vectors/n_appended numbers feed capacity
+    planning and must not inflate)."""
+    from etl_property_rumah123_spark.sinks.table_log import (
+        _speculation_enabled,
+    )
+
+    if _speculation_enabled(laid.sparkSession):
+        laid = laid.localCheckpoint()
+        n = laid.count()
+        laid.write.mode(mode).partitionBy("cell").parquet(dest)
+        return n
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    laid.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        mode
+    ).partitionBy("cell").parquet(dest)
+    return obs.get["n"]
+
+
 def _cell_layout(assigned: DataFrame, n_lists: int, files_per_cell: int) -> DataFrame:
-    """Shuffle assignments so each cell directory gets exactly
+    """Shuffle assignments so each cell directory gets AT MOST
     ``files_per_cell`` files per write, instead of one file per
     (upstream partition x cell) — without this, a 32-partition write
     into 16 cells leaves up to 512 tiny files PER APPEND, and probe
     cost becomes file-listing-bound. files_per_cell > 1 splits a
     cell across tasks by an id-hash, bounding per-task volume when
-    cells are large (corpus/n_lists rows at 100 TB)."""
+    cells are large (corpus/n_lists rows at 100 TB). "At most", not
+    "exactly": repartition HASHES (cell, split) into the target
+    partition count, so two splits of one cell can land in the same
+    task (balls-in-bins — with ~n slots in n partitions a given pair
+    collides with prob ~1/n); the per-task volume bound degrades by
+    the collision multiplicity, never by cell size, and the file-count
+    ceiling still holds."""
     split = F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(files_per_cell))
     return assigned.repartition(
         n_lists * files_per_cell, F.col("cell"), split
@@ -834,13 +875,7 @@ def write_ann_index(
         n = laid.count()
         table_log.commit_snapshot(laid, f"{path}/cells_log", mode="overwrite")
     else:
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        laid.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-            "errorifexists"
-        ).partitionBy("cell").parquet(f"{path}/cells")
-        n = obs.get["n"]
+        n = _observed_cell_write(laid, f"{path}/cells", "errorifexists")
     _write_ann_meta(spark, path, meta)
     return {
         "path": path,
@@ -867,6 +902,11 @@ def append_ann_index(
     transactional)."""
     spark = new_vectors.sparkSession
     meta = read_ann_meta(spark, path)
+    if meta.get("kind") == "rp_lsh":
+        raise ValueError(
+            f"{path} is an rp_lsh index (no centroids) — append with "
+            "append_rp_index instead."
+        )
     cent_df = spark.read.parquet(f"{path}/centroids")
     assigned = _assign_cells(
         _with_dim_check(new_vectors, meta["vec_col"], meta["dim"]),
@@ -886,13 +926,8 @@ def append_ann_index(
             laid, f"{path}/cells_log", mode="append"
         )
         return {"path": path, "n_appended": n, "version": v}
-    from pyspark.sql import Observation
-
-    obs = Observation()
-    laid.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(f"{path}/cells")
-    return {"path": path, "n_appended": obs.get["n"]}
+    n = _observed_cell_write(laid, f"{path}/cells", "append")
+    return {"path": path, "n_appended": n}
 
 
 def probe_ann_index(
@@ -924,6 +959,11 @@ def probe_ann_index(
     lands. ``version`` on a plain-dir index is an error."""
     spark = queries.sparkSession
     meta = read_ann_meta(spark, path)
+    if meta.get("kind") == "rp_lsh":
+        raise ValueError(
+            f"{path} is an rp_lsh index (no centroids) — probe with "
+            "probe_rp_index instead."
+        )
     vc = vec_col or meta["vec_col"]
     ic = id_col or meta["id_col"]
     cent_df = F.broadcast(spark.read.parquet(f"{path}/centroids"))
@@ -965,6 +1005,194 @@ def probe_ann_index(
     # explicit hint keeps the INDEX data in place — without it Spark's
     # unknown-size estimate shuffles the probed cells on `cell`, which
     # at 100 TB moves n_probe/n_lists of the index per query batch.
+    scored = (
+        F.broadcast(probes).join(cells, "cell")
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()  # multi-probe / retried-append duplicates
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _rp_meta_dict(
+    num_planes: int, dim: int, seed: str, vec_col: str, id_col: str
+) -> dict:
+    # n_lists = bucket-space size so compact_ann_index's repartition
+    # math works unchanged on this index kind
+    return {
+        "format": 1,
+        "kind": "rp_lsh",
+        "num_planes": num_planes,
+        "n_lists": min(2 ** num_planes, 1024),
+        "dim": dim,
+        "seed": seed,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "transactional": False,
+    }
+
+
+def _rp_cells(df: DataFrame, meta: dict) -> DataFrame:
+    """(id, vec, cell) assignments for the RP-LSH index: the sign-bit
+    bucket IS the cell. The hyperplanes are derived from the SEED
+    alone (constant literals compiled into the plan — no fitted model,
+    no centroid table), so appends are exactly consistent with the
+    build by construction: the same seed recomputes the same planes."""
+    return rp_lsh_buckets(
+        _with_dim_check(df, meta["vec_col"], meta["dim"]),
+        meta["dim"],
+        meta["num_planes"],
+        meta["vec_col"],
+        meta["seed"],
+    ).select(
+        F.col(meta["id_col"]).alias("id"),
+        F.col(meta["vec_col"]).alias("vec"),
+        F.col("bucket").alias("cell"),
+    )
+
+
+def write_rp_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "rp-lsh-42",
+    files_per_bucket: int = 1,
+) -> dict:
+    """Build and persist the RANDOM-HYPERPLANE LSH vector index — the
+    persisted twin of :func:`ann_topk`, sharing write_ann_index's
+    layout (bucket-partitioned ``cells/`` parquet + JSON sidecar) so
+    the maintenance tooling carries over: :func:`compact_ann_index`
+    works unchanged on this kind.
+
+    vs the IVF artifact: NO model state at all — buckets are sign
+    bits against seed-derived constant hyperplanes, so (a) the build
+    is one corpus pass with no centroid fit/sample, (b)
+    :func:`append_rp_index` is consistent with the build by
+    construction (nothing to freeze), and (c) recall is tuned at
+    PROBE time (``hamming_probes``) without touching the artifact.
+    The trade: bucket population is data-blind (2**num_planes fixed
+    cells vs IVF's data-adaptive centroids), so skewed corpora load
+    some buckets heavily. Overwrites any index at ``path``. Returns
+    ``{path, num_planes, dim, n_vectors}``."""
+    spark = corpus.sparkSession
+    meta = _rp_meta_dict(num_planes, dim, seed, vec_col, id_col)
+    _jvm, hp, fs = _ann_fs(spark, path)
+    if fs.exists(hp(path)):
+        fs.delete(hp(path), True)
+    laid = _cell_layout(
+        _rp_cells(corpus, meta), meta["n_lists"], files_per_bucket
+    )
+    n = _observed_cell_write(laid, f"{path}/cells", "errorifexists")
+    _write_ann_meta(spark, path, meta)
+    return {
+        "path": path,
+        "num_planes": num_planes,
+        "dim": dim,
+        "n_vectors": n,
+    }
+
+
+def append_rp_index(
+    new_vectors: DataFrame, path: str, files_per_bucket: int = 1
+) -> dict:
+    """Add a batch to a standing RP-LSH index at batch cost. The
+    bucket function is pure seed math (sidecar-validated), so the
+    appended assignments are bit-identical to what a full rebuild
+    would produce — no frozen-model drift to reason about. Retried
+    appends duplicate rows; probes collapse candidates and
+    :func:`compact_ann_index` drops the duplicates."""
+    spark = new_vectors.sparkSession
+    meta = read_ann_meta(spark, path)
+    if meta.get("kind") != "rp_lsh":
+        raise ValueError(
+            f"{path} is a {meta.get('kind')!r} index, not rp_lsh — "
+            "append with append_ann_index instead."
+        )
+    laid = _cell_layout(
+        _rp_cells(new_vectors, meta), meta["n_lists"], files_per_bucket
+    )
+    n = _observed_cell_write(laid, f"{path}/cells", "append")
+    return {"path": path, "n_appended": n}
+
+
+def probe_rp_index(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    hamming_probes: int = 1,
+    vec_col: str | None = None,
+    id_col: str | None = None,
+    max_probe_buckets: int = 100_000,
+) -> DataFrame:
+    """Top-k neighbors against a persisted RP-LSH index at batch
+    cost: bucket each query (plus its ``num_planes`` one-bit-flip
+    neighbors when ``hamming_probes=1`` — the same multi-probe recall
+    knob as :func:`ann_topk`, applied to the QUERY side only), collect
+    the probed bucket ids, and push them as a partition filter so the
+    ``cells/`` scan reads only the probed directories. The collect is
+    bounded by ``|queries| x (1 + num_planes)`` ids — ``max_probe_
+    buckets`` guards the driver against an oversized query batch with
+    a loud error (limit applied BEFORE the collect). Output:
+    (query_id, neighbor_id, rank) — the knn/ann contract; identical
+    math to ann_topk on the same corpus/planes/probes."""
+    spark = queries.sparkSession
+    meta = read_ann_meta(spark, path)
+    if meta.get("kind") != "rp_lsh":
+        raise ValueError(
+            f"{path} is a {meta.get('kind')!r} index, not rp_lsh — "
+            "probe with probe_ann_index instead."
+        )
+    vc = vec_col or meta["vec_col"]
+    ic = id_col or meta["id_col"]
+    qb = rp_lsh_buckets(
+        _with_dim_check(queries, vc, meta["dim"]),
+        meta["dim"],
+        meta["num_planes"],
+        vc,
+        meta["seed"],
+    ).select(
+        F.col(ic).alias("query_id"), F.col(vc).alias("qv"), "bucket"
+    )
+    if hamming_probes >= 1:
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(meta["num_planes"])
+            ],
+        )
+        qb = qb.withColumn("bucket", F.explode(flips))
+    probes = qb.withColumnRenamed("bucket", "cell")
+    ids = probes.select("cell").distinct().limit(max_probe_buckets + 1).collect()
+    if len(ids) > max_probe_buckets:
+        raise ValueError(
+            f"probe_rp_index: query batch probes more than "
+            f"max_probe_buckets={max_probe_buckets} buckets; split the "
+            "batch or raise the knob."
+        )
+    probed = sorted(r[0] for r in ids)
+    spark.catalog.refreshByPath(f"{path}/cells")
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(probed))
+        .select(
+            F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"),
+            "cell",
+        )
+    )
+    # same small-probe-side broadcast contract as probe_ann_index:
+    # the index data never shuffles for a query batch
     scored = (
         F.broadcast(probes).join(cells, "cell")
         .select("query_id", "neighbor_id", "qv", "cv")

@@ -35,6 +35,7 @@ def asof_join(
     right_ts: str,
     payload: str,
     strict: bool = True,
+    time_buckets: int | None = None,
 ) -> DataFrame:
     """Generic as-of join: for each left row, attach ``payload`` from
     the right row with the greatest ``right_ts`` <(=) ``left_ts``
@@ -52,6 +53,20 @@ def asof_join(
     ``side`` ordering encodes strictness: right rows sort AFTER left
     rows at equal ts when ``strict`` (payload at ts == left_ts is not
     yet visible), BEFORE when inclusive.
+
+    **Skew**: the window partitions by the key, and AQE's skew-join
+    split does NOT apply to window partitions — a key carrying 30% of
+    the rows is one task doing 30% of the work (sort spills keep it
+    alive, but it straggles). ``time_buckets=N`` switches to the
+    SKEW-RESISTANT two-phase form: rows are range-bucketed by
+    timestamp (one extra min/max job), a running last is computed per
+    (key, bucket) — bounding any task at ~hot_key/N rows — bucket
+    finals are rolled per key (N rows per key, never data volume),
+    and each row coalesces its in-bucket running value with the
+    carry-in from earlier buckets. Identical results by construction
+    (equal timestamps share a bucket, so side-ordering still decides
+    strictness); the trade is one extra aggregate + a co-partitioned
+    join back.
     """
     r_side = F.lit(1 if strict else -1)
     lt = left.select(
@@ -70,17 +85,73 @@ def asof_join(
     for c in left.columns:
         rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = lt.unionByName(rt)
-    w = (
-        Window.partitionBy("__k")
+    if time_buckets is None:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            unioned.withColumn(
+                "__asof", F.last("__payload", ignorenulls=True).over(w)
+            )
+            .filter(F.col("__side") == 0)
+            .drop("__k", "__ts", "__side", "__payload")
+        )
+    return _asof_bucketed(unioned, time_buckets)
+
+
+def _asof_bucketed(unioned: DataFrame, time_buckets: int) -> DataFrame:
+    """The two-phase skew-resistant body of :func:`asof_join` (see its
+    docstring). Range buckets come from the GLOBAL ts min/max (one
+    bounded aggregate job — two scalars to the driver); timestamps
+    bucket on epoch micros, numerics on their own scale. NULL
+    timestamps form their own bucket that sorts FIRST (matching the
+    single-window form's null-first ordering: they see no carry-in and
+    contribute none)."""
+    t = unioned.schema["__ts"].dataType.typeName()
+    ts_num = (
+        F.unix_micros(F.col("__ts").cast("timestamp"))
+        if t in ("timestamp", "timestamp_ntz", "date")
+        else F.col("__ts").cast("double")
+    )
+    tagged = unioned.withColumn("__tsn", ts_num)
+    mn, mx = tagged.agg(
+        F.min("__tsn"), F.max("__tsn")
+    ).first()
+    if mn is None or mn == mx:
+        bucket = F.lit(0)
+    else:
+        bucket = F.width_bucket(
+            F.col("__tsn"), F.lit(mn), F.lit(mx) + 1, F.lit(time_buckets)
+        )
+    part1 = tagged.withColumn("__b", bucket).drop("__tsn")
+    w1 = (
+        Window.partitionBy("__k", "__b")
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    with_run = part1.withColumn(
+        "__run", F.last("__payload", ignorenulls=True).over(w1)
+    )
+    # bucket final = the running value at the bucket's last (ts, side)
+    # row; max_by on the struct matches w1's ordering exactly
+    finals = with_run.groupBy("__k", "__b").agg(
+        F.max_by("__run", F.struct("__ts", "__side")).alias("__final")
+    )
+    w2 = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__b").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = finals.withColumn(
+        "__carry", F.last("__final", ignorenulls=True).over(w2)
+    ).select("__k", "__b", "__carry")
     return (
-        unioned.withColumn(
-            "__asof", F.last("__payload", ignorenulls=True).over(w)
-        )
+        with_run.join(carries, ["__k", "__b"], "left")
+        .withColumn("__asof", F.coalesce("__run", "__carry"))
         .filter(F.col("__side") == 0)
-        .drop("__k", "__ts", "__side", "__payload")
+        .drop("__k", "__ts", "__side", "__payload", "__b", "__run", "__carry")
     )
 
 

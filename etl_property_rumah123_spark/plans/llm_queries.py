@@ -2199,6 +2199,39 @@ WITH phex AS (
     SELECT query_id, neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
     FROM ix_scored) WHERE rnk <= 5
+), phex8 AS (
+  -- the PERSISTED RP-LSH index (round 11): 8 seed-derived planes.
+  -- Buckets are pure seed math (no fitted state), so the
+  -- build-on-3/4 + append-1/4 lifecycle equals bucketing the full
+  -- corpus — which is exactly what this reproduces.
+  SELECT p, md5('rp-lsh-42|' || CAST(p AS VARCHAR) || '|0') AS hx
+  FROM (SELECT unnest(range(8)) AS p)
+), vb8 AS (
+  SELECT e.vec_id,
+    CAST(SUM(CASE WHEN list_reduce(
+      [CASE WHEN ((16*(strpos('0123456789abcdef', substr(ph.hx, 2*(d//8)+1, 1))-1)
+                  + strpos('0123456789abcdef', substr(ph.hx, 2*(d//8)+2, 1))-1) >> (d%8)) & 1 = 1
+            THEN CAST(e.embedding[d+1] AS DOUBLE) ELSE -CAST(e.embedding[d+1] AS DOUBLE) END
+       FOR d IN range(64)], (x, y) -> x + y) >= 0 THEN 1<<ph.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e, phex8 ph
+  GROUP BY e.vec_id
+), qprobe8 AS (
+  SELECT vec_id AS query_id,
+         unnest(list_prepend(bucket, [xor(bucket, CAST(1<<p AS BIGINT)) FOR p IN range(8)])) AS bucket
+  FROM vb8 WHERE vec_id < 10
+), rpx_cand AS (
+  SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id
+  FROM qprobe8 qp JOIN vb8 c ON qp.bucket = c.bucket AND c.vec_id <> qp.query_id
+), rpx_scored AS (
+  SELECT lc.query_id, lc.neighbor_id, __DOT_QC__ AS sim
+  FROM rpx_cand lc
+  JOIN embeddings q ON q.vec_id = lc.query_id
+  JOIN embeddings c ON c.vec_id = lc.neighbor_id
+), rpx_top AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM rpx_scored) WHERE rnk <= 5
 )
 SELECT 'rp_lsh' AS method, CAST(query_id AS BIGINT) AS query_id,
        CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(rnk AS BIGINT) AS rank FROM lsh_top
@@ -2208,13 +2241,15 @@ UNION ALL
 SELECT 'pq_adc', query_id, neighbor_id, CAST(rnk AS BIGINT) FROM pq_top
 UNION ALL
 SELECT 'ivf_index', query_id, neighbor_id, CAST(rnk AS BIGINT) FROM ix_top
+UNION ALL
+SELECT 'rp_index', query_id, neighbor_id, CAST(rnk AS BIGINT) FROM rpx_top
 """.replace("__DOT_QC__", _DUCK_DOT.format(a="q.embedding", b="c.embedding"))
 
 
 @register(
     "ann_suite",
     _ANN_ORACLE,
-    doc="Approximate nearest-neighbor suite, tagged union of four "
+    doc="Approximate nearest-neighbor suite, tagged union of five "
     "serving paths over the same 10-query workload: 'rp_lsh' "
     "(md5-derived random-hyperplane buckets + multi-probe), 'ivf' "
     "(hash-seeded coarse cells — the 0-iteration-KMeans baseline — "
@@ -2230,8 +2265,12 @@ SELECT 'ivf_index', query_id, neighbor_id, CAST(rnk AS BIGINT) FROM ix_top
     "bit-for-bit and the driver value-checks the whole serving path "
     "INCLUDING the on-disk build/append/probe lifecycle; the "
     "KMeans-fitted ivf_topk/pq_topk remain the production tuning "
-    "(recall-tested in test_similarity_recall.py). All four share "
-    "the (query_id, neighbor_id, rank) contract of knn_bruteforce.",
+    "(recall-tested in test_similarity_recall.py). 'rp_index' "
+    "(round 11) runs the same lifecycle through the PERSISTED "
+    "RP-LSH artifact at planes=8/multiprobe=1 — pure seed math, so "
+    "build-on-3/4 + append-1/4 provably equals full-corpus "
+    "bucketing. All five share the (query_id, neighbor_id, rank) "
+    "contract of knn_bruteforce.",
 )
 def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
@@ -2250,10 +2289,31 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method", F.lit("pq_adc")
     )
     # persisted-index lifecycle: build on the standing corpus, append
-    # the new batch (frozen centroids), probe through the artifact
+    # the new batch (frozen centroids), probe through the artifact.
+    # The scratch path is unique PER INVOCATION (uuid component):
+    # write_ann_index deletes-then-rebuilds its path, so a path keyed
+    # only by the sf-dir basename would let two concurrent runs over
+    # the same dataset (bench + correctness harness) race a probe
+    # against the other's delete/overwrite.
+    # Unique dirs would otherwise accumulate in scratch (often a
+    # tmpfs): sweep siblings idle > 1 h — long past any live run's
+    # probe, so a concurrent run's index is never touched.
+    import shutil as _shutil
+    import time as _time
+    import uuid as _uuid
+
+    root = f"{scratch_base()}/sg_ann_index"
+    try:
+        for d in _os.listdir(root):
+            p = f"{root}/{d}"
+            if _time.time() - _os.path.getmtime(p) > 3600:
+                _shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
     idx = (
-        f"{scratch_base()}/sg_ann_index/"
-        f"{_os.path.basename(_os.path.normpath(sf_dir))}"
+        f"{root}/"
+        f"{_os.path.basename(_os.path.normpath(sf_dir))}_"
+        f"{_uuid.uuid4().hex[:12]}"
     )
     similarity.write_ann_index(
         e.filter(F.col("vec_id") % 4 != 0), idx, n_lists=16, salt="ivfx|"
@@ -2262,10 +2322,23 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ixp = similarity.probe_ann_index(q, idx, k=5, n_probe=2).withColumn(
         "method", F.lit("ivf_index")
     )
+    # fifth member (round 11): the persisted RP-LSH index — same
+    # build/append/probe lifecycle through the hyperplane artifact at
+    # planes=8 (distinct from the in-memory rp_lsh member's 6, so the
+    # oracle proves the persisted path computes its own answer)
+    rpx_dir = f"{idx}_rp"
+    similarity.write_rp_index(
+        e.filter(F.col("vec_id") % 4 != 0), rpx_dir, dim=64, num_planes=8
+    )
+    similarity.append_rp_index(e.filter(F.col("vec_id") % 4 == 0), rpx_dir)
+    rpx = similarity.probe_rp_index(
+        q, rpx_dir, k=5, hamming_probes=1
+    ).withColumn("method", F.lit("rp_index"))
     return (
         lsh.unionByName(ivf)
         .unionByName(pq)
         .unionByName(ixp)
+        .unionByName(rpx)
         .select("method", "query_id", "neighbor_id", "rank")
     )
 

@@ -237,19 +237,22 @@ MAX_TOUCHED_FILES = int(
 )
 
 
-def _touched_file_set(keys_df: DataFrame) -> set | None:
+def _touched_file_set(
+    keys_df: DataFrame,
+    degrade: str = "a FULL copy-on-write rewrite (all files treated "
+    "as touched)",
+) -> set | None:
     """Bounded driver-side collect of the distinct touched-file keys:
     at most ``MAX_TOUCHED_FILES + 1`` single-string rows ever reach
     the driver (the ``limit`` is applied BEFORE the collect). Returns
-    ``None`` when over the cap — the degrade signal meaning treat
-    EVERY file as touched (full CoW rewrite: correct, deliberately
-    expensive, loud)."""
+    ``None`` when over the cap — the degrade signal; ``degrade`` names
+    the route the caller takes so the warning tells the truth (full
+    CoW rewrite for deletes, merge-on-read for merges)."""
     rows = keys_df.limit(MAX_TOUCHED_FILES + 1).collect()
     if len(rows) > MAX_TOUCHED_FILES:
         warnings.warn(
             f"CoW operation touches more than MAX_TOUCHED_FILES="
-            f"{MAX_TOUCHED_FILES} data files; degrading to a FULL "
-            "copy-on-write rewrite (all files treated as touched). "
+            f"{MAX_TOUCHED_FILES} data files; degrading to {degrade}. "
             "Correctness is unaffected. For broad predicates this is "
             "the honest cost; to collect the larger file list instead, "
             "raise SPARK_GRAFT_MAX_TOUCHED_FILES.",
@@ -369,7 +372,7 @@ def _stats_from_footers(
                     elif ptn == "INT32" and ann_s == "DATE":
                         # days since epoch — _file_may_match converts a
                         # datetime.date literal to the same unit
-                        kind = "int"
+                        kind = "date"
                     elif ann_s.startswith("DECIMAL(") and ptn in (
                         "INT32",
                         "INT64",
@@ -398,7 +401,21 @@ def _stats_from_footers(
                             continue
                     else:
                         continue
-                    a = acc.setdefault(name, [None, None, 0, True, False])
+                    # manifest stats KIND — the unit tag the pruner
+                    # needs to coerce predicate literals safely (a
+                    # date literal on a TIMESTAMP column must become
+                    # midnight-UTC micros, not epoch days — comparing
+                    # raw numbers across units silently over-prunes)
+                    mkind = (
+                        "ts"
+                        if kind in ("ts_us", "ts_ms", "ts_ns")
+                        else "dec"
+                        if isinstance(kind, tuple)
+                        else kind
+                    )
+                    a = acc.setdefault(
+                        name, [None, None, 0, True, False, mkind]
+                    )
                     if not a[3]:
                         continue
                     st = c.getStatistics()
@@ -420,7 +437,7 @@ def _stats_from_footers(
         finally:
             reader.close()
         out[rel] = {
-            name: [a[0], a[1], a[2]]
+            name: [a[0], a[1], a[2], a[5]]
             for name, a in acc.items()
             if a[3] and (a[4] or a[0] is None)
         }
@@ -490,13 +507,23 @@ def _stats_for_files(spark: SparkSession, table_path: str, rels: list[str]) -> d
     rows = (
         df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     )
+    kinds = {
+        c: (
+            "float"
+            if df.schema[c].dataType.typeName() in ("float", "double")
+            else "string"
+            if df.schema[c].dataType.typeName() == "string"
+            else "int"
+        )
+        for c in eligible
+    }
     out: dict = {}
     for r in rows:
         rel = next((rel for rel in rels if r["__f"].endswith(rel)), None)
         if rel is None:
             continue
         out[rel] = {
-            c: [r[f"mn_{i}"], r[f"mx_{i}"], r[f"nu_{i}"]]
+            c: [r[f"mn_{i}"], r[f"mx_{i}"], r[f"nu_{i}"], kinds[c]]
             for i, c in enumerate(eligible)
         }
     return out
@@ -507,12 +534,31 @@ def _stats_for_files(spark: SparkSession, table_path: str, rels: list[str]) -> d
 _PRUNE_OPS = ("<", "<=", ">", ">=", "=", "==", "in")
 
 
+#: Micros per day — for promoting epoch-day DATE stats to the
+#: epoch-micros timestamp domain (midnight UTC of that day, exactly
+#: the instant Spark's date->timestamp coercion yields under the
+#: engine's UTC session timezone).
+_DAY_US = 86_400_000_000
+
+
 def _file_may_match(file_stats: dict, col: str, op: str, val) -> bool:
     """Conservative interval test: False ONLY when the file's [min,
     max] provably excludes every row satisfying ``col op val``. A file
     with no stats for the column is always kept; a file whose column
     is entirely NULL is skipped (comparison predicates are
-    null-rejecting)."""
+    null-rejecting).
+
+    Stat entries are ``[min, max, nulls]`` (legacy) or ``[min, max,
+    nulls, kind]`` with kind in int/float/string/ts/date/dec. The kind
+    is what makes TEMPORAL literals safe: timestamp stats are epoch
+    MICROS and date stats are epoch DAYS, so a ``ts >= date(...)``
+    predicate must coerce the literal to the COLUMN's unit — Spark's
+    row filter promotes both sides to timestamp, and so does the
+    pruner (date stats are lifted to midnight-UTC micros). Comparing a
+    literal converted by its own Python type against stats in a
+    different unit silently over-prunes; when the recorded kind cannot
+    disambiguate (legacy manifests, literal type foreign to the
+    kind), the file is KEPT and the row filter decides."""
     st = file_stats.get(col)
     if st is None:
         return True
@@ -528,29 +574,50 @@ def _file_may_match(file_stats: dict, col: str, op: str, val) -> bool:
         return True  # same NaN rule for list membership
     import datetime as _dt
 
-    def _conv(v):
-        # timestamp stats are epoch MICROS ints and DATE stats are
-        # epoch-day ints (footer path); a naive datetime literal is
-        # taken as UTC — the engine's session timezone
+    mn, mx, _nulls = st[0], st[1], st[2]
+    kind = st[3] if len(st) > 3 else None
+
+    def _micros(v):
+        # naive datetime literals are taken as UTC — the engine's
+        # session timezone; a bare date is midnight UTC (Spark's
+        # date->timestamp coercion)
         if isinstance(v, _dt.datetime):
             if v.tzinfo is None:
                 v = v.replace(tzinfo=_dt.timezone.utc)
             return (
                 v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
             ) // _dt.timedelta(microseconds=1)
-        if isinstance(v, _dt.date):
-            return (v - _dt.date(1970, 1, 1)).days
-        return v
+        return (v - _dt.date(1970, 1, 1)).days * _DAY_US
 
-    val = [_conv(v) for v in val] if op == "in" else _conv(val)
-    mn, mx, _nulls = st
+    vals = list(val) if op == "in" else [val]
+    if any(isinstance(v, _dt.date) for v in vals):  # datetime is a date
+        if not all(isinstance(v, _dt.date) for v in vals):
+            return True  # mixed temporal/other in-list: keep
+        if kind == "ts":
+            pass  # stats already epoch micros
+        elif kind == "date":
+            # lift day stats into the micros domain so a datetime
+            # literal compares exactly (Spark promotes date->timestamp)
+            mn = None if mn is None else mn * _DAY_US
+            mx = None if mx is None else mx * _DAY_US
+        else:
+            # legacy manifest (no kind) or a temporal literal against
+            # a non-temporal column: units unknowable — keep the file
+            return True
+        vals = [_micros(v) for v in vals]
+    elif kind in ("ts", "date"):
+        # non-temporal literal on a temporal column (raw epoch int,
+        # string, ...): Spark would cast it; the pruner does not guess
+        return True
+
     if mn is None or mx is None:
         return False  # all-NULL column: no comparison can hold
     try:
         if op == "in":
             # keep the file iff ANY listed value falls in [mn, mx];
             # an empty list provably matches nothing
-            return any(mn <= v <= mx for v in val)
+            return any(mn <= v <= mx for v in vals)
+        val = vals[0]
         if op in ("=", "=="):
             return mn <= val <= mx
         if op == "<":
@@ -1569,6 +1636,7 @@ def merge_snapshot(
     key: str,
     max_retries: int = 10,
     extra_meta: dict | None = None,
+    on_overflow: str = "mor",
 ) -> int:
     """Copy-on-write MERGE at FILE grain (the Delta/Iceberg CoW shape,
     L3 semantics on the snapshot log): full-row last-write-wins upsert
@@ -1582,7 +1650,22 @@ def merge_snapshot(
     ``input_file_name()``; a semi join finds touched files, an anti
     join inside them keeps unmatched carry rows; carry + batch form
     the single rewritten commit dir. First commit degenerates to
-    append."""
+    append.
+
+    ``on_overflow`` picks the degrade when the merge touches more than
+    ``MAX_TOUCHED_FILES`` files (the driver cannot hold the touched
+    list): ``'mor'`` (default) routes the batch to
+    :func:`merge_snapshot_mor` — O(batch + matched) commit, ZERO files
+    rewritten, the at-100 TB-sane choice (compaction retires the DV
+    debt later); ``'cow'`` keeps the old full copy-on-write rewrite —
+    an entire-table write, honest for a merge that really does touch
+    everything and wanted materialized files NOW. Deletes keep their
+    own CoW/DV choice (`delete_rows`/`delete_rows_mor`) and are not
+    affected by this knob."""
+    if on_overflow not in ("mor", "cow"):
+        raise ValueError(
+            f"on_overflow must be 'mor' or 'cow', got {on_overflow!r}"
+        )
     spark = df.sparkSession
     jvm, fs = _fs(spark, table_path)
     hadoop_path = jvm.org.apache.hadoop.fs.Path
@@ -1617,7 +1700,30 @@ def merge_snapshot(
         batch_keys, touched_keys_plan = _cow_merge_probe_frames(
             tagged, df, key
         )
-        touched = _touched_file_set(touched_keys_plan)
+        touched = _touched_file_set(
+            touched_keys_plan,
+            degrade=(
+                "a merge-on-read commit (deletion vectors + appended "
+                "batch files — zero rewrites; compact_snapshot retires "
+                "the debt)"
+                if on_overflow == "mor"
+                else "a FULL copy-on-write rewrite (all files treated "
+                "as touched)"
+            ),
+        )
+        if touched is None and on_overflow == "mor":
+            # Over-cap: a full CoW rewrite here is an entire-table
+            # write — at 100 TB, hours of amplification for one batch.
+            # The MoR form commits the same logical state in
+            # O(batch + matched) with zero rewrites; it re-reads the
+            # log and runs its own race-retry loop.
+            return merge_snapshot_mor(
+                df,
+                table_path,
+                key,
+                max_retries=max_retries,
+                extra_meta=extra_meta,
+            )
         if touched is None:  # over MAX_TOUCHED_FILES: full CoW rewrite
             touched_rel = list(prev["files"])
             carry_src = tagged

@@ -876,6 +876,81 @@ def test_asof_join_equal_timestamp_strictness(spark):
     assert incl == {"e1": "p@100", "e2": "p@150"}
 
 
+def test_asof_join_planted_hot_key_bucketed_form(spark):
+    """PLANTED SKEW for the as-of join (round 11 — the one headline
+    join shape without a skew drill). The union+window form partitions
+    the window by the key, and AQE's skew-join split does NOT apply to
+    window partitions: a user carrying 30% of the clicks is ONE task
+    doing 30% of the work. The honest mitigation is the
+    ``time_buckets=N`` two-phase form — per-(key, bucket) running
+    last + per-key bucket-final carry — which bounds any task at
+    ~hot/N rows. This pins (a) result parity with the single-window
+    form on the planted-skew data, including strictness at equal
+    timestamps and never-clicked users, and (b) the de-skewed
+    structure: the data-sized window partitions by (key, bucket), the
+    per-key window sees only N rows per key."""
+    import datetime as dt
+
+    from etl_property_rumah123_spark.plans.advanced import asof_join
+
+    n = 60_000
+    base = dt.datetime(2024, 1, 1)
+    # 30% of all events (and their clicks) land on user 0; timestamps
+    # spread uniformly so range-bucketing can split the hot key
+    events = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("id") % 997)
+        .alias("user_id"),
+        (
+            F.lit(base)
+            + F.make_interval(secs=(F.col("id") * 7) % 86_400)
+        ).alias("ts"),
+        F.when(F.col("id") % 5 == 0, F.lit("click"))
+        .otherwise(F.lit("view"))
+        .alias("event_type"),
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    left = events.select("event_id", "user_id", "ts")
+
+    def run(strict=True, **kw):
+        out = asof_join(
+            left, clicks, on="user_id", left_ts="ts", right_ts="ts",
+            payload="click_id", strict=strict, **kw,
+        )
+        return sorted(
+            (r["event_id"], r["__asof"]) for r in out.collect()
+        )
+
+    single = run()
+    bucketed = run(time_buckets=16)
+    assert bucketed == single and len(single) == n
+
+    # structure pin: the data-sized window partitions by (__k, __b) —
+    # never by the bare key — so the hot user's rows split ~16 ways
+    df = asof_join(
+        left, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        payload="click_id", strict=True, time_buckets=16,
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:2000]
+    data_sized = [s for s in specs if "__b" in s and "__k" in s]
+    assert data_sized, f"no (key, bucket) window in plan:\n{plan[:2000]}"
+
+    # inclusive mode survives bucketing too (equal-ts rows share a
+    # bucket, so side-ordering still decides visibility)
+    assert run(strict=False, time_buckets=16) == run(strict=False)
+
+
 def test_aqe_skew_join_split_fires_on_planted_hot_key(spark):
     """The q3/q5 join shape under a planted hot key: one key carrying
     ~70% of the fact side must trigger AQE's skew-join split (the

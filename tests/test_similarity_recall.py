@@ -260,6 +260,117 @@ def test_ann_index_roundtrip_probe_matches_in_memory(spark, clustered, tmp_path)
     assert recall(ann, truth) >= 0.8  # recall THROUGH the artifact
 
 
+def test_rp_index_lifecycle_matches_in_memory_math(
+    spark, clustered, tmp_path
+):
+    """The persisted RP-LSH index (round 11 — the hyperplane twin of
+    write_ann_index): build on 3/4 of the corpus, append the rest,
+    probe — the result must be BIT-IDENTICAL to the in-memory
+    ann_topk over the full corpus at the same planes/probes, because
+    the bucket function is pure seed math with no fitted state (the
+    append needs no frozen model to stay consistent). Also pins the
+    kind guards: IVF probe/append refuse an rp_lsh artifact and vice
+    versa."""
+    idx = str(tmp_path / "rpidx")
+    standing = clustered.filter(F.col("vec_id") % 4 != 0)
+    info = similarity.write_rp_index(standing, idx, dim=DIM, num_planes=8)
+    assert info["n_vectors"] == 240
+    appended = similarity.append_rp_index(
+        clustered.filter(F.col("vec_id") % 4 == 0), idx
+    )
+    assert appended["n_appended"] == 80
+    q = clustered.filter(F.col("vec_id") % 40 == 0)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.probe_rp_index(
+            q, idx, k=5, hamming_probes=1
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ann_topk(
+            q, clustered, dim=DIM, k=5, num_planes=8, hamming_probes=1
+        ).collect()
+    }
+    assert got == want and got
+    # recall through the artifact: multi-probe beats single-probe and
+    # clears the clustered-data floor
+    truth = similarity.brute_force_topk(q, clustered, k=5)
+    single = similarity.probe_rp_index(q, idx, k=5, hamming_probes=0)
+    multi = similarity.probe_rp_index(q, idx, k=5, hamming_probes=1)
+    r0, r1 = recall(single, truth), recall(multi, truth)
+    assert r1 >= r0 and r1 >= 0.8
+
+    # compaction tooling carries over to this kind (dedups a retried
+    # append)
+    similarity.append_rp_index(
+        clustered.filter(F.col("vec_id") % 4 == 0), idx  # retry dupes
+    )
+    out = similarity.compact_ann_index(spark, idx)
+    assert out["rows_after"] == 320
+    got2 = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.probe_rp_index(
+            q, idx, k=5, hamming_probes=1
+        ).collect()
+    }
+    assert got2 == want
+
+    # kind guards, both directions
+    with pytest.raises(ValueError, match="rp_lsh"):
+        similarity.probe_ann_index(q, idx, k=5)
+    with pytest.raises(ValueError, match="rp_lsh"):
+        similarity.append_ann_index(standing, idx)
+    ivf = str(tmp_path / "ivfidx")
+    similarity.write_ann_index(standing, ivf, n_lists=8)
+    with pytest.raises(ValueError, match="not rp_lsh"):
+        similarity.probe_rp_index(q, ivf, k=5)
+    with pytest.raises(ValueError, match="not rp_lsh"):
+        similarity.append_rp_index(standing, ivf)
+    # probe-bucket driver guard
+    with pytest.raises(ValueError, match="max_probe_buckets"):
+        similarity.probe_rp_index(q, idx, k=5, max_probe_buckets=2)
+
+
+def test_ann_index_counts_exact_under_speculation(
+    spark, clustered, tmp_path, monkeypatch
+):
+    """write/append_ann_index count written rows with observe() — an
+    accumulator, which a speculative duplicate task attempt
+    double-counts (the exact hazard table_log's observed commit
+    metrics gate on). With spark.speculation on, the writers must take
+    the checkpoint-and-count path so n_vectors/n_appended stay exact.
+    spark.speculation is a STATIC core conf, so the gate is exercised
+    through its seam, like test_observed_metrics_fall_back_under_
+    speculation does."""
+    from etl_property_rumah123_spark.operators import similarity as sim
+    from etl_property_rumah123_spark.sinks import table_log
+
+    calls = {"n": 0}
+    real = table_log._speculation_enabled
+
+    def spy(s):
+        calls["n"] += 1
+        return True
+
+    monkeypatch.setattr(table_log, "_speculation_enabled", spy)
+    try:
+        idx = str(tmp_path / "spec_idx")
+        info = sim.write_ann_index(
+            clustered.filter(F.col("vec_id") % 4 != 0), idx, n_lists=8
+        )
+        appended = sim.append_ann_index(
+            clustered.filter(F.col("vec_id") % 4 == 0), idx
+        )
+    finally:
+        monkeypatch.setattr(table_log, "_speculation_enabled", real)
+    assert calls["n"] == 2  # both writers consulted the gate
+    assert info["n_vectors"] == 240  # exact, not accumulator-inflated
+    assert appended["n_appended"] == 80
+    on_disk = spark.read.parquet(f"{idx}/cells").count()
+    assert on_disk == 320
+
+
 def test_ann_index_probe_scans_only_probed_cells(spark, clustered, tmp_path):
     """The scale contract of the artifact: a probe must read only the
     probed cells' partition directories, not the whole index — the

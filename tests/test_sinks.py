@@ -2529,6 +2529,89 @@ def test_data_skipping_on_timestamp_and_date_predicates(spark, tmp_path):
     )
 
 
+def test_data_skipping_cross_type_temporal_literals(spark, tmp_path):
+    """REGRESSION (round 11, ADVICE-high): `_file_may_match` used to
+    convert predicate literals by the LITERAL's Python type, but
+    manifest stats are unit-tagged ints — a datetime.date literal on a
+    TIMESTAMP column became epoch-days compared against epoch-micros
+    stats, so '<', '<=', '=' and 'in' silently pruned files that held
+    matching rows (the very common `ts >= date(2024,1,1)` day-boundary
+    shape). Stats now carry a per-column KIND; temporal literals are
+    coerced to the column's unit exactly as Spark's date<->timestamp
+    promotion does, and an unknowable pairing keeps the file."""
+    import datetime as dt
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "xt")
+    for year in (1998, 1999, 2000):  # one file per year band
+        rows = [
+            (
+                year * 100 + i,
+                dt.datetime(year, 1 + i % 12, 3, 4, 5, 6),
+                dt.date(year, 1 + i % 12, 7),
+            )
+            for i in range(24)
+        ]
+        table_log.commit_snapshot(
+            spark.createDataFrame(rows, "k long, ts timestamp, d date")
+            .coalesce(1),
+            t,
+            mode="append",
+        )
+    full = table_log.read_snapshot(spark, t)
+
+    def check(col, op, lit, expect_files=None):
+        pruned = table_log.read_snapshot(
+            spark, t, predicates=[(col, op, lit)]
+        )
+        if expect_files is not None:
+            assert len(pruned.inputFiles()) == expect_files, (col, op, lit)
+        py_op = {"<": "lt", "<=": "le", ">": "gt", ">=": "ge", "=": "eq"}
+        import operator as _op
+
+        def cond():
+            return (
+                F.col(col).isin(list(lit))
+                if op == "in"
+                else getattr(_op, py_op[op])(F.col(col), F.lit(lit))
+            )
+
+        want = sorted(r["k"] for r in full.filter(cond()).collect())
+        got = sorted(r["k"] for r in pruned.filter(cond()).collect())
+        assert got == want, (col, op, lit)
+        return len(want)
+
+    # DATE literal on the TIMESTAMP column (the reported shape): the
+    # literal must become midnight-UTC micros. Before the fix, '<'
+    # compared micros-stats < epoch-days and pruned ALL files.
+    assert check("ts", "<", dt.date(1999, 1, 1), expect_files=1) == 24
+    assert check("ts", "<=", dt.date(1999, 1, 4), expect_files=2) > 0
+    check("ts", ">=", dt.date(2000, 1, 1), expect_files=1)
+    # '=' on a date literal: no row is exactly midnight -> 0 rows, and
+    # the file whose band contains that instant is still the only scan
+    assert check("ts", "=", dt.date(1999, 6, 1), expect_files=1) == 0
+    check("ts", "in", [dt.date(1998, 3, 3), dt.date(2000, 2, 3)])
+    # DATETIME literal on the DATE column: day stats are lifted to
+    # midnight micros, so a noon literal keeps exactly the right files
+    assert check("d", ">=", dt.datetime(1999, 12, 31, 12), expect_files=1) == 24
+    assert check("d", "<", dt.datetime(1999, 1, 1, 0), expect_files=1) == 24
+    # midnight datetime '=' equals the date row exactly
+    assert check("d", "=", dt.datetime(2000, 3, 7), expect_files=1) == 2
+    # noon '=' provably matches no date: Spark's cast-unwrap folds the
+    # whole scan to empty (don't pin a file count), rows must be 0
+    assert check("d", "=", dt.datetime(2000, 3, 7, 12)) == 0
+    # mixed in-list (temporal + int) is unknowable: keep the file (a
+    # unit check — Spark's analyzer rejects the shape before a read)
+    assert table_log._file_may_match(
+        {"ts": [0, 10, 0, "ts"]}, "ts", "in", [dt.date(1998, 3, 3), 7]
+    )
+    # temporal literal on a NON-temporal column: keep, row filter rules
+    assert table_log._file_may_match(
+        {"k": [10, 20, 0, "int"]}, "k", "<", dt.date(1970, 1, 1)
+    )
+
+
 def test_data_skipping_in_predicate(spark, tmp_path):
     """The `in` pruner op (round 10 — the enum/bucket predicate shape,
     e.g. probing an ANN index's cells): a file is kept iff ANY listed
@@ -2562,12 +2645,19 @@ def test_data_skipping_in_predicate(spark, tmp_path):
     assert table_log._file_may_match(st, "k", "in", [15])
     assert not table_log._file_may_match(st, "k", "in", [9, 21])
     assert table_log._file_may_match(st, "k", "in", [1.0, float("nan")])
-    ts = {"ts": [946684800000000, 946771200000000, 0]}  # 2000-01-01..02 us
+    # 2000-01-01..02 in epoch micros, kind-tagged "ts"
+    ts = {"ts": [946684800000000, 946771200000000, 0, "ts"]}
     assert table_log._file_may_match(
         ts, "ts", "in", [dt.datetime(2000, 1, 1, 12)]
     )
     assert not table_log._file_may_match(
         ts, "ts", "in", [dt.datetime(1999, 1, 1)]
+    )
+    # kind-less (legacy-manifest) stats with a temporal literal: units
+    # are unknowable -> the file is KEPT, never numerically compared
+    legacy = {"ts": [946684800000000, 946771200000000, 0]}
+    assert table_log._file_may_match(
+        legacy, "ts", "in", [dt.datetime(1999, 1, 1)]
     )
 
 
@@ -2673,8 +2763,21 @@ def test_pruning_never_changes_results_randomized(spark, tmp_path):
             "i": [0, 29, 30, 60, 1000, -5],
             "f": [0.0, float("nan"), 49.9, -49.9],
             "s": ["alpha", "omega", "zzz", ""],
-            "ts": [dt.datetime(2024, 6, 15), dt.datetime(2023, 1, 1)],
-            "d": [dt.date(2024, 6, 15), dt.date(2025, 1, 1)],
+            # CROSS-TYPE temporal literals (round 11): date literals
+            # on the timestamp column and datetimes on the date column
+            # exercise the stats-kind unit coercion
+            "ts": [
+                dt.datetime(2024, 6, 15),
+                dt.datetime(2023, 1, 1),
+                dt.date(2024, 6, 15),
+                dt.date(2024, 1, 1),
+            ],
+            "d": [
+                dt.date(2024, 6, 15),
+                dt.date(2025, 1, 1),
+                dt.datetime(2024, 6, 15, 12),
+                dt.datetime(2024, 3, 1),
+            ],
             "dec": [Decimal("0.00"), Decimal("999.99"), Decimal("-1000.00")],
         }[col]
         return present + extra
@@ -2739,11 +2842,12 @@ def test_footer_stats_match_job_stats(spark, tmp_path):
         table_log.FOOTER_STATS = prev
     assert via_footers == via_job, (via_footers, via_job)
     stats = via_footers[rels[0]]
-    assert stats["k"] == [1, 3, 0]
-    assert stats["s"] == ["alpha", "omega", 0]
-    assert stats["v"] == [-3.25, 1.5, 0]
-    assert stats["n"] == [2, 7, 1]
-    assert stats["z"] == [None, None, 3]  # all-null column: skippable
+    assert stats["k"] == [1, 3, 0, "int"]
+    assert stats["s"] == ["alpha", "omega", 0, "string"]
+    assert stats["v"] == [-3.25, 1.5, 0, "float"]
+    assert stats["n"] == [2, 7, 1, "int"]
+    # all-null column: skippable
+    assert stats["z"] == [None, None, 3, "string"]
 
 
 def test_data_skipping_ratio_floor(spark, tmp_path):
@@ -2875,6 +2979,87 @@ def test_gated_broadcast_drops_hint_past_cap(spark, monkeypatch):
         )
 
 
+def test_gated_broadcast_never_trusts_underestimating_plans(
+    spark, tmp_path, monkeypatch
+):
+    """PLANTED UNDER-ESTIMATE (round 11): without CBO, Catalyst's size
+    visitor passes Generate/Expand/Join estimates through from their
+    inputs — a tiny parquet scan exploded into millions of rows still
+    *estimates* at file size, and a fast path that trusted it would
+    broadcast something huge. The gate must route inflating plans to
+    the bounded count probe, which drops the hint past the row cap —
+    never a broadcast past the byte cap."""
+    import warnings as _warnings
+
+    from etl_property_rumah123_spark.operators import common
+
+    # a genuinely tiny file on disk, so optimizedPlan stats have real
+    # (small) file-size evidence...
+    base = str(tmp_path / "tiny")
+    spark.range(0, 4).selectExpr("id AS k").coalesce(1).write.parquet(base)
+    tiny = spark.read.parquet(base)
+    # ...exploded 5000x: true row count far past the planted cap while
+    # the planning-time estimate stays at ~file size
+    exploded = tiny.select(
+        F.explode(F.sequence(F.lit(0), F.lit(4999))).alias("k")
+    )
+    est = int(
+        str(
+            exploded._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    )
+    assert est <= 512 << 20, "premise: the estimate under-reports"
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    table_side = spark.range(0, 500).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        monkeypatch.setattr(common, "MAX_BROADCAST_KEYS", 1000)
+        # the under-estimating plan must NOT take the zero-job fast
+        # path: the probe counts past the cap, warns, drops the hint
+        with pytest.warns(UserWarning, match="MAX_BROADCAST_KEYS"):
+            hinted = common.gated_broadcast(exploded, what="planted side")
+        over = plan_of(table_side.join(hinted, "k", "left_semi"))
+        assert "BroadcastHashJoin" not in over, over
+
+        # same inflating shape but genuinely small: the probe admits
+        # it (one bounded job), so inflating plans still broadcast
+        # when they truly fit
+        small_exploded = tiny.select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k")
+        )
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            hinted = common.gated_broadcast(
+                small_exploded, what="planted side"
+            )
+        under = plan_of(table_side.join(hinted, "k", "left_semi"))
+        assert "BroadcastHashJoin" in under, under
+
+        # joins and grouping-set expands route to the probe too
+        joined = tiny.crossJoin(tiny.selectExpr("k AS k2"))
+        expanded = tiny.rollup("k").count().select(F.col("k"))
+        for frame in (joined, expanded):
+            t = frame._jdf.queryExecution().optimizedPlan().treeString()
+            assert any(
+                m in t for m in ("Generate ", "Expand", "Join ")
+            ), t
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", prev_thresh
+        )
+
+
 def test_vacuum_vs_reader_race_fails_loud_never_partial(spark, tmp_path):
     """The reader side of the vacuum race (writer races are covered by
     the model-based stateful tests): (1) time-travel to an already-
@@ -2973,7 +3158,11 @@ def test_cow_touched_file_cap_degrades_to_full_rewrite(
     monkeypatch.setattr(table_log, "MAX_TOUCHED_FILES", 3)
     with _warnings.catch_warnings(record=True) as w:
         _warnings.simplefilter("always")
-        v = table_log.merge_snapshot(batch, t_cap, key="k")
+        # on_overflow='cow' pins the OLD degrade; the round-11 default
+        # ('mor') is pinned by test_cow_merge_overflow_routes_to_mor
+        v = table_log.merge_snapshot(
+            batch, t_cap, key="k", on_overflow="cow"
+        )
     assert any("MAX_TOUCHED_FILES" in str(x.message) for x in w)
     m = table_log._manifest(spark, t_cap, v)
     assert m["n_rewritten_files"] == 8  # every previous file rewritten
@@ -3014,6 +3203,78 @@ def test_cow_touched_file_cap_degrades_to_full_rewrite(
         vo = table_log.delete_snapshot(spark, t_ok, "k = 7")
     assert not any("MAX_TOUCHED_FILES" in str(x.message) for x in w)
     assert table_log._manifest(spark, t_ok, vo)["n_rewritten_files"] == 1
+
+
+def test_cow_merge_overflow_routes_to_mor(spark, tmp_path, monkeypatch):
+    """ROUND 11 (VERDICT #2): a merge touching more than
+    MAX_TOUCHED_FILES files now degrades to MERGE-ON-READ by default —
+    deletion vectors + appended batch files, O(batch + matched), ZERO
+    data files rewritten — instead of a full copy-on-write rewrite
+    (an entire-table write at 100 TB). Final state must be
+    byte-identical to the uncapped CoW merge; the manifest must show
+    the merge_mor operation with every previous file carried BY
+    REFERENCE; the warning must name the MoR route."""
+    import warnings as _warnings
+
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    def build(path):
+        df = spark.range(0, 40).withColumnRenamed("id", "k").withColumn(
+            "v", (F.col("k") * 10).cast("long")
+        ).repartition(8)
+        table_log.commit_snapshot(df, path, mode="append")
+
+    batch = spark.createDataFrame(
+        [(k, 999) for k in range(0, 40, 2)] + [(100, 1)], "k long, v long"
+    )
+    t_mor = str(tmp_path / "mor")
+    t_ref = str(tmp_path / "ref")
+    build(t_mor)
+    build(t_ref)
+    table_log.merge_snapshot(batch, t_ref, key="k")  # uncapped CoW
+    expect = sorted(
+        (r["k"], r["v"])
+        for r in table_log.read_snapshot(spark, t_ref).collect()
+    )
+    prev_files = set(
+        table_log._manifest(
+            spark, t_mor, table_log._list_versions(spark, t_mor)[-1]
+        )["files"]
+    )
+
+    monkeypatch.setattr(table_log, "MAX_TOUCHED_FILES", 3)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        v = table_log.merge_snapshot(batch, t_mor, key="k")
+    msgs = [str(x.message) for x in w if "MAX_TOUCHED_FILES" in str(x.message)]
+    assert msgs and "merge-on-read" in msgs[0], msgs
+
+    m = table_log._manifest(spark, t_mor, v)
+    assert m["operation"] == "merge_mor"
+    # no full rewrite: every pre-merge file is still referenced
+    assert prev_files <= set(m["files"])
+    assert m["dv_rows"] == 20  # the matched even keys, marked not rewritten
+    got = sorted(
+        (r["k"], r["v"])
+        for r in table_log.read_snapshot(spark, t_mor).collect()
+    )
+    assert got == expect
+
+    # a later compaction retires the DV debt with the same rows
+    table_log.compact_snapshot(spark, t_mor, target_files=2)
+    got2 = sorted(
+        (r["k"], r["v"])
+        for r in table_log.read_snapshot(spark, t_mor).collect()
+    )
+    assert got2 == expect
+
+    # invalid knob value fails loudly
+    with pytest.raises(ValueError, match="on_overflow"):
+        table_log.merge_snapshot(
+            batch, t_mor, key="k", on_overflow="nope"
+        )
 
 
 def test_dv_keys_legacy_manifest_commit_no_resurrect(spark, tmp_path):

@@ -13,6 +13,10 @@ recall knobs against brute-force ground truth:
   the probe-more-cells axis.
 - RP-LSH (``ann_topk``): num_planes in {10, 8, 6} x multi-probe
   {off, on} — the bigger-buckets and probe-adjacent-buckets axes.
+- The PERSISTED twins of both (``probe_ann_index`` at n_lists=64,
+  ``probe_rp_index`` over the same planes x multiprobe grid): the
+  probe-only walls a serving deployment reads, with per-index build
+  cost reported separately.
 
 For each config: recall@10 over 200 held-out queries (drawn from the
 same cluster process, not corpus members) plus the wall time of the
@@ -172,6 +176,34 @@ def main() -> int:
                 queries, f"{idx_dir}/idx", k=K, n_probe=n_probe
             ),
         )
+
+    # The persisted RP-LSH index (round 11): the same
+    # multi-probe-vs-planes axes as the in-memory ann_topk rows above,
+    # but THROUGH the artifact — one build per plane count, probe-only
+    # walls. The in-memory and persisted rows at the same config must
+    # show the same recall (identical seed math); the artifact's win
+    # is that corpus bucketing is paid once.
+    rp_build = {}
+    for planes in (10, 8, 6):
+        t0 = time.perf_counter()
+        similarity.write_rp_index(
+            corpus, f"{idx_dir}/rp{planes}", dim=DIM, num_planes=planes
+        )
+        rp_build[planes] = round(time.perf_counter() - t0, 1)
+        print(
+            f"persisted rp-lsh index build (planes={planes}): "
+            f"{rp_build[planes]}s",
+            flush=True,
+        )
+        for probe in (0, 1):
+            record(
+                "rp-index",
+                f"planes={planes} multiprobe={probe} (probe only)",
+                lambda planes=planes, probe=probe: similarity.probe_rp_index(
+                    queries, f"{idx_dir}/rp{planes}", k=K,
+                    hamming_probes=probe,
+                ),
+            )
     import shutil
 
     shutil.rmtree(idx_dir, ignore_errors=True)
@@ -192,6 +224,7 @@ def main() -> int:
                 "k": K,
                 "brute_sec": round(brute_sec, 1),
                 "index_build_sec": round(build_sec, 1),
+                "rp_index_build_sec": rp_build,
                 "curve": results,
             }
         )
