@@ -2046,6 +2046,14 @@ def read_changes(
     change is the symmetric difference of their contents (appends
     short-circuit to pure inserts with no diff shuffle;
     content-identical 'compact' steps are skipped by construction).
+
+    SCHEMA EVOLUTION: commits may add/drop columns between versions;
+    every file read here merges schemas, the per-step diff aligns
+    both sides to their column union (missing columns become typed
+    NULLs, so a rewrite that merely materializes a new column as NULL
+    emits no spurious change), and steps union with
+    allowMissingColumns — the feed's schema is the union of the
+    versions it spans.
     """
     from pyspark.sql import functions as F
 
@@ -2060,7 +2068,19 @@ def read_changes(
     out: DataFrame | None = None
 
     def read_rel(rels):
-        return spark.read.parquet(*[f"{table_path}/{r}" for r in rels])
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[f"{table_path}/{r}" for r in rels]
+        )
+
+    def aligned(a: DataFrame, b: DataFrame):
+        # column-union alignment for exceptAll across evolved schemas
+        cols = list(a.columns) + [c for c in b.columns if c not in a.columns]
+        for c in cols:
+            if c not in a.columns:
+                a = a.withColumn(c, F.lit(None).cast(b.schema[c].dataType))
+            if c not in b.columns:
+                b = b.withColumn(c, F.lit(None).cast(a.schema[c].dataType))
+        return a.select(cols), b.select(cols)
 
     def _eq_id(entry: dict) -> tuple:
         return (entry["key"], tuple(entry["files"]))
@@ -2113,7 +2133,11 @@ def read_changes(
                 .drop("__dv_key", "__dv_pos")
                 .withColumn("_change_type", F.lit("delete"))
             )
-            out = eq_step if out is None else out.unionByName(eq_step)
+            out = (
+                eq_step
+                if out is None
+                else out.unionByName(eq_step, allowMissingColumns=True)
+            )
         # DV delta first (any operation may add deletion vectors —
         # delete_dv, merge-on-read upsert): new DV rows resolve back
         # to full 'delete' rows via the row identity. The dv'd
@@ -2142,7 +2166,11 @@ def read_changes(
                 .drop("__dv_key", "__dv_pos")
                 .withColumn("_change_type", F.lit("delete"))
             )
-            out = dv_step if out is None else out.unionByName(dv_step)
+            out = (
+                dv_step
+                if out is None
+                else out.unionByName(dv_step, allowMissingColumns=True)
+            )
         added = sorted(
             rel for rel in cur_files - prev_files if rel not in cur_dvs
         )
@@ -2172,6 +2200,8 @@ def read_changes(
                     .filter(F.col("__dv_key").isin(list(removed_keys)))
                     .drop("__dv_key", "__dv_pos")
                 )
+            if new_rows is not None and old_rows is not None:
+                new_rows, old_rows = aligned(new_rows, old_rows)
             parts = []
             if new_rows is not None:
                 ins = new_rows.exceptAll(old_rows) if old_rows is not None else new_rows
@@ -2183,7 +2213,11 @@ def read_changes(
             for p in parts[1:]:
                 step = step.unionByName(p)
         if step is not None:
-            out = step if out is None else out.unionByName(step)
+            out = (
+                step
+                if out is None
+                else out.unionByName(step, allowMissingColumns=True)
+            )
     if out is None:
         base = read_snapshot(spark, table_path, to_version)
         return base.withColumn("_change_type", F.lit("insert")).limit(0)
