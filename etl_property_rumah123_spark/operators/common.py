@@ -128,6 +128,33 @@ def gated_broadcast(
     return F.broadcast(small)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_conf(spark, **pairs):
+    """Temporarily set runtime SQL confs (underscores -> dots), always
+    restoring on exit. The shuffle-partition use case: maintenance
+    jobs over SMALL tables (snapshot-log lifecycle commits, matview
+    refreshes) pay per-task scheduling on every shuffle — 32 tasks
+    for a 100-row join is pure overhead, and AQE's coalescing only
+    merges partitions AFTER launch planning. At 100 TB the same knob
+    goes the other way (more partitions); either way the right value
+    is data-sized, not session-global."""
+    keys = {k.replace("__", "."): v for k, v in pairs.items()}
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, str(v))
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "localcheckpoint").lower()
     if mode == "persist":

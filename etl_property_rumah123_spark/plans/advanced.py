@@ -1704,53 +1704,65 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     jvm, fs = table_log._fs(spark, tdir)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tdir), True)  # clean slate
 
-    table_log.commit_snapshot(
-        orders.filter(F.col("o_orderstatus") == "F"), tdir
-    )
-    table_log.commit_snapshot(
-        orders.filter(F.col("o_orderstatus") == "O"), tdir
-    )
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
-        "o_totalprice", F.col("o_totalprice") + 1000.0
-    )
-    table_log.merge_snapshot(urgent, tdir, key="o_orderkey")
-    table_log.delete_snapshot_dv(spark, tdir, "o_orderkey % 10 = 7")
-    table_log.delete_snapshot_eq(
-        spark, tdir, "o_orderkey",
-        orders.filter(
-            (F.col("o_orderpriority") == "2-HIGH")
-            & (F.col("o_orderkey") % 3 == 0)
-        ).select("o_orderkey"),
-    )
-    table_log.delete_snapshot_eq(
-        spark, tdir, "o_orderkey",
-        orders.filter(
-            (F.col("o_orderpriority") == "3-MEDIUM")
-            & (F.col("o_orderkey") % 7 == 1)
-        ).select("o_orderkey"),
-    )
-    # no appends between the two eq deletes -> identical scopes, so
-    # consolidation MUST merge them into one entry and MUST NOT
-    # change the read (the vc row pins exactly that)
-    table_log.consolidate_eq_dvs(spark, tdir)
+    # the commit phase is many SMALL jobs over a scratch table —
+    # right-size their shuffles (a 32-task join over a few thousand
+    # rows is pure scheduling overhead; see common.scoped_conf)
+    from etl_property_rumah123_spark.operators.common import scoped_conf
 
-    frames = []
-    for v, op in (
-        (0, "v0"), (1, "v1"), (2, "v2"), (3, "v3"),
-        (4, "v4"), (5, "v5"), (6, "vc"),
-    ):
-        frames.append(
-            table_log.read_snapshot(spark, tdir, v).agg(
-                F.lit(op).alias("op"),
-                F.lit(v).cast("long").alias("version"),
-                F.count("*").alias("n_rows"),
-                F.round(F.sum("o_totalprice"), 0).cast("long").alias("total"),
-            )
+    with scoped_conf(spark, spark__sql__shuffle__partitions=4):
+        table_log.commit_snapshot(
+            orders.filter(F.col("o_orderstatus") == "F"), tdir
         )
-    out = frames[0]
-    for fdf in frames[1:]:
-        out = out.unionByName(fdf)
-    return out.select("op", "version", "n_rows", "total")
+        table_log.commit_snapshot(
+            orders.filter(F.col("o_orderstatus") == "O"), tdir
+        )
+        urgent = orders.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        table_log.merge_snapshot(urgent, tdir, key="o_orderkey")
+        table_log.delete_snapshot_dv(spark, tdir, "o_orderkey % 10 = 7")
+        table_log.delete_snapshot_eq(
+            spark, tdir, "o_orderkey",
+            orders.filter(
+                (F.col("o_orderpriority") == "2-HIGH")
+                & (F.col("o_orderkey") % 3 == 0)
+            ).select("o_orderkey"),
+        )
+        table_log.delete_snapshot_eq(
+            spark, tdir, "o_orderkey",
+            orders.filter(
+                (F.col("o_orderpriority") == "3-MEDIUM")
+                & (F.col("o_orderkey") % 7 == 1)
+            ).select("o_orderkey"),
+        )
+        # no appends between the two eq deletes -> identical scopes, so
+        # consolidation MUST merge them into one entry and MUST NOT
+        # change the read (the vc row pins exactly that)
+        table_log.consolidate_eq_dvs(spark, tdir)
+
+    # ONE multi-version scan instead of 7 unioned time-travel reads:
+    # each distinct data file is read once and rows explode by the
+    # versions they are live in (read_snapshot_multi) — at 100 TB the
+    # 7-version audit costs ~1 table scan, not ~7. One groupBy
+    # replaces the 7 per-version aggregates.
+    labels = {0: "v0", 1: "v1", 2: "v2", 3: "v3", 4: "v4", 5: "v5", 6: "vc"}
+    multi = table_log.read_snapshot_multi(spark, tdir, sorted(labels))
+    op_map = F.create_map(
+        *[x for v, op in labels.items() for x in (F.lit(v), F.lit(op))]
+    )
+    return (
+        multi.groupBy(F.col("__version").alias("version"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 0).cast("long").alias("total"),
+        )
+        .select(
+            op_map[F.col("version")].alias("op"),
+            F.col("version").cast("long").alias("version"),
+            "n_rows",
+            "total",
+        )
+    )
 
 
 @part(
@@ -1829,18 +1841,25 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     group = ["o_orderpriority"]
 
-    table_log.commit_snapshot(
-        orders.filter(F.col("o_orderstatus") == "F"), src_dir
-    )
-    matview.refresh_aggregate(spark, src_dir, mv_dir, group, spec)
-    table_log.commit_snapshot(
-        orders.filter(F.col("o_orderstatus") == "O"), src_dir, mode="append"
-    )
-    table_log.delete_snapshot(
-        spark, src_dir,
-        "o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0",
-    )
-    matview.refresh_aggregate(spark, src_dir, mv_dir, group, spec)
+    # small-table maintenance jobs: right-size their shuffles (see
+    # snapshot_table_lifecycle / common.scoped_conf)
+    from etl_property_rumah123_spark.operators.common import scoped_conf
+
+    with scoped_conf(spark, spark__sql__shuffle__partitions=4):
+        table_log.commit_snapshot(
+            orders.filter(F.col("o_orderstatus") == "F"), src_dir
+        )
+        matview.refresh_aggregate(spark, src_dir, mv_dir, group, spec)
+        table_log.commit_snapshot(
+            orders.filter(F.col("o_orderstatus") == "O"),
+            src_dir,
+            mode="append",
+        )
+        table_log.delete_snapshot(
+            spark, src_dir,
+            "o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0",
+        )
+        matview.refresh_aggregate(spark, src_dir, mv_dir, group, spec)
 
     mv = matview.read_aggregate(spark, mv_dir)
     return mv.select(

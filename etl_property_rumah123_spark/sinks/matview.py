@@ -184,6 +184,14 @@ def refresh_aggregate(
         )
 
     changes = table_log.read_changes(spark, source_path, last, cur)
+    # The feed is consumed FOUR times below (insert fold, dirty-group
+    # distinct, bounds collection, tombstone join) and its diff steps
+    # (exceptAll over rewritten files) are the expensive part of a
+    # catch-up spanning merges/deletes — materialize it once. The
+    # footprint is DELTA-sized by definition, never table-sized.
+    from etl_property_rumah123_spark.operators.common import materialize
+
+    changes = materialize(changes)
     inserts = changes.filter(F.col("_change_type") == "insert").drop(
         "_change_type"
     )

@@ -1498,6 +1498,176 @@ def read_snapshot(
     return df
 
 
+def read_snapshot_multi(
+    spark: SparkSession,
+    table_path: str,
+    versions: list[int],
+) -> DataFrame:
+    """MANY versions in ONE scan: every distinct data file across the
+    requested versions is read exactly once, each row is tagged with
+    the array of versions it is LIVE in, and the result explodes to
+    the union of the per-version snapshots with a ``__version``
+    column. ``unionByName`` of per-version :func:`read_snapshot` calls
+    gives the same rows but re-reads every carried file once PER
+    VERSION — a time-travel audit spanning 7 versions of a 100 TB
+    table scans ~700 TB that way and ~100 TB this way.
+
+    Liveness is composed per version from driver-held manifests:
+    file membership rides a tiny broadcast (file key -> version
+    array), position DVs become ONE join against the union of the
+    versions' DV rows tagged with which DV file hit (a row is
+    suppressed in v iff any hitting DV file is in v's manifest), and
+    each distinct equality-delete entry contributes one broadcast key
+    join plus its scope test. Falls back to the naive per-version
+    union when an equality scope exceeds the isin bound — correct,
+    just not single-scan."""
+    from pyspark.sql import functions as F
+
+    if not versions:
+        raise ValueError("read_snapshot_multi: empty version list")
+    have = _list_versions(spark, table_path)
+    for v in versions:
+        if v not in have:
+            raise ValueError(f"version {v} not in {table_path}")
+    manifests = {v: _manifest(spark, table_path, v) for v in versions}
+
+    def naive() -> DataFrame:
+        out = None
+        for v in versions:
+            part = read_snapshot(spark, table_path, v, merge_schema=True)
+            part = part.withColumn("__version", F.lit(v).cast("long"))
+            out = (
+                part
+                if out is None
+                else out.unionByName(part, allowMissingColumns=True)
+            )
+        return out
+
+    eq_entries: dict[tuple, dict] = {}
+    for m in manifests.values():
+        for e in m.get("eq_dvs", []):
+            eq_entries[(e["key"], tuple(e["files"]))] = e
+    if any(
+        len(e["scope"]) > _EQ_SCOPE_ISIN_MAX for e in eq_entries.values()
+    ):
+        return naive()
+
+    all_files = sorted(
+        {rel for m in manifests.values() for rel in m["files"]}
+    )
+    data = (
+        spark.read.option("mergeSchema", "true")
+        .option("ignoreMissingFiles", "false")
+        .parquet(*[f"{table_path}/{rel}" for rel in all_files])
+        .withColumn(
+            "__dv_key",
+            F.regexp_extract(F.col("_metadata.file_path"), _DV_KEY_RE, 1),
+        )
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+    )
+    payload_cols = [
+        c for c in data.columns if c not in ("__dv_key", "__dv_pos")
+    ]
+
+    # file membership: driver-held manifests -> (file key, [versions])
+    member: dict[str, list[int]] = {}
+    for v in versions:
+        for rel in manifests[v]["files"]:
+            member.setdefault(_dv_rel_key(rel), []).append(v)
+    mdf = spark.createDataFrame(
+        [(k, sorted(vs)) for k, vs in member.items()],
+        "__mk string, __file_versions array<long>",
+    )
+    data = data.join(
+        F.broadcast(mdf), data["__dv_key"] == mdf["__mk"], "left"
+    ).drop("__mk")
+
+    # position DVs: one join; a row collects WHICH dv files hit it
+    dv_rels = sorted(
+        {r for m in manifests.values() for r in m.get("dvs", [])}
+    )
+    if dv_rels:
+        dv = (
+            spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
+            .withColumn(
+                "__dv_rel",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), _DV_KEY_RE, 1
+                ),
+            )
+            .groupBy("file_key", "pos")
+            .agg(F.collect_set("__dv_rel").alias("__dv_hits"))
+        )
+        data = data.join(
+            F.broadcast(dv),
+            (data["__dv_key"] == dv["file_key"])
+            & (data["__dv_pos"] == dv["pos"]),
+            "left",
+        ).drop("file_key", "pos")
+    else:
+        data = data.withColumn(
+            "__dv_hits", F.lit(None).cast("array<string>")
+        )
+
+    # equality deletes: one broadcast key join per DISTINCT entry
+    eq_flags: list[tuple[tuple, object]] = []
+    for i, (eid, entry) in enumerate(sorted(eq_entries.items())):
+        keys = (
+            spark.read.parquet(
+                *[f"{table_path}/{r}" for r in entry["files"]]
+            )
+            .select(F.col(entry["key"]).alias(f"__eqv{i}"))
+            .distinct()
+            .withColumn(f"__eqh{i}", F.lit(1))
+        )
+        data = data.join(
+            F.broadcast(keys),
+            data[entry["key"]] == keys[f"__eqv{i}"],
+            "left",
+        ).drop(f"__eqv{i}")
+        in_scope = (
+            F.col("__dv_key").isin(*entry["scope"])
+            if entry["scope"]
+            else F.lit(False)
+        )
+        eq_flags.append(
+            (eid, F.col(f"__eqh{i}").isNotNull() & in_scope)
+        )
+
+    live_versions = []
+    for v in versions:
+        m = manifests[v]
+        dv_keys_v = [_dv_rel_key(r) for r in m.get("dvs", [])]
+        cond = F.array_contains(
+            F.coalesce(
+                F.col("__file_versions"),
+                F.lit(None).cast("array<long>"),
+            ),
+            F.lit(v).cast("long"),
+        )
+        if dv_keys_v:
+            hit_v = F.arrays_overlap(
+                F.col("__dv_hits"),
+                F.array(*[F.lit(k) for k in dv_keys_v]),
+            )
+            cond = cond & ~F.coalesce(hit_v, F.lit(False))
+        v_eq_ids = {
+            (e["key"], tuple(e["files"])) for e in m.get("eq_dvs", [])
+        }
+        for eid, flag in eq_flags:
+            if eid in v_eq_ids:
+                cond = cond & ~F.coalesce(flag, F.lit(False))
+        live_versions.append(F.when(cond, F.lit(v).cast("long")))
+    tagged = data.withColumn(
+        "__live", F.filter(F.array(*live_versions), lambda x: x.isNotNull())
+    )
+    return (
+        tagged.filter(F.size("__live") > 0)
+        .withColumn("__version", F.explode("__live"))
+        .select(*payload_cols, "__version")
+    )
+
+
 def schema_diff(
     spark: SparkSession,
     table_path: str,
@@ -2200,6 +2370,28 @@ def read_changes(
                     .filter(F.col("__dv_key").isin(list(removed_keys)))
                     .drop("__dv_key", "__dv_pos")
                 )
+            if (
+                m.get("operation") == "delete"
+                and m.get("condition")
+                and old_rows is not None
+            ):
+                # CoW delete fast path: the rewritten files contain
+                # EXACTLY the survivors of the removed files, so the
+                # step's only changes are the predicate's matches in
+                # the removed files' live content — one filter (which
+                # pushes to the scan) instead of reading the new
+                # files and running two exceptAll shuffles. At 100 TB
+                # this turns CDF-over-a-purge from two table-diff
+                # shuffles into a pruned scan.
+                step = old_rows.filter(
+                    F.expr(m["condition"])
+                ).withColumn("_change_type", F.lit("delete"))
+                out = (
+                    step
+                    if out is None
+                    else out.unionByName(step, allowMissingColumns=True)
+                )
+                continue
             if new_rows is not None and old_rows is not None:
                 new_rows, old_rows = aligned(new_rows, old_rows)
             parts = []

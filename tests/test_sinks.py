@@ -2146,6 +2146,75 @@ def test_table_log_random_op_sequences_match_model(spark, tmp_path):
     assert got == model
 
 
+def test_read_snapshot_multi_matches_per_version_reads(spark, tmp_path):
+    """read_snapshot_multi (round 11): one scan serving many versions
+    — each distinct file read once, rows tagged/exploded by the
+    versions they are live in — must return EXACTLY the union of
+    per-version read_snapshot results for every version across the
+    full op surface (append, CoW merge, position-DV delete, equality
+    deletes, consolidation, compact), including versions whose eq
+    scopes and DV sets differ."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "multi")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartition(4)
+    table_log.commit_snapshot(df, t)  # v0
+    table_log.commit_snapshot(  # v1 append
+        spark.range(200, 260).selectExpr("id AS k", "id * 10 AS v"),
+        t, mode="append",
+    )
+    table_log.merge_snapshot(  # v2 CoW merge
+        spark.createDataFrame(
+            [(k, 7777) for k in range(0, 100, 5)], "k long, v long"
+        ),
+        t, key="k",
+    )
+    table_log.delete_snapshot_dv(spark, t, "k % 10 = 3")  # v3
+    table_log.delete_snapshot_eq(  # v4
+        spark, t, "k",
+        spark.createDataFrame([(k,) for k in range(0, 50, 7)], "k long"),
+    )
+    table_log.commit_snapshot(  # v5: append AFTER the eq delete — its
+        # new files are OUT of the eq scope, so a re-introduced key
+        # must be live in v5 but dead in v4
+        spark.createDataFrame([(0, 1), (7, 2)], "k long, v long"),
+        t, mode="append",
+    )
+    table_log.delete_snapshot_eq(  # v6: second entry, different scope
+        spark, t, "k",
+        spark.createDataFrame([(11,), (0,)], "k long"),
+    )
+    table_log.compact_snapshot(spark, t, target_files=2)  # v7
+
+    versions = table_log._list_versions(spark, t)
+    assert len(versions) == 8
+    multi = table_log.read_snapshot_multi(spark, t, versions)
+    got: dict[int, list] = {v: [] for v in versions}
+    for r in multi.collect():
+        got[r["__version"]].append((r["k"], r["v"]))
+    for v in versions:
+        want = sorted(
+            (r["k"], r["v"])
+            for r in table_log.read_snapshot(spark, t, v).collect()
+        )
+        assert sorted(got[v]) == want, f"version {v} diverges"
+    # the whole thing was ONE scan of the distinct files: the plan
+    # reads each parquet file exactly once
+    files = multi.inputFiles()
+    data_files = [f for f in files if "/data/" in f]
+    assert len(data_files) == len(set(data_files))
+
+    # version validation stays loud
+    with pytest.raises(ValueError, match="version 99"):
+        table_log.read_snapshot_multi(spark, t, [0, 99])
+    with pytest.raises(ValueError, match="empty"):
+        table_log.read_snapshot_multi(spark, t, [])
+
+
 def test_table_log_schema_evolution_fuzz_matches_model(spark, tmp_path):
     """ROUND 11 (VERDICT #7): the model-based op interleaving EXTENDED
     with column add / drop / rename between commits. Contract under

@@ -364,6 +364,133 @@ def main() -> int:
             failures += 1
         print(f"streaming_tws_gate: {results['streaming_tws_gate']}", flush=True)
 
+    # --- streaming LEFT OUTER join stage (round 11): the last
+    # stateful-streaming surface without daemon-mode evidence. The
+    # watermark-driven null-emission contract — matched pairs equal
+    # the batch left-join, null rows appear exactly for clicks whose
+    # join window is PROVABLY closed — runs against executor-local
+    # RocksDB join state across real worker daemons.
+    if os.environ.get("SMOKE_STREAMING", "1") != "0":
+        t0 = time.time()
+        try:
+            import shutil
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from etl_property_rumah123_spark.sources.catalog import table
+            from etl_property_rumah123_spark.streaming import pipelines
+
+            events_dir = tempfile.mkdtemp(prefix="smoke_outer_")
+            try:
+                table(spark, SF, "events").limit(20000).write.mode(
+                    "overwrite"
+                ).parquet(events_dir)
+                schema = spark.read.parquet(events_dir).schema
+
+                def stream():
+                    return spark.readStream.schema(schema).parquet(
+                        events_dir
+                    )
+
+                clicks = stream().filter(F.col("event_type") == "click")
+                buys = stream().filter(F.col("event_type") == "purchase")
+                q = pipelines.run_to_memory_sink(
+                    pipelines.click_purchase_outer_join(
+                        clicks, buys, max_gap="6 hours", watermark="1 hours"
+                    ),
+                    "smoke_outer",
+                    output_mode="append",
+                )
+                q.awaitTermination()
+                out = spark.table("smoke_outer")
+                got_matched = {
+                    (r["click_id"], r["purchase_id"])
+                    for r in out.filter("purchase_id IS NOT NULL").collect()
+                }
+                got_nulls = {
+                    r["click_id"]
+                    for r in out.filter("purchase_id IS NULL").collect()
+                }
+                batch = spark.read.parquet(events_dir)
+                c = batch.filter(F.col("event_type") == "click").select(
+                    F.col("event_id").alias("click_id"),
+                    "user_id",
+                    F.col("ts").alias("cts"),
+                )
+                p = batch.filter(F.col("event_type") == "purchase").select(
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("p_user_id"),
+                    F.col("ts").alias("pts"),
+                )
+                pairs = c.join(
+                    p,
+                    (F.col("user_id") == F.col("p_user_id"))
+                    & (F.col("pts") > F.col("cts"))
+                    & (
+                        F.col("pts")
+                        <= F.col("cts") + F.expr("INTERVAL 6 hours")
+                    ),
+                    "left_outer",
+                )
+                want_matched = {
+                    (r["click_id"], r["purchase_id"])
+                    for r in pairs.filter(
+                        "purchase_id IS NOT NULL"
+                    ).collect()
+                }
+                # global watermark = MIN across both inputs
+                max_ts = min(
+                    batch.filter("event_type = 'click'")
+                    .agg(F.max("ts")).collect()[0][0],
+                    batch.filter("event_type = 'purchase'")
+                    .agg(F.max("ts")).collect()[0][0],
+                )
+                unmatched = pairs.filter("purchase_id IS NULL")
+
+                def horizon(margin):
+                    return {
+                        r["click_id"]
+                        for r in unmatched.filter(
+                            F.col("cts")
+                            + F.expr("INTERVAL 7 hours")
+                            + F.expr(f"INTERVAL {margin}")
+                            <= F.lit(max_ts)
+                        ).collect()
+                    }
+
+                definite = horizon("1 minutes")
+                possible = horizon("-1 minutes")
+                ok = (
+                    want_matched
+                    and got_matched == want_matched
+                    and definite <= got_nulls <= possible
+                )
+                if ok:
+                    results["streaming_left_outer"] = (
+                        f"ok ({len(got_matched)} matched, "
+                        f"{len(got_nulls)} null-extended, "
+                        f"{time.time()-t0:.1f}s)"
+                    )
+                else:
+                    results["streaming_left_outer"] = (
+                        f"FAIL matched {len(got_matched)} vs "
+                        f"{len(want_matched)}; nulls {len(got_nulls)} "
+                        f"bracket [{len(definite)}, {len(possible)}]"
+                    )
+                    failures += 1
+            finally:
+                shutil.rmtree(events_dir, ignore_errors=True)
+        except Exception as ex:  # noqa: BLE001
+            results["streaming_left_outer"] = (
+                f"ERROR {type(ex).__name__}: {str(ex)[:200]}"
+            )
+            failures += 1
+        print(
+            f"streaming_left_outer: {results['streaming_left_outer']}",
+            flush=True,
+        )
+
     # --- pgwire stage: the executor-side sink fan-out. write_staging
     # runs per-PARTITION inside executor Python workers, each opening
     # its own wire connection — on local[N] those workers share the
