@@ -1672,22 +1672,30 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'vc', 6, CAST(COUNT(*) AS BIGINT),
            CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) FROM v5
+    UNION ALL
+    SELECT 'vo', 7, CAST(COUNT(*) AS BIGINT),
+           CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) FROM v5
     """,
     doc="The snapshot-log lifecycle under the driver's value hash: "
-    "commit filled orders (v0), append open orders (v1), file-grain "
+    "commit filled orders (v0, declaring a PARQUET BLOOM FILTER on "
+    "o_orderkey as a table property every later writer re-applies), "
+    "append open orders (v1), file-grain "
     "COPY-ON-WRITE MERGE of urgent orders with +1000 totalprice (v2 "
     "— urgent rows replace or insert, untouched files carried by "
     "reference), MERGE-ON-READ deletion-vector delete of "
     "orderkey%10=7 (v3 — zero data files rewritten, readers apply "
     "the DV anti-join), two EQUALITY deletes (v4: high-priority "
     "key batch, v5: medium-priority — pure-metadata commits, "
-    "per-entry broadcast key suppression on read), then "
+    "per-entry broadcast key suppression on read), "
     "consolidate_eq_dvs (vc — the same-scope entries merge to one; "
-    "the read must not change), TIME-TRAVELING every version and "
-    "aggregating. The oracle restates all seven states in plain SQL "
-    "over orders — any commit/merge/DV/eq-delete/consolidation/"
-    "time-travel defect in sinks/table_log.py changes a version's "
-    "rows and fails the hash.",
+    "the read must not change), then the incremental bin-packing "
+    "OPTIMIZE (vo — every small file folds, outstanding DVs and eq "
+    "entries MATERIALIZE into the packed files and their emptied "
+    "entries drop; the read must again not change), TIME-TRAVELING "
+    "every version and aggregating. The oracle restates all eight "
+    "states in plain SQL over orders — any commit/merge/DV/"
+    "eq-delete/consolidation/optimize/time-travel defect in "
+    "sinks/table_log.py changes a version's rows and fails the hash.",
 )
 def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1711,7 +1719,10 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with scoped_conf(spark, spark__sql__shuffle__partitions=4):
         table_log.commit_snapshot(
-            orders.filter(F.col("o_orderstatus") == "F"), tdir
+            orders.filter(F.col("o_orderstatus") == "F"), tdir,
+            # table property: every later writer (merge/DV/eq/optimize)
+            # re-applies the o_orderkey bloom to the files it writes
+            bloom_cols=["o_orderkey"],
         )
         table_log.commit_snapshot(
             orders.filter(F.col("o_orderstatus") == "O"), tdir
@@ -1739,13 +1750,24 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consolidation MUST merge them into one entry and MUST NOT
         # change the read (the vc row pins exactly that)
         table_log.consolidate_eq_dvs(spark, tdir)
+        # incremental bin-packing OPTIMIZE (vo): at these sizes every
+        # file is sub-threshold, so all of them fold — materializing
+        # the outstanding DVs/eq entries — and the read MUST not
+        # change (content-identical op, pinned by the vo row)
+        table_log.optimize_snapshot(
+            spark, tdir,
+            target_file_bytes=1 << 30, small_file_bytes=1 << 30,
+        )
 
-    # ONE multi-version scan instead of 7 unioned time-travel reads:
+    # ONE multi-version scan instead of 8 unioned time-travel reads:
     # each distinct data file is read once and rows explode by the
     # versions they are live in (read_snapshot_multi) — at 100 TB the
-    # 7-version audit costs ~1 table scan, not ~7. One groupBy
-    # replaces the 7 per-version aggregates.
-    labels = {0: "v0", 1: "v1", 2: "v2", 3: "v3", 4: "v4", 5: "v5", 6: "vc"}
+    # 8-version audit costs ~1 table scan, not ~8. One groupBy
+    # replaces the 8 per-version aggregates.
+    labels = {
+        0: "v0", 1: "v1", 2: "v2", 3: "v3", 4: "v4", 5: "v5",
+        6: "vc", 7: "vo",
+    }
     multi = table_log.read_snapshot_multi(spark, tdir, sorted(labels))
     op_map = F.create_map(
         *[x for v, op in labels.items() for x in (F.lit(v), F.lit(op))]

@@ -131,10 +131,19 @@ def _try_publish(spark, table_path: str, version: int, token: str, manifest: dic
     return False
 
 
-def _write_commit_dir(df: DataFrame, table_path: str, commit_rel: str) -> list[str]:
+def _write_commit_dir(
+    df: DataFrame,
+    table_path: str,
+    commit_rel: str,
+    options: dict | None = None,
+) -> list[str]:
     """Write ``df`` into ``commit_rel`` (skipped if it already exists —
-    retry reuse) and return the relative parquet file list."""
-    files, _ = _write_commit_dir_observed(df, table_path, commit_rel, None)
+    retry reuse) and return the relative parquet file list.
+    ``options`` are parquet writer options (the bloom-filter column
+    properties ride here)."""
+    files, _ = _write_commit_dir_observed(
+        df, table_path, commit_rel, None, options=options
+    )
     return files
 
 
@@ -156,6 +165,7 @@ def _write_commit_dir_observed(
     table_path: str,
     commit_rel: str,
     metrics: dict | None,
+    options: dict | None = None,
 ) -> tuple[list[str], dict | None]:
     """:func:`_write_commit_dir` plus aggregate ``metrics`` (name ->
     Column) computed ON the write job via ``Observation`` — the
@@ -185,10 +195,14 @@ def _write_commit_dir_observed(
             obs = Observation()
             df.observe(
                 obs, *[expr.alias(k) for k, expr in metrics.items()]
-            ).write.mode("errorifexists").parquet(commit_dir)
+            ).write.mode("errorifexists").options(
+                **(options or {})
+            ).parquet(commit_dir)
             values = obs.get
         else:
-            df.write.mode("errorifexists").parquet(commit_dir)
+            df.write.mode("errorifexists").options(
+                **(options or {})
+            ).parquet(commit_dir)
     files = sorted(
         f"{commit_rel}/{status.getPath().getName()}"
         for status in fs.listStatus(hadoop_path(commit_dir))
@@ -260,6 +274,58 @@ def _touched_file_set(
         )
         return None
     return {r[0] for r in rows}
+
+
+#: Default per-file expected-NDV hint for manifest-declared bloom
+#: columns. Parquet sizes each file's split-block bloom from this
+#: (~1.2 bytes/value at the 1% default FPP, capped by
+#: ``parquet.bloom.filter.max.bytes`` = 1 MiB), so the default suits
+#: ~100 MB–1 GB files; tune per column via the dict form of
+#: ``bloom_cols``.
+DEFAULT_BLOOM_NDV = int(os.environ.get("SPARK_GRAFT_BLOOM_NDV", "1000000"))
+
+
+def _norm_bloom_cols(bloom_cols) -> dict:
+    """Normalize a ``bloom_cols`` spec (list of names or name->ndv
+    dict) to ``{col: ndv}``."""
+    if not bloom_cols:
+        return {}
+    if isinstance(bloom_cols, dict):
+        return {str(c): int(n) for c, n in bloom_cols.items()}
+    return {str(c): DEFAULT_BLOOM_NDV for c in bloom_cols}
+
+
+def _bloom_options(bloom_cols: dict) -> dict:
+    """Parquet writer options enabling a SPLIT-BLOCK BLOOM FILTER for
+    each listed column — the point-lookup skipping tier that min/max
+    stats cannot provide. A high-NDV column with scattered values
+    (ids, hashes, session keys) has per-file and per-row-group
+    [min, max] spanning the whole domain, so ``=``/``IN`` predicates
+    prune nothing from stats; the bloom answers "is this value
+    POSSIBLY in this row group" from a few KB of footer-adjacent
+    bitmap, and Spark's parquet scan consults it per row group for
+    pushed equality predicates — each task skips decoding every
+    group the bloom excludes, turning a needle-in-haystack lookup
+    over a 100 TB table from a full decode into footer+bitmap reads.
+    (File-LEVEL manifest pruning intentionally stays min/max-only: a
+    useful bloom for a high-NDV column is ~NDV bytes, which at 10⁵
+    files would put GBs of bitmap into a JSON manifest the driver
+    reads whole — the bitmaps belong IN the files, read distributed,
+    which is exactly where parquet puts them.)"""
+    out: dict = {}
+    for c, ndv in bloom_cols.items():
+        out[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        out[f"parquet.bloom.filter.expected.ndv#{c}"] = str(int(ndv))
+    return out
+
+
+def _carry_bloom(prev: dict | None) -> dict:
+    """The ``bloom_cols`` manifest fragment to carry into a successor
+    manifest — the property is TABLE-level (like schema): every
+    rewrite path (merge/delete/compact/optimize) re-applies it so
+    maintenance never silently drops the skipping tier."""
+    b = (prev or {}).get("bloom_cols") or {}
+    return {"bloom_cols": b} if b else {}
 
 
 def _cap_stats(stats: dict) -> dict:
@@ -880,6 +946,7 @@ def delete_snapshot_dv(
         manifest = {
             "version": version,
             "operation": "delete_dv",
+            **_carry_bloom(prev),
             "condition": condition,
             "files": prev["files"],
             "n_files": len(prev["files"]),
@@ -990,11 +1057,19 @@ def merge_snapshot_mor(
                 n_marked, new_keys = _dv_count_and_keys(
                     spark, table_path, new_dv
                 )
-        new_files = _write_commit_dir(df, table_path, f"data/c{token}a")
+        new_files = _write_commit_dir(
+            df,
+            table_path,
+            f"data/c{token}a",
+            options=_bloom_options(
+                _norm_bloom_cols(prev.get("bloom_cols"))
+            ),
+        )
         files = prev["files"] + new_files
         manifest = {
             "version": version,
             "operation": "merge_mor",
+            **_carry_bloom(prev),
             "merge_key": key,
             "files": files,
             "n_files": len(files),
@@ -1065,6 +1140,7 @@ def delete_snapshot_eq(
         manifest = {
             "version": version,
             "operation": "delete_eq",
+            **_carry_bloom(prev),
             "eq_key": key,
             "files": prev["files"],
             "n_files": len(prev["files"]),
@@ -1195,6 +1271,7 @@ def consolidate_eq_dvs(
         manifest = {
             "version": version,
             "operation": "consolidate_eq",
+            **_carry_bloom(prev),
             "files": prev["files"],
             "n_files": prev.get("n_files", len(prev["files"])),
             "n_entries_before": len(entries),
@@ -1220,6 +1297,7 @@ def commit_snapshot(
     mode: str = "append",
     max_retries: int = 10,
     extra_meta: dict | None = None,
+    bloom_cols: dict | list | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -1231,7 +1309,16 @@ def commit_snapshot(
     manifest also records the DataFrame schema so empty versions read
     back with the true table schema. ``extra_meta`` entries are
     embedded IN the atomically published manifest (the streaming
-    sink's batch-id stamp rides here — never a post-hoc rewrite)."""
+    sink's batch-id stamp rides here — never a post-hoc rewrite).
+
+    ``bloom_cols`` (list of columns, or ``{col: expected_ndv}``)
+    declares PER-COLUMN PARQUET BLOOM FILTERS as a table property:
+    this commit's files are written with split-block blooms on those
+    columns (point-lookup row-group skipping — see
+    :func:`_bloom_options`), the manifest records the spec, and every
+    later commit/merge/delete/compact/optimize re-applies it
+    automatically. Pass ``None`` to inherit the table's current spec
+    (the common case), ``{}``/``[]`` to clear it."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -1240,14 +1327,24 @@ def commit_snapshot(
     for _ in range(max_retries):
         versions = _list_versions(spark, table_path)
         version = (versions[-1] + 1) if versions else 0
-        new_files = _write_commit_dir(df, table_path, commit_rel)
+        prev0 = (
+            _manifest(spark, table_path, versions[-1]) if versions else None
+        )
+        bloom = _norm_bloom_cols(
+            bloom_cols
+            if bloom_cols is not None
+            else (prev0 or {}).get("bloom_cols")
+        )
+        new_files = _write_commit_dir(
+            df, table_path, commit_rel, options=_bloom_options(bloom)
+        )
         new_stats = _stats_for_files(spark, table_path, new_files)
         dvs: list[str] = []
         dv_keys: list[str] = []
         eq_dvs: list[dict] = []
         dv_rows = 0
         if mode == "append" and versions:
-            prev = _manifest(spark, table_path, versions[-1])
+            prev = prev0
             files = prev["files"] + new_files
             stats = {**prev.get("stats", {}), **new_stats}
             dvs = prev.get("dvs", [])  # appends carry deletion vectors
@@ -1264,6 +1361,7 @@ def commit_snapshot(
             "n_files": len(files),
             "schema": df.schema.json(),
             "stats": _cap_stats(stats),
+            **({"bloom_cols": bloom} if bloom else {}),
             **(
                 {
                     "dvs": dvs,
@@ -1906,7 +2004,14 @@ def merge_snapshot(
             )
         carry = carry_src.drop("__file").join(batch_keys, key, "left_anti")
         rewrite = carry.unionByName(df, allowMissingColumns=True)
-        new_files = _write_commit_dir(rewrite, table_path, f"data/c{token}")
+        new_files = _write_commit_dir(
+            rewrite,
+            table_path,
+            f"data/c{token}",
+            options=_bloom_options(
+                _norm_bloom_cols(prev.get("bloom_cols"))
+            ),
+        )
         kept = [rel for rel in prev["files"] if rel not in set(touched_rel)]
         prev_stats = prev.get("stats", {})
         stats = {
@@ -1917,6 +2022,7 @@ def merge_snapshot(
         manifest = {
             "version": version,
             "operation": "merge",
+            **_carry_bloom(prev),
             "files": files,
             "n_files": len(files),
             "n_rewritten_files": len(touched_rel),
@@ -2051,10 +2157,18 @@ def compact_snapshot(
             )
         else:
             df = df.coalesce(target_files)
-        files = _write_commit_dir(df, table_path, f"data/c{token}")
+        files = _write_commit_dir(
+            df,
+            table_path,
+            f"data/c{token}",
+            options=_bloom_options(
+                _norm_bloom_cols(prev.get("bloom_cols"))
+            ),
+        )
         manifest = {
             "version": version,
             "operation": "compact",
+            **_carry_bloom(prev),
             "files": files,
             "n_files": len(files),
             "compacted_from": prev["n_files"],
@@ -2069,6 +2183,150 @@ def compact_snapshot(
         token = uuid.uuid4().hex[:12]
     raise RuntimeError(
         f"compaction of {table_path} lost {max_retries} version races"
+    )
+
+
+def optimize_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
+    min_input_files: int = 2,
+    max_retries: int = 10,
+) -> int | None:
+    """INCREMENTAL bin-packing OPTIMIZE: rewrite ONLY the current
+    version's small files (on-disk size < ``small_file_bytes``,
+    default ``target_file_bytes // 2``) into ~``target_file_bytes``
+    files, carrying every right-sized file BY REFERENCE. This is the
+    at-100 TB small-file compactor :func:`compact_snapshot` is not:
+    streaming appends and MoR merges accrete KB–MB files at the tail
+    of a table whose head is already well-sized, and a full rewrite
+    to fold them is a 100 TB write for a GB problem. Here the cost is
+    O(small-file bytes) — independent of table size — so it can run
+    on every maintenance cadence. Returns the new version, or None
+    when fewer than ``min_input_files`` files qualify (nothing worth
+    folding; also the fixpoint — a second run is a no-op).
+
+    Semantics: content-identical (operation 'optimize'). The rewrite
+    reads the small files through the live row-identity view, so
+    outstanding position/equality deletes targeting them are
+    MATERIALIZED into the new files; DV entries for untouched files
+    carry (``dv_keys`` is trimmed to the kept files, and the dv list
+    is dropped entirely when no kept file carries one); equality
+    entries have the rewritten file keys struck from their scope
+    (the new files must NOT be in scope — their rows already survived
+    the delete — and an entry whose scope empties is dropped, its key
+    parquet left for vacuum). Layout-agnostic: files are bin-packed
+    by size only — re-clustering an evolved table onto the Morton
+    curve is :func:`compact_snapshot` ``zorder_by``'s job. File sizes
+    come from one driver-side ``listStatus`` per commit dir (same
+    O(files) metadata envelope as footer stats). Declared
+    ``bloom_cols`` are re-applied to the packed files."""
+    import math
+
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes // 2
+    jvm, fs = _fs(spark, table_path)
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        versions = _list_versions(spark, table_path)
+        if not versions:
+            raise ValueError(f"no snapshots at {table_path}")
+        prev = _manifest(spark, table_path, versions[-1])
+        version = versions[-1] + 1
+        # one listStatus per commit dir -> {rel: bytes}
+        sizes: dict[str, int] = {}
+        for d in sorted({rel.rsplit("/", 1)[0] for rel in prev["files"]}):
+            try:
+                for status in fs.listStatus(hadoop_path(f"{table_path}/{d}")):
+                    sizes[f"{d}/{status.getPath().getName()}"] = (
+                        status.getLen()
+                    )
+            except Exception:
+                continue  # missing dir: the file set check below keeps it
+        small = [
+            rel
+            for rel in prev["files"]
+            if rel in sizes and sizes[rel] < small_file_bytes
+        ]
+        if len(small) < min_input_files:
+            return None
+        small_keys = {_dv_rel_key(rel) for rel in small}
+        # live rows of ONLY the small files: the sub-manifest reuses
+        # the full DV/eq lists — position DVs match by file key (only
+        # the small files' rows are in the frame) and eq scopes are
+        # key sets, so extra entries are no-ops
+        sub = {
+            "files": small,
+            "dvs": prev.get("dvs", []),
+            "eq_dvs": prev.get("eq_dvs", []),
+        }
+        live = _read_with_row_identity(spark, table_path, sub).drop(
+            "__dv_key", "__dv_pos"
+        )
+        n_out = max(
+            1, math.ceil(sum(sizes[rel] for rel in small) / target_file_bytes)
+        )
+        new_files = _write_commit_dir(
+            live.repartition(n_out),
+            table_path,
+            f"data/c{token}",
+            options=_bloom_options(
+                _norm_bloom_cols(prev.get("bloom_cols"))
+            ),
+        )
+        kept = [rel for rel in prev["files"] if rel not in set(small)]
+        kept_dv_keys = sorted(
+            _prev_dv_keys(spark, table_path, prev) - small_keys
+        )
+        dvs = prev.get("dvs", []) if kept_dv_keys else []
+        dropped_eq_n = 0
+        eq_dvs = []
+        for entry in prev.get("eq_dvs", []):
+            scope = [k for k in entry["scope"] if k not in small_keys]
+            if scope:
+                eq_dvs.append({**entry, "scope": scope})
+            else:
+                dropped_eq_n += entry.get("n", 0)
+        dv_rows = (
+            (prev.get("dv_rows", 0) - dropped_eq_n)
+            if dvs
+            else sum(e.get("n", 0) for e in eq_dvs)
+        )
+        prev_stats = prev.get("stats", {})
+        stats = {
+            **{rel: prev_stats[rel] for rel in kept if rel in prev_stats},
+            **_stats_for_files(spark, table_path, new_files),
+        }
+        files = kept + new_files
+        manifest = {
+            "version": version,
+            "operation": "optimize",
+            **_carry_bloom(prev),
+            "files": files,
+            "n_files": len(files),
+            "optimized_files": len(small),
+            "optimized_bytes": sum(sizes[rel] for rel in small),
+            "kept_files": len(kept),
+            "schema": prev.get("schema"),
+            "stats": _cap_stats(stats),
+            **(
+                {
+                    "dvs": dvs,
+                    "dv_keys": kept_dv_keys,
+                    "eq_dvs": eq_dvs,
+                    "dv_rows": dv_rows,
+                }
+                if (dvs or eq_dvs)
+                else {}
+            ),
+        }
+        if _try_publish(spark, table_path, version, token, manifest):
+            return version
+        token = uuid.uuid4().hex[:12]
+    raise RuntimeError(
+        f"optimize of {table_path} lost {max_retries} version races"
     )
 
 
@@ -2158,7 +2416,12 @@ def delete_snapshot(
         new_files: list[str] = []
         if survivors is not None:
             new_files = _write_commit_dir(
-                survivors, table_path, f"data/c{token}"
+                survivors,
+                table_path,
+                f"data/c{token}",
+                options=_bloom_options(
+                    _norm_bloom_cols(prev.get("bloom_cols"))
+                ),
             )
         kept = [rel for rel in prev["files"] if rel not in set(touched_rel)]
         prev_stats = prev.get("stats", {})
@@ -2170,6 +2433,7 @@ def delete_snapshot(
         manifest = {
             "version": version,
             "operation": "delete",
+            **_carry_bloom(prev),
             "condition": condition,
             "files": files,
             "n_files": len(files),
@@ -2267,10 +2531,13 @@ def read_changes(
         cur_files = set(m["files"])
         cur_dvs = set(m.get("dvs", []))
         cur_eq = {_eq_id(e): e for e in m.get("eq_dvs", [])}
-        if m.get("operation") == "compact":
+        if m.get("operation") in ("compact", "optimize"):
             # live-content identical by construction: compaction also
             # MATERIALIZES deletion vectors (position and equality),
-            # whose rows were already emitted at their delete step
+            # whose rows were already emitted at their delete step;
+            # the incremental optimize does the same for exactly the
+            # small files it rewrites (kept files' DVs carry, kept eq
+            # entries keep their in-scope keys — no delta either way)
             prev_files, prev_dvs, prev_eq = cur_files, cur_dvs, cur_eq
             prev_manifest = m
             continue

@@ -3618,3 +3618,305 @@ def test_consolidate_eq_dvs_merges_same_scope_entries(spark, tmp_path):
         m3 = table_log._manifest(spark, t, v3)
         assert len(m3["eq_dvs"]) <= 2
     assert ks() == [0, 1, 4, 6, 7, 20]
+
+
+# ---------------------------------------------------------------------------
+# parquet bloom filters as a table property + incremental OPTIMIZE
+# ---------------------------------------------------------------------------
+
+
+def _bloom_present(spark, path: str, col: str) -> bool:
+    """Whether the parquet file's first row group carries a bloom
+    filter for ``col`` (driver-side footer read via parquet-mr)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    rd = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+        jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(path), conf
+        )
+    )
+    try:
+        block = rd.getFooter().getBlocks().get(0)
+        cols = block.getColumns()
+        for i in range(cols.size()):
+            c = cols.get(i)
+            if c.getPath().toDotString() == col:
+                return (
+                    rd.getBloomFilterDataReader(block).readBloomFilter(c)
+                    is not None
+                )
+        return False
+    finally:
+        rd.close()
+
+
+def _leaf_scan_output_rows(df) -> int:
+    """numOutputRows of the plan's leaf scan node AFTER executing the
+    frame — rows the parquet reader actually produced, i.e. after
+    row-group-level skipping but before the post-scan filter."""
+    df.collect()
+    node = df._jdf.queryExecution().executedPlan()
+    while node.children().size() > 0:
+        node = node.children().apply(0)
+    out = {}
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        out[kv._1()] = kv._2().value()
+    return int(out["numOutputRows"])
+
+
+def test_snapshot_bloom_point_lookup_skips_row_groups(spark, tmp_path):
+    """A ``bloom_cols`` table answers an equality probe on a high-NDV
+    unsorted column by SKIPPING row groups whose bloom excludes the
+    value: the leaf scan emits (almost) no rows, where the same probe
+    on a bloom-less twin decodes every row-group that min/max cannot
+    exclude — which for scattered values is ALL of them. Dictionary
+    encoding is disabled and row groups shrunk for the test so the
+    contrast isolates the bloom tier (at production scale high-NDV
+    pages overflow the dictionary on their own)."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    hconf = spark._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    old_dict = hconf.get("parquet.enable.dictionary")
+    hconf.set("parquet.block.size", str(256 * 1024))
+    hconf.set("parquet.enable.dictionary", "false")
+    try:
+        df = spark.range(120_000).select(
+            F.col("id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("key"),
+        )
+        plain = str(tmp_path / "plain")
+        bloomed = str(tmp_path / "bloomed")
+        table_log.commit_snapshot(df.coalesce(1), plain)
+        table_log.commit_snapshot(
+            df.coalesce(1), bloomed, bloom_cols={"key": 120_000}
+        )
+        m = table_log._manifest(spark, bloomed, 0)
+        assert m["bloom_cols"] == {"key": 120_000}
+        assert _bloom_present(
+            spark, f"{bloomed}/{m['files'][0]}", "key"
+        )
+        assert not _bloom_present(
+            spark,
+            f"{plain}/{table_log._manifest(spark, plain, 0)['files'][0]}",
+            "key",
+        )
+        absent = "8" * 64  # mid-range: min/max can never exclude it
+        probe_plain = table_log.read_snapshot(spark, plain).filter(
+            F.col("key") == absent
+        )
+        probe_bloom = table_log.read_snapshot(spark, bloomed).filter(
+            F.col("key") == absent
+        )
+        rows_plain = _leaf_scan_output_rows(probe_plain)
+        rows_bloom = _leaf_scan_output_rows(probe_bloom)
+        assert rows_plain == 120_000  # stats skip nothing: full decode
+        # deterministic data + deterministic hashes: at the 1% FPP a
+        # couple of false-positive groups may decode; the pin is the
+        # ORDER OF MAGNITUDE, not exact zero
+        assert rows_bloom < rows_plain * 0.2
+    finally:
+        for k, v in (
+            ("parquet.block.size", old_block),
+            ("parquet.enable.dictionary", old_dict),
+        ):
+            if v is None:
+                hconf.unset(k)
+            else:
+                hconf.set(k, v)
+
+
+def test_snapshot_bloom_property_propagates_through_lifecycle(
+    spark, tmp_path
+):
+    """``bloom_cols`` behaves like a TABLE property: declared once at
+    the first commit, every later writer — plain append, CoW merge,
+    MoR merge, incremental optimize, full compaction — re-applies it
+    to the data files it writes and carries it in its manifest, so
+    maintenance never silently drops the skipping tier."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "prop")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, f"u{i:05d}") for i in range(lo, hi)], "k long, key string"
+    )
+    table_log.commit_snapshot(mk(0, 50), t, bloom_cols=["key"])
+    table_log.commit_snapshot(mk(50, 80), t)  # inherits
+    table_log.merge_snapshot(mk(40, 60), t, key="k")  # CoW rewrite
+    table_log.merge_snapshot_mor(mk(10, 20), t, key="k")  # MoR append
+    table_log.optimize_snapshot(
+        spark, t, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    v = table_log.compact_snapshot(spark, t, target_files=2)
+    m = table_log._manifest(spark, t, v)
+    assert m["bloom_cols"] == {"key": table_log.DEFAULT_BLOOM_NDV}
+    for rel in m["files"]:
+        assert _bloom_present(spark, f"{t}/{rel}", "key"), rel
+    # history carried the property through every operation's manifest
+    for h in table_log.history(spark, t):
+        assert table_log._manifest(spark, t, h["version"])[
+            "bloom_cols"
+        ] == {"key": table_log.DEFAULT_BLOOM_NDV}
+
+
+def test_optimize_snapshot_binpacks_small_files_only(spark, tmp_path):
+    """Incremental OPTIMIZE folds only the sub-threshold files: the
+    big file carries BY REFERENCE (same rel path — zero bytes
+    rewritten for it), the small appends merge into ~target-size
+    files, content is identical, the pre-optimize version still
+    time-travels, and a second run is a no-op (fixpoint)."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "opt")
+    big = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    table_log.commit_snapshot(big.coalesce(1), t)
+    big_rel = table_log._manifest(spark, t, 0)["files"][0]
+    for lo in (100_000, 100_010, 100_020, 100_030):
+        table_log.commit_snapshot(
+            spark.createDataFrame(
+                [(lo + j, "y") for j in range(10)], "k long, pad string"
+            ).coalesce(1),
+            t,
+        )
+    before = sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t).collect()
+    )
+    pre_version = len(table_log.history(spark, t)) - 1
+    v = table_log.optimize_snapshot(
+        spark, t, target_file_bytes=64 * 1024, small_file_bytes=32 * 1024
+    )
+    assert v == pre_version + 1
+    m = table_log._manifest(spark, t, v)
+    assert m["operation"] == "optimize"
+    assert big_rel in m["files"]  # untouched: carried by reference
+    assert m["optimized_files"] == 4 and m["kept_files"] == 1
+    new_rels = [rel for rel in m["files"] if rel != big_rel]
+    assert len(new_rels) == 1  # 4 tiny files fold into one
+    after = sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t).collect()
+    )
+    assert after == before
+    assert sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t, pre_version).collect()
+    ) == before  # time travel across the optimize
+    assert (
+        table_log.optimize_snapshot(
+            spark, t, target_file_bytes=64 * 1024,
+            small_file_bytes=32 * 1024,
+        )
+        is None
+    )
+    # the replaced small commit dirs become vacuumable
+    deleted = table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    assert len([d for d in deleted if "/data/" in d]) == 4
+    assert sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t).collect()
+    ) == before
+
+
+def test_optimize_snapshot_materializes_dvs_and_trims_eq_scope(
+    spark, tmp_path
+):
+    """OPTIMIZE under outstanding MoR state: position DVs and equality
+    deletes targeting the rewritten small files are MATERIALIZED (the
+    packed files hold only live rows), entries for the kept big file
+    carry, eq scopes lose the rewritten keys (a re-inserted key stays
+    alive — scope semantics survive), and an entry whose scope dies
+    is dropped."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "optdv")
+    big = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    table_log.commit_snapshot(big.coalesce(1), t)
+    big_key = table_log._dv_rel_key(
+        table_log._manifest(spark, t, 0)["files"][0]
+    )
+    table_log.commit_snapshot(
+        spark.createDataFrame(
+            [(100_000 + j, "y") for j in range(10)], "k long, pad string"
+        ).coalesce(1),
+        t,
+    )
+    # position DV hitting BOTH the big file (k=7) and the small (k=100001)
+    table_log.delete_snapshot_dv(spark, t, "k in (7, 100001)")
+    # eq delete scoped to current files; k=100002 lives in the small file
+    table_log.delete_snapshot_eq(
+        spark, t, "k",
+        spark.createDataFrame([(100_002,)], "k long"),
+    )
+    # re-insert the eq-deleted key AFTER the delete: out of scope, alive
+    table_log.commit_snapshot(
+        spark.createDataFrame([(100_002, "reborn")], "k long, pad string")
+        .coalesce(1),
+        t,
+    )
+    def live_keys():
+        return {
+            r["k"]
+            for r in table_log.read_snapshot(spark, t)
+            .filter("k >= 99999 or k in (6, 7, 8)")
+            .collect()
+        }
+
+    expect = {6, 8} | {100_000 + j for j in range(10)} - {100_001}
+    assert live_keys() == expect  # 100_002 is the reborn row
+    v = table_log.optimize_snapshot(
+        spark, t, target_file_bytes=64 * 1024, small_file_bytes=32 * 1024
+    )
+    m = table_log._manifest(spark, t, v)
+    assert m["operation"] == "optimize"
+    assert live_keys() == expect  # content identical
+    # big file's DV entry (k=7) survives; small files' keys are gone
+    assert m["dv_keys"] == [big_key]
+    assert m["dvs"]  # still needed for the big file
+    # eq scope lost the rewritten small-file keys but kept the big one
+    for entry in m["eq_dvs"]:
+        assert big_key in entry["scope"]
+        assert all(k == big_key for k in entry["scope"])
+    # the reborn row is still alive through a compaction as well
+    table_log.compact_snapshot(spark, t, target_files=1)
+    assert live_keys() == expect
+
+
+def test_read_changes_skips_optimize_like_compact(spark, tmp_path):
+    """The change feed across an OPTIMIZE emits nothing for it: the
+    rewrite is content-identical, so the net feed over a history
+    containing appends, a delete, and an optimize equals exactly the
+    logical changes."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "optcdf")
+    table_log.commit_snapshot(
+        spark.createDataFrame(
+            [(i, "v") for i in range(2000)], "k long, s string"
+        ).coalesce(1),
+        t,
+    )
+    for lo in (5000, 5010):
+        table_log.commit_snapshot(
+            spark.createDataFrame(
+                [(lo + j, "w") for j in range(10)], "k long, s string"
+            ).coalesce(1),
+            t,
+        )
+    table_log.delete_snapshot_dv(spark, t, "k = 5003")
+    v = table_log.optimize_snapshot(
+        spark, t, target_file_bytes=64 * 1024, small_file_bytes=32 * 1024
+    )
+    assert v is not None
+    ch = table_log.read_changes(spark, t, from_version=0, to_version=v)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert by_type == {"insert": 20, "delete": 1}
