@@ -130,29 +130,41 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
     GROUP BY n.n_name
     """,
-    doc="TPC-H Q5-style 6-way join. region/nation are broadcast "
-    "explicitly (bounded at 5/25 rows at ANY scale); customer/supplier "
-    "joins left to AQE.",
+    doc="TPC-H Q5-style 6-way join, built SMALL SIDE FIRST: the "
+    "region filter reaches customers through broadcast nation/region "
+    "joins (cutting the customer side ~5x before anything shuffles), "
+    "customers join the date-filtered orders, and only then does the "
+    "fact table join — lineitem is shuffled exactly ONCE, against an "
+    "already region-and-date-reduced build side. The naive "
+    "lineitem-first order reshuffled the huge lineitem-orders "
+    "intermediate a second time by custkey (sf100 drill: 182 s vs "
+    "this shape — BASELINE.md §Round 11); at 100 TB that second "
+    "shuffle is the bottleneck of the whole query.",
     headline=True,
 )
 def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
-    r = F.broadcast(t["region"].filter(F.col("r_name") == "ASIA"))
-    n = F.broadcast(t["nation"])
+    asia_nations = F.broadcast(
+        t["nation"].join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    cust = t["customer"].join(
+        asia_nations, F.col("c_nationkey") == F.col("n_nationkey")
+    )
     o = t["orders"].filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
     )
+    oc = o.join(cust, F.col("o_custkey") == F.col("c_custkey"))
     return (
         t["lineitem"]
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
-        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)

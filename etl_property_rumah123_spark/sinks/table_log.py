@@ -1811,7 +1811,7 @@ def schema_diff(
 _HISTORY_EXTRAS = (
     "committed_at", "condition", "n_deleted", "n_keys", "dv_rows",
     "n_rewritten_files", "merge_key", "stream_batch_id",
-    "compacted_from", "eq_key",
+    "compacted_from", "eq_key", "staged_name", "optimized_files",
 )
 
 
@@ -1826,6 +1826,189 @@ def history(spark: SparkSession, table_path: str) -> list[dict]:
         row.update({k: m[k] for k in _HISTORY_EXTRAS if k in m})
         out.append(row)
     return out
+
+
+def stage_snapshot(
+    df: DataFrame, table_path: str, name: str | None = None
+) -> str:
+    """WRITE-AUDIT-PUBLISH, step 1 (the Iceberg WAP ingestion gate):
+    land ``df``'s files in the table's data area and record them in a
+    STAGED manifest (``_log/staged/<name>.json``) that no reader sees
+    — ``read_snapshot`` and the version log are untouched. The batch
+    is then auditable in place (:func:`read_staged` — row counts,
+    quality gates, schema checks against real committed bytes), and
+    either :func:`publish_staged` makes it visible ATOMICALLY as a
+    normal append version or :func:`drop_staged` discards it without
+    a trace. At 100 TB this is how bad data stays out of the table
+    WITHOUT a quarantine copy: the bytes are written once, in their
+    final location, and visibility is a metadata flip.
+
+    The table's declared ``bloom_cols`` apply to the staged files
+    (they will be published as-is). Returns the stage name. Staged
+    data is protected from :func:`vacuum` until dropped/published."""
+    spark = df.sparkSession
+    name = name or uuid.uuid4().hex[:12]
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"invalid stage name {name!r}")
+    versions = _list_versions(spark, table_path)
+    prev = _manifest(spark, table_path, versions[-1]) if versions else {}
+    token = uuid.uuid4().hex[:12]
+    new_files = _write_commit_dir(
+        df,
+        table_path,
+        f"data/s{token}",
+        options=_bloom_options(_norm_bloom_cols(prev.get("bloom_cols"))),
+    )
+    staged = {
+        "name": name,
+        "new_files": new_files,
+        "n_files": len(new_files),
+        "schema": df.schema.json(),
+        "stats": _stats_for_files(spark, table_path, new_files),
+    }
+    path = f"{table_path}/_log/staged/{name}.json"
+    jvm, fs = _fs(spark, table_path)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+        raise ValueError(f"stage {name!r} already exists at {table_path}")
+    _write_file(spark, path, json.dumps(staged).encode())
+    return name
+
+
+def _staged_manifest(spark: SparkSession, table_path: str, name: str) -> dict:
+    path = f"{table_path}/_log/staged/{name}.json"
+    jvm, fs = _fs(spark, table_path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+        raise ValueError(f"no staged commit {name!r} at {table_path}")
+    return json.loads(_read_file(spark, path).decode())
+
+
+def list_staged(spark: SparkSession, table_path: str) -> list[str]:
+    """Names of pending staged commits, sorted."""
+    jvm, fs = _fs(spark, table_path)
+    d = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_log/staged")
+    if not fs.exists(d):
+        return []
+    return sorted(
+        s.getPath().getName()[: -len(".json")]
+        for s in fs.listStatus(d)
+        if s.getPath().getName().endswith(".json")
+    )
+
+
+def read_staged(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    with_table: bool = False,
+) -> DataFrame:
+    """The audit view of a staged commit: the staged batch itself, or
+    (``with_table=True``) the table AS IT WOULD READ after publish —
+    current snapshot unioned with the batch — for gates that check
+    cross-batch invariants (key uniqueness, distribution drift)."""
+    staged = _staged_manifest(spark, table_path, name)
+    batch = spark.read.option("mergeSchema", "true").parquet(
+        *[f"{table_path}/{rel}" for rel in staged["new_files"]]
+    )
+    if not with_table:
+        return batch
+    return read_snapshot(spark, table_path).unionByName(
+        batch, allowMissingColumns=True
+    )
+
+
+def publish_staged(
+    spark: SparkSession, table_path: str, name: str, max_retries: int = 10
+) -> int:
+    """WRITE-AUDIT-PUBLISH, step 3: atomically promote the staged
+    commit to a normal append version (same rename race protocol as
+    every writer; the staged files enter the manifest by reference —
+    zero data moved). IDEMPOTENT under replay: if a previous publish
+    of this stage already made the files live (process died between
+    the manifest rename and the stage-marker delete), the marker is
+    simply cleaned up and that version returned — the batch can never
+    be published twice."""
+    staged = _staged_manifest(spark, table_path, name)
+    new_files = staged["new_files"]
+    jvm, fs = _fs(spark, table_path)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/_log/staged/{name}.json"
+    )
+    for _ in range(max_retries):
+        versions = _list_versions(spark, table_path)
+        version = (versions[-1] + 1) if versions else 0
+        prev = (
+            _manifest(spark, table_path, versions[-1]) if versions else {}
+        )
+        already = next(
+            (
+                v
+                for v in reversed(versions)
+                if _manifest(spark, table_path, v).get("staged_name")
+                == name
+            ),
+            None,
+        )
+        if already is not None or (
+            # belt-and-braces for a replay AFTER vacuum dropped the
+            # publishing version's manifest: the files being listed in
+            # the CURRENT manifest proves the publish happened (a
+            # double append would list — and read — them twice)
+            versions
+            and set(new_files) <= set(prev["files"])
+        ):
+            # replayed publish (process died between the manifest
+            # rename and the marker delete): the batch is already a
+            # version — possibly further mutated by later commits —
+            # so only clean the marker; NEVER re-append the files
+            fs.delete(marker, False)
+            return already if already is not None else prev["version"]
+        manifest = {
+            "version": version,
+            "operation": "publish_staged",
+            "staged_name": name,
+            **_carry_bloom(prev),
+            "files": prev.get("files", []) + new_files,
+            "n_files": len(prev.get("files", [])) + len(new_files),
+            "schema": staged.get("schema") or prev.get("schema"),
+            "stats": _cap_stats(
+                {**prev.get("stats", {}), **staged.get("stats", {})}
+            ),
+            **(
+                {
+                    "dvs": prev.get("dvs", []),
+                    "dv_keys": sorted(
+                        _prev_dv_keys(spark, table_path, prev)
+                    ),
+                    "eq_dvs": prev.get("eq_dvs", []),
+                    "dv_rows": prev.get("dv_rows", 0),
+                }
+                if (prev.get("dvs") or prev.get("eq_dvs"))
+                else {}
+            ),
+        }
+        token = uuid.uuid4().hex[:12]
+        if _try_publish(spark, table_path, version, token, manifest):
+            fs.delete(marker, False)
+            return version
+    raise RuntimeError(
+        f"publish of staged {name!r} to {table_path} lost "
+        f"{max_retries} version races"
+    )
+
+
+def drop_staged(spark: SparkSession, table_path: str, name: str) -> None:
+    """WRITE-AUDIT-PUBLISH, audit-failed exit: discard the staged
+    commit. The marker goes immediately (the stage name is reusable);
+    the staged data files lose their vacuum protection and are swept
+    by the next :func:`vacuum` pass."""
+    _staged_manifest(spark, table_path, name)  # raises if absent
+    jvm, fs = _fs(spark, table_path)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{table_path}/_log/staged/{name}.json"
+        ),
+        False,
+    )
 
 
 def vacuum(
@@ -1865,6 +2048,13 @@ def vacuum(
         live_files.update(m.get("dvs", []))  # DV parquet is live data
         for entry in m.get("eq_dvs", []):
             live_files.update(entry["files"])
+    # pending WRITE-AUDIT-PUBLISH stages: their files are invisible to
+    # readers but must survive vacuum until published or dropped —
+    # sweeping them would break the publish that makes them visible
+    for name in list_staged(spark, table_path):
+        live_files.update(
+            _staged_manifest(spark, table_path, name)["new_files"]
+        )
     now_ms = time.time() * 1000.0
     min_age_ms = min_age_s * 1000.0
 

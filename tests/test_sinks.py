@@ -3920,3 +3920,114 @@ def test_read_changes_skips_optimize_like_compact(spark, tmp_path):
         ).collect()
     }
     assert by_type == {"insert": 20, "delete": 1}
+
+
+def test_write_audit_publish_gate(spark, tmp_path):
+    """WRITE-AUDIT-PUBLISH: a staged batch is invisible to readers and
+    the version log, auditable in place (alone and unioned with the
+    table), protected from vacuum while pending, atomically visible on
+    publish (files enter by reference), and a dropped stage's data is
+    swept by the next vacuum."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "wap")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(i, "ok") for i in range(10)],
+                              "k long, v string"), t
+    )
+    name = table_log.stage_snapshot(
+        spark.createDataFrame([(100, "new"), (101, "new")],
+                              "k long, v string"), t, name="batch1"
+    )
+    assert name == "batch1"
+    assert table_log.list_staged(spark, t) == ["batch1"]
+    # invisible: no new version, read unchanged
+    assert len(table_log.history(spark, t)) == 1
+    assert table_log.read_snapshot(spark, t).count() == 10
+    # auditable: the batch alone, and as-if-published
+    assert table_log.read_staged(spark, t, "batch1").count() == 2
+    assert table_log.read_staged(
+        spark, t, "batch1", with_table=True
+    ).count() == 12
+    # vacuum must NOT sweep pending staged data, even with no guard
+    deleted = table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    assert not any("/data/s" in d for d in deleted)
+    assert table_log.read_staged(spark, t, "batch1").count() == 2
+    v = table_log.publish_staged(spark, t, "batch1")
+    assert v == 1
+    m = table_log._manifest(spark, t, v)
+    assert m["operation"] == "publish_staged"
+    assert m["staged_name"] == "batch1"
+    assert table_log.read_snapshot(spark, t).count() == 12
+    assert table_log.list_staged(spark, t) == []
+    # change feed sees the publish as plain inserts
+    ch = table_log.read_changes(spark, t, 0, v)
+    assert sorted(
+        (r["k"], r["_change_type"]) for r in ch.collect()
+    ) == [(100, "insert"), (101, "insert")]
+
+    # audit-failed path: stage, drop, vacuum sweeps
+    table_log.stage_snapshot(
+        spark.createDataFrame([(999, "bad")], "k long, v string"),
+        t, name="batch2",
+    )
+    table_log.drop_staged(spark, t, "batch2")
+    assert table_log.list_staged(spark, t) == []
+    deleted = table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    assert any("/data/s" in d for d in deleted)
+    assert table_log.read_snapshot(spark, t).count() == 12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no staged"):
+        table_log.read_staged(spark, t, "batch2")
+
+
+def test_publish_staged_replay_is_exactly_once(spark, tmp_path):
+    """A publish replay (crash between the manifest rename and the
+    stage-marker delete, then the whole flow re-run) must NOT append
+    the batch twice: the marker is restored by hand after a successful
+    publish and publish_staged is called again — it must detect the
+    already-published stage, clean up, and return the same version,
+    even after further commits mutated the table."""
+    import json as _json
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "wap_replay")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(1, "a")], "k long, v string"), t
+    )
+    table_log.stage_snapshot(
+        spark.createDataFrame([(2, "b")], "k long, v string"),
+        t, name="s1",
+    )
+    staged_json = table_log._read_file(
+        spark, f"{t}/_log/staged/s1.json"
+    )
+    v = table_log.publish_staged(spark, t, "s1")
+    # table moves on before the replay arrives
+    table_log.commit_snapshot(
+        spark.createDataFrame([(3, "c")], "k long, v string"), t
+    )
+    # crash simulation: the marker comes back, the publish re-runs
+    table_log._write_file(spark, f"{t}/_log/staged/s1.json", staged_json)
+    assert table_log.publish_staged(spark, t, "s1") == v
+    assert table_log.list_staged(spark, t) == []
+    assert sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t).collect()
+    ) == [1, 2, 3]
+    # marker mentions files a later OPTIMIZE rewrote + manifest horizon
+    # vacuumed: the current-manifest subset guard still refuses to
+    # double-append (replay returns the current version, appends nothing)
+    table_log._write_file(spark, f"{t}/_log/staged/s1.json", staged_json)
+    staged_files = _json.loads(staged_json.decode())["new_files"]
+    latest = table_log._manifest(
+        spark, t, table_log._list_versions(spark, t)[-1]
+    )
+    assert set(staged_files) <= set(latest["files"])
+    n_before = len(table_log._list_versions(spark, t))
+    table_log.publish_staged(spark, t, "s1")
+    assert len(table_log._list_versions(spark, t)) == n_before
+    assert sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t).collect()
+    ) == [1, 2, 3]

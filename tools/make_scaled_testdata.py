@@ -75,14 +75,28 @@ def main(src: str, dst: str, k: int, perturb: bool = False) -> None:
                 for col in tabs.get(t, []):
                     df = df.withColumn(col, F.col(col) + F.lit(i * strides[fam]))
             if perturb and t == "documents" and i > 0:
-                # copy-unique suffix: kills the artificial 10-way dup
-                # families without changing token-scale statistics
+                # copy-unique tokens INTERLEAVED every 3 words (the
+                # dedup shingle width), not just suffixed: a lone
+                # suffix leaves ~all word-3-gram shingles identical
+                # across the k copies of a base doc, so at k=1000 the
+                # MinHash bands still bucket whole 1000-copy families
+                # and the candidate join measures the replication
+                # artifact (quadratic in k), not the engine. Weaving a
+                # copy-unique token through the text breaks ~2/3 of
+                # shingles per copy -> Jaccard ~0.2 between copies ->
+                # families split, like a corpus that truly grew k-fold.
+                tok = F.concat(
+                    F.lit(f" c{i}x"), F.col("doc_id").cast("string")
+                )
                 df = df.withColumn(
                     "text",
                     F.concat(
-                        F.coalesce(F.col("text"), F.lit("")),
-                        F.lit(f" copytoken{i}x"),
-                        F.col("doc_id").cast("string"),
+                        F.regexp_replace(
+                            F.coalesce(F.col("text"), F.lit("")),
+                            F.lit(r"((?:\S+\s+){3})"),
+                            F.concat(F.lit("$1"), tok, F.lit(" ")),
+                        ),
+                        tok,
                     ),
                 )
             shifted.append(df)

@@ -61,17 +61,29 @@ def main(argv: list[str]) -> int:
         print(__doc__)
         return 2
 
-    from pyspark.sql import SparkSession
-
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from etl_property_rumah123_spark.plans import PARTS, REGISTRY, load_all
+    from etl_property_rumah123_spark.session import get_spark
 
     load_all()
-    spark = (
-        SparkSession.builder.master(f"local[{os.cpu_count()}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "16g")
-        .getOrCreate()
+    # The ENGINE session (AQE + coalesce + skew-join + arrow), not a
+    # bare builder: the drill must measure the configured engine — a
+    # raw no-AQE session with 32 fixed shuffle partitions mismeasures
+    # big SFs (500 MB+ uncoalesced, unsplit partitions all spilling —
+    # numbers in BASELINE.md §Round 11). Knobs for the decade drills:
+    # PART_TIMER_SHUFFLE (initial partitions AQE coalesces down from;
+    # raise to ~task-count x data-decades at sf100) and
+    # PART_TIMER_DRIVER_MEM (16g suits sf10; 64g for sf100).
+    spark = get_spark(
+        app_name="part-timer",
+        master=f"local[{os.cpu_count()}]",
+        shuffle_partitions=int(os.environ.get("PART_TIMER_SHUFFLE", "32")),
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "PART_TIMER_DRIVER_MEM", "16g"
+            ),
+            "spark.ui.enabled": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     rc = 0
