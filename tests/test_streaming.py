@@ -1303,3 +1303,137 @@ def test_end_to_end_cdc_stateful_stream_to_mor_to_matview(spark, tmp_path):
         map(repr, full.filter(F.col("_mv_n") > 0).drop("_mv_n").collect())
     )
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# streaming FROM a snapshot-log table (version-offset source)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_table_stream_source_tails_versions(spark, tmp_path):
+    """readStream over a snapshot table: the first run delivers the
+    full current snapshot (aligning pre-evolution files to the table
+    schema with NULLs), a checkpointed second run delivers EXACTLY the
+    rows appended since — append, write-audit-publish, and the
+    MoR-merge batch — while a compaction in between re-delivers
+    nothing."""
+    from etl_property_rumah123_spark.sinks import table_log
+    from etl_property_rumah123_spark.sources.table_stream_source import (
+        SnapshotTableDataSource,
+    )
+
+    spark.dataSource.register(SnapshotTableDataSource)
+    t = str(tmp_path / "src_table")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(i, f"v{i}") for i in range(5)],
+                              "k long, v string"), t
+    )
+    # schema evolution before the stream starts: old files lack 'tag'
+    table_log.commit_snapshot(
+        spark.createDataFrame([(5, "v5", "new")],
+                              "k long, v string, tag string"), t
+    )
+
+    sink = str(tmp_path / "sink")
+
+    def read_all(ckpt):
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.refreshByPath(sink)
+        return spark.read.parquet(sink)
+
+    out1 = read_all("ck")
+    rows = {(r["k"], r["v"], r["tag"]) for r in out1.collect()}
+    assert rows == {(i, f"v{i}", None) for i in range(5)} | {(5, "v5", "new")}
+
+    # quiet period: compaction only -> a resumed stream delivers nothing
+    table_log.compact_snapshot(spark, t, target_files=1)
+    # then: plain append + WAP publish + MoR upsert batch
+    table_log.commit_snapshot(
+        spark.createDataFrame([(6, "v6", None)],
+                              "k long, v string, tag string"), t
+    )
+    table_log.stage_snapshot(
+        spark.createDataFrame([(7, "v7", "staged")],
+                              "k long, v string, tag string"), t,
+        name="b1",
+    )
+    table_log.publish_staged(spark, t, "b1")
+    table_log.merge_snapshot_mor(
+        spark.createDataFrame([(0, "v0-upserted", None), (8, "v8", None)],
+                              "k long, v string, tag string"), t, key="k",
+    )
+    out2 = read_all("ck")  # same checkpoint: tail only
+    tail = {(r["k"], r["v"]) for r in out2.collect()}
+    # sink accumulates: initial snapshot + exactly the appended rows
+    assert tail == {(i, f"v{i}") for i in range(7)} | {
+        (7, "v7"), (0, "v0-upserted"), (8, "v8")
+    }
+    assert out2.count() == 10  # nothing re-delivered by the compaction
+
+
+def test_snapshot_table_stream_source_refuses_non_append(spark, tmp_path):
+    """A CoW delete breaks the append-only contract: the stream FAILS
+    by default naming the version and operation, and with
+    ignore_changes=true skips the version whole while later appends
+    still flow. The initial load refuses outstanding MoR debt."""
+    import pytest
+
+    from etl_property_rumah123_spark.sinks import table_log
+    from etl_property_rumah123_spark.sources.table_stream_source import (
+        SnapshotTableDataSource,
+    )
+
+    spark.dataSource.register(SnapshotTableDataSource)
+    t = str(tmp_path / "src_del")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(i, "x") for i in range(6)],
+                              "k long, v string"), t
+    )
+
+    def run(name, ckpt, ignore=False):
+        reader = (
+            spark.readStream.format("snapshot_table").option("path", t)
+        )
+        if ignore:
+            reader = reader.option("ignore_changes", "true")
+        sink = str(tmp_path / f"sink_{name}")
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.refreshByPath(sink)
+        return {r["k"] for r in spark.read.parquet(sink).collect()}
+
+    assert run("del_src_1", "ck") == set(range(6))
+    table_log.delete_snapshot(spark, t, "k = 3")  # CoW rewrite
+    table_log.commit_snapshot(
+        spark.createDataFrame([(10, "y")], "k long, v string"), t
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="non-append"):
+        run("del_src_2", "ck")
+    # a FRESH checkpoint with ignore_changes: the delete version is
+    # skipped whole (full snapshot at start covers the survivors)
+    assert run("del_src_3", "ck_ign", ignore=True) == (
+        set(range(6)) - {3}
+    ) | {10}
+    # initial load refuses outstanding MoR debt
+    table_log.delete_snapshot_dv(spark, t, "k = 4")
+    with pytest.raises(StreamingQueryException, match="compact_snapshot"):
+        run("del_src_4", "ck_dv")
