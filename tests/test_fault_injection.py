@@ -102,3 +102,16 @@ def test_fault_drill_pgwire_staging_retry(pg_sock):  # noqa: F811
     assert "keyed: stg=1200" in res
     # unkeyed staging: duplicates landed and the DISTINCT merge held
     assert "unkeyed: stg=" in res and "replay=0" in res
+
+
+@pytest.mark.slow
+def test_fault_drill_wap_publish_retry():
+    """Write-audit-publish under its two fault windows (injected task
+    death during the staged write; a publish replay of the
+    rename-to-marker-delete crash window) plus the incremental
+    OPTIMIZE losing a version race — all converge to the clean state
+    with no duplicate or lost rows."""
+    out = _run_drill("--only", "wap_publish_retry")
+    assert out["failures"] == 0, out["results"]
+    res = out["results"]["wap_publish_retry"]
+    assert res.startswith("ok") and "faults fired" in res, res

@@ -491,6 +491,88 @@ def main() -> int:
             flush=True,
         )
 
+    # --- snapshot-table streaming SOURCE stage (round 11): tail a
+    # snapshot-log table across real worker daemons — the Python
+    # DataSource's partitions() plan on the driver, file-grain reads
+    # in EXECUTOR Python workers (pyarrow), offsets checkpointed, a
+    # compaction between runs re-delivering nothing.
+    if os.environ.get("SMOKE_STREAMING", "1") != "0":
+        t0 = time.time()
+        try:
+            import shutil
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from etl_property_rumah123_spark.sinks import table_log
+            from etl_property_rumah123_spark.sources.table_stream_source import (
+                SnapshotTableDataSource,
+            )
+
+            spark.dataSource.register(SnapshotTableDataSource)
+            root = tempfile.mkdtemp(prefix="smoke_tbl_src_")
+            try:
+                t = f"{root}/tbl"
+                sink, ck = f"{root}/sink", f"{root}/ck"
+                table_log.commit_snapshot(
+                    spark.range(0, 5000).select(
+                        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+                    ),
+                    t,
+                )
+
+                def drain():
+                    q = (
+                        spark.readStream.format("snapshot_table")
+                        .option("path", t)
+                        .load()
+                        .writeStream.format("parquet")
+                        .option("path", sink)
+                        .option("checkpointLocation", ck)
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    q.awaitTermination()
+                    spark.catalog.refreshByPath(sink)
+                    rows = spark.read.parquet(sink).collect()
+                    return [r["k"] for r in rows]
+
+                got1 = drain()
+                table_log.compact_snapshot(spark, t, target_files=2)
+                table_log.commit_snapshot(
+                    spark.range(5000, 5100).select(
+                        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+                    ),
+                    t,
+                )
+                got2 = drain()
+                ok = (
+                    sorted(got1) == list(range(5000))
+                    and sorted(got2) == list(range(5100))
+                    and len(got2) == 5100  # compaction re-delivered 0
+                )
+                if ok:
+                    results["snapshot_table_source"] = (
+                        f"ok (5000 initial + 100 tailed, compaction "
+                        f"re-delivered 0, {time.time()-t0:.1f}s)"
+                    )
+                else:
+                    results["snapshot_table_source"] = (
+                        f"FAIL initial {len(got1)} tail-total {len(got2)}"
+                    )
+                    failures += 1
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+        except Exception as ex:  # noqa: BLE001
+            results["snapshot_table_source"] = (
+                f"ERROR {type(ex).__name__}: {str(ex)[:200]}"
+            )
+            failures += 1
+        print(
+            f"snapshot_table_source: {results['snapshot_table_source']}",
+            flush=True,
+        )
+
     # --- pgwire stage: the executor-side sink fan-out. write_staging
     # runs per-PARTITION inside executor Python workers, each opening
     # its own wire connection — on local[N] those workers share the

@@ -378,6 +378,91 @@ def scenario_ann_index_task_retry(spark, work: str) -> str:
     )
 
 
+def scenario_wap_publish_retry(spark, work: str) -> str:
+    """Write-audit-publish under the two fault windows it owns: a REAL
+    injected task death during the staged write (attempt-0 kill inside
+    an executor — the stage must land exactly-once and audit clean),
+    and the publish crash window (process dies between the manifest
+    rename and the stage-marker delete; the re-run must NOT append the
+    batch a second time). Plus the version-race window of the new
+    incremental OPTIMIZE: a competing writer occupies the next
+    version; optimize must rebase past it with content intact."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    marker = os.path.join(work, "m_wap")
+    os.makedirs(marker)
+    t = os.path.join(work, "wap_table")
+
+    def base(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+            .repartition(4, "k")
+        )
+
+    table_log.commit_snapshot(base(0, 4000), t, bloom_cols=["k"])
+    # 1) staged write with an injected attempt-0 task death
+    poisoned = base(4000, 6000).mapInPandas(
+        make_fault_map(marker), "k long, v long"
+    )
+    table_log.stage_snapshot(poisoned, t, name="drill")
+    if _markers(marker) < 1:
+        return "FAIL fault never fired (injection is vacuous)"
+    staged_rows = sorted(
+        tuple(r)
+        for r in table_log.read_staged(spark, t, "drill").collect()
+    )
+    want_batch = sorted(tuple(r) for r in base(4000, 6000).collect())
+    if staged_rows != want_batch:
+        return (
+            f"FAIL staged rows under retry: got {len(staged_rows)} "
+            f"want {len(want_batch)}"
+        )
+    # 2) publish, then replay the crash window (marker restored)
+    staged_json = table_log._read_file(spark, f"{t}/_log/staged/drill.json")
+    v = table_log.publish_staged(spark, t, "drill")
+    table_log._write_file(spark, f"{t}/_log/staged/drill.json", staged_json)
+    v2 = table_log.publish_staged(spark, t, "drill")
+    if v2 != v or len(table_log._list_versions(spark, t)) != v + 1:
+        return f"FAIL publish replay re-appended (v={v}, replay={v2})"
+    if table_log.read_snapshot(spark, t).count() != 6000:
+        return "FAIL row count after publish replay"
+    # 3) optimize loses a version race: occupy the next version
+    next_v = v + 1
+    cur = table_log._manifest(spark, t, v)
+    table_log._write_file(
+        spark,
+        f"{t}/_log/v{next_v}.json",
+        _json.dumps(
+            {
+                "version": next_v,
+                "operation": "append",
+                "files": cur["files"],
+                "n_files": cur["n_files"],
+                "schema": cur.get("schema"),
+                "bloom_cols": cur.get("bloom_cols", {}),
+            }
+        ).encode(),
+    )
+    ov = table_log.optimize_snapshot(
+        spark, t, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    if ov != next_v + 1:
+        return f"FAIL optimize did not rebase past the race (v={ov})"
+    got = _rows(spark, table_log, t)
+    want = sorted(tuple(r) for r in base(0, 6000).collect())
+    if got != want:
+        return f"FAIL rows after raced optimize: {len(got)} vs {len(want)}"
+    return (
+        f"ok ({len(got)} rows exactly once through stage-fault + "
+        f"publish-replay + raced optimize, {_markers(marker)} faults fired)"
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pg-sock", default=None)
@@ -427,6 +512,10 @@ def main() -> int:
             )
         if wanted("ann_index_task_retry"):
             results["ann_index_task_retry"] = scenario_ann_index_task_retry(
+                spark, work
+            )
+        if wanted("wap_publish_retry"):
+            results["wap_publish_retry"] = scenario_wap_publish_retry(
                 spark, work
             )
         if args.pg_sock and wanted("pgwire_staging_retry"):
