@@ -1692,7 +1692,11 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OPTIMIZE (vo — every small file folds, outstanding DVs and eq "
     "entries MATERIALIZE into the packed files and their emptied "
     "entries drop; the read must again not change), TIME-TRAVELING "
-    "every version and aggregating. The oracle restates all eight "
+    "every version and aggregating. Each eq-free version's n_rows is "
+    "additionally cross-checked against count_snapshot — the "
+    "METADATA-ONLY COUNT(*) from per-file manifest row counts with "
+    "position-DV subtraction — a metadata/true-count divergence "
+    "negates the row and fails the hash. The oracle restates all eight "
     "states in plain SQL over orders — any commit/merge/DV/"
     "eq-delete/consolidation/optimize/time-travel defect in "
     "sinks/table_log.py changes a version's rows and fails the hash.",
@@ -1768,10 +1772,30 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         0: "v0", 1: "v1", 2: "v2", 3: "v3", 4: "v4", 5: "v5",
         6: "vc", 7: "vo",
     }
+    # METADATA-ONLY COUNT(*) cross-check: count_snapshot answers from
+    # per-file manifest row counts (position-DV subtraction via one
+    # tiny dv-parquet job) for the eq-free versions; folding it into
+    # n_rows (negate on mismatch) pins metadata-count == true count
+    # under the same DuckDB hash — append, CoW merge, DV delete, and
+    # post-optimize states all covered. (Versions with outstanding
+    # equality deletes take count_snapshot's documented scan fallback;
+    # that path is unit-tested, not re-paid here.)
+    meta = {
+        v: table_log.count_snapshot(spark, tdir, v)
+        for v in (0, 1, 2, 3, 7)
+    }
+    meta_map = F.create_map(
+        *[x for v, n in meta.items() for x in (F.lit(v), F.lit(n))]
+    )
     multi = table_log.read_snapshot_multi(spark, tdir, sorted(labels))
     op_map = F.create_map(
         *[x for v, op in labels.items() for x in (F.lit(v), F.lit(op))]
     )
+    n_rows_checked = F.when(
+        meta_map[F.col("version")].isNull()
+        | (meta_map[F.col("version")] == F.col("n_rows")),
+        F.col("n_rows"),
+    ).otherwise(-F.col("n_rows"))
     return (
         multi.groupBy(F.col("__version").alias("version"))
         .agg(
@@ -1781,7 +1805,7 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             op_map[F.col("version")].alias("op"),
             F.col("version").cast("long").alias("version"),
-            "n_rows",
+            n_rows_checked.alias("n_rows"),
             "total",
         )
     )

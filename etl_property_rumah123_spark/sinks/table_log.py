@@ -413,9 +413,11 @@ def _stats_from_footers(
             blocks = reader.getFooter().getBlocks()
             # per column: [min, max, nulls, usable, saw_values]
             acc: dict[str, list] = {}
+            total_rows = 0
             for bi in range(blocks.size()):
                 block = blocks.get(bi)
                 n_rows = block.getRowCount()
+                total_rows += n_rows
                 cols = block.getColumns()
                 for ci in range(cols.size()):
                     c = cols.get(ci)
@@ -507,6 +509,10 @@ def _stats_from_footers(
             for name, a in acc.items()
             if a[3] and (a[4] or a[0] is None)
         }
+        # per-file ROW COUNT (footer metadata, exact): the manifest
+        # carries it under a reserved key so COUNT(*) can be answered
+        # without scanning data (count_snapshot)
+        out[rel]["__n_rows"] = total_rows
     return out
 
 
@@ -570,6 +576,7 @@ def _stats_for_files(spark: SparkSession, table_path: str, rels: list[str]) -> d
             F.max(col).alias(f"mx_{i}"),
             F.sum(df[c].isNull().cast("long")).alias(f"nu_{i}"),
         ]
+    aggs.append(F.count(F.lit(1)).alias("__cnt"))
     rows = (
         df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     )
@@ -592,6 +599,7 @@ def _stats_for_files(spark: SparkSession, table_path: str, rels: list[str]) -> d
             c: [r[f"mn_{i}"], r[f"mx_{i}"], r[f"nu_{i}"], kinds[c]]
             for i, c in enumerate(eligible)
         }
+        out[rel]["__n_rows"] = r["__cnt"]  # metadata-only COUNT(*)
     return out
 
 
@@ -626,7 +634,9 @@ def _file_may_match(file_stats: dict, col: str, op: str, val) -> bool:
     disambiguate (legacy manifests, literal type foreign to the
     kind), the file is KEPT and the row filter decides."""
     st = file_stats.get(col)
-    if st is None:
+    if st is None or not isinstance(st, (list, tuple)):
+        # absent, or a reserved scalar entry (e.g. the per-file
+        # "__n_rows" row count): not a [min, max, ...] interval — keep
         return True
     if isinstance(val, float) and val != val:
         # NaN literal: Spark's NaN ordering (NaN == NaN is TRUE, NaN
@@ -1826,6 +1836,63 @@ def history(spark: SparkSession, table_path: str) -> list[dict]:
         row.update({k: m[k] for k in _HISTORY_EXTRAS if k in m})
         out.append(row)
     return out
+
+
+def count_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> int:
+    """``SELECT COUNT(*)`` WITHOUT scanning the data: manifests record
+    a per-file row count (parquet footer metadata, exact), so counting
+    a clean snapshot is a driver-side sum over the manifest — at
+    100 TB the difference between a metadata lookup and a full-table
+    scan job. Outstanding POSITION deletion vectors subtract exactly:
+    one tiny job over the dv parquet counts the distinct (file, pos)
+    entries that target files still live in this version (stale
+    entries for rewritten files never match). Falls back to a real
+    ``read_snapshot(...).count()`` — loudly correct, never wrong —
+    when the manifest predates per-file counts or an EQUALITY delete
+    is outstanding (value-scoped suppression needs the data)."""
+    from pyspark.sql import functions as F
+
+    versions = _list_versions(spark, table_path)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    m = _manifest(spark, table_path, version)
+
+    def fallback() -> int:
+        return read_snapshot(spark, table_path, version).count()
+
+    if m.get("eq_dvs"):
+        return fallback()
+    stats = m.get("stats", {})
+    counts = [stats.get(rel, {}).get("__n_rows") for rel in m["files"]]
+    if any(c is None for c in counts):
+        return fallback()  # legacy manifest / stats-capped commit
+    total = int(sum(counts))
+    dv_rels = m.get("dvs", [])
+    if not dv_rels:
+        return total
+    live = {_dv_rel_key(rel) for rel in m["files"]}
+    relevant = sorted(set(m.get("dv_keys", [])) & live)
+    if not relevant:
+        return total
+    dv = (
+        spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
+        .select("file_key", "pos")
+        .distinct()
+    )
+    if len(relevant) <= _EQ_SCOPE_ISIN_MAX:
+        n_dv = dv.filter(F.col("file_key").isin(*relevant)).count()
+    else:
+        keys = spark.createDataFrame(
+            [(k,) for k in relevant], "file_key string"
+        )
+        n_dv = dv.join(F.broadcast(keys), "file_key", "left_semi").count()
+    return total - n_dv
 
 
 def stage_snapshot(

@@ -4031,3 +4031,64 @@ def test_publish_staged_replay_is_exactly_once(spark, tmp_path):
     assert sorted(
         r["k"] for r in table_log.read_snapshot(spark, t).collect()
     ) == [1, 2, 3]
+
+
+def test_count_snapshot_metadata_only(spark, tmp_path, monkeypatch):
+    """COUNT(*) from the manifest: clean snapshots and position-DV
+    states are answered WITHOUT reading data (a poisoned read_snapshot
+    proves no scan happens), equality deletes and legacy manifests
+    take the documented scan fallback, and every state agrees with the
+    true count."""
+    import json as _json
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "cnt")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    table_log.commit_snapshot(mk(0, 100), t)
+    table_log.commit_snapshot(mk(100, 150), t)
+    table_log.merge_snapshot(mk(140, 160), t, key="k")  # CoW: 160 rows
+    table_log.delete_snapshot_dv(spark, t, "k % 10 = 3")  # -16 via DVs
+    table_log.merge_snapshot_mor(mk(200, 210), t, key="k")  # +10, 0 marked
+
+    def boom(*a, **kw):
+        raise AssertionError("count_snapshot scanned data")
+
+    # metadata path: correct at every eq-free version, with reads poisoned
+    want = {0: 100, 1: 150, 2: 160, 3: 144, 4: 154}
+    with monkeypatch.context() as mp:
+        mp.setattr(table_log, "read_snapshot", boom)
+        for v, n in want.items():
+            assert table_log.count_snapshot(spark, t, v) == n, v
+        assert table_log.count_snapshot(spark, t) == 154  # latest
+    # cross-check against the real reads
+    for v, n in want.items():
+        assert table_log.read_snapshot(spark, t, v).count() == n
+
+    # equality delete -> documented fallback, still correct
+    table_log.delete_snapshot_eq(
+        spark, t, "k", spark.createDataFrame([(7,), (205,)], "k long")
+    )
+    assert table_log.count_snapshot(spark, t) == 152
+    # optimize folds everything: back to the pure-metadata path
+    v = table_log.optimize_snapshot(
+        spark, t, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    with monkeypatch.context() as mp:
+        mp.setattr(table_log, "read_snapshot", boom)
+        assert table_log.count_snapshot(spark, t, v) == 152
+
+    # legacy manifest (no per-file row counts) -> fallback
+    m = table_log._manifest(spark, t, v)
+    stripped = {
+        rel: {c: s for c, s in cols.items() if c != "__n_rows"}
+        for rel, cols in m.get("stats", {}).items()
+    }
+    table_log._write_file(
+        spark,
+        f"{t}/_log/v{v}.json",
+        _json.dumps({**m, "stats": stripped}).encode(),
+    )
+    assert table_log.count_snapshot(spark, t, v) == 152
