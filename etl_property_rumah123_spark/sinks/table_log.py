@@ -2525,8 +2525,15 @@ def optimize_snapshot(
         n_out = max(
             1, math.ceil(sum(sizes[rel] for rel in small) / target_file_bytes)
         )
+        # coalesce, not repartition: folding N small files into n_out
+        # outputs needs no key placement, and coalesce merges the
+        # per-file input partitions WITHOUT a shuffle — at scale the
+        # difference between re-shuffling every small-file byte and
+        # just concatenating streams (the DV/eq suppression joins in
+        # the live view are broadcast-side, so no parallelism is lost
+        # upstream of the merge)
         new_files = _write_commit_dir(
-            live.repartition(n_out),
+            live.coalesce(n_out),
             table_path,
             f"data/c{token}",
             options=_bloom_options(

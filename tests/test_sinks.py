@@ -2284,7 +2284,7 @@ def test_table_log_schema_evolution_fuzz_matches_model(spark, tmp_path):
     )
 
     ops = ["append", "add_col", "drop_col", "rename_col", "cow_merge",
-           "mor", "dv_delete", "eq_delete", "compact"]
+           "mor", "dv_delete", "eq_delete", "compact", "optimize", "wap"]
     for step in range(1, 25):
         op = rng.choice(ops)
         if op == "add_col":
@@ -2325,6 +2325,18 @@ def test_table_log_schema_evolution_fuzz_matches_model(spark, tmp_path):
                 spark, t, "k",
                 spark.createDataFrame([(k,) for k in ks], "k long"),
             )
+        elif op == "wap":
+            # write-audit-publish is append-shaped for the model
+            ks = fresh_keys(rng.randint(1, 2))
+            rows = [(k, row_dict(k, step)) for k in ks]
+            model.update(dict(rows))
+            name = table_log.stage_snapshot(mkdf(rows), t)
+            table_log.publish_staged(spark, t, name)
+        elif op == "optimize":
+            table_log.optimize_snapshot(
+                spark, t,
+                target_file_bytes=1 << 30, small_file_bytes=1 << 30,
+            )
         else:  # compact
             table_log.compact_snapshot(spark, t, target_files=2)
 
@@ -2337,6 +2349,11 @@ def test_table_log_schema_evolution_fuzz_matches_model(spark, tmp_path):
             k: {c: d.get(c) for c in cols} for k, d in model.items()
         }
         assert got == want, f"divergence after step {step} ({op})"
+        # metadata COUNT(*) invariant across every op/evolution state
+        # (pure-metadata, DV-subtraction, and eq-fallback paths alike)
+        assert table_log.count_snapshot(spark, t) == len(model), (
+            f"count_snapshot divergence after step {step} ({op})"
+        )
 
     # change feed across the evolved history: every live key nets to
     # +1 insert vs its seed presence (updates emit cancelling pairs)
