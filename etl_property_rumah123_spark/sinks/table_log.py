@@ -320,12 +320,92 @@ def _bloom_options(bloom_cols: dict) -> dict:
 
 
 def _carry_bloom(prev: dict | None) -> dict:
-    """The ``bloom_cols`` manifest fragment to carry into a successor
-    manifest — the property is TABLE-level (like schema): every
-    rewrite path (merge/delete/compact/optimize) re-applies it so
-    maintenance never silently drops the skipping tier."""
+    """The ``bloom_cols``/``constraints`` manifest fragment to carry
+    into a successor manifest — both are TABLE-level properties (like
+    schema): every rewrite path (merge/delete/compact/optimize)
+    re-applies them so maintenance never silently drops the skipping
+    tier or the write-time quality gate."""
+    out: dict = {}
     b = (prev or {}).get("bloom_cols") or {}
-    return {"bloom_cols": b} if b else {}
+    if b:
+        out["bloom_cols"] = b
+    c = (prev or {}).get("constraints") or {}
+    if c:
+        out["constraints"] = c
+    return out
+
+
+class ConstraintViolation(ValueError):
+    """A CHECK-constraint table property rejected a batch: the commit
+    was NOT published (the already-written data dir is invisible and
+    vacuumable). Carries ``{constraint_name: violating_row_count}``."""
+
+    def __init__(self, table_path: str, violations: dict):
+        self.violations = violations
+        super().__init__(
+            f"commit to {table_path} rejected by CHECK constraints "
+            f"{violations} (violating-row counts); the batch was NOT "
+            "published. Fix the data or alter the table's "
+            "'constraints' property."
+        )
+
+
+def _constraint_metrics(constraints: dict) -> dict:
+    """Violation counters for each CHECK constraint, as Observation
+    metrics that RIDE THE WRITE JOB — enforcement costs zero extra
+    passes over the batch. SQL-standard CHECK semantics: a row
+    violates only when the expression is FALSE (NULL passes)."""
+    from pyspark.sql import functions as F
+
+    return {
+        f"__chk_{name}": F.sum(
+            F.when(F.expr(expr).isNotNull() & ~F.expr(expr), 1).otherwise(0)
+        )
+        for name, expr in constraints.items()
+    }
+
+
+def _check_constraints(
+    spark: SparkSession,
+    table_path: str,
+    constraints: dict,
+    obs: dict | None,
+    new_files: list[str],
+) -> None:
+    """Raise :class:`ConstraintViolation` if any constraint counter is
+    non-zero. ``obs`` is the observed metrics dict when the write job
+    carried them; None (retry reuse of an existing commit dir, or
+    speculative execution) falls back to ONE aggregate job over the
+    just-written files — correctness never depends on the fast path."""
+    if not constraints:
+        return
+    if obs is not None:
+        counts = {
+            name: obs[f"__chk_{name}"] or 0 for name in constraints
+        }
+    elif new_files:
+        from pyspark.sql import functions as F
+
+        row = (
+            spark.read.parquet(
+                *[f"{table_path}/{rel}" for rel in new_files]
+            )
+            .agg(
+                *[
+                    expr.alias(k)
+                    for k, expr in _constraint_metrics(constraints).items()
+                ]
+            )
+            .collect()[0]
+        )
+        counts = {
+            name: row[f"__chk_{name}"] or 0 for name in constraints
+        }
+    else:
+        return
+    violations = {k: int(v) for k, v in counts.items() if v}
+    if violations:
+        raise ConstraintViolation(table_path, violations)
 
 
 def _cap_stats(stats: dict) -> dict:
@@ -1067,14 +1147,17 @@ def merge_snapshot_mor(
                 n_marked, new_keys = _dv_count_and_keys(
                     spark, table_path, new_dv
                 )
-        new_files = _write_commit_dir(
+        checks = prev.get("constraints") or {}
+        new_files, chk_obs = _write_commit_dir_observed(
             df,
             table_path,
             f"data/c{token}a",
+            _constraint_metrics(checks) or None,
             options=_bloom_options(
                 _norm_bloom_cols(prev.get("bloom_cols"))
             ),
         )
+        _check_constraints(spark, table_path, checks, chk_obs, new_files)
         files = prev["files"] + new_files
         manifest = {
             "version": version,
@@ -1308,6 +1391,7 @@ def commit_snapshot(
     max_retries: int = 10,
     extra_meta: dict | None = None,
     bloom_cols: dict | list | None = None,
+    constraints: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -1328,7 +1412,18 @@ def commit_snapshot(
     :func:`_bloom_options`), the manifest records the spec, and every
     later commit/merge/delete/compact/optimize re-applies it
     automatically. Pass ``None`` to inherit the table's current spec
-    (the common case), ``{}``/``[]`` to clear it."""
+    (the common case), ``{}``/``[]`` to clear it.
+
+    ``constraints`` (``{name: sql_boolean_expr}``) declares CHECK
+    constraints the same way (Delta's table CHECK semantics): every
+    data-writing commit — append, staged WAP batch, CoW/MoR merge,
+    CoW delete survivors — counts violating rows AS PART OF ITS WRITE
+    JOB (zero extra passes) and REFUSES to publish if any constraint
+    is FALSE on any written row (NULL passes, SQL-standard). A
+    rejected batch raises :class:`ConstraintViolation`; the written
+    dir stays invisible and vacuumable. Maintenance rewrites
+    (compact/optimize) deliberately do NOT re-validate: a constraint
+    added after bad data landed must not brick compaction."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -1345,9 +1440,19 @@ def commit_snapshot(
             if bloom_cols is not None
             else (prev0 or {}).get("bloom_cols")
         )
-        new_files = _write_commit_dir(
-            df, table_path, commit_rel, options=_bloom_options(bloom)
+        checks = (
+            constraints
+            if constraints is not None
+            else (prev0 or {}).get("constraints") or {}
         )
+        new_files, obs = _write_commit_dir_observed(
+            df,
+            table_path,
+            commit_rel,
+            _constraint_metrics(checks) or None,
+            options=_bloom_options(bloom),
+        )
+        _check_constraints(spark, table_path, checks, obs, new_files)
         new_stats = _stats_for_files(spark, table_path, new_files)
         dvs: list[str] = []
         dv_keys: list[str] = []
@@ -1372,6 +1477,7 @@ def commit_snapshot(
             "schema": df.schema.json(),
             "stats": _cap_stats(stats),
             **({"bloom_cols": bloom} if bloom else {}),
+            **({"constraints": checks} if checks else {}),
             **(
                 {
                     "dvs": dvs,
@@ -1920,12 +2026,15 @@ def stage_snapshot(
     versions = _list_versions(spark, table_path)
     prev = _manifest(spark, table_path, versions[-1]) if versions else {}
     token = uuid.uuid4().hex[:12]
-    new_files = _write_commit_dir(
+    checks = prev.get("constraints") or {}
+    new_files, obs = _write_commit_dir_observed(
         df,
         table_path,
         f"data/s{token}",
+        _constraint_metrics(checks) or None,
         options=_bloom_options(_norm_bloom_cols(prev.get("bloom_cols"))),
     )
+    _check_constraints(spark, table_path, checks, obs, new_files)
     staged = {
         "name": name,
         "new_files": new_files,
@@ -2261,14 +2370,17 @@ def merge_snapshot(
             )
         carry = carry_src.drop("__file").join(batch_keys, key, "left_anti")
         rewrite = carry.unionByName(df, allowMissingColumns=True)
-        new_files = _write_commit_dir(
+        checks = prev.get("constraints") or {}
+        new_files, obs = _write_commit_dir_observed(
             rewrite,
             table_path,
             f"data/c{token}",
+            _constraint_metrics(checks) or None,
             options=_bloom_options(
                 _norm_bloom_cols(prev.get("bloom_cols"))
             ),
         )
+        _check_constraints(spark, table_path, checks, obs, new_files)
         kept = [rel for rel in prev["files"] if rel not in set(touched_rel)]
         prev_stats = prev.get("stats", {})
         stats = {
@@ -2679,13 +2791,18 @@ def delete_snapshot(
                 )
         new_files: list[str] = []
         if survivors is not None:
-            new_files = _write_commit_dir(
+            checks = prev.get("constraints") or {}
+            new_files, chk_obs = _write_commit_dir_observed(
                 survivors,
                 table_path,
                 f"data/c{token}",
+                _constraint_metrics(checks) or None,
                 options=_bloom_options(
                     _norm_bloom_cols(prev.get("bloom_cols"))
                 ),
+            )
+            _check_constraints(
+                spark, table_path, checks, chk_obs, new_files
             )
         kept = [rel for rel in prev["files"] if rel not in set(touched_rel)]
         prev_stats = prev.get("stats", {})

@@ -4109,3 +4109,100 @@ def test_count_snapshot_metadata_only(spark, tmp_path, monkeypatch):
         _json.dumps({**m, "stats": stripped}).encode(),
     )
     assert table_log.count_snapshot(spark, t, v) == 152
+
+
+def test_check_constraints_gate_commits(spark, tmp_path):
+    """CHECK constraints as an inherited table property: violating
+    batches are rejected ATOMICALLY (no version published, rejected
+    dir vacuumable) across append / CoW merge / MoR merge / staged
+    WAP writes; NULL passes (SQL CHECK semantics); maintenance
+    rewrites never re-validate (a constraint added after bad data
+    landed must not brick compaction)."""
+    import pytest as _pytest
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "chk")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        t,
+        constraints={"v_pos": "v >= 0", "k_set": "k IS NOT NULL"},
+    )
+    assert table_log._manifest(spark, t, 0)["constraints"] == {
+        "v_pos": "v >= 0", "k_set": "k IS NOT NULL"
+    }
+    # inherited on a plain append; NULL v passes (SQL CHECK)
+    table_log.commit_snapshot(
+        spark.createDataFrame([(3, None)], "k long, v long"), t
+    )
+    assert table_log._manifest(spark, t, 1)["constraints"]
+
+    def state():
+        return (
+            len(table_log._list_versions(spark, t)),
+            sorted(
+                (r["k"], r["v"])
+                for r in table_log.read_snapshot(spark, t).collect()
+            ),
+        )
+
+    before = state()
+    with _pytest.raises(table_log.ConstraintViolation) as ei:
+        table_log.commit_snapshot(
+            spark.createDataFrame(
+                [(4, -5), (5, -6), (6, 1)], "k long, v long"
+            ),
+            t,
+        )
+    assert ei.value.violations == {"v_pos": 2}
+    assert state() == before  # nothing published
+    with _pytest.raises(table_log.ConstraintViolation):
+        table_log.merge_snapshot(
+            spark.createDataFrame([(1, -1)], "k long, v long"), t, key="k"
+        )
+    with _pytest.raises(table_log.ConstraintViolation):
+        table_log.merge_snapshot_mor(
+            spark.createDataFrame([(2, -1)], "k long, v long"), t, key="k"
+        )
+    with _pytest.raises(table_log.ConstraintViolation):
+        table_log.stage_snapshot(
+            spark.createDataFrame([(9, -9)], "k long, v long"), t
+        )
+    assert state() == before
+    # the rejected dirs are invisible orphans: vacuum sweeps them
+    deleted = table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    assert any("/data/" in d for d in deleted)
+    assert state()[1] == before[1]  # rows untouched (manifests pruned)
+
+    # a VALID CoW merge still flows (carry rows re-validate fine)
+    table_log.merge_snapshot(
+        spark.createDataFrame([(1, 11)], "k long, v long"), t, key="k"
+    )
+    assert (1, 11) in state()[1]
+
+    # maintenance never bricks: plant bad data BEFORE the property,
+    # then compact/optimize the table that now violates
+    t2 = str(tmp_path / "chk2")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(1, -99)], "k long, v long"), t2
+    )
+    table_log.commit_snapshot(
+        spark.createDataFrame([(2, 5)], "k long, v long"), t2,
+        constraints={"v_pos": "v >= 0"},
+    )
+    assert table_log.optimize_snapshot(
+        spark, t2, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    ) is not None
+    table_log.compact_snapshot(spark, t2, target_files=1)
+    assert sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t2).collect()
+    ) == [1, 2]
+    # property still carried through maintenance; {} clears it
+    vs = table_log._list_versions(spark, t2)
+    assert table_log._manifest(spark, t2, vs[-1])["constraints"]
+    table_log.commit_snapshot(
+        spark.createDataFrame([(3, -1)], "k long, v long"), t2,
+        constraints={},
+    )
+    vs = table_log._list_versions(spark, t2)
+    assert "constraints" not in table_log._manifest(spark, t2, vs[-1])
