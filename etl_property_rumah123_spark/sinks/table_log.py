@@ -332,7 +332,29 @@ def _carry_bloom(prev: dict | None) -> dict:
     c = (prev or {}).get("constraints") or {}
     if c:
         out["constraints"] = c
+    w = (prev or {}).get("write_order") or []
+    if w:
+        out["write_order"] = w
     return out
+
+
+def _with_write_order(df: DataFrame, order_cols: list) -> DataFrame:
+    """Apply a table's ``write_order`` property to a batch about to be
+    written: range-distribute on the declared columns and sort within
+    partitions (Iceberg's write sort-order / Delta's write
+    optimization). The point is per-FILE min/max tightness for the
+    manifest pruner on APPEND-heavy tables: an unsorted batch gives
+    every file the batch's full key range (no file ever prunes),
+    while a range-distributed one gives each file a narrow slice —
+    data skipping without waiting for a compaction pass. Costs one
+    shuffle per write — the documented write-side trade, which is why
+    it is opt-in per table."""
+    if not order_cols:
+        return df
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in order_cols]
+    return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
 
 
 class ConstraintViolation(ValueError):
@@ -1149,7 +1171,7 @@ def merge_snapshot_mor(
                 )
         checks = prev.get("constraints") or {}
         new_files, chk_obs = _write_commit_dir_observed(
-            df,
+            _with_write_order(df, prev.get("write_order") or []),
             table_path,
             f"data/c{token}a",
             _constraint_metrics(checks) or None,
@@ -1392,6 +1414,7 @@ def commit_snapshot(
     extra_meta: dict | None = None,
     bloom_cols: dict | list | None = None,
     constraints: dict | None = None,
+    write_order: list | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -1423,7 +1446,14 @@ def commit_snapshot(
     rejected batch raises :class:`ConstraintViolation`; the written
     dir stays invisible and vacuumable. Maintenance rewrites
     (compact/optimize) deliberately do NOT re-validate: a constraint
-    added after bad data landed must not brick compaction."""
+    added after bad data landed must not brick compaction.
+
+    ``write_order`` (list of columns) declares the table's WRITE SORT
+    ORDER: appended/merged batches are range-distributed and sorted on
+    these columns before writing (one shuffle per write — see
+    :func:`_with_write_order`), so per-file min/max stats stay tight
+    and the manifest pruner skips files on these keys WITHOUT waiting
+    for a z-order compaction. Inherits like the other properties."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -1445,8 +1475,13 @@ def commit_snapshot(
             if constraints is not None
             else (prev0 or {}).get("constraints") or {}
         )
+        order = list(
+            write_order
+            if write_order is not None
+            else (prev0 or {}).get("write_order") or []
+        )
         new_files, obs = _write_commit_dir_observed(
-            df,
+            _with_write_order(df, order),
             table_path,
             commit_rel,
             _constraint_metrics(checks) or None,
@@ -1478,6 +1513,7 @@ def commit_snapshot(
             "stats": _cap_stats(stats),
             **({"bloom_cols": bloom} if bloom else {}),
             **({"constraints": checks} if checks else {}),
+            **({"write_order": order} if order else {}),
             **(
                 {
                     "dvs": dvs,
@@ -2028,7 +2064,7 @@ def stage_snapshot(
     token = uuid.uuid4().hex[:12]
     checks = prev.get("constraints") or {}
     new_files, obs = _write_commit_dir_observed(
-        df,
+        _with_write_order(df, prev.get("write_order") or []),
         table_path,
         f"data/s{token}",
         _constraint_metrics(checks) or None,
@@ -2372,7 +2408,7 @@ def merge_snapshot(
         rewrite = carry.unionByName(df, allowMissingColumns=True)
         checks = prev.get("constraints") or {}
         new_files, obs = _write_commit_dir_observed(
-            rewrite,
+            _with_write_order(rewrite, prev.get("write_order") or []),
             table_path,
             f"data/c{token}",
             _constraint_metrics(checks) or None,
@@ -2793,7 +2829,9 @@ def delete_snapshot(
         if survivors is not None:
             checks = prev.get("constraints") or {}
             new_files, chk_obs = _write_commit_dir_observed(
-                survivors,
+                _with_write_order(
+                    survivors, prev.get("write_order") or []
+                ),
                 table_path,
                 f"data/c{token}",
                 _constraint_metrics(checks) or None,

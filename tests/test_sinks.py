@@ -4206,3 +4206,60 @@ def test_check_constraints_gate_commits(spark, tmp_path):
     )
     vs = table_log._list_versions(spark, t2)
     assert "constraints" not in table_log._manifest(spark, t2, vs[-1])
+
+
+def test_write_order_property_keeps_stats_tight(spark, tmp_path):
+    """The write_order table property: appended batches are
+    range-distributed + sorted on the declared columns, so each file
+    covers a narrow key slice and the manifest pruner skips files on
+    those keys WITHOUT a compaction; an identical unordered twin
+    prunes nothing. Inherits through appends and the MoR merge."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    def shuffled(lo, hi):  # deliberately key-scrambled batch
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.xxhash64(F.col("id")).alias("scramble"),
+                F.col("id").alias("k"),
+                (F.col("id") % 9).alias("v"),
+            )
+            .repartition(6, "scramble")
+            .drop("scramble")
+        )
+
+    t_ord = str(tmp_path / "ordered")
+    t_raw = str(tmp_path / "raw")
+    table_log.commit_snapshot(shuffled(0, 30_000), t_ord, write_order=["k"])
+    table_log.commit_snapshot(shuffled(0, 30_000), t_raw)
+    assert table_log._manifest(spark, t_ord, 0)["write_order"] == ["k"]
+    # inherited appends + a MoR merge also lay out on k
+    table_log.commit_snapshot(shuffled(30_000, 60_000), t_ord)
+    table_log.commit_snapshot(shuffled(30_000, 60_000), t_raw)
+    table_log.merge_snapshot_mor(shuffled(60_000, 90_000), t_ord, key="k")
+    table_log.merge_snapshot_mor(shuffled(60_000, 90_000), t_raw, key="k")
+
+    pred = [("k", "<", 2_000)]
+    ordered = table_log.read_snapshot(spark, t_ord, predicates=pred)
+    raw = table_log.read_snapshot(spark, t_raw, predicates=pred)
+    n_ord = len(ordered.inputFiles())
+    n_raw = len(raw.inputFiles())
+    # commit-level ranges prune for BOTH tables (later commits hold
+    # k >= 30k); within the matching commit the unordered twin must
+    # read every file (each spans the commit's full range) while the
+    # ordered one reads only the low range slice(s)
+    assert n_raw == 6, n_raw  # all 6 scrambled files of commit 1
+    assert n_ord <= 2, n_ord  # the low slice of commit 1 only
+    # identical answers either way
+    assert sorted(r["k"] for r in ordered.collect()) == sorted(
+        r["k"] for r in raw.collect()
+    )
+    # property survives maintenance and clears explicitly
+    table_log.compact_snapshot(spark, t_ord, target_files=2)
+    vs = table_log._list_versions(spark, t_ord)
+    assert table_log._manifest(spark, t_ord, vs[-1])["write_order"] == ["k"]
+    table_log.commit_snapshot(shuffled(0, 10), t_ord, write_order=[])
+    vs = table_log._list_versions(spark, t_ord)
+    assert "write_order" not in table_log._manifest(spark, t_ord, vs[-1])
