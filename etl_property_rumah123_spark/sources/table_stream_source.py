@@ -66,6 +66,12 @@ _VERSION_RE = re.compile(r"^v(\d+)\.json$")
 _APPEND_OPS = {"append", "publish_staged", "merge_mor"}
 #: content-identical rewrites: never re-emit
 _IDENTICAL_OPS = {"compact", "optimize", "consolidate_eq"}
+#: row-removing / rewriting operations: NEVER silently tailable. The
+#: MoR deletes (delete_dv / delete_eq) leave the manifest's FILE LIST
+#: unchanged — only the DV/eq sidecars grow — so a files-unchanged
+#: fallback would misread them as metadata-only no-ops and consumers
+#: would silently retain deleted rows; they must be matched BY NAME.
+_REMOVAL_OPS = {"delete", "delete_dv", "delete_eq", "merge", "overwrite"}
 
 
 def _log_dir(path: str) -> str:
@@ -156,6 +162,21 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                 op = m.get("operation", "append")
                 if op in _APPEND_OPS:
                     rels.extend(sorted(cur_files - prev_files))
+                elif op in _REMOVAL_OPS:
+                    # checked BEFORE the files-unchanged fallback:
+                    # delete_dv/delete_eq keep the file list identical
+                    # while removing rows, and silently passing them
+                    # would hand consumers deleted data
+                    if not self._ignore_changes:
+                        raise ValueError(
+                            f"version {v} is a row-removing operation "
+                            f"{op!r}; streaming reads require "
+                            "append-only history — set .option("
+                            "'ignore_changes', 'true') to skip such "
+                            "versions (their changed rows will NOT be "
+                            "delivered), or consume read_changes in "
+                            "batch"
+                        )
                 elif op in _IDENTICAL_OPS or cur_files == prev_files:
                     pass  # rewrite or metadata-only: nothing new
                 elif self._ignore_changes:

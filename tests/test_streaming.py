@@ -1426,7 +1426,7 @@ def test_snapshot_table_stream_source_refuses_non_append(spark, tmp_path):
     )
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    with pytest.raises(StreamingQueryException, match="non-append"):
+    with pytest.raises(StreamingQueryException, match="row-removing"):
         run("del_src_2", "ck")
     # a FRESH checkpoint with ignore_changes: the delete version is
     # skipped whole (full snapshot at start covers the survivors)
@@ -1437,3 +1437,76 @@ def test_snapshot_table_stream_source_refuses_non_append(spark, tmp_path):
     table_log.delete_snapshot_dv(spark, t, "k = 4")
     with pytest.raises(StreamingQueryException, match="compact_snapshot"):
         run("del_src_4", "ck_dv")
+
+
+def test_snapshot_table_stream_source_fails_on_mor_deletes(spark, tmp_path):
+    """ADVICE round 12 (high): the MoR deletes — delete_dv and
+    delete_eq — leave the manifest FILE LIST unchanged, so a
+    files-unchanged fallback would misread them as metadata-only
+    no-ops and a tailing consumer would silently keep rows the table
+    deleted. They must FAIL the stream by name (the documented
+    contract), and ignore_changes must still skip them whole."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from etl_property_rumah123_spark.sinks import table_log
+    from etl_property_rumah123_spark.sources.table_stream_source import (
+        SnapshotTableDataSource,
+    )
+
+    spark.dataSource.register(SnapshotTableDataSource)
+
+    def run(t, name, ckpt, ignore=False):
+        reader = (
+            spark.readStream.format("snapshot_table").option("path", t)
+        )
+        if ignore:
+            reader = reader.option("ignore_changes", "true")
+        sink = str(tmp_path / f"sink_{name}")
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.refreshByPath(sink)
+        return {r["k"] for r in spark.read.parquet(sink).collect()}
+
+    for op_name, apply_delete in (
+        (
+            "delete_dv",
+            lambda t: table_log.delete_snapshot_dv(spark, t, "k = 1"),
+        ),
+        (
+            "delete_eq",
+            lambda t: table_log.delete_snapshot_eq(
+                spark, t, "k",
+                spark.createDataFrame([(1,)], "k long"),
+            ),
+        ),
+    ):
+        t = str(tmp_path / f"src_{op_name}")
+        table_log.commit_snapshot(
+            spark.createDataFrame([(i, "x") for i in range(4)],
+                                  "k long, v string"), t
+        )
+        # establish the tail BEFORE the delete: the failure under test
+        # is in the TAILING branch (versions after the checkpoint), not
+        # the initial-load MoR-debt refusal
+        assert run(t, f"{op_name}_1", f"ck_{op_name}") == set(range(4))
+        apply_delete(t)
+        table_log.commit_snapshot(
+            spark.createDataFrame([(10, "y")], "k long, v string"), t
+        )
+        with pytest.raises(StreamingQueryException, match=op_name):
+            run(t, f"{op_name}_2", f"ck_{op_name}")
+        # ignore_changes skips the delete version whole; the later
+        # append still flows on the SAME checkpoint and ORIGINAL sink
+        # (the file sink's batch log lives in the sink — it must hold
+        # the already-committed batch 0)
+        assert run(
+            t, f"{op_name}_1", f"ck_{op_name}", ignore=True
+        ) == set(range(4)) | {10}
