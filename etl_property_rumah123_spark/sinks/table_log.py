@@ -358,18 +358,127 @@ def _with_write_order(df: DataFrame, order_cols: list) -> DataFrame:
 
 
 class ConstraintViolation(ValueError):
-    """A CHECK-constraint table property rejected a batch: the commit
-    was NOT published (the already-written data dir is invisible and
-    vacuumable). Carries ``{constraint_name: violating_row_count}``."""
+    """A CHECK-constraint table property rejected a commit: nothing
+    was published (an already-written data dir is invisible and
+    vacuumable). Carries ``{constraint_name: violating_row_count}``.
+    ``where`` distinguishes the two rejection points: a batch failing
+    the table's standing constraints, or EXISTING table data failing
+    a constraint being newly declared (Delta's ADD CONSTRAINT
+    validation)."""
 
-    def __init__(self, table_path: str, violations: dict):
+    def __init__(
+        self, table_path: str, violations: dict, where: str = "the batch"
+    ):
         self.violations = violations
         super().__init__(
             f"commit to {table_path} rejected by CHECK constraints "
-            f"{violations} (violating-row counts); the batch was NOT "
-            "published. Fix the data or alter the table's "
-            "'constraints' property."
+            f"{violations} (violating-row counts in {where}); the "
+            "commit was NOT published. Fix the data or alter the "
+            "table's 'constraints' property."
         )
+
+
+def _validate_new_constraints_on_existing(
+    spark: SparkSession, table_path: str, prev: dict, declared: dict
+) -> None:
+    """Declaring (or changing) a CHECK constraint validates the
+    EXISTING table data first — one aggregate scan of the previous
+    version, exactly Delta's ``ALTER TABLE ADD CONSTRAINT`` semantics.
+    Without this, a constraint declared after bad rows landed would be
+    un-enforceable history: every CoW delete/merge that carries those
+    survivor rows re-checks them and fails, permanently blocking the
+    advertised compliance-purge path (round-12 ADVICE). Rejecting the
+    declaration instead keeps the invariant that a table with a
+    standing constraint NEVER holds a violating row, which is what
+    lets every rewrite re-check carried rows for free."""
+    if not (declared and prev and prev.get("files")):
+        return
+    existing = read_snapshot(
+        spark, table_path, prev["version"], merge_schema=True
+    )
+    # a constraint on a column history never had trivially passes
+    # (every historical row reads NULL there, and NULL passes CHECK) —
+    # validate only the expressions that analyze against history
+    from pyspark.errors import AnalysisException
+
+    probe = existing.limit(0)
+    checkable = {}
+    for name, expr in declared.items():
+        try:
+            probe.select(F.expr(expr).cast("boolean")).schema
+        except AnalysisException:
+            continue
+        checkable[name] = expr
+    if not checkable:
+        return
+    row = (
+        existing
+        .agg(
+            *[
+                expr.alias(k)
+                for k, expr in _constraint_metrics(checkable).items()
+            ]
+        )
+        .collect()[0]
+    )
+    violations = {
+        name: int(row[f"__chk_{name}"] or 0)
+        for name in checkable
+        if row[f"__chk_{name}"]
+    }
+    if violations:
+        raise ConstraintViolation(
+            table_path, violations,
+            where="EXISTING table data — a newly-declared constraint "
+            "validates history first, like Delta ADD CONSTRAINT",
+        )
+
+
+def _validate_properties_against_schema(
+    df: DataFrame, table_path: str, checks: dict, order: list, bloom: dict
+) -> None:
+    """Schema evolution × table properties: the batch being committed
+    DEFINES the table's new schema (the manifest records ``df``'s
+    schema; an append without a column is how a column is dropped), so
+    an inherited property referencing a column this batch lacks must
+    fail HERE, loudly — the alternative is an undefined analysis error
+    deep inside the write job, on this and every subsequent write.
+    The defined semantics: evolving the schema away from a property's
+    columns requires retiring or re-declaring the property in the SAME
+    commit (pass ``constraints=``/``write_order=``/``bloom_cols=``
+    explicitly). Driver-only: name checks plus a zero-row analysis of
+    each constraint expression — no job."""
+
+    def _err(prop: str, detail: str) -> ValueError:
+        return ValueError(
+            f"commit to {table_path}: the table's {prop!r} property "
+            f"{detail}, but this batch's schema does not provide it "
+            f"(columns: {df.columns}). Schema evolution away from a "
+            "property's columns must retire or re-declare the property "
+            "in the same commit — pass constraints={...}, "
+            "write_order=[...], or bloom_cols={...} explicitly "
+            "(empty to clear)."
+        )
+
+    cols = set(df.columns)
+    for c in order:
+        if c not in cols:
+            raise _err("write_order", f"sorts on column {c!r}")
+    for c in bloom:
+        if c not in cols:
+            raise _err("bloom_cols", f"declares a bloom filter on {c!r}")
+    if checks:
+        from pyspark.errors import AnalysisException
+
+        probe = df.limit(0)
+        for name, expr in checks.items():
+            try:
+                probe.select(F.expr(expr).cast("boolean")).schema
+            except AnalysisException as e:
+                raise _err(
+                    "constraints",
+                    f"entry {name!r} = {expr!r} references a column",
+                ) from e
 
 
 def _constraint_metrics(constraints: dict) -> dict:
@@ -1087,6 +1196,7 @@ def merge_snapshot_mor(
     max_retries: int = 10,
     extra_meta: dict | None = None,
     eq: bool = False,
+    count_matched: bool = False,
 ) -> int:
     """MERGE-ON-READ upsert: the DV composition of
     :func:`merge_snapshot`. Old versions of matched keys are marked
@@ -1108,6 +1218,13 @@ def merge_snapshot_mor(
       for a per-entry broadcast key-suppression on every read until
       compaction; entries also accumulate per commit, so the
       ``maybe_compact_dvs`` cadence matters more here.
+      ``count_matched=True`` additionally records the entry's
+      per-file suppressed-row counts (one key-column job over the
+      scoped files — see :func:`_eq_matched_by_file`), keeping
+      ``count_snapshot`` metadata-only; it is OFF by default here
+      because this path's design point is the zero-read streaming
+      upsert (the takedown path :func:`delete_snapshot_eq` defaults
+      it ON).
 
     The streaming-sink batch-id stamp rides in ``extra_meta`` exactly
     as in the CoW form. First commit degenerates to append."""
@@ -1148,6 +1265,10 @@ def merge_snapshot_mor(
                 "n": n_marked,
                 "scope": [_dv_rel_key(r) for r in prev["files"]],
             }
+            if count_matched:
+                eq_entry["matched"] = _eq_matched_by_file(
+                    spark, table_path, prev, key, key_files
+                )
         else:
             live = _read_with_row_identity(spark, table_path, prev)
             batch_keys = df.select(key).distinct()
@@ -1170,6 +1291,11 @@ def merge_snapshot_mor(
                     spark, table_path, new_dv
                 )
         checks = prev.get("constraints") or {}
+        _validate_properties_against_schema(
+            df, table_path, checks,
+            prev.get("write_order") or [],
+            _norm_bloom_cols(prev.get("bloom_cols")),
+        )
         new_files, chk_obs = _write_commit_dir_observed(
             _with_write_order(df, prev.get("write_order") or []),
             table_path,
@@ -1210,24 +1336,69 @@ def merge_snapshot_mor(
     )
 
 
+def _eq_matched_by_file(
+    spark: SparkSession,
+    table_path: str,
+    prev: dict,
+    key: str,
+    key_files: list[str],
+) -> dict:
+    """How many LIVE rows (``prev``'s view, prior position/equality
+    deletes applied) an equality-delete entry suppresses, PER data-file
+    key. One column-pruned job: the scan touches only the key column
+    (+ row identity) of the scoped files, never the payload, and the
+    output is bounded by the manifest's file count. Computed against
+    the live view, the counts COMPOSE exactly — a row already
+    suppressed by an earlier entry or DV is never counted twice, so
+    ``count_snapshot`` can subtract entries independently. Reads the
+    just-written key parquet (not the caller's frame) so a retried
+    commit recomputes against identical keys."""
+    live = _read_with_row_identity(spark, table_path, prev)
+    keys = (
+        spark.read.parquet(*[f"{table_path}/{r}" for r in key_files])
+        .withColumnRenamed(key, "__eq_k")
+    )
+    rows = (
+        live.join(
+            F.broadcast(keys), live[key] == keys["__eq_k"], "left_semi"
+        )
+        .groupBy("__dv_key")
+        .count()
+        .collect()
+    )
+    return {r["__dv_key"]: r["count"] for r in rows}
+
+
 def delete_snapshot_eq(
     spark: SparkSession,
     table_path: str,
     key: str,
     keys_df: DataFrame,
     max_retries: int = 10,
+    count_matched: bool = True,
 ) -> int:
     """EQUALITY delete (the Iceberg-v2 second MoR delete shape): mark
     every CURRENT row whose ``key`` appears in ``keys_df`` deleted by
-    recording the keys themselves — O(keys) written, NO scan of the
-    data at commit time at all (where the position DV must find the
-    row positions first, the equality delete is pure metadata until
-    read). The entry is SCOPED to the data files present at commit,
-    so a later append may re-introduce a key (MoR upsert composes)
-    and no sequence numbers are needed. Readers pay a broadcast
-    key-anti-join per outstanding entry; :func:`compact_snapshot`
-    materializes, :func:`maybe_compact_dvs` bounds the debt (keys
-    count toward ``dv_rows``)."""
+    recording the keys themselves — O(keys) written (where the
+    position DV must find the row positions first, the equality
+    delete is pure metadata until read). The entry is SCOPED to the
+    data files present at commit, so a later append may re-introduce
+    a key (MoR upsert composes) and no sequence numbers are needed.
+    Readers pay a broadcast key-anti-join per outstanding entry;
+    :func:`compact_snapshot` materializes, :func:`maybe_compact_dvs`
+    bounds the debt (keys count toward ``dv_rows``).
+
+    ``count_matched`` (default True) additionally records how many
+    LIVE rows each entry actually suppresses, PER FILE (one
+    column-pruned job over the scoped files' key column — the only
+    data the commit reads). This is what keeps ``SELECT COUNT(*)``
+    metadata-only under outstanding equality deletes
+    (:func:`count_snapshot`): per-file granularity lets every later
+    rewrite (CoW, optimize, compact) adjust the count by simply
+    dropping departed file keys. Pass False for the pure-metadata
+    O(keys) commit of the original design — at the documented price
+    that COUNT(*) on the table falls back to a real scan until the
+    next compaction clears the entry."""
     token = uuid.uuid4().hex[:12]
     for _ in range(max_retries):
         versions = _list_versions(spark, table_path)
@@ -1252,6 +1423,10 @@ def delete_snapshot_eq(
             "n": n_keys,
             "scope": [_dv_rel_key(r) for r in prev["files"]],
         }
+        if count_matched:
+            entry["matched"] = _eq_matched_by_file(
+                spark, table_path, prev, key, key_files
+            )
         manifest = {
             "version": version,
             "operation": "delete_eq",
@@ -1348,14 +1523,24 @@ def consolidate_eq_dvs(
                     *[f"{table_path}/{r}" for r in key_files]
                 ).count()
             )
-            new_entries.append(
-                {
-                    "key": key,
-                    "files": key_files,
-                    "n": n_union,
-                    "scope": list(scope),
-                }
-            )
+            merged = {
+                "key": key,
+                "files": key_files,
+                "n": n_union,
+                "scope": list(scope),
+            }
+            if all("matched" in e for e in group):
+                # per-file matched counts sum exactly: each entry's
+                # counts were taken against the live view at ITS commit
+                # (rows already suppressed never re-count), trimmed to
+                # the normalized scope alongside the scope itself
+                acc: dict = {}
+                for e in group:
+                    for k, v in e["matched"].items():
+                        if k in scope:
+                            acc[k] = acc.get(k, 0) + v
+                merged["matched"] = acc
+            new_entries.append(merged)
         if not merged_any and not dropped:
             return None
 
@@ -1444,9 +1629,13 @@ def commit_snapshot(
     JOB (zero extra passes) and REFUSES to publish if any constraint
     is FALSE on any written row (NULL passes, SQL-standard). A
     rejected batch raises :class:`ConstraintViolation`; the written
-    dir stays invisible and vacuumable. Maintenance rewrites
-    (compact/optimize) deliberately do NOT re-validate: a constraint
-    added after bad data landed must not brick compaction.
+    dir stays invisible and vacuumable. DECLARING a new (or changed)
+    constraint on a table with data validates the EXISTING rows first
+    — one scan, Delta's ADD CONSTRAINT semantics — so a table with a
+    standing constraint never holds a violating row; that invariant
+    is what lets CoW rewrites re-check carried survivor rows for free
+    without ever bricking a later DELETE. Maintenance rewrites
+    (compact/optimize) deliberately do NOT re-validate.
 
     ``write_order`` (list of columns) declares the table's WRITE SORT
     ORDER: appended/merged batches are range-distributed and sorted on
@@ -1480,6 +1669,22 @@ def commit_snapshot(
             if write_order is not None
             else (prev0 or {}).get("write_order") or []
         )
+        # schema evolution × properties: fail loud BEFORE any write if
+        # an inherited property references a column this batch drops
+        _validate_properties_against_schema(
+            df, table_path, checks, order, bloom
+        )
+        if mode == "append" and prev0 is not None:
+            # newly-declared / changed constraints validate EXISTING
+            # data first (one scan — Delta ADD CONSTRAINT semantics)
+            declared = {
+                name: expr
+                for name, expr in checks.items()
+                if (prev0.get("constraints") or {}).get(name) != expr
+            }
+            _validate_new_constraints_on_existing(
+                spark, table_path, prev0, declared
+            )
         new_files, obs = _write_commit_dir_observed(
             _with_write_order(df, order),
             table_path,
@@ -1990,10 +2195,14 @@ def count_snapshot(
     scan job. Outstanding POSITION deletion vectors subtract exactly:
     one tiny job over the dv parquet counts the distinct (file, pos)
     entries that target files still live in this version (stale
-    entries for rewritten files never match). Falls back to a real
+    entries for rewritten files never match). Outstanding EQUALITY
+    deletes subtract from the ``matched`` per-file counts their
+    commits recorded (:func:`_eq_matched_by_file`) — restricted to
+    file keys still live, which is exactly how later rewrites retire
+    a file's share — at no job at all. Falls back to a real
     ``read_snapshot(...).count()`` — loudly correct, never wrong —
-    when the manifest predates per-file counts or an EQUALITY delete
-    is outstanding (value-scoped suppression needs the data)."""
+    only when the manifest predates per-file counts or an eq entry
+    was written with ``count_matched=False``."""
     from pyspark.sql import functions as F
 
     versions = _list_versions(spark, table_path)
@@ -2008,20 +2217,29 @@ def count_snapshot(
     def fallback() -> int:
         return read_snapshot(spark, table_path, version).count()
 
-    if m.get("eq_dvs"):
-        return fallback()
+    if any("matched" not in e for e in m.get("eq_dvs", [])):
+        return fallback()  # legacy / opted-out entry: needs the data
     stats = m.get("stats", {})
     counts = [stats.get(rel, {}).get("__n_rows") for rel in m["files"]]
     if any(c is None for c in counts):
         return fallback()  # legacy manifest / stats-capped commit
     total = int(sum(counts))
+    live = {_dv_rel_key(rel) for rel in m["files"]}
+    # equality-delete shares: matched counts compose (each was taken
+    # against the live view at its commit — no row counted twice) and
+    # keys for rewritten/departed files simply stop matching `live`
+    n_eq = sum(
+        v
+        for e in m.get("eq_dvs", [])
+        for k, v in e["matched"].items()
+        if k in live
+    )
     dv_rels = m.get("dvs", [])
     if not dv_rels:
-        return total
-    live = {_dv_rel_key(rel) for rel in m["files"]}
+        return total - n_eq
     relevant = sorted(set(m.get("dv_keys", [])) & live)
     if not relevant:
-        return total
+        return total - n_eq
     dv = (
         spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
         .select("file_key", "pos")
@@ -2034,7 +2252,7 @@ def count_snapshot(
             [(k,) for k in relevant], "file_key string"
         )
         n_dv = dv.join(F.broadcast(keys), "file_key", "left_semi").count()
-    return total - n_dv
+    return total - n_dv - n_eq
 
 
 def stage_snapshot(
@@ -2059,10 +2277,21 @@ def stage_snapshot(
     name = name or uuid.uuid4().hex[:12]
     if "/" in name or name.startswith("."):
         raise ValueError(f"invalid stage name {name!r}")
+    if _read_published_tombstone(spark, table_path, name) is not None:
+        raise ValueError(
+            f"stage name {name!r} at {table_path} was already published "
+            "— published names are permanently retired (the tombstone "
+            "is what makes publish replay-safe); pick a fresh name."
+        )
     versions = _list_versions(spark, table_path)
     prev = _manifest(spark, table_path, versions[-1]) if versions else {}
     token = uuid.uuid4().hex[:12]
     checks = prev.get("constraints") or {}
+    _validate_properties_against_schema(
+        df, table_path, checks,
+        prev.get("write_order") or [],
+        _norm_bloom_cols(prev.get("bloom_cols")),
+    )
     new_files, obs = _write_commit_dir_observed(
         _with_write_order(df, prev.get("write_order") or []),
         table_path,
@@ -2128,23 +2357,59 @@ def read_staged(
     )
 
 
+def _published_tombstone_path(table_path: str, name: str) -> str:
+    return f"{table_path}/_log/published/{name}.json"
+
+
+def _read_published_tombstone(
+    spark: SparkSession, table_path: str, name: str
+) -> dict | None:
+    jvm, fs = _fs(spark, table_path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        _published_tombstone_path(table_path, name)
+    )
+    if not fs.exists(p):
+        return None
+    return json.loads(_read_file(
+        spark, _published_tombstone_path(table_path, name)
+    ).decode())
+
+
 def publish_staged(
     spark: SparkSession, table_path: str, name: str, max_retries: int = 10
 ) -> int:
     """WRITE-AUDIT-PUBLISH, step 3: atomically promote the staged
     commit to a normal append version (same rename race protocol as
     every writer; the staged files enter the manifest by reference —
-    zero data moved). IDEMPOTENT under replay: if a previous publish
-    of this stage already made the files live (process died between
-    the manifest rename and the stage-marker delete), the marker is
-    simply cleaned up and that version returned — the batch can never
-    be published twice."""
+    zero data moved). IDEMPOTENT under replay, DURABLY: a successful
+    publish writes a tiny tombstone (``_log/published/<name>.json``,
+    recording the version and file list) BEFORE deleting the stage
+    marker, and a replayed publish returns the tombstoned version
+    without touching the log. The tombstone is what survives the
+    worst-case replay window — the publishing version's manifest
+    vacuumed away AND the staged files compacted/optimized out of the
+    current manifest — where both in-log detections (staged_name scan,
+    file-subset check) go blind and a marker-only protocol would
+    re-append the batch, duplicating every row. Tombstones are ~100
+    bytes, kept forever (that IS the durability), and make a publish's
+    stage name permanently non-reusable."""
     staged = _staged_manifest(spark, table_path, name)
     new_files = staged["new_files"]
     jvm, fs = _fs(spark, table_path)
     marker = jvm.org.apache.hadoop.fs.Path(
         f"{table_path}/_log/staged/{name}.json"
     )
+    tomb = _read_published_tombstone(spark, table_path, name)
+    if tomb is not None:
+        if tomb.get("new_files") != new_files:
+            raise ValueError(
+                f"stage name {name!r} at {table_path} was already "
+                f"published as version {tomb.get('version')} with a "
+                "DIFFERENT file set — stage names are not reusable "
+                "after publish (pick a fresh name)."
+            )
+        fs.delete(marker, False)
+        return int(tomb["version"])
     for _ in range(max_retries):
         versions = _list_versions(spark, table_path)
         version = (versions[-1] + 1) if versions else 0
@@ -2161,19 +2426,29 @@ def publish_staged(
             None,
         )
         if already is not None or (
-            # belt-and-braces for a replay AFTER vacuum dropped the
-            # publishing version's manifest: the files being listed in
-            # the CURRENT manifest proves the publish happened (a
-            # double append would list — and read — them twice)
+            # in-log replay detections (kept as belts under the durable
+            # tombstone): the publishing version's manifest names this
+            # stage, or the staged files are already listed in the
+            # current manifest (a double append would read them twice)
             versions
             and set(new_files) <= set(prev["files"])
         ):
             # replayed publish (process died between the manifest
-            # rename and the marker delete): the batch is already a
-            # version — possibly further mutated by later commits —
-            # so only clean the marker; NEVER re-append the files
+            # rename and the tombstone/marker steps): the batch is
+            # already a version — possibly further mutated by later
+            # commits — so repair the tombstone and clean the marker;
+            # NEVER re-append the files
+            published_v = already if already is not None else prev["version"]
+            _write_file(
+                spark,
+                _published_tombstone_path(table_path, name),
+                json.dumps(
+                    {"name": name, "version": published_v,
+                     "new_files": new_files}
+                ).encode(),
+            )
             fs.delete(marker, False)
-            return already if already is not None else prev["version"]
+            return published_v
         manifest = {
             "version": version,
             "operation": "publish_staged",
@@ -2200,6 +2475,18 @@ def publish_staged(
         }
         token = uuid.uuid4().hex[:12]
         if _try_publish(spark, table_path, version, token, manifest):
+            # durability order: manifest (visible) -> tombstone
+            # (replay-proof) -> marker delete (stage closed). A crash
+            # between any two steps is repaired by the replay paths
+            # above, converging on this same end state.
+            _write_file(
+                spark,
+                _published_tombstone_path(table_path, name),
+                json.dumps(
+                    {"name": name, "version": version,
+                     "new_files": new_files}
+                ).encode(),
+            )
             fs.delete(marker, False)
             return version
     raise RuntimeError(
@@ -2528,7 +2815,10 @@ def compact_snapshot(
     OPTIMIZE ZORDER BY verb on the snapshot log), so post-compaction
     scans data-skip on ANY of the listed dimensions via parquet
     footer ranges; ``zorder_scaling='rank'`` (default) stays
-    skew-immune."""
+    skew-immune. Without an explicit ``zorder_by``, a declared
+    ``write_order`` table property drives the layout instead (the
+    rewrite must not undo the clustering appends paid for); a table
+    with neither is plain bin-packed."""
     jvm, fs = _fs(spark, table_path)
     hadoop_path = jvm.org.apache.hadoop.fs.Path
     token = uuid.uuid4().hex[:12]
@@ -2547,8 +2837,6 @@ def compact_snapshot(
             "__dv_key", "__dv_pos"
         )
         if zorder_by:
-            from pyspark.sql import functions as F
-
             from etl_property_rumah123_spark.sinks.writers import (
                 zorder_key_expr,
             )
@@ -2560,6 +2848,16 @@ def compact_snapshot(
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
+        elif prev.get("write_order"):
+            # table-property-driven clustering: a full rewrite of a
+            # write-sorted table must come out write-sorted, or the
+            # compaction undoes the per-file min/max tightness every
+            # append paid a shuffle for. An explicit zorder_by wins
+            # (multi-dimensional re-clustering is the stronger ask).
+            order = [F.col(c) for c in prev["write_order"]]
+            df = df.repartitionByRange(
+                target_files, *order
+            ).sortWithinPartitions(*order)
         else:
             df = df.coalesce(target_files)
         files = _write_commit_dir(
@@ -2626,7 +2924,10 @@ def optimize_snapshot(
     curve is :func:`compact_snapshot` ``zorder_by``'s job. File sizes
     come from one driver-side ``listStatus`` per commit dir (same
     O(files) metadata envelope as footer stats). Declared
-    ``bloom_cols`` are re-applied to the packed files."""
+    ``bloom_cols`` AND ``write_order`` are re-applied to the packed
+    files (the re-sort range-shuffles the folded bytes only), so
+    maintenance never widens the per-file min/max the write-order
+    property exists to keep tight."""
     import math
 
     if small_file_bytes is None:
@@ -2673,15 +2974,28 @@ def optimize_snapshot(
         n_out = max(
             1, math.ceil(sum(sizes[rel] for rel in small) / target_file_bytes)
         )
-        # coalesce, not repartition: folding N small files into n_out
-        # outputs needs no key placement, and coalesce merges the
-        # per-file input partitions WITHOUT a shuffle — at scale the
-        # difference between re-shuffling every small-file byte and
-        # just concatenating streams (the DV/eq suppression joins in
-        # the live view are broadcast-side, so no parallelism is lost
-        # upstream of the merge)
+        order = prev.get("write_order") or []
+        if order:
+            # a write-sorted table paid one shuffle per append for tight
+            # per-file min/max — folding its small-file tail with a
+            # plain coalesce would hand the packed files the UNION of
+            # the inputs' key ranges, quietly undoing the property. The
+            # re-sort costs O(folded bytes) only — exactly where this
+            # incremental op already caps its work.
+            packed = live.repartitionByRange(
+                n_out, *[F.col(c) for c in order]
+            ).sortWithinPartitions(*order)
+        else:
+            # coalesce, not repartition: folding N small files into
+            # n_out outputs needs no key placement, and coalesce merges
+            # the per-file input partitions WITHOUT a shuffle — at scale
+            # the difference between re-shuffling every small-file byte
+            # and just concatenating streams (the DV/eq suppression
+            # joins in the live view are broadcast-side, so no
+            # parallelism is lost upstream of the merge)
+            packed = live.coalesce(n_out)
         new_files = _write_commit_dir(
-            live.coalesce(n_out),
+            packed,
             table_path,
             f"data/c{token}",
             options=_bloom_options(
@@ -2689,20 +3003,52 @@ def optimize_snapshot(
             ),
         )
         kept = [rel for rel in prev["files"] if rel not in set(small)]
-        kept_dv_keys = sorted(
-            _prev_dv_keys(spark, table_path, prev) - small_keys
-        )
+        prev_dv_key_set = _prev_dv_keys(spark, table_path, prev)
+        kept_dv_keys = sorted(prev_dv_key_set - small_keys)
         dvs = prev.get("dvs", []) if kept_dv_keys else []
+        # position-DV rows targeting the rewritten small files were
+        # just MATERIALIZED into the packed files — they are no longer
+        # read debt, and carrying their count forward would overstate
+        # dv_rows and trip maybe_compact_dvs earlier than needed. One
+        # small job over the dv parquet (O(dv rows), not data) when any
+        # rewritten file actually carried a DV.
+        n_pos_small = 0
+        rewritten_dv_keys = sorted(prev_dv_key_set & small_keys)
+        if dvs and rewritten_dv_keys:
+            dv_all = spark.read.parquet(
+                *[f"{table_path}/{r}" for r in prev["dvs"]]
+            ).select("file_key")
+            if len(rewritten_dv_keys) <= _EQ_SCOPE_ISIN_MAX:
+                n_pos_small = dv_all.filter(
+                    F.col("file_key").isin(*rewritten_dv_keys)
+                ).count()
+            else:
+                keys_df = spark.createDataFrame(
+                    [(k,) for k in rewritten_dv_keys], "file_key string"
+                )
+                n_pos_small = dv_all.join(
+                    F.broadcast(keys_df), "file_key", "left_semi"
+                ).count()
         dropped_eq_n = 0
         eq_dvs = []
         for entry in prev.get("eq_dvs", []):
             scope = [k for k in entry["scope"] if k not in small_keys]
             if scope:
-                eq_dvs.append({**entry, "scope": scope})
+                e2 = {**entry, "scope": scope}
+                if "matched" in entry:
+                    # per-file matched counts follow the scope: rows
+                    # matched in the rewritten files did not survive
+                    # into the packed files
+                    e2["matched"] = {
+                        k: v
+                        for k, v in entry["matched"].items()
+                        if k not in small_keys
+                    }
+                eq_dvs.append(e2)
             else:
                 dropped_eq_n += entry.get("n", 0)
         dv_rows = (
-            (prev.get("dv_rows", 0) - dropped_eq_n)
+            (prev.get("dv_rows", 0) - dropped_eq_n - n_pos_small)
             if dvs
             else sum(e.get("n", 0) for e in eq_dvs)
         )

@@ -2217,8 +2217,14 @@ def test_read_snapshot_multi_matches_per_version_reads(spark, tmp_path):
 
 def test_table_log_schema_evolution_fuzz_matches_model(spark, tmp_path):
     """ROUND 11 (VERDICT #7): the model-based op interleaving EXTENDED
-    with column add / drop / rename between commits. Contract under
-    evolution: writes carry whatever columns are active at their step;
+    with column add / drop / rename between commits. ROUND 12
+    (VERDICT #2): the TABLE-PROPERTY family (constraints, write_order,
+    bloom_cols) joins the model — properties are declared/cleared on
+    evolving columns, and when an evolution op drops/renames a
+    referenced column, the pinned semantics are: every write fails
+    loud until the properties are retired in the same commit.
+    Contract under evolution: writes carry whatever columns are
+    active at their step;
     a merged/upserted key takes the batch's schema (absent columns
     read NULL); carried and compacted rows keep every column they ever
     had; `read_snapshot(merge_schema=True)` surfaces the union schema.
@@ -2284,7 +2290,9 @@ def test_table_log_schema_evolution_fuzz_matches_model(spark, tmp_path):
     )
 
     ops = ["append", "add_col", "drop_col", "rename_col", "cow_merge",
-           "mor", "dv_delete", "eq_delete", "compact", "optimize", "wap"]
+           "mor", "dv_delete", "eq_delete", "compact", "optimize", "wap",
+           "props", "props"]
+    props_col: str | None = None  # column the property family references
     for step in range(1, 25):
         op = rng.choice(ops)
         if op == "add_col":
@@ -2300,7 +2308,48 @@ def test_table_log_schema_evolution_fuzz_matches_model(spark, tmp_path):
             op = "cow_merge"
         if op in ("drop_col", "rename_col"):  # nothing active to drop
             op = "append"
-        if op == "append":
+        if (
+            props_col is not None
+            and props_col != "v"
+            and props_col not in active
+        ):
+            # ROUND 12 (VERDICT #2): the evolution just dropped/renamed
+            # a column the property family references — the DEFINED
+            # semantics: any write fails loud at the evolution op until
+            # the properties are retired in the same commit
+            ks = fresh_keys(1)
+            rows = [(k, row_dict(k, step)) for k in ks]
+            with pytest.raises(ValueError, match="property"):
+                table_log.commit_snapshot(mkdf(rows), t, mode="append")
+            model.update(dict(rows))
+            table_log.commit_snapshot(
+                mkdf(rows), t, mode="append",
+                constraints={}, write_order=[], bloom_cols={},
+            )
+            props_col = None
+            op = "retired_props"  # this step's table op; skip dispatch
+        if op == "props":
+            # toggle the property family: declare all three on one
+            # column (declaration validates EXISTING data — all
+            # generated values are >= 0, so it must pass), or clear
+            ks = fresh_keys(1)
+            rows = [(k, row_dict(k, step)) for k in ks]
+            model.update(dict(rows))
+            if props_col is None:
+                props_col = rng.choice(active + ["v"])
+                table_log.commit_snapshot(
+                    mkdf(rows), t, mode="append",
+                    constraints={"nonneg": f"{props_col} >= 0"},
+                    write_order=[props_col],
+                    bloom_cols={props_col: 64},
+                )
+            else:
+                table_log.commit_snapshot(
+                    mkdf(rows), t, mode="append",
+                    constraints={}, write_order=[], bloom_cols={},
+                )
+                props_col = None
+        elif op == "append":
             ks = fresh_keys(rng.randint(1, 3))
             rows = [(k, row_dict(k, step)) for k in ks]
             model.update(dict(rows))
@@ -2337,7 +2386,7 @@ def test_table_log_schema_evolution_fuzz_matches_model(spark, tmp_path):
                 spark, t,
                 target_file_bytes=1 << 30, small_file_bytes=1 << 30,
             )
-        else:  # compact
+        elif op == "compact":
             table_log.compact_snapshot(spark, t, target_files=2)
 
         got_df = table_log.read_snapshot(spark, t, merge_schema=True)
@@ -4049,13 +4098,41 @@ def test_publish_staged_replay_is_exactly_once(spark, tmp_path):
         r["k"] for r in table_log.read_snapshot(spark, t).collect()
     ) == [1, 2, 3]
 
+    # WORST-CASE replay window (round-12 ADVICE): the publishing
+    # version's manifest is vacuumed AND the staged files are
+    # compacted out of the current manifest — the staged_name scan and
+    # the file-subset guard are both blind, and only the DURABLE
+    # tombstone (_log/published/<name>.json) prevents re-appending the
+    # batch and duplicating its rows.
+    table_log.compact_snapshot(spark, t, target_files=1)
+    table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    latest = table_log._manifest(
+        spark, t, table_log._list_versions(spark, t)[-1]
+    )
+    assert not set(staged_files) & set(latest["files"])  # window is real
+    table_log._write_file(spark, f"{t}/_log/staged/s1.json", staged_json)
+    assert table_log.publish_staged(spark, t, "s1") == v
+    assert sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t).collect()
+    ) == [1, 2, 3]
+    assert table_log.list_staged(spark, t) == []
+    # a published stage name is permanently retired
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already published"):
+        table_log.stage_snapshot(
+            spark.createDataFrame([(9, "z")], "k long, v string"),
+            t, name="s1",
+        )
+
 
 def test_count_snapshot_metadata_only(spark, tmp_path, monkeypatch):
-    """COUNT(*) from the manifest: clean snapshots and position-DV
-    states are answered WITHOUT reading data (a poisoned read_snapshot
-    proves no scan happens), equality deletes and legacy manifests
-    take the documented scan fallback, and every state agrees with the
-    true count."""
+    """COUNT(*) from the manifest: clean snapshots, position-DV
+    states, AND equality-delete states (via the per-file ``matched``
+    counts their commits record — round-12 VERDICT #5) are answered
+    WITHOUT reading data (a poisoned read_snapshot proves no scan
+    happens); only ``count_matched=False`` entries and legacy
+    manifests take the documented scan fallback; every state agrees
+    with the true count."""
     import json as _json
 
     from etl_property_rumah123_spark.sinks import table_log
@@ -4084,18 +4161,48 @@ def test_count_snapshot_metadata_only(spark, tmp_path, monkeypatch):
     for v, n in want.items():
         assert table_log.read_snapshot(spark, t, v).count() == n
 
-    # equality delete -> documented fallback, still correct
+    # equality delete: the commit records per-file matched counts
+    # (one key-column job AT DELETE TIME), so COUNT(*) stays
+    # metadata-only even with the entry outstanding
     table_log.delete_snapshot_eq(
         spark, t, "k", spark.createDataFrame([(7,), (205,)], "k long")
     )
-    assert table_log.count_snapshot(spark, t) == 152
+    vs = table_log._list_versions(spark, t)
+    entry = table_log._manifest(spark, t, vs[-1])["eq_dvs"][-1]
+    assert sum(entry["matched"].values()) == 2
+    with monkeypatch.context() as mp:
+        mp.setattr(table_log, "read_snapshot", boom)
+        assert table_log.count_snapshot(spark, t) == 152
+    # a second entry composes (its matched counts are taken against
+    # the live view, so already-deleted rows never double-count);
+    # deleting key 7 again matches nothing
+    table_log.delete_snapshot_eq(
+        spark, t, "k", spark.createDataFrame([(7,), (101,)], "k long")
+    )
+    with monkeypatch.context() as mp:
+        mp.setattr(table_log, "read_snapshot", boom)
+        assert table_log.count_snapshot(spark, t) == 151
+    # an appended batch re-introducing a deleted key is OUT of the
+    # entries' scope: live again, still no scan
+    table_log.commit_snapshot(
+        spark.createDataFrame([(7, 0)], "k long, v long"), t
+    )
+    with monkeypatch.context() as mp:
+        mp.setattr(table_log, "read_snapshot", boom)
+        assert table_log.count_snapshot(spark, t) == 152
+    # opt-out (count_matched=False): the documented scan fallback
+    table_log.delete_snapshot_eq(
+        spark, t, "k", spark.createDataFrame([(9,), (11,)], "k long"),
+        count_matched=False,
+    )
+    assert table_log.count_snapshot(spark, t) == 150
     # optimize folds everything: back to the pure-metadata path
     v = table_log.optimize_snapshot(
         spark, t, target_file_bytes=1 << 30, small_file_bytes=1 << 30
     )
     with monkeypatch.context() as mp:
         mp.setattr(table_log, "read_snapshot", boom)
-        assert table_log.count_snapshot(spark, t, v) == 152
+        assert table_log.count_snapshot(spark, t, v) == 150
 
     # legacy manifest (no per-file row counts) -> fallback
     m = table_log._manifest(spark, t, v)
@@ -4108,16 +4215,18 @@ def test_count_snapshot_metadata_only(spark, tmp_path, monkeypatch):
         f"{t}/_log/v{v}.json",
         _json.dumps({**m, "stats": stripped}).encode(),
     )
-    assert table_log.count_snapshot(spark, t, v) == 152
+    assert table_log.count_snapshot(spark, t, v) == 150
 
 
 def test_check_constraints_gate_commits(spark, tmp_path):
     """CHECK constraints as an inherited table property: violating
     batches are rejected ATOMICALLY (no version published, rejected
     dir vacuumable) across append / CoW merge / MoR merge / staged
-    WAP writes; NULL passes (SQL CHECK semantics); maintenance
-    rewrites never re-validate (a constraint added after bad data
-    landed must not brick compaction)."""
+    WAP writes; NULL passes (SQL CHECK semantics); DECLARING a
+    constraint on a table whose existing data violates it is rejected
+    up front (Delta ADD CONSTRAINT semantics — round-12 ADVICE: the
+    old declare-without-validating behavior permanently bricked the
+    compliance-purge DELETE on tables with pre-property bad rows)."""
     import pytest as _pytest
 
     from etl_property_rumah123_spark.sinks import table_log
@@ -4180,26 +4289,51 @@ def test_check_constraints_gate_commits(spark, tmp_path):
     )
     assert (1, 11) in state()[1]
 
-    # maintenance never bricks: plant bad data BEFORE the property,
-    # then compact/optimize the table that now violates
+    # DECLARATION VALIDATES HISTORY: bad data landed BEFORE the
+    # property -> declaring it is rejected up front, naming the
+    # existing data, and nothing is published
     t2 = str(tmp_path / "chk2")
     table_log.commit_snapshot(
         spark.createDataFrame([(1, -99)], "k long, v long"), t2
     )
+    with _pytest.raises(
+        table_log.ConstraintViolation, match="EXISTING"
+    ) as ei2:
+        table_log.commit_snapshot(
+            spark.createDataFrame([(2, 5)], "k long, v long"), t2,
+            constraints={"v_pos": "v >= 0"},
+        )
+    assert ei2.value.violations == {"v_pos": 1}
+    assert table_log._list_versions(spark, t2) == [0]
+    # purge the bad row FIRST (no standing constraint yet), then the
+    # declaration succeeds — and the invariant it buys is that the
+    # compliance-purge DELETE keeps working under the property
+    table_log.delete_snapshot(spark, t2, "v < 0")
     table_log.commit_snapshot(
         spark.createDataFrame([(2, 5)], "k long, v long"), t2,
         constraints={"v_pos": "v >= 0"},
     )
+    table_log.commit_snapshot(
+        spark.createDataFrame([(3, 7), (4, 8)], "k long, v long"), t2
+    )
+    table_log.delete_snapshot(spark, t2, "k = 3")  # survivors re-check
     assert table_log.optimize_snapshot(
         spark, t2, target_file_bytes=1 << 30, small_file_bytes=1 << 30
     ) is not None
     table_log.compact_snapshot(spark, t2, target_files=1)
     assert sorted(
         r["k"] for r in table_log.read_snapshot(spark, t2).collect()
-    ) == [1, 2]
-    # property still carried through maintenance; {} clears it
+    ) == [2, 4]
+    # property still carried through maintenance; an UNCHANGED
+    # inherited constraint never re-validates history (no scan), a
+    # CHANGED one does; {} clears it
     vs = table_log._list_versions(spark, t2)
     assert table_log._manifest(spark, t2, vs[-1])["constraints"]
+    with _pytest.raises(table_log.ConstraintViolation, match="EXISTING"):
+        table_log.commit_snapshot(
+            spark.createDataFrame([(5, 9)], "k long, v long"), t2,
+            constraints={"v_pos": "v >= 6"},  # tightened: row (2,5) fails
+        )
     table_log.commit_snapshot(
         spark.createDataFrame([(3, -1)], "k long, v long"), t2,
         constraints={},
@@ -4263,3 +4397,177 @@ def test_write_order_property_keeps_stats_tight(spark, tmp_path):
     table_log.commit_snapshot(shuffled(0, 10), t_ord, write_order=[])
     vs = table_log._list_versions(spark, t_ord)
     assert "write_order" not in table_log._manifest(spark, t_ord, vs[-1])
+
+
+def test_maintenance_reapplies_write_order(spark, tmp_path):
+    """ROUND 12 (VERDICT #1): optimize/compact on a write-sorted table
+    must come out write-sorted. The old coalesce-only fold handed the
+    packed files the UNION of the inputs' key ranges — full-domain
+    min/max on every file, quietly undoing the skipping the table paid
+    a shuffle per append for. After maintenance, a narrow key probe
+    must still prune to the matching slice; the unordered twin reads
+    everything."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    def shuffled(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.xxhash64(F.col("id")).alias("scramble"),
+                F.col("id").alias("k"),
+                (F.col("id") % 9).alias("v"),
+            )
+            .repartition(6, "scramble")
+            .drop("scramble")
+        )
+
+    t_ord = str(tmp_path / "m_ord")
+    t_raw = str(tmp_path / "m_raw")
+    for t, order in ((t_ord, ["k"]), (t_raw, None)):
+        table_log.commit_snapshot(
+            shuffled(0, 30_000), t, write_order=order
+        )
+        for lo in (30_000, 60_000):  # accrete scrambled small appends
+            table_log.commit_snapshot(shuffled(lo, lo + 30_000), t)
+
+    # OPTIMIZE folds everything into several files (small target)
+    for t in (t_ord, t_raw):
+        v = table_log.optimize_snapshot(
+            spark, t, target_file_bytes=96 << 10,
+            small_file_bytes=1 << 30,
+        )
+        assert v is not None
+    m_ord = table_log._manifest(
+        spark, t_ord, table_log._list_versions(spark, t_ord)[-1]
+    )
+    assert m_ord["write_order"] == ["k"]  # property carried
+    assert m_ord["n_files"] >= 3  # the probe below is a real subset test
+
+    pred = [("k", "<", 2_000)]
+    ordered = table_log.read_snapshot(spark, t_ord, predicates=pred)
+    raw = table_log.read_snapshot(spark, t_raw, predicates=pred)
+    n_files_raw = table_log._manifest(
+        spark, t_raw, table_log._list_versions(spark, t_raw)[-1]
+    )["n_files"]
+    assert len(raw.inputFiles()) == n_files_raw  # coalesce fold: no pruning
+    assert len(ordered.inputFiles()) <= 2  # re-sorted fold: low slice only
+    assert sorted(r["k"] for r in ordered.collect()) == sorted(
+        r["k"] for r in raw.collect()
+    ) == list(range(2_000))
+
+    # COMPACT without an explicit zorder_by follows the property too
+    table_log.compact_snapshot(spark, t_ord, target_files=4)
+    table_log.compact_snapshot(spark, t_raw, target_files=4)
+    ordered = table_log.read_snapshot(spark, t_ord, predicates=pred)
+    raw = table_log.read_snapshot(spark, t_raw, predicates=pred)
+    assert len(raw.inputFiles()) == 4
+    assert len(ordered.inputFiles()) <= 2
+    assert sorted(r["k"] for r in ordered.collect()) == list(range(2_000))
+
+
+def test_table_properties_fail_loud_on_schema_evolution(spark, tmp_path):
+    """ROUND 12 (VERDICT #2): the defined semantics for a table
+    property referencing a column the schema evolves away from. A
+    batch DEFINES the table's new schema, so committing one that lacks
+    a property's column fails LOUDLY AT THE EVOLUTION OP — before any
+    write — naming the property; previously this was an undefined
+    analysis error deep in the write job, on this and every subsequent
+    write. Retiring (or re-declaring) the property in the same commit
+    is the evolution path. Applies to commit_snapshot, stage_snapshot
+    and the MoR merge alike; declaring a constraint on a column
+    history never had passes trivially (all-NULL history)."""
+    import pytest as _pytest
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    base = spark.createDataFrame([(1, 5, 7)], "k long, v long, c long")
+    no_c = spark.createDataFrame([(2, 6)], "k long, v long")
+
+    for prop, kwargs in (
+        ("constraints", {"constraints": {"c_pos": "c >= 0"}}),
+        ("write_order", {"write_order": ["c"]}),
+        ("bloom_cols", {"bloom_cols": {"c": 100}}),
+    ):
+        t = str(tmp_path / f"evo_{prop}")
+        table_log.commit_snapshot(base, t, **kwargs)
+        n_versions = len(table_log._list_versions(spark, t))
+        with _pytest.raises(ValueError, match=prop):
+            table_log.commit_snapshot(no_c, t, mode="append")
+        with _pytest.raises(ValueError, match=prop):
+            table_log.stage_snapshot(no_c, t)
+        with _pytest.raises(ValueError, match=prop):
+            table_log.merge_snapshot_mor(no_c, t, key="k")
+        # nothing published by the failed attempts
+        assert len(table_log._list_versions(spark, t)) == n_versions
+        # retire in the SAME commit: the defined evolution path
+        table_log.commit_snapshot(
+            no_c, t, mode="append",
+            constraints={}, write_order=[], bloom_cols={},
+        )
+        assert sorted(
+            r["k"] for r in table_log.read_snapshot(
+                spark, t, merge_schema=True
+            ).collect()
+        ) == [1, 2]
+
+    # declaring a constraint on a BRAND-NEW column: history reads NULL
+    # there, NULL passes CHECK — the declaration must not choke on the
+    # column being absent from old files
+    t = str(tmp_path / "evo_new_col")
+    table_log.commit_snapshot(no_c, t)
+    table_log.commit_snapshot(
+        base, t, mode="append", constraints={"c_pos": "c >= 0"}
+    )
+    vs = table_log._list_versions(spark, t)
+    assert table_log._manifest(spark, t, vs[-1])["constraints"]
+
+
+def test_optimize_retires_materialized_dv_rows(spark, tmp_path):
+    """ROUND 12 (ADVICE low): optimize MATERIALIZES the position-DV
+    rows targeting the small files it rewrites — carrying their count
+    forward in dv_rows overstated the read debt and tripped
+    maybe_compact_dvs earlier than needed. After a partial fold, the
+    manifest's dv_rows must equal only the debt on KEPT files."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "opt_dv")
+    # one LARGE file (kept by the fold) with disjoint key range
+    table_log.commit_snapshot(
+        spark.range(500_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).cast("long").alias("v"),
+        ).coalesce(1),
+        t,
+    )
+    # several SMALL appends
+    for i in range(3):
+        table_log.commit_snapshot(
+            spark.range(1_000_000 + i * 100, 1_000_000 + i * 100 + 100)
+            .select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v"))
+            .coalesce(1),
+            t,
+        )
+    table_log.delete_snapshot_dv(spark, t, "k < 10")  # 10 rows, large file
+    table_log.delete_snapshot_dv(
+        spark, t, "k >= 1000000 AND k % 2 = 0"
+    )  # 150 rows, small files
+    vs = table_log._list_versions(spark, t)
+    assert table_log._manifest(spark, t, vs[-1])["dv_rows"] == 160
+
+    v = table_log.optimize_snapshot(
+        spark, t, target_file_bytes=1 << 20, small_file_bytes=1 << 20
+    )
+    m = table_log._manifest(spark, t, v)
+    assert m["kept_files"] == 1  # the large file carried by reference
+    # the 150 small-file DV rows were materialized into the packed
+    # files; only the large file's 10 remain as read debt
+    assert m["dv_rows"] == 10
+    assert table_log.count_snapshot(spark, t) == 500_000 - 10 + 150
+    assert (
+        table_log.read_snapshot(spark, t).count()
+        == 500_000 - 10 + 150
+    )
