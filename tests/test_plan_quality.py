@@ -54,6 +54,56 @@ def test_bounded_dims_are_broadcast_in_q5(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_q5_single_fact_shuffle_join_order(spark):
+    """ROUND 12 (VERDICT #3): the regression guard for the round-11
+    sf100 find (182 s -> 33 s). q5 must keep its SMALL-SIDE-FIRST join
+    order: lineitem enters its ONE hash shuffle straight from the scan
+    (pure l_* columns — never a join intermediate), and no exchange
+    keyed on custkey ever carries l_* columns (the bug shape joined
+    lineitem first and reshuffled the fact-sized intermediate by
+    o_custkey). Pinned with broadcasts DISABLED so the at-scale
+    exchange structure is visible at smoke SF — at real scale the
+    hinted dims broadcast and these are exactly the shuffles that
+    remain."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(REGISTRY["q5_region_volume"].fn(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # parse the formatted detail blocks: node header -> its lines
+    blocks = re.split(r"^\((\d+)\) ", plan, flags=re.M)[1:]
+    exchanges = []  # (partition_keys, input_cols) per hash Exchange
+    for header, body in zip(blocks[0::2], blocks[1::2]):
+        name, _, rest = body.partition("\n")
+        if not name.strip().startswith("Exchange"):
+            continue
+        keys = re.search(r"hashpartitioning\(([^)]*)\)", rest)
+        cols = re.search(r"Input \[\d+\]: \[([^\]]*)\]", rest)
+        if keys and cols:
+            exchanges.append((keys.group(1), cols.group(1)))
+    assert exchanges, plan  # broadcasts disabled: shuffles must exist
+
+    fact_scan_shuffles = [
+        (k, cols)
+        for k, cols in exchanges
+        if all(c.strip().startswith("l_") for c in cols.split(","))
+    ]
+    # lineitem is shuffled exactly once, straight from its scan
+    assert len(fact_scan_shuffles) == 1, exchanges
+    assert "l_orderkey" in fact_scan_shuffles[0][0], exchanges
+    # and no custkey-keyed exchange moves fact rows: the custkey
+    # shuffle happens BEFORE the fact join, on orders/customer only
+    for keys, cols in exchanges:
+        if "custkey" in keys:
+            assert "l_" not in cols, (keys, cols)
+    # the explicit dim hints survive even with the threshold off
+    assert "BroadcastExchange" in plan
+
+
 def test_no_python_udf_in_expression_paths(spark):
     """Cleaning, parsing, hashing, windowing paths are pure Column
     expressions — a Python UDF sneaking in would show up as
