@@ -367,13 +367,16 @@ def _assign_cells(
     keep_n: int,
     vec_col: str,
     id_col: str,
+    keep_dist: bool = False,
 ) -> DataFrame:
     """Nearest-cell assignment against a (broadcast) centroid table:
     each vector gets its ``keep_n`` nearest cells by squared L2, ties
     broken on the lower cell id. The distance is the shared
     LEFT-TO-RIGHT fold so assignments are bit-identical across runs,
     the persisted index, and the DuckDB oracle. Output columns:
-    (id_alias, __v, cell)."""
+    (id_alias, __v, cell) — plus the assignment distance ``__d2``
+    when ``keep_dist`` (the drift signal the persisted-index writers
+    record)."""
     d2 = F.aggregate(
         F.zip_with(
             F.col("__v"),
@@ -384,14 +387,18 @@ def _assign_cells(
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy(id_alias).orderBy(F.col("d2").asc(), F.col("cell"))
-    return (
+    out = (
         df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"))
         .crossJoin(cent_df)
         .withColumn("d2", d2)
         .withColumn("__cr", F.row_number().over(w))
         .filter(F.col("__cr") <= keep_n)
-        .select(id_alias, F.col("__v"), "cell")
     )
+    if keep_dist:
+        return out.select(
+            id_alias, F.col("__v"), "cell", F.col("d2").alias("__d2")
+        )
+    return out.select(id_alias, F.col("__v"), "cell")
 
 
 def ivf_topk_seeded(
@@ -771,31 +778,49 @@ def _with_dim_check(df: DataFrame, col: str, dim: int) -> DataFrame:
     return df.withColumn(col, F.when(ok.isNull(), F.col(col)))
 
 
-def _observed_cell_write(laid: DataFrame, dest: str, mode: str) -> int:
-    """Write the laid-out cells and return the row count. Fast path:
-    an ``observe()`` counter riding the write (zero extra jobs).
-    observe() is accumulator-backed, and a SPECULATIVE duplicate task
-    attempt double-counts — the same hazard table_log's observed
-    commit metrics gate on — so under spark.speculation the frame is
-    localCheckpoint-ed and counted instead (one extra pass, exact
-    accounting; the n_vectors/n_appended numbers feed capacity
-    planning and must not inflate)."""
+def _observed_cell_write(
+    laid: DataFrame, dest: str, mode: str
+) -> tuple[int, float | None]:
+    """Write the laid-out cells and return ``(row count, mean __d2)``
+    — the mean assignment distance rides the same pass when the frame
+    carries a ``__d2`` column (dropped before the bytes land), None
+    otherwise. Fast path: ``observe()`` metrics riding the write
+    (zero extra jobs). observe() is accumulator-backed, and a
+    SPECULATIVE duplicate task attempt double-counts — the same
+    hazard table_log's observed commit metrics gate on — so under
+    spark.speculation the frame is localCheckpoint-ed and aggregated
+    instead (one extra pass, exact accounting; the
+    n_vectors/n_appended/drift numbers feed capacity planning and
+    must not inflate)."""
     from etl_property_rumah123_spark.sinks.table_log import (
         _speculation_enabled,
     )
 
+    with_d2 = "__d2" in laid.columns
     if _speculation_enabled(laid.sparkSession):
         laid = laid.localCheckpoint()
-        n = laid.count()
+        if with_d2:
+            row = laid.agg(
+                F.count(F.lit(1)).alias("n"), F.avg("__d2").alias("d2")
+            ).first()
+            n, d2 = row["n"], row["d2"]
+            laid = laid.drop("__d2")
+        else:
+            n, d2 = laid.count(), None
         laid.write.mode(mode).partitionBy("cell").parquet(dest)
-        return n
+        return n, d2
     from pyspark.sql import Observation
 
     obs = Observation()
-    laid.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-        mode
-    ).partitionBy("cell").parquet(dest)
-    return obs.get["n"]
+    metrics = [F.count(F.lit(1)).alias("n")]
+    if with_d2:
+        metrics.append(F.avg("__d2").alias("d2"))
+    observed = laid.observe(obs, *metrics)
+    if with_d2:
+        observed = observed.drop("__d2")
+    observed.write.mode(mode).partitionBy("cell").parquet(dest)
+    got = obs.get
+    return got["n"], (got.get("d2") if with_d2 else None)
 
 
 def _cell_layout(assigned: DataFrame, n_lists: int, files_per_cell: int) -> DataFrame:
@@ -866,16 +891,29 @@ def write_ann_index(
         1,
         vec_col,
         id_col,
-    ).select("id", F.col("__v").alias("vec"), "cell")
+        keep_dist=True,
+    ).select("id", F.col("__v").alias("vec"), "cell", "__d2")
     laid = _cell_layout(assigned, n_lists, files_per_cell)
     if transactional:
         from etl_property_rumah123_spark.sinks import table_log
 
         laid = laid.localCheckpoint()  # one computation: count + commit
-        n = laid.count()
-        table_log.commit_snapshot(laid, f"{path}/cells_log", mode="overwrite")
+        row = laid.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("__d2").alias("d2")
+        ).first()
+        n, mean_d2 = row["n"], row["d2"]
+        table_log.commit_snapshot(
+            laid.drop("__d2"), f"{path}/cells_log", mode="overwrite"
+        )
     else:
-        n = _observed_cell_write(laid, f"{path}/cells", "errorifexists")
+        n, mean_d2 = _observed_cell_write(
+            laid, f"{path}/cells", "errorifexists"
+        )
+    # drift baseline: the build-time mean assigned-centroid distance.
+    # Frozen-centroid appends are compared against this — a drifting
+    # ingest distribution shows up as a rising ratio in
+    # ann_index_drift long before recall visibly degrades.
+    meta["drift_baseline"] = {"mean_d2": mean_d2, "n": n}
     _write_ann_meta(spark, path, meta)
     return {
         "path": path,
@@ -915,19 +953,191 @@ def append_ann_index(
         1,
         meta["vec_col"],
         meta["id_col"],
-    ).select("id", F.col("__v").alias("vec"), "cell")
+        keep_dist=True,
+    ).select("id", F.col("__v").alias("vec"), "cell", "__d2")
     laid = _cell_layout(assigned, meta["n_lists"], files_per_cell)
     if meta.get("transactional"):
         from etl_property_rumah123_spark.sinks import table_log
 
         laid = laid.localCheckpoint()
-        n = laid.count()
+        row = laid.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("__d2").alias("d2")
+        ).first()
+        n, mean_d2 = row["n"], row["d2"]
         v = table_log.commit_snapshot(
-            laid, f"{path}/cells_log", mode="append"
+            laid.drop("__d2"), f"{path}/cells_log", mode="append"
         )
+        _record_append_drift(spark, path, meta, n, mean_d2)
         return {"path": path, "n_appended": n, "version": v}
-    n = _observed_cell_write(laid, f"{path}/cells", "append")
+    n, mean_d2 = _observed_cell_write(laid, f"{path}/cells", "append")
+    _record_append_drift(spark, path, meta, n, mean_d2)
     return {"path": path, "n_appended": n}
+
+
+#: appends kept individually in the sidecar before folding into the
+#: weighted rollup — bounds meta size at streaming append rates
+_DRIFT_APPENDS_KEPT = 100
+
+
+def _record_append_drift(
+    spark, path: str, meta: dict, n: int, mean_d2: float | None
+) -> None:
+    """Record an append's mean assigned-centroid distance in the index
+    sidecar. Frozen-centroid appends are the right batch-cost design,
+    but a drifting ingest distribution silently degrades recall — the
+    ratio of appended mean distance to the build-time baseline is the
+    early signal (:func:`ann_index_drift` reads it;
+    :func:`rebalance_ann_index` resets it). The last
+    ``_DRIFT_APPENDS_KEPT`` appends stay individually visible; older
+    ones fold into a weighted rollup so the sidecar stays O(1).
+    Advisory accounting under the index's single-maintainer contract:
+    a concurrent appender's meta rewrite is last-writer-wins."""
+    appends = list(meta.get("appends", []))
+    appends.append({"n": n, "mean_d2": mean_d2})
+    if len(appends) > _DRIFT_APPENDS_KEPT:
+        old = appends[: -_DRIFT_APPENDS_KEPT]
+        roll = meta.get("appends_rollup", {"n": 0, "mean_d2": 0.0})
+        counted = [a for a in old if a["mean_d2"] is not None]
+        tot = roll["n"] + sum(a["n"] for a in counted)
+        if tot:
+            s = roll["n"] * roll["mean_d2"] + sum(
+                a["n"] * a["mean_d2"] for a in counted
+            )
+            meta["appends_rollup"] = {"n": tot, "mean_d2": s / tot}
+        appends = appends[-_DRIFT_APPENDS_KEPT:]
+    meta["appends"] = appends
+    _write_ann_meta(spark, path, meta)
+
+
+def ann_index_drift(spark, path: str) -> dict:
+    """The index's distribution-drift report, from sidecar metadata
+    only (no data read, no job): build-time mean assigned-centroid
+    distance vs the append-weighted mean since, and their ratio. A
+    ratio creeping past ~1.5-2 means the frozen centroids no longer
+    describe the ingest distribution — appended vectors land far from
+    every centroid, smearing across cells, and probe recall decays
+    with NO error anywhere. That failure mode is otherwise invisible
+    until someone measures recall; this makes it a number a
+    maintenance cadence can alert on and answer with
+    :func:`rebalance_ann_index`."""
+    meta = read_ann_meta(spark, path)
+    if meta.get("kind") == "rp_lsh":
+        raise ValueError(
+            f"{path} is an rp_lsh index — its hyperplanes are "
+            "data-independent, so centroid drift does not apply "
+            "(bucket-occupancy skew is its failure mode instead)."
+        )
+    base = meta.get("drift_baseline") or {}
+    roll = meta.get("appends_rollup", {"n": 0, "mean_d2": 0.0})
+    apps = [
+        a for a in meta.get("appends", []) if a["mean_d2"] is not None
+    ]
+    n_app = roll["n"] + sum(a["n"] for a in apps)
+    app_mean = (
+        (
+            roll["n"] * roll["mean_d2"]
+            + sum(a["n"] * a["mean_d2"] for a in apps)
+        )
+        / n_app
+        if n_app
+        else None
+    )
+    ratio = (
+        app_mean / base["mean_d2"]
+        if app_mean is not None and base.get("mean_d2")
+        else None
+    )
+    return {
+        "build_mean_d2": base.get("mean_d2"),
+        "build_n": base.get("n"),
+        "appended_mean_d2": app_mean,
+        "appended_n": n_app,
+        "ratio": ratio,
+        "rebalance_gen": meta.get("rebalance_gen", 0),
+    }
+
+
+def rebalance_ann_index(
+    spark, path: str, files_per_cell: int = 1
+) -> dict:
+    """Re-fit the IVF coarse quantizer to the index's CURRENT contents
+    and re-assign every stored vector — ONE pass over the index (the
+    same cost write_ann_index paid), answering the drift
+    :func:`ann_index_drift` reports without re-reading the source
+    corpus (the index already stores the vectors). New seed centroids
+    are hash-picked from today's distribution (generation-salted so
+    the pick is fresh), the cells are rewritten, and the drift
+    baseline resets. Single-maintainer contract (same as
+    compact_ann_index): run it from the maintenance cadence, not
+    concurrently with appends — on a transactional index the cell
+    swap itself is an atomic overwrite commit (probes keep
+    time-travel), on a plain dir it is an in-place rewrite. Returns
+    ``{path, n_vectors, mean_d2_before, mean_d2_after,
+    rebalance_gen}``."""
+    meta = read_ann_meta(spark, path)
+    if meta.get("kind") == "rp_lsh":
+        raise ValueError(
+            f"{path} is an rp_lsh index (no centroids) — nothing to "
+            "rebalance; rebuild with write_rp_index if bucket skew "
+            "is the problem."
+        )
+    before = ann_index_drift(spark, path)["appended_mean_d2"]
+    gen = int(meta.get("rebalance_gen", 0)) + 1
+    n_lists = meta["n_lists"]
+    if meta.get("transactional"):
+        from etl_property_rumah123_spark.sinks import table_log
+
+        cells = table_log.read_snapshot(spark, f"{path}/cells_log")
+    else:
+        spark.catalog.refreshByPath(f"{path}/cells")
+        cells = spark.read.parquet(f"{path}/cells")
+    cells = cells.select("id", "vec").distinct()  # retried-append dups
+    seeds = _hash_sample_rows(
+        cells, n_lists, f"{meta['salt']}rebal{gen}|", "vec", "id"
+    )
+    if not seeds:
+        raise ValueError(f"rebalance_ann_index: {path} is empty")
+    cent_df = spark.createDataFrame(
+        [(i, v) for i, _sid, v in seeds], "cell int, centroid array<double>"
+    )
+    assigned = _assign_cells(
+        cells, F.broadcast(cent_df), "id", 1, "vec", "id", keep_dist=True
+    ).select("id", F.col("__v").alias("vec"), "cell", "__d2")
+    laid = _cell_layout(assigned, n_lists, files_per_cell)
+    # materialize BEFORE overwriting what we read from
+    laid = laid.localCheckpoint()
+    row = laid.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__d2").alias("d2")
+    ).first()
+    n, mean_d2 = row["n"], row["d2"]
+    if meta.get("transactional"):
+        from etl_property_rumah123_spark.sinks import table_log
+
+        table_log.commit_snapshot(
+            laid.drop("__d2"), f"{path}/cells_log", mode="overwrite"
+        )
+    else:
+        laid.drop("__d2").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{path}/cells")
+        spark.catalog.refreshByPath(f"{path}/cells")
+    cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.catalog.refreshByPath(f"{path}/centroids")
+    meta = {
+        k: v
+        for k, v in meta.items()
+        if k not in ("appends", "appends_rollup")
+    }
+    meta["drift_baseline"] = {"mean_d2": mean_d2, "n": n}
+    meta["rebalance_gen"] = gen
+    _write_ann_meta(spark, path, meta)
+    return {
+        "path": path,
+        "n_vectors": n,
+        "mean_d2_before": before,
+        "mean_d2_after": mean_d2,
+        "rebalance_gen": gen,
+    }
 
 
 def probe_ann_index(
@@ -1093,7 +1303,7 @@ def write_rp_index(
     laid = _cell_layout(
         _rp_cells(corpus, meta), meta["n_lists"], files_per_bucket
     )
-    n = _observed_cell_write(laid, f"{path}/cells", "errorifexists")
+    n, _ = _observed_cell_write(laid, f"{path}/cells", "errorifexists")
     _write_ann_meta(spark, path, meta)
     return {
         "path": path,
@@ -1122,7 +1332,7 @@ def append_rp_index(
     laid = _cell_layout(
         _rp_cells(new_vectors, meta), meta["n_lists"], files_per_bucket
     )
-    n = _observed_cell_write(laid, f"{path}/cells", "append")
+    n, _ = _observed_cell_write(laid, f"{path}/cells", "append")
     return {"path": path, "n_appended": n}
 
 

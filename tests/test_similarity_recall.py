@@ -544,3 +544,122 @@ def test_ann_probe_joins_broadcast_query_side(spark, clustered, tmp_path):
             assert "SortMergeJoin" not in p, p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ann_index_drift_metric_and_rebalance(spark, tmp_path):
+    """ROUND 12 (VERDICT #6): frozen-centroid appends are the right
+    batch-cost design, but a drifting ingest distribution degrades the
+    index with no signal anywhere. The sidecar now records the mean
+    assigned-centroid distance at build and per append;
+    ann_index_drift turns that into a ratio a maintenance cadence can
+    alert on (in-distribution appends stay ~1, a planted
+    distribution shift blows past 2), and rebalance_ann_index — one
+    pass over the index's own stored vectors, no source re-read —
+    re-fits the quantizer, rebalances the smeared cells, resets the
+    baseline, and restores the recall anchor for the drifted region."""
+    import math as _math
+    import random as _random
+
+    rng = _random.Random(7)
+
+    def cluster_rows(centers, per, vid0):
+        rows, vid = [], vid0
+        for c in centers:
+            for _ in range(per):
+                v = [x + rng.gauss(0, 0.1) for x in c]
+                n = _math.sqrt(sum(x * x for x in v))
+                rows.append((vid, [x / n for x in v]))
+                vid += 1
+        return rows
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    centers_a = [
+        [rng.gauss(0, 1) for _ in range(DIM)] for _ in range(8)
+    ]
+    # region B: tight clusters far from A's region of the sphere
+    centers_b = [
+        [rng.gauss(0, 1) * 0.2 + 4.0 for _ in range(DIM)]
+        for _ in range(8)
+    ]
+    a = mk(cluster_rows(centers_a, 40, 0))
+    a2 = mk(cluster_rows(centers_a, 10, 20_000))
+    b_rows = cluster_rows(centers_b, 40, 10_000)
+    b = mk(b_rows)
+
+    idx = str(tmp_path / "driftidx")
+    similarity.write_ann_index(a, idx, n_lists=8)
+    d0 = similarity.ann_index_drift(spark, idx)
+    assert d0["build_mean_d2"] is not None and d0["build_n"] == 320
+    assert d0["appended_n"] == 0 and d0["ratio"] is None
+
+    # in-distribution append: the ratio stays near 1
+    similarity.append_ann_index(a2, idx)
+    d1 = similarity.ann_index_drift(spark, idx)
+    assert d1["appended_n"] == 80
+    assert d1["ratio"] is not None and d1["ratio"] < 1.5, d1
+
+    # planted drift: region-B vectors land far from every centroid
+    similarity.append_ann_index(b, idx)
+    d2 = similarity.ann_index_drift(spark, idx)
+    assert d2["ratio"] > 2.0, d2
+
+    def max_cell():
+        spark.catalog.refreshByPath(f"{idx}/cells")
+        return (
+            spark.read.parquet(f"{idx}/cells")
+            .groupBy("cell").count()
+            .agg(F.max("count")).first()[0]
+        )
+
+    smeared = max_cell()  # B concentrates into few old cells
+
+    out = similarity.rebalance_ann_index(spark, idx)
+    assert out["rebalance_gen"] == 1
+    assert out["n_vectors"] == 320 + 80 + 320
+    assert out["mean_d2_after"] is not None
+    d3 = similarity.ann_index_drift(spark, idx)
+    assert d3["appended_n"] == 0 and d3["rebalance_gen"] == 1
+    assert d3["ratio"] is None  # baseline reset
+    assert max_cell() < smeared  # the smeared cells rebalanced
+
+    # recall anchor through the REBALANCED artifact, for the drifted
+    # region's queries, against brute force over the full corpus
+    full = mk(cluster_rows([], 0, 0)).unionByName(a).unionByName(
+        a2
+    ).unionByName(b)
+    q = b.filter(F.col("vec_id") % 40 == 0)
+    truth = similarity.brute_force_topk(q, full, k=5)
+    ann = similarity.probe_ann_index(q, idx, k=5, n_probe=2)
+    assert recall(ann, truth) >= 0.8
+
+    # appends after a rebalance assign against the NEW centroids and
+    # count against the NEW baseline
+    similarity.append_ann_index(mk(cluster_rows(centers_b, 5, 30_000)), idx)
+    d4 = similarity.ann_index_drift(spark, idx)
+    assert d4["appended_n"] == 40 and d4["ratio"] < 1.5, d4
+
+    # kind guard: drift/rebalance are IVF concepts
+    rp = str(tmp_path / "rp_drift")
+    similarity.write_rp_index(a, rp, dim=DIM, num_planes=6)
+    with pytest.raises(ValueError, match="rp_lsh"):
+        similarity.ann_index_drift(spark, rp)
+    with pytest.raises(ValueError, match="rp_lsh"):
+        similarity.rebalance_ann_index(spark, rp)
+
+    # transactional twin: the rebalance swap is an overwrite COMMIT
+    # (probes keep time travel); drift plumbing identical
+    tidx = str(tmp_path / "driftidx_tx")
+    similarity.write_ann_index(a, tidx, n_lists=8, transactional=True)
+    similarity.append_ann_index(b, tidx)
+    assert similarity.ann_index_drift(spark, tidx)["ratio"] > 2.0
+    out_tx = similarity.rebalance_ann_index(spark, tidx)
+    assert out_tx["rebalance_gen"] == 1
+    ann_tx = similarity.probe_ann_index(q, tidx, k=5, n_probe=2)
+    truth_tx = similarity.brute_force_topk(
+        q, a.unionByName(b), k=5
+    )
+    assert recall(ann_tx, truth_tx) >= 0.8
