@@ -1631,10 +1631,11 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @part(
     "snapshot_table_lifecycle",
     """
-    WITH f AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
-    fo AS (SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O')),
+    WITH o AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+    f AS (SELECT * FROM o WHERE o_orderstatus = 'F'),
+    fo AS (SELECT * FROM o WHERE o_orderstatus IN ('F', 'O')),
     urg AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
-            FROM orders WHERE o_orderpriority = '1-URGENT'),
+            FROM o WHERE o_orderpriority = '1-URGENT'),
     v2 AS (
       SELECT o_orderkey, o_totalprice FROM fo
       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM urg)
@@ -1642,9 +1643,9 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, o_totalprice FROM urg
     ),
     v3 AS (SELECT o_orderkey, o_totalprice FROM v2 WHERE o_orderkey % 10 <> 7),
-    eq1 AS (SELECT o_orderkey FROM orders
+    eq1 AS (SELECT o_orderkey FROM o
             WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0),
-    eq2 AS (SELECT o_orderkey FROM orders
+    eq2 AS (SELECT o_orderkey FROM o
             WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 7 = 1),
     v4 AS (SELECT * FROM v3
            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM eq1)),
@@ -1708,7 +1709,14 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_property_rumah123_spark.operators.common import scratch_base
 
-    orders = table(spark, sf_dir, "orders")
+    # 50% slice (odd orderkeys — every delete predicate still
+    # intersects: %10=7 and %7=1 are odd-only, %3=0 keeps its odd
+    # half): the lifecycle's correctness signal is per-OPERATION, not
+    # per-byte, and the suite pays this part's commit phase on every
+    # sweep — same cost rationale as the matview part's 25% slice.
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 2 == 1
+    )
     tdir = (
         f"{scratch_base()}/sg_snapshot_part/"
         f"{os.path.basename(os.path.normpath(sf_dir))}"
@@ -1736,6 +1744,11 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
         table_log.merge_snapshot(urgent, tdir, key="o_orderkey")
         table_log.delete_snapshot_dv(spark, tdir, "o_orderkey % 10 = 7")
+        # v4 records per-file MATCHED counts (count_matched default):
+        # the metadata-only COUNT(*) under an outstanding eq entry is
+        # cross-checked below. v5 opts OUT — both commit shapes (one
+        # key-column job vs pure metadata) stay under the driver hash,
+        # without paying the matched job twice in the sweep.
         table_log.delete_snapshot_eq(
             spark, tdir, "o_orderkey",
             orders.filter(
@@ -1749,6 +1762,7 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_orderpriority") == "3-MEDIUM")
                 & (F.col("o_orderkey") % 7 == 1)
             ).select("o_orderkey"),
+            count_matched=False,
         )
         # no appends between the two eq deletes -> identical scopes, so
         # consolidation MUST merge them into one entry and MUST NOT
@@ -1774,20 +1788,21 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     # METADATA-ONLY COUNT(*) cross-check: count_snapshot answers from
     # per-file manifest row counts (position-DV subtraction via one
-    # tiny dv-parquet job) for the eq-free versions; folding it into
-    # n_rows (negate on mismatch) pins metadata-count == true count
-    # under the same DuckDB hash — append, CoW merge, DV delete, and
-    # post-optimize states all covered. (Versions with outstanding
-    # equality deletes take count_snapshot's documented scan fallback;
-    # that path is unit-tested, not re-paid here.)
+    # tiny dv-parquet job) for the eq-free versions AND — round 12 —
+    # for v4, whose single eq entry carries per-file MATCHED counts
+    # (no job at all); folding it into n_rows (negate on mismatch)
+    # pins metadata-count == true count under the same DuckDB hash —
+    # append, CoW merge, DV delete, outstanding-eq, and post-optimize
+    # states all covered. (v5/vc hold a count_matched=False entry and
+    # take count_snapshot's documented scan fallback; that path is
+    # unit-tested, not re-paid here.)
     meta = {
         v: table_log.count_snapshot(spark, tdir, v)
-        for v in (0, 1, 2, 3, 7)
+        for v in (0, 1, 2, 3, 4, 7)
     }
     meta_map = F.create_map(
         *[x for v, n in meta.items() for x in (F.lit(v), F.lit(n))]
     )
-    multi = table_log.read_snapshot_multi(spark, tdir, sorted(labels))
     op_map = F.create_map(
         *[x for v, op in labels.items() for x in (F.lit(v), F.lit(op))]
     )
@@ -1796,6 +1811,7 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (meta_map[F.col("version")] == F.col("n_rows")),
         F.col("n_rows"),
     ).otherwise(-F.col("n_rows"))
+    multi = table_log.read_snapshot_multi(spark, tdir, sorted(labels))
     return (
         multi.groupBy(F.col("__version").alias("version"))
         .agg(

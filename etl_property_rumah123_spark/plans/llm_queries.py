@@ -2315,22 +2315,47 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_os.path.basename(_os.path.normpath(sf_dir))}_"
         f"{_uuid.uuid4().hex[:12]}"
     )
-    similarity.write_ann_index(
-        e.filter(F.col("vec_id") % 4 != 0), idx, n_lists=16, salt="ivfx|"
-    )
-    similarity.append_ann_index(e.filter(F.col("vec_id") % 4 == 0), idx)
-    ixp = similarity.probe_ann_index(q, idx, k=5, n_probe=2).withColumn(
-        "method", F.lit("ivf_index")
-    )
     # fifth member (round 11): the persisted RP-LSH index — same
     # build/append/probe lifecycle through the hyperplane artifact at
     # planes=8 (distinct from the in-memory rp_lsh member's 6, so the
-    # oracle proves the persisted path computes its own answer)
+    # oracle proves the persisted path computes its own answer).
+    # The two artifact lifecycles are INDEPENDENT pipelines over
+    # different dirs — they build on two driver threads (each with its
+    # own newSession/SQLConf), overlapping instead of serializing
+    # (same pattern as agg_suite's concurrent members); the probes run
+    # after both land.
     rpx_dir = f"{idx}_rp"
-    similarity.write_rp_index(
-        e.filter(F.col("vec_id") % 4 != 0), rpx_dir, dim=64, num_planes=8
+
+    def _build_ivf():
+        s = spark.newSession()
+        es = table(s, sf_dir, "embeddings")
+        similarity.write_ann_index(
+            es.filter(F.col("vec_id") % 4 != 0), idx,
+            n_lists=16, salt="ivfx|",
+        )
+        similarity.append_ann_index(
+            es.filter(F.col("vec_id") % 4 == 0), idx
+        )
+
+    def _build_rp():
+        s = spark.newSession()
+        es = table(s, sf_dir, "embeddings")
+        similarity.write_rp_index(
+            es.filter(F.col("vec_id") % 4 != 0), rpx_dir,
+            dim=64, num_planes=8,
+        )
+        similarity.append_rp_index(
+            es.filter(F.col("vec_id") % 4 == 0), rpx_dir
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        for f in [ex.submit(_build_ivf), ex.submit(_build_rp)]:
+            f.result()
+    ixp = similarity.probe_ann_index(q, idx, k=5, n_probe=2).withColumn(
+        "method", F.lit("ivf_index")
     )
-    similarity.append_rp_index(e.filter(F.col("vec_id") % 4 == 0), rpx_dir)
     rpx = similarity.probe_rp_index(
         q, rpx_dir, k=5, hamming_probes=1
     ).withColumn("method", F.lit("rp_index"))

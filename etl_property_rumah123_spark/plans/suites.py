@@ -80,13 +80,30 @@ def _union_sql(*sqls: str) -> str:
     return "\nUNION ALL\n".join(sqls)
 
 
-def _suite(name: str, members: dict[str, dict], schema: list[tuple[str, str]], doc: str):
+def _suite(
+    name: str,
+    members: dict[str, dict],
+    schema: list[tuple[str, str]],
+    doc: str,
+    concurrent: bool = False,
+):
     """Register a tagged-union suite from PARTS members.
 
     ``members``: tag -> {"part": part_name, <suite col>: mapping} where
     a mapping value is a source column name (used verbatim on both the
     Spark and SQL side) or a (spark Column, sql expr string) pair.
-    """
+
+    ``concurrent=True`` builds the members on a small driver thread
+    pool, each against its own ``spark.newSession()`` (same
+    SparkContext, isolated SQLConf — so the parts' scoped shuffle
+    sizing never races). The point: members whose BUILDERS execute
+    work (the snapshot-log lifecycle and matview parts run a dozen
+    commits each before returning their audit frame) otherwise
+    serialize on the driver, and the suite's wall-clock is their SUM;
+    independent maintenance pipelines overlap on any real cluster,
+    and concurrent job submission from driver threads is exactly how
+    Spark expresses that. Same results — the union and its oracle are
+    unchanged — just max() instead of sum() on the build phase."""
 
     def split_mapping(spec):
         spark_map, sql_map = {}, {}
@@ -111,11 +128,21 @@ def _suite(name: str, members: dict[str, dict], schema: list[tuple[str, str]], d
     oracle = _union_sql(*oracle_pieces) if oracle_pieces else None
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        dfs = []
-        for tag, spec in members.items():
+        def build(item) -> DataFrame:
+            tag, spec = item
             p = PARTS[spec["part"]]
             spark_map, _ = split_mapping(spec)
-            dfs.append(_align(p.fn(spark, sf_dir), tag, schema, **spark_map))
+            s = spark.newSession() if concurrent else spark
+            return _align(p.fn(s, sf_dir), tag, schema, **spark_map)
+
+        items = list(members.items())
+        if concurrent and len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(4, len(items))) as ex:
+                dfs = list(ex.map(build, items))
+        else:
+            dfs = [build(item) for item in items]
         return _union(dfs)
 
     fn.__name__ = name
@@ -173,13 +200,15 @@ _suite(
 _suite(
     "agg_suite",
     {
+        # the two commit-phase-heavy members lead: the thread pool
+        # starts them first, so the light members fill their shadow
+        "snapshot": {"part": "snapshot_table_lifecycle", "s1": "op", "n1": "version", "n2": "n_rows", "n3": "total"},
+        "matview": {"part": "matview_incremental_refresh", "s1": "o_orderpriority", "n1": "n_orders", "n2": "tot_cents", "n3": "hi_cents", "v1": "lo_cents", "v2": "avg_consistent"},
         "having": {"part": "agg_having", "s1": ("CAST(o_custkey AS STRING)", "CAST(o_custkey AS VARCHAR)"), "n1": "n_orders", "n2": "total_spend"},
         "distinct": {"part": "distinct_count_segments", "s1": "c_mktsegment", "n1": "n_nations", "n2": "n_customers"},
         "filtered": {"part": "filtered_aggregates", "s1": ("CAST(o_custkey AS STRING)", "CAST(o_custkey AS VARCHAR)"), "n1": "n_open", "n2": "n_filled", "n3": "urgent_spend"},
         "hist": {"part": "value_histogram", "s1": ("CAST(bucket AS STRING)", "CAST(bucket AS VARCHAR)"), "n1": "n", "v1": "lo", "v2": "hi"},
         "dq": {"part": "dq_lineitem_checks", "s1": "rule", "n1": "n_rows", "n2": "n_violations", "v1": "pass_rate"},
-        "snapshot": {"part": "snapshot_table_lifecycle", "s1": "op", "n1": "version", "n2": "n_rows", "n3": "total"},
-        "matview": {"part": "matview_incremental_refresh", "s1": "o_orderpriority", "n1": "n_orders", "n2": "tot_cents", "n3": "hi_cents", "v1": "lo_cents", "v2": "avg_consistent"},
     },
     [("s1", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double"), ("v2", "double")],
     doc="Aggregation shapes: HAVING, COUNT DISTINCT, FILTERed "
@@ -188,7 +217,10 @@ _suite(
     "conditional-count pass), the snapshot-log lifecycle, and the "
     "incrementally maintained aggregate (matview refresh through "
     "append/additive and delete/recompute steps, final state "
-    "hash-checked).",
+    "hash-checked). Members build CONCURRENTLY (the two "
+    "commit-phase-heavy parts overlap instead of serializing on the "
+    "driver).",
+    concurrent=True,
 )
 
 _suite(
