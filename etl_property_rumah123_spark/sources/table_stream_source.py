@@ -32,7 +32,12 @@ Semantics (same contract Delta's streaming reads have):
   an append stream. They FAIL the stream by default (the honest
   answer); ``.option("ignore_changes", "true")`` skips those versions
   whole, with the documented Delta-``ignoreChanges`` caveat that their
-  updated/surviving rows are NOT re-delivered.
+  updated/surviving rows are NOT re-delivered. The narrower
+  ``.option("ignore_deletes", "true")`` (Delta's ``ignoreDeletes``)
+  skips only the pure DELETE shapes (``delete``, ``delete_dv``,
+  ``delete_eq``) — the common retention/GDPR cadence — while updates
+  (``merge``, ``overwrite``) still fail loud: a consumer that can
+  tolerate missing rows usually cannot tolerate silently-stale ones.
 - The initial load requires a manifest with no outstanding MoR debt
   (DVs / equality deletes) — workers read raw files and must not
   resurrect deleted rows; run ``compact_snapshot`` (or ``optimize``)
@@ -72,6 +77,9 @@ _IDENTICAL_OPS = {"compact", "optimize", "consolidate_eq"}
 #: fallback would misread them as metadata-only no-ops and consumers
 #: would silently retain deleted rows; they must be matched BY NAME.
 _REMOVAL_OPS = {"delete", "delete_dv", "delete_eq", "merge", "overwrite"}
+#: the pure DELETE subset ``ignore_deletes`` may skip — updates
+#: (merge/overwrite) stay fatal under that option
+_DELETE_OPS = {"delete", "delete_dv", "delete_eq"}
 
 
 def _log_dir(path: str) -> str:
@@ -114,6 +122,9 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             )
         self._ignore_changes = (
             str(options.get("ignore_changes", "false")).lower() == "true"
+        )
+        self._ignore_deletes = (
+            str(options.get("ignore_deletes", "false")).lower() == "true"
         )
         self._starting = str(options.get("starting_version", "initial"))
 
@@ -167,15 +178,20 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                     # delete_dv/delete_eq keep the file list identical
                     # while removing rows, and silently passing them
                     # would hand consumers deleted data
-                    if not self._ignore_changes:
+                    skippable = self._ignore_changes or (
+                        self._ignore_deletes and op in _DELETE_OPS
+                    )
+                    if not skippable:
                         raise ValueError(
                             f"version {v} is a row-removing operation "
                             f"{op!r}; streaming reads require "
                             "append-only history — set .option("
-                            "'ignore_changes', 'true') to skip such "
-                            "versions (their changed rows will NOT be "
-                            "delivered), or consume read_changes in "
-                            "batch"
+                            "'ignore_deletes', 'true') to skip pure "
+                            "delete versions, .option("
+                            "'ignore_changes', 'true') to also skip "
+                            "updates (changed rows will NOT be "
+                            "delivered either way), or consume "
+                            "read_changes in batch"
                         )
                 elif op in _IDENTICAL_OPS or cur_files == prev_files:
                     pass  # rewrite or metadata-only: nothing new

@@ -1475,6 +1475,51 @@ def test_snapshot_table_stream_source_fails_on_mor_deletes(spark, tmp_path):
         spark.catalog.refreshByPath(sink)
         return {r["k"] for r in spark.read.parquet(sink).collect()}
 
+    def run_opt(t, name, ckpt, option):
+        reader = (
+            spark.readStream.format("snapshot_table").option("path", t)
+            .option(option, "true")
+        )
+        sink = str(tmp_path / f"sink_{name}")
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.refreshByPath(sink)
+        return {r["k"] for r in spark.read.parquet(sink).collect()}
+
+    # the NARROWER ignore_deletes (Delta's ignoreDeletes): skips a pure
+    # delete version, but an UPDATE (merge) version still fails loud —
+    # a consumer tolerating missing rows must not get silently-stale ones
+    t0 = str(tmp_path / "src_igndel")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(i, "x") for i in range(3)],
+                              "k long, v string"), t0
+    )
+    assert run(t0, "igndel_1", "ck_igndel") == {0, 1, 2}
+    table_log.delete_snapshot_dv(spark, t0, "k = 0")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(5, "y")], "k long, v string"), t0
+    )
+    assert run_opt(
+        t0, "igndel_1", "ck_igndel", "ignore_deletes"
+    ) == {0, 1, 2, 5}  # delete version skipped, append flows
+    table_log.merge_snapshot_mor(
+        spark.createDataFrame([(1, "upd")], "k long, v string"), t0,
+        key="k",
+    )  # merge_mor appends ARE tailable; a CoW merge is not:
+    table_log.merge_snapshot(
+        spark.createDataFrame([(2, "upd2")], "k long, v string"), t0,
+        key="k",
+    )
+    with pytest.raises(StreamingQueryException, match="merge"):
+        run_opt(t0, "igndel_2", "ck_igndel", "ignore_deletes")
+
     for op_name, apply_delete in (
         (
             "delete_dv",
