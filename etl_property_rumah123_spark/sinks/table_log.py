@@ -2858,6 +2858,14 @@ def compact_snapshot(
             df = df.repartitionByRange(
                 target_files, *order
             ).sortWithinPartitions(*order)
+        elif target_files < spark.sparkContext.defaultParallelism:
+            # same width rule as optimize's fold: coalesce(8) would
+            # decode the whole table in 8 tasks; when the target file
+            # count under-uses the cores, one round-robin shuffle of
+            # the rewritten bytes buys full-width decode. A real
+            # 100 TB compaction targets >> core-count files and stays
+            # on the shuffle-free branch below.
+            df = df.repartition(target_files)
         else:
             df = df.coalesce(target_files)
         files = _write_commit_dir(
@@ -2985,14 +2993,25 @@ def optimize_snapshot(
             packed = live.repartitionByRange(
                 n_out, *[F.col(c) for c in order]
             ).sortWithinPartitions(*order)
+        elif n_out < spark.sparkContext.defaultParallelism:
+            # under coalesce the fold's WRITE width is also its READ
+            # width: a 2-file fold would decode every folded byte —
+            # plus the DV/eq suppression joins — in 2 tasks while the
+            # cluster idles. When n_out under-uses the available
+            # parallelism, pay one round-robin shuffle OF THE FOLDED
+            # BYTES ONLY (bounded by this op's own cost envelope, never
+            # table-sized): decode runs at full input parallelism and
+            # the exchange re-widths to n_out for the write. 2.7x on
+            # the maintenance-drill shape (BASELINE §Round 12).
+            packed = live.repartition(n_out)
         else:
-            # coalesce, not repartition: folding N small files into
-            # n_out outputs needs no key placement, and coalesce merges
-            # the per-file input partitions WITHOUT a shuffle — at scale
-            # the difference between re-shuffling every small-file byte
-            # and just concatenating streams (the DV/eq suppression
-            # joins in the live view are broadcast-side, so no
-            # parallelism is lost upstream of the merge)
+            # a fold wide enough to use every core keeps the
+            # shuffle-free path: coalesce merges the per-file input
+            # partitions without moving a byte — at a 100 TB backlog
+            # fold the difference between re-shuffling every
+            # small-file byte and just concatenating streams (the
+            # DV/eq suppression joins in the live view are
+            # broadcast-side, so no parallelism is lost upstream)
             packed = live.coalesce(n_out)
         new_files = _write_commit_dir(
             packed,
