@@ -903,7 +903,11 @@ def write_ann_index(
         ).first()
         n, mean_d2 = row["n"], row["d2"]
         table_log.commit_snapshot(
-            laid.drop("__d2"), f"{path}/cells_log", mode="overwrite"
+            laid.drop("__d2"), f"{path}/cells_log", mode="overwrite",
+            # each cells_log manifest names the centroid set its cells
+            # were assigned against, so a time-travel probe pairs old
+            # cells with the OLD quantizer after a rebalance
+            extra_meta={"ann_centroids": "centroids"},
         )
     else:
         n, mean_d2 = _observed_cell_write(
@@ -945,7 +949,8 @@ def append_ann_index(
             f"{path} is an rp_lsh index (no centroids) — append with "
             "append_rp_index instead."
         )
-    cent_df = spark.read.parquet(f"{path}/centroids")
+    cent_rel = meta.get("centroids_rel", "centroids")
+    cent_df = spark.read.parquet(f"{path}/{cent_rel}")
     assigned = _assign_cells(
         _with_dim_check(new_vectors, meta["vec_col"], meta["dim"]),
         F.broadcast(cent_df),
@@ -965,7 +970,8 @@ def append_ann_index(
         ).first()
         n, mean_d2 = row["n"], row["d2"]
         v = table_log.commit_snapshot(
-            laid.drop("__d2"), f"{path}/cells_log", mode="append"
+            laid.drop("__d2"), f"{path}/cells_log", mode="append",
+            extra_meta={"ann_centroids": cent_rel},
         )
         _record_append_drift(spark, path, meta, n, mean_d2)
         return {"path": path, "n_appended": n, "version": v}
@@ -974,52 +980,47 @@ def append_ann_index(
     return {"path": path, "n_appended": n}
 
 
-#: appends kept individually in the sidecar before folding into the
-#: weighted rollup — bounds meta size at streaming append rates
-_DRIFT_APPENDS_KEPT = 100
-
-
 def _record_append_drift(
     spark, path: str, meta: dict, n: int, mean_d2: float | None
 ) -> None:
-    """Record an append's mean assigned-centroid distance in the index
-    sidecar. Frozen-centroid appends are the right batch-cost design,
-    but a drifting ingest distribution silently degrades recall — the
-    ratio of appended mean distance to the build-time baseline is the
-    early signal (:func:`ann_index_drift` reads it;
-    :func:`rebalance_ann_index` resets it). The last
-    ``_DRIFT_APPENDS_KEPT`` appends stay individually visible; older
-    ones fold into a weighted rollup so the sidecar stays O(1).
-    Advisory accounting under the index's single-maintainer contract:
-    a concurrent appender's meta rewrite is last-writer-wins."""
-    appends = list(meta.get("appends", []))
-    appends.append({"n": n, "mean_d2": mean_d2})
-    if len(appends) > _DRIFT_APPENDS_KEPT:
-        old = appends[: -_DRIFT_APPENDS_KEPT]
-        roll = meta.get("appends_rollup", {"n": 0, "mean_d2": 0.0})
-        counted = [a for a in old if a["mean_d2"] is not None]
-        tot = roll["n"] + sum(a["n"] for a in counted)
-        if tot:
-            s = roll["n"] * roll["mean_d2"] + sum(
-                a["n"] * a["mean_d2"] for a in counted
-            )
-            meta["appends_rollup"] = {"n": tot, "mean_d2": s / tot}
-        appends = appends[-_DRIFT_APPENDS_KEPT:]
-    meta["appends"] = appends
-    _write_ann_meta(spark, path, meta)
+    """Record an append's mean assigned-centroid distance as one tiny
+    JOURNAL file (``_drift/<uuid>.json``). Frozen-centroid appends are
+    the right batch-cost design, but a drifting ingest distribution
+    silently degrades recall — the ratio of appended mean distance to
+    the build-time baseline is the early signal
+    (:func:`ann_index_drift` reads it; :func:`rebalance_ann_index`
+    resets it by clearing the journal). A journal file per append —
+    instead of rewriting the shared sidecar — makes the accounting
+    EXACT under concurrent appenders (a sidecar rewrite is
+    last-writer-wins; two transactional appends racing it would drop
+    one entry). Journal size is bounded by the appends-per-rebalance
+    cadence; the drift report is a driver-side listing either way."""
+    import json
+    import uuid
+
+    jvm, hp, fs = _ann_fs(spark, path)
+    out = fs.create(
+        hp(f"{path}/_drift/{uuid.uuid4().hex[:16]}.json"), True
+    )
+    try:
+        out.write(json.dumps({"n": n, "mean_d2": mean_d2}).encode())
+    finally:
+        out.close()
 
 
 def ann_index_drift(spark, path: str) -> dict:
-    """The index's distribution-drift report, from sidecar metadata
-    only (no data read, no job): build-time mean assigned-centroid
-    distance vs the append-weighted mean since, and their ratio. A
-    ratio creeping past ~1.5-2 means the frozen centroids no longer
-    describe the ingest distribution — appended vectors land far from
-    every centroid, smearing across cells, and probe recall decays
-    with NO error anywhere. That failure mode is otherwise invisible
-    until someone measures recall; this makes it a number a
-    maintenance cadence can alert on and answer with
+    """The index's distribution-drift report, from sidecar + journal
+    metadata only (no data read, no job): build-time mean
+    assigned-centroid distance vs the append-weighted mean since, and
+    their ratio. A ratio creeping past ~1.5-2 means the frozen
+    centroids no longer describe the ingest distribution — appended
+    vectors land far from every centroid, smearing across cells, and
+    probe recall decays with NO error anywhere. That failure mode is
+    otherwise invisible until someone measures recall; this makes it a
+    number a maintenance cadence can alert on and answer with
     :func:`rebalance_ann_index`."""
+    import json
+
     meta = read_ann_meta(spark, path)
     if meta.get("kind") == "rp_lsh":
         raise ValueError(
@@ -1028,17 +1029,24 @@ def ann_index_drift(spark, path: str) -> dict:
             "(bucket-occupancy skew is its failure mode instead)."
         )
     base = meta.get("drift_baseline") or {}
-    roll = meta.get("appends_rollup", {"n": 0, "mean_d2": 0.0})
-    apps = [
-        a for a in meta.get("appends", []) if a["mean_d2"] is not None
-    ]
-    n_app = roll["n"] + sum(a["n"] for a in apps)
+    jvm, hp, fs = _ann_fs(spark, path)
+    drift_dir = hp(f"{path}/_drift")
+    apps: list[dict] = []
+    if fs.exists(drift_dir):
+        for st in fs.listStatus(drift_dir):
+            stream = fs.open(st.getPath())
+            try:
+                raw = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            entry = json.loads(raw.decode())
+            if entry.get("mean_d2") is not None:
+                apps.append(entry)
+    n_app = sum(a["n"] for a in apps)
     app_mean = (
-        (
-            roll["n"] * roll["mean_d2"]
-            + sum(a["n"] * a["mean_d2"] for a in apps)
-        )
-        / n_app
+        sum(a["n"] * a["mean_d2"] for a in apps) / n_app
         if n_app
         else None
     )
@@ -1070,9 +1078,16 @@ def rebalance_ann_index(
     baseline resets. Single-maintainer contract (same as
     compact_ann_index): run it from the maintenance cadence, not
     concurrently with appends — on a transactional index the cell
-    swap itself is an atomic overwrite commit (probes keep
-    time-travel), on a plain dir it is an in-place rewrite. Returns
-    ``{path, n_vectors, mean_d2_before, mean_d2_after,
+    swap itself is an atomic overwrite commit. New centroids land in a
+    GENERATION directory (``centroids_g<gen>``) and the sidecar's
+    ``centroids_rel`` pointer flips; the old generation's parquet
+    stays, because on a transactional index every cells_log manifest
+    records which centroid set its cells were assigned against
+    (``ann_centroids``) — a ``probe_ann_index(version=...)`` of a
+    pre-rebalance version pairs the OLD cells with the OLD quantizer
+    and keeps returning exactly its original answers (an in-place
+    centroid overwrite would silently mis-route every time-travel
+    probe). Returns ``{path, n_vectors, mean_d2_before, mean_d2_after,
     rebalance_gen}``."""
     meta = read_ann_meta(spark, path)
     if meta.get("kind") == "rp_lsh":
@@ -1110,24 +1125,23 @@ def rebalance_ann_index(
         F.count(F.lit(1)).alias("n"), F.avg("__d2").alias("d2")
     ).first()
     n, mean_d2 = row["n"], row["d2"]
+    cent_rel = f"centroids_g{gen}"
+    cent_df.write.mode("errorifexists").parquet(f"{path}/{cent_rel}")
     if meta.get("transactional"):
         from etl_property_rumah123_spark.sinks import table_log
 
         table_log.commit_snapshot(
-            laid.drop("__d2"), f"{path}/cells_log", mode="overwrite"
+            laid.drop("__d2"), f"{path}/cells_log", mode="overwrite",
+            extra_meta={"ann_centroids": cent_rel},
         )
     else:
         laid.drop("__d2").write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(f"{path}/cells")
         spark.catalog.refreshByPath(f"{path}/cells")
-    cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.catalog.refreshByPath(f"{path}/centroids")
-    meta = {
-        k: v
-        for k, v in meta.items()
-        if k not in ("appends", "appends_rollup")
-    }
+    jvm, hp, fs = _ann_fs(spark, path)
+    fs.delete(hp(f"{path}/_drift"), True)  # journal resets with the baseline
+    meta["centroids_rel"] = cent_rel
     meta["drift_baseline"] = {"mean_d2": mean_d2, "n": n}
     meta["rebalance_gen"] = gen
     _write_ann_meta(spark, path, meta)
@@ -1166,7 +1180,11 @@ def probe_ann_index(
     (manifest cell-stats pruning via a ``("cell", "in", probed)``
     predicate — same probed-fraction scan shape) and ``version``
     TIME-TRAVELS the probe: serve yesterday's index while a backfill
-    lands. ``version`` on a plain-dir index is an error."""
+    lands. A time-travel probe reads the centroid GENERATION that
+    version's manifest names (``ann_centroids``), so probing a
+    pre-:func:`rebalance_ann_index` version pairs the old cells with
+    the OLD quantizer and returns exactly its original answers.
+    ``version`` on a plain-dir index is an error."""
     spark = queries.sparkSession
     meta = read_ann_meta(spark, path)
     if meta.get("kind") == "rp_lsh":
@@ -1176,7 +1194,13 @@ def probe_ann_index(
         )
     vc = vec_col or meta["vec_col"]
     ic = id_col or meta["id_col"]
-    cent_df = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    cent_rel = meta.get("centroids_rel", "centroids")
+    if version is not None and meta.get("transactional"):
+        from etl_property_rumah123_spark.sinks import table_log
+
+        m = table_log._manifest(spark, f"{path}/cells_log", version)
+        cent_rel = m.get("ann_centroids", "centroids")
+    cent_df = F.broadcast(spark.read.parquet(f"{path}/{cent_rel}"))
     probes = _assign_cells(
         _with_dim_check(queries, vc, meta["dim"]), cent_df, "query_id",
         n_probe, vc, ic,
@@ -1456,7 +1480,12 @@ def compact_ann_index(
         )
         rows_after = compacted.count()
         version = table_log.commit_snapshot(
-            compacted, log_path, mode="overwrite"
+            compacted, log_path, mode="overwrite",
+            # content-identical rewrite: the cells keep the centroid
+            # generation they were assigned against
+            extra_meta={
+                "ann_centroids": meta.get("centroids_rel", "centroids")
+            },
         )
         after = table_log.read_snapshot(spark, log_path)
         return {

@@ -650,16 +650,44 @@ def test_ann_index_drift_metric_and_rebalance(spark, tmp_path):
     with pytest.raises(ValueError, match="rp_lsh"):
         similarity.rebalance_ann_index(spark, rp)
 
-    # transactional twin: the rebalance swap is an overwrite COMMIT
-    # (probes keep time travel); drift plumbing identical
+    # transactional twin: the rebalance swap is an overwrite COMMIT;
+    # drift plumbing identical (journal files, not sidecar rewrites)
     tidx = str(tmp_path / "driftidx_tx")
     similarity.write_ann_index(a, tidx, n_lists=8, transactional=True)
     similarity.append_ann_index(b, tidx)
     assert similarity.ann_index_drift(spark, tidx)["ratio"] > 2.0
+
+    # TIME TRAVEL x REBALANCE: a pre-rebalance version must keep
+    # answering with ITS OWN quantizer — the manifest names the
+    # centroid generation its cells were assigned against, so the
+    # rebalance (which flips the live pointer to centroids_g1) cannot
+    # silently mis-route probes of old versions.
+    from etl_property_rumah123_spark.sinks import table_log
+
+    v_pre = table_log._list_versions(spark, f"{tidx}/cells_log")[-1]
+    pre = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.probe_ann_index(
+            q, tidx, k=5, n_probe=2, version=v_pre
+        ).collect()
+    }
     out_tx = similarity.rebalance_ann_index(spark, tidx)
     assert out_tx["rebalance_gen"] == 1
+    post_travel = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.probe_ann_index(
+            q, tidx, k=5, n_probe=2, version=v_pre
+        ).collect()
+    }
+    assert post_travel == pre and pre
     ann_tx = similarity.probe_ann_index(q, tidx, k=5, n_probe=2)
     truth_tx = similarity.brute_force_topk(
         q, a.unionByName(b), k=5
     )
     assert recall(ann_tx, truth_tx) >= 0.8
+    # appends after the rebalance assign against the new generation and
+    # their journal entries count against the new baseline
+    similarity.append_ann_index(
+        mk(cluster_rows(centers_b, 3, 40_000)), tidx
+    )
+    assert similarity.ann_index_drift(spark, tidx)["ratio"] < 1.5
