@@ -1154,6 +1154,48 @@ def rebalance_ann_index(
     }
 
 
+def vacuum_ann_index(spark, path: str) -> list[str]:
+    """Drop centroid GENERATION dirs the index can no longer serve.
+    Rebalances accumulate ``centroids_g<gen>`` dirs deliberately —
+    they are the time-travel data (:func:`probe_ann_index` pairs a
+    version's cells with the generation its manifest names). This is
+    the retention hook: on a TRANSACTIONAL index a generation is live
+    iff some SURVIVING cells_log manifest names it (so run
+    ``table_log.vacuum`` on the cells_log first — the generations its
+    pruned versions named become droppable here), plus the sidecar's
+    current pointer; on a plain dir there is no version history, so
+    everything but the current pointer drops. Returns deleted paths.
+    Same single-maintainer contract as the other maintenance verbs."""
+    import re
+
+    meta = read_ann_meta(spark, path)
+    if meta.get("kind") == "rp_lsh":
+        raise ValueError(
+            f"{path} is an rp_lsh index (no centroids) — nothing to "
+            "vacuum here; vacuum its cells_log with the table tooling."
+        )
+    live = {meta.get("centroids_rel", "centroids")}
+    if meta.get("transactional"):
+        from etl_property_rumah123_spark.sinks import table_log
+
+        log_path = f"{path}/cells_log"
+        for v in table_log._list_versions(spark, log_path):
+            live.add(
+                table_log._manifest(spark, log_path, v).get(
+                    "ann_centroids", "centroids"
+                )
+            )
+    jvm, hp, fs = _ann_fs(spark, path)
+    deleted: list[str] = []
+    for st in fs.listStatus(hp(path)):
+        name = st.getPath().getName()
+        if name == "centroids" or re.fullmatch(r"centroids_g\d+", name):
+            if name not in live:
+                fs.delete(st.getPath(), True)
+                deleted.append(f"{path}/{name}")
+    return deleted
+
+
 def probe_ann_index(
     queries: DataFrame,
     path: str,

@@ -691,3 +691,36 @@ def test_ann_index_drift_metric_and_rebalance(spark, tmp_path):
         mk(cluster_rows(centers_b, 3, 40_000)), tidx
     )
     assert similarity.ann_index_drift(spark, tidx)["ratio"] < 1.5
+
+    # GENERATION RETENTION (vacuum_ann_index): while the pre-rebalance
+    # manifests survive, their generation is live and nothing drops;
+    # after the cells_log's own vacuum prunes them, the old generation
+    # is droppable — and current probes still work
+    assert similarity.vacuum_ann_index(spark, tidx) == []
+    table_log.vacuum(spark, f"{tidx}/cells_log", keep_last=1, min_age_s=0)
+    dropped = similarity.vacuum_ann_index(spark, tidx)
+    assert dropped == [f"{tidx}/centroids"]
+    # probes keep working after the retention pass; ground truth is the
+    # index's OWN contents (appends added vectors beyond a/b)
+    tx_corpus = table_log.read_snapshot(
+        spark, f"{tidx}/cells_log"
+    ).select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    assert recall(
+        similarity.probe_ann_index(q, tidx, k=5, n_probe=2),
+        similarity.brute_force_topk(q, tx_corpus, k=5),
+    ) >= 0.8
+    # plain-dir form: no version history — old generations drop at once
+    similarity.rebalance_ann_index(spark, idx)  # gen 2 on the plain index
+    dropped_plain = set(similarity.vacuum_ann_index(spark, idx))
+    assert f"{idx}/centroids_g1" in dropped_plain
+    assert f"{idx}/centroids" in dropped_plain
+    spark.catalog.refreshByPath(f"{idx}/cells")
+    plain_corpus = spark.read.parquet(f"{idx}/cells").select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    assert recall(
+        similarity.probe_ann_index(q, idx, k=5, n_probe=2),
+        similarity.brute_force_topk(q, plain_corpus, k=5),
+    ) >= 0.8
