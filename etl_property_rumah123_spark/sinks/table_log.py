@@ -434,8 +434,25 @@ def _validate_new_constraints_on_existing(
         )
 
 
+#: remedy text for call sites whose signatures accept property
+#: overrides (commit_snapshot) vs those that inherit only
+#: (merge_snapshot_mor / stage_snapshot) — the error must advertise a
+#: remedy the caller can actually reach from where they are
+_PROP_REMEDY_OVERRIDE = (
+    "pass constraints={...}, write_order=[...], or bloom_cols={...} "
+    "explicitly (empty to clear)."
+)
+_PROP_REMEDY_INHERIT_ONLY = (
+    "this operation inherits properties and cannot override them — "
+    "retire or re-declare the property first via a commit_snapshot "
+    "append (constraints={...} / write_order=[...] / bloom_cols={...}, "
+    "empty to clear), then retry."
+)
+
+
 def _validate_properties_against_schema(
-    df: DataFrame, table_path: str, checks: dict, order: list, bloom: dict
+    df: DataFrame, table_path: str, checks: dict, order: list, bloom: dict,
+    remedy: str = _PROP_REMEDY_OVERRIDE,
 ) -> None:
     """Schema evolution × table properties: the batch being committed
     DEFINES the table's new schema (the manifest records ``df``'s
@@ -454,10 +471,8 @@ def _validate_properties_against_schema(
             f"commit to {table_path}: the table's {prop!r} property "
             f"{detail}, but this batch's schema does not provide it "
             f"(columns: {df.columns}). Schema evolution away from a "
-            "property's columns must retire or re-declare the property "
-            "in the same commit — pass constraints={...}, "
-            "write_order=[...], or bloom_cols={...} explicitly "
-            "(empty to clear)."
+            "property's columns must retire or re-declare the "
+            f"property — {remedy}"
         )
 
     cols = set(df.columns)
@@ -1295,6 +1310,7 @@ def merge_snapshot_mor(
             df, table_path, checks,
             prev.get("write_order") or [],
             _norm_bloom_cols(prev.get("bloom_cols")),
+            remedy=_PROP_REMEDY_INHERIT_ONLY,
         )
         new_files, chk_obs = _write_commit_dir_observed(
             _with_write_order(df, prev.get("write_order") or []),
@@ -2291,6 +2307,7 @@ def stage_snapshot(
         df, table_path, checks,
         prev.get("write_order") or [],
         _norm_bloom_cols(prev.get("bloom_cols")),
+        remedy=_PROP_REMEDY_INHERIT_ONLY,
     )
     new_files, obs = _write_commit_dir_observed(
         _with_write_order(df, prev.get("write_order") or []),
@@ -2409,6 +2426,8 @@ def publish_staged(
                 "after publish (pick a fresh name)."
             )
         fs.delete(marker, False)
+        if tomb.get("version") is None:  # repaired: true version unknown
+            return int(tomb["earliest_containing_version"])
         return int(tomb["version"])
     for _ in range(max_retries):
         versions = _list_versions(spark, table_path)
@@ -2438,14 +2457,37 @@ def publish_staged(
             # already a version — possibly further mutated by later
             # commits — so repair the tombstone and clean the marker;
             # NEVER re-append the files
-            published_v = already if already is not None else prev["version"]
+            if already is not None:
+                published_v = already
+                record: dict = {
+                    "name": name, "version": published_v,
+                    "new_files": new_files,
+                }
+            else:
+                # the publishing version's manifest was vacuumed — the
+                # true version is UNKNOWN. prev['version'] is merely
+                # the latest version at repair time; persisting it
+                # would misreport the publisher forever. Record null
+                # plus the earliest KEPT version carrying the files
+                # (the tightest provable bound) as best-effort, and
+                # return that stable value on every future replay.
+                published_v = next(
+                    (
+                        v for v in versions
+                        if set(new_files)
+                        <= set(_manifest(spark, table_path, v)["files"])
+                    ),
+                    prev["version"],
+                )
+                record = {
+                    "name": name, "version": None, "repaired": True,
+                    "earliest_containing_version": published_v,
+                    "new_files": new_files,
+                }
             _write_file(
                 spark,
                 _published_tombstone_path(table_path, name),
-                json.dumps(
-                    {"name": name, "version": published_v,
-                     "new_files": new_files}
-                ).encode(),
+                json.dumps(record).encode(),
             )
             fs.delete(marker, False)
             return published_v
@@ -3034,9 +3076,14 @@ def optimize_snapshot(
         n_pos_small = 0
         rewritten_dv_keys = sorted(prev_dv_key_set & small_keys)
         if dvs and rewritten_dv_keys:
+            # distinct on (file_key, pos): a retried commit that
+            # re-listed a dv dir can duplicate position entries, and
+            # count_snapshot subtracts the DISTINCT set — counting raw
+            # rows here would over-decrement dv_rows and drift the
+            # maybe_compact_dvs debt gauge low
             dv_all = spark.read.parquet(
                 *[f"{table_path}/{r}" for r in prev["dvs"]]
-            ).select("file_key")
+            ).select("file_key", "pos").distinct()
             if len(rewritten_dv_keys) <= _EQ_SCOPE_ISIN_MAX:
                 n_pos_small = dv_all.filter(
                     F.col("file_key").isin(*rewritten_dv_keys)

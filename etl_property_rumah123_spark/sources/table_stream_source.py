@@ -77,6 +77,13 @@ _IDENTICAL_OPS = {"compact", "optimize", "consolidate_eq"}
 #: fallback would misread them as metadata-only no-ops and consumers
 #: would silently retain deleted rows; they must be matched BY NAME.
 _REMOVAL_OPS = {"delete", "delete_dv", "delete_eq", "merge", "overwrite"}
+#: the CoW subset of _REMOVAL_OPS: these express row changes by
+#: REWRITING data files, so ``cur_files == prev_files`` proves nothing
+#: was removed (a predicate that matched zero rows commits an
+#: audit-only manifest with the file list unchanged — table_log's
+#: delete/merge no-match paths). Such no-op versions are safe to
+#: stream past; only the MoR sidecar ops above are removal-by-name.
+_COW_REWRITE_OPS = {"delete", "merge", "overwrite"}
 #: the pure DELETE subset ``ignore_deletes`` may skip — updates
 #: (merge/overwrite) stay fatal under that option
 _DELETE_OPS = {"delete", "delete_dv", "delete_eq"}
@@ -173,11 +180,17 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                 op = m.get("operation", "append")
                 if op in _APPEND_OPS:
                     rels.extend(sorted(cur_files - prev_files))
-                elif op in _REMOVAL_OPS:
+                elif op in _REMOVAL_OPS and not (
+                    op in _COW_REWRITE_OPS and cur_files == prev_files
+                ):
                     # checked BEFORE the files-unchanged fallback:
                     # delete_dv/delete_eq keep the file list identical
                     # while removing rows, and silently passing them
-                    # would hand consumers deleted data
+                    # would hand consumers deleted data. A CoW op whose
+                    # file list is UNCHANGED is exempt — files are
+                    # immutable, so an identical list means the
+                    # predicate matched nothing (audit-only commit) and
+                    # no rows were removed.
                     skippable = self._ignore_changes or (
                         self._ignore_deletes and op in _DELETE_OPS
                     )

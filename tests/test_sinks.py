@@ -4125,6 +4125,72 @@ def test_publish_staged_replay_is_exactly_once(spark, tmp_path):
         )
 
 
+def test_publish_staged_repair_tombstone_is_honest(spark, tmp_path):
+    """ADVICE round 13 (low): when the replay repair fires with the
+    publishing version's manifest VACUUMED (staged_name scan blind,
+    only the file-subset guard catches it), the repaired tombstone
+    must not persist the latest-at-repair-time version as the
+    publisher — the true version is unknown. It records
+    ``version: null`` + ``repaired`` + the earliest KEPT version
+    carrying the files, and every future replay returns that same
+    stable value."""
+    import json as _json
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "wap_repair_honest")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(1, "a")], "k long, v string"), t
+    )
+    table_log.stage_snapshot(
+        spark.createDataFrame([(2, "b")], "k long, v string"),
+        t, name="s1",
+    )
+    staged_json = table_log._read_file(spark, f"{t}/_log/staged/s1.json")
+    table_log.publish_staged(spark, t, "s1")
+    # simulate the crash window: publish committed its manifest but
+    # died before the tombstone write; the marker survives
+    jvm, fs = table_log._fs(spark, t)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(
+        f"{t}/_log/published/s1.json"), False)
+    table_log._write_file(spark, f"{t}/_log/staged/s1.json", staged_json)
+    # the table moves on and the publishing manifest is vacuumed, but
+    # the staged files survive in the current manifest (no compact)
+    table_log.commit_snapshot(
+        spark.createDataFrame([(3, "c")], "k long, v string"), t
+    )
+    table_log.commit_snapshot(
+        spark.createDataFrame([(4, "d")], "k long, v string"), t
+    )
+    table_log.vacuum(spark, t, keep_last=2, min_age_s=0)
+    kept = table_log._list_versions(spark, t)
+    staged_files = _json.loads(staged_json.decode())["new_files"]
+    earliest_kept_with_files = next(
+        v for v in kept
+        if set(staged_files)
+        <= set(table_log._manifest(spark, t, v)["files"])
+    )
+    latest_before = kept[-1]
+    got = table_log.publish_staged(spark, t, "s1")
+    # best-effort return is the tightest provable bound, NOT the
+    # latest version at repair time
+    assert got == earliest_kept_with_files
+    assert earliest_kept_with_files < latest_before  # old bug returned latest
+    tomb = _json.loads(table_log._read_file(
+        spark, f"{t}/_log/published/s1.json").decode())
+    assert tomb["version"] is None
+    assert tomb["repaired"] is True
+    assert tomb["earliest_containing_version"] == earliest_kept_with_files
+    # replay of the repaired tombstone: same stable value, no append
+    n_before = len(table_log._list_versions(spark, t))
+    table_log._write_file(spark, f"{t}/_log/staged/s1.json", staged_json)
+    assert table_log.publish_staged(spark, t, "s1") == got
+    assert len(table_log._list_versions(spark, t)) == n_before
+    assert sorted(
+        r["k"] for r in table_log.read_snapshot(spark, t).collect()
+    ) == [1, 2, 3, 4]
+
+
 def test_count_snapshot_metadata_only(spark, tmp_path, monkeypatch):
     """COUNT(*) from the manifest: clean snapshots, position-DV
     states, AND equality-delete states (via the per-file ``matched``
@@ -4493,12 +4559,23 @@ def test_table_properties_fail_loud_on_schema_evolution(spark, tmp_path):
         t = str(tmp_path / f"evo_{prop}")
         table_log.commit_snapshot(base, t, **kwargs)
         n_versions = len(table_log._list_versions(spark, t))
-        with _pytest.raises(ValueError, match=prop):
+        # commit_snapshot CAN override properties — its error says so
+        with _pytest.raises(ValueError, match="explicitly"):
             table_log.commit_snapshot(no_c, t, mode="append")
-        with _pytest.raises(ValueError, match=prop):
+        # ADVICE round 13 (low): stage_snapshot / merge_snapshot_mor
+        # accept NO property parameters — their error must point at
+        # the reachable remedy (retire via a commit_snapshot append
+        # first), not advertise kwargs they don't have
+        with _pytest.raises(ValueError, match="commit_snapshot append"):
             table_log.stage_snapshot(no_c, t)
-        with _pytest.raises(ValueError, match=prop):
+        with _pytest.raises(ValueError, match="commit_snapshot append"):
             table_log.merge_snapshot_mor(no_c, t, key="k")
+        for op in (
+            lambda: table_log.stage_snapshot(no_c, t),
+            lambda: table_log.merge_snapshot_mor(no_c, t, key="k"),
+        ):
+            with _pytest.raises(ValueError, match=prop):
+                op()
         # nothing published by the failed attempts
         assert len(table_log._list_versions(spark, t)) == n_versions
         # retire in the SAME commit: the defined evolution path
@@ -4571,3 +4648,61 @@ def test_optimize_retires_materialized_dv_rows(spark, tmp_path):
         table_log.read_snapshot(spark, t).count()
         == 500_000 - 10 + 150
     )
+
+
+def test_optimize_dv_retirement_dedups_positions(spark, tmp_path):
+    """ADVICE round 13 (low): optimize's materialized-DV subtraction
+    must count DISTINCT (file_key, pos) — count_snapshot subtracts the
+    distinct set, so if the dv parquet ever carries duplicate position
+    entries (a retried commit re-listing a dv dir), counting raw rows
+    would over-decrement dv_rows and drift the maybe_compact_dvs debt
+    gauge low."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "opt_dv_dup")
+    table_log.commit_snapshot(
+        spark.range(500_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).cast("long").alias("v"),
+        ).coalesce(1),
+        t,
+    )
+    for i in range(2):
+        table_log.commit_snapshot(
+            spark.range(1_000_000 + i * 100, 1_000_000 + i * 100 + 100)
+            .select(F.col("id").alias("k"),
+                    F.lit(0).cast("long").alias("v"))
+            .coalesce(1),
+            t,
+        )
+    table_log.delete_snapshot_dv(spark, t, "k < 10")  # large file, 10
+    table_log.delete_snapshot_dv(
+        spark, t, "k >= 1000000 AND k % 2 = 0"
+    )  # small files, 100
+    # simulate the retried-commit duplication: the manifest lists the
+    # small-file dv rel TWICE — every (file_key, pos) in it reads as
+    # two raw rows but is still ONE suppressed position
+    vs = table_log._list_versions(spark, t)
+    m_path = f"{t}/_log/v{vs[-1]}.json"
+    m = _json.loads(table_log._read_file(spark, m_path).decode())
+    assert len(m["dvs"]) >= 2  # both deletes' dv files are listed
+    m["dvs"] = m["dvs"] + list(m["dvs"])  # every position listed twice
+    table_log._write_file(spark, m_path, _json.dumps(m).encode())
+    spark.catalog.clearCache()
+    live = table_log.count_snapshot(spark, t)
+    assert live == 500_000 + 200 - 110
+
+    v = table_log.optimize_snapshot(
+        spark, t, target_file_bytes=1 << 20, small_file_bytes=1 << 20
+    )
+    m2 = table_log._manifest(spark, t, v)
+    # raw-row counting would have subtracted 200 (100 positions × 2
+    # listings) from a 110-row debt; distinct counting leaves exactly
+    # the large file's 10
+    assert m2["dv_rows"] == 10
+    assert table_log.count_snapshot(spark, t) == live
+    assert table_log.read_snapshot(spark, t).count() == live

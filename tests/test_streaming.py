@@ -1555,3 +1555,57 @@ def test_snapshot_table_stream_source_fails_on_mor_deletes(spark, tmp_path):
         assert run(
             t, f"{op_name}_1", f"ck_{op_name}", ignore=True
         ) == set(range(4)) | {10}
+
+
+def test_snapshot_table_stream_source_noop_cow_delete_streams_past(
+    spark, tmp_path
+):
+    """ADVICE round 13 (low): a CoW delete whose predicate matches
+    ZERO rows commits an audit-only manifest with the file list
+    unchanged. Files are immutable, so an identical list proves no
+    rows were removed — the stream must pass it as a metadata-only
+    no-op (the old behavior), not fail on the op name. The MoR deletes
+    (delete_dv/delete_eq) stay name-matched: their file list is
+    ALWAYS unchanged while rows really are removed."""
+    from etl_property_rumah123_spark.sinks import table_log
+    from etl_property_rumah123_spark.sources.table_stream_source import (
+        SnapshotTableDataSource,
+    )
+
+    spark.dataSource.register(SnapshotTableDataSource)
+    t = str(tmp_path / "src_noop_del")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(i, "x") for i in range(4)],
+                              "k long, v string"), t
+    )
+
+    def run(name):
+        sink = str(tmp_path / f"sink_{name}")
+        q = (
+            spark.readStream.format("snapshot_table").option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ck_noop"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.refreshByPath(sink)
+        return {r["k"] for r in spark.read.parquet(sink).collect()}
+
+    assert run("noop_1") == set(range(4))
+    # zero-match CoW delete and merge-with-nothing-matched-or-inserted
+    # analog: file list unchanged → stream must not fail
+    table_log.delete_snapshot(spark, t, "k = 999")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(10, "y")], "k long, v string"), t
+    )
+    assert run("noop_1") == set(range(4)) | {10}
+    # a MATCHING CoW delete (file list changes) still fails the tail
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    table_log.delete_snapshot(spark, t, "k = 1")
+    with pytest.raises(StreamingQueryException, match="row-removing"):
+        run("noop_1")
