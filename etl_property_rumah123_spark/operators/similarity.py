@@ -21,6 +21,7 @@ across runs and engines.
 from __future__ import annotations
 
 import hashlib
+import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -725,25 +726,139 @@ def _ann_meta_dict(
     }
 
 
-def read_ann_meta(spark, path: str) -> dict:
-    """The index sidecar, or a loud error when ``path`` is not a
-    write_ann_index artifact — probing a directory that merely looks
-    like one would silently match nothing."""
+#: plain-dir rebalance commit point: a tiny JSON overlay per
+#: generation. The overlay is written ONLY after the generation's
+#: centroids/cells dirs are complete, so resolution (highest gen that
+#: parses AND whose dirs exist) sees a crashed rebalance's leftovers
+#: as garbage and keeps serving the previous generation — the index
+#: is always fully-old or fully-new, never new cells paired with an
+#: old quantizer.
+_ANN_GEN_RE = re.compile(r"^_ann_gen_(\d+)\.json$")
+#: drift journal: at most this many per-append files are read one by
+#: one on the driver; above it the report switches to one parallel
+#: JSON scan (still tiny — the trade is driver round-trips vs one job)
+_DRIFT_DRIVER_READ_MAX = 32
+
+
+def _cells_rel(meta: dict) -> str:
+    """Relative dir of the LIVE cell assignments for a plain-dir
+    index ('cells' until the first rebalance, 'cells_g<gen>' after)."""
+    return meta.get("cells_rel", "cells")
+
+
+def _ann_read_json(spark, full_path: str) -> dict:
     import json
 
-    jvm, hp, fs = _ann_fs(spark, path)
-    p = hp(f"{path}/{_ANN_META}")
-    if not fs.exists(p):
-        raise ValueError(
-            f"{path} has no {_ANN_META} sidecar — not a "
-            "write_ann_index artifact (or written by a newer format)."
-        )
-    stream = fs.open(p)
+    jvm, hp, fs = _ann_fs(spark, full_path)
+    stream = fs.open(hp(full_path))
     try:
         raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
     return json.loads(raw.decode("utf-8"))
+
+
+#: rebalance-owned fields a generation overlay (plain-dir) or a
+#: cells_log manifest (transactional) may override on the base sidecar
+_ANN_GEN_FIELDS = (
+    "centroids_rel", "cells_rel", "rebalance_gen", "drift_baseline",
+)
+
+
+def _resolve_ann_gen_overlay(spark, path: str, meta: dict) -> dict:
+    """Merge the newest VALID generation overlay into the base
+    sidecar. Validity = the file parses and both dirs it names exist;
+    a partial overlay from a crashed rebalance fails the parse and is
+    skipped, leaving the index fully on its previous generation."""
+    jvm, hp, fs = _ann_fs(spark, path)
+    gens: list[tuple[int, str]] = []
+    for st in fs.listStatus(hp(path)):
+        m = _ANN_GEN_RE.match(st.getPath().getName())
+        if m:
+            gens.append((int(m.group(1)), str(st.getPath().getName())))
+    base_gen = int(meta.get("rebalance_gen", 0))
+    for gen, name in sorted(gens, reverse=True):
+        if gen <= base_gen:
+            break  # older than (or folded into) the base sidecar
+        try:
+            overlay = _ann_read_json(spark, f"{path}/{name}")
+        except ValueError:
+            continue  # crashed mid-write: not a committed generation
+        except Exception:
+            continue
+        if not (
+            fs.exists(hp(f"{path}/{overlay.get('centroids_rel', '')}"))
+            and fs.exists(hp(f"{path}/{overlay.get('cells_rel', '')}"))
+        ):
+            continue
+        meta = {**meta, **{
+            k: overlay[k] for k in _ANN_GEN_FIELDS if k in overlay
+        }}
+        break
+    return meta
+
+
+def _resolve_txn_manifest_meta(spark, path: str, meta: dict) -> dict:
+    """ADVICE round 12 (medium): on a TRANSACTIONAL index the
+    cells_log commit is the atomic unit — rebalance commits the
+    re-assigned cells (naming their centroid generation) and only then
+    updates the sidecar, so a crash between the two leaves a sidecar
+    pointing at the PREVIOUS quantizer while the cells are already
+    re-assigned; probes quantizing queries against it would silently
+    mis-route. The LATEST manifest is therefore the authority for the
+    rebalance-owned fields; the sidecar is a fallback cache for
+    indexes written before these fields rode the commit."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    log_path = f"{path}/cells_log"
+    versions = table_log._list_versions(spark, log_path)
+    if not versions:
+        return meta
+    m = table_log._manifest(spark, log_path, versions[-1])
+    out = dict(meta)
+    if "ann_centroids" in m:
+        out["centroids_rel"] = m["ann_centroids"]
+    if "ann_rebalance_gen" in m:
+        out["rebalance_gen"] = m["ann_rebalance_gen"]
+    if m.get("ann_drift_baseline") is not None:
+        out["drift_baseline"] = m["ann_drift_baseline"]
+    return out
+
+
+def _ann_carry(meta: dict) -> dict:
+    """extra_meta every cells_log commit carries so the LATEST
+    manifest always answers 'which quantizer, which drift baseline' —
+    appends/compactions carry the current values forward, a rebalance
+    commits its new ones atomically with the re-assigned cells."""
+    return {
+        "ann_centroids": meta.get("centroids_rel", "centroids"),
+        "ann_rebalance_gen": int(meta.get("rebalance_gen", 0)),
+        "ann_drift_baseline": meta.get("drift_baseline"),
+    }
+
+
+def read_ann_meta(spark, path: str) -> dict:
+    """The index metadata: base sidecar plus the current-generation
+    resolution — a plain-dir index resolves the newest valid
+    generation OVERLAY (see :func:`rebalance_ann_index`'s crash-safe
+    swap), a transactional index resolves the rebalance-owned fields
+    from the LATEST cells_log manifest (the sidecar update after a
+    rebalance commit is a cache refresh, not the commit point). Loud
+    error when ``path`` is not a write_ann_index artifact — probing a
+    directory that merely looks like one would silently match
+    nothing."""
+    _jvm, hp, fs = _ann_fs(spark, path)
+    if not fs.exists(hp(f"{path}/{_ANN_META}")):
+        raise ValueError(
+            f"{path} has no {_ANN_META} sidecar — not a "
+            "write_ann_index artifact (or written by a newer format)."
+        )
+    meta = _ann_read_json(spark, f"{path}/{_ANN_META}")
+    if meta.get("transactional"):
+        return _resolve_txn_manifest_meta(spark, path, meta)
+    if meta.get("kind") == "rp_lsh":
+        return meta  # no generations: hyperplanes are seed math
+    return _resolve_ann_gen_overlay(spark, path, meta)
 
 
 def _write_ann_meta(spark, path: str, meta: dict) -> None:
@@ -753,6 +868,26 @@ def _write_ann_meta(spark, path: str, meta: dict) -> None:
     out = fs.create(hp(f"{path}/{_ANN_META}"), True)
     try:
         out.write(json.dumps(meta, sort_keys=True).encode())
+    finally:
+        out.close()
+
+
+def _write_ann_gen_overlay(spark, path: str, gen: int, meta: dict) -> None:
+    """The plain-dir rebalance COMMIT POINT: one new tiny file naming
+    the generation's dirs + baseline. Creating a NEW file (never
+    overwriting a live one) is the most portable atomic-visibility
+    primitive across local FS / HDFS / object stores; a partial write
+    from a crash fails the resolver's JSON parse and the previous
+    generation keeps serving."""
+    import json
+
+    _jvm, hp, fs = _ann_fs(spark, path)
+    out = fs.create(hp(f"{path}/_ann_gen_{gen}.json"), True)
+    try:
+        out.write(json.dumps(
+            {k: meta[k] for k in _ANN_GEN_FIELDS if k in meta},
+            sort_keys=True,
+        ).encode())
     finally:
         out.close()
 
@@ -902,22 +1037,26 @@ def write_ann_index(
             F.count(F.lit(1)).alias("n"), F.avg("__d2").alias("d2")
         ).first()
         n, mean_d2 = row["n"], row["d2"]
+        meta["drift_baseline"] = {"mean_d2": mean_d2, "n": n}
         table_log.commit_snapshot(
             laid.drop("__d2"), f"{path}/cells_log", mode="overwrite",
             # each cells_log manifest names the centroid set its cells
-            # were assigned against, so a time-travel probe pairs old
-            # cells with the OLD quantizer after a rebalance
-            extra_meta={"ann_centroids": "centroids"},
+            # were assigned against (plus the rebalance gen and drift
+            # baseline), so a time-travel probe pairs old cells with
+            # the OLD quantizer after a rebalance, and the LATEST
+            # manifest answers those fields even when a crash lands
+            # between a rebalance commit and its sidecar refresh
+            extra_meta=_ann_carry(meta),
         )
     else:
         n, mean_d2 = _observed_cell_write(
             laid, f"{path}/cells", "errorifexists"
         )
-    # drift baseline: the build-time mean assigned-centroid distance.
-    # Frozen-centroid appends are compared against this — a drifting
-    # ingest distribution shows up as a rising ratio in
-    # ann_index_drift long before recall visibly degrades.
-    meta["drift_baseline"] = {"mean_d2": mean_d2, "n": n}
+        # drift baseline: the build-time mean assigned-centroid
+        # distance. Frozen-centroid appends are compared against this
+        # — a drifting ingest distribution shows up as a rising ratio
+        # in ann_index_drift long before recall visibly degrades.
+        meta["drift_baseline"] = {"mean_d2": mean_d2, "n": n}
     _write_ann_meta(spark, path, meta)
     return {
         "path": path,
@@ -971,11 +1110,15 @@ def append_ann_index(
         n, mean_d2 = row["n"], row["d2"]
         v = table_log.commit_snapshot(
             laid.drop("__d2"), f"{path}/cells_log", mode="append",
-            extra_meta={"ann_centroids": cent_rel},
+            # carry the current generation + baseline forward so the
+            # LATEST manifest stays the authority for them
+            extra_meta=_ann_carry(meta),
         )
         _record_append_drift(spark, path, meta, n, mean_d2)
         return {"path": path, "n_appended": n, "version": v}
-    n, mean_d2 = _observed_cell_write(laid, f"{path}/cells", "append")
+    n, mean_d2 = _observed_cell_write(
+        laid, f"{path}/{_cells_rel(meta)}", "append"
+    )
     _record_append_drift(spark, path, meta, n, mean_d2)
     return {"path": path, "n_appended": n}
 
@@ -1003,7 +1146,13 @@ def _record_append_drift(
         hp(f"{path}/_drift/{uuid.uuid4().hex[:16]}.json"), True
     )
     try:
-        out.write(json.dumps({"n": n, "mean_d2": mean_d2}).encode())
+        # gen-tagged: entries from before a rebalance must not count
+        # against the NEW baseline even if the rebalance crashed after
+        # its commit point but before clearing the journal
+        out.write(json.dumps({
+            "n": n, "mean_d2": mean_d2,
+            "gen": int(meta.get("rebalance_gen", 0)),
+        }).encode())
     finally:
         out.close()
 
@@ -1029,20 +1178,41 @@ def ann_index_drift(spark, path: str) -> dict:
             "(bucket-occupancy skew is its failure mode instead)."
         )
     base = meta.get("drift_baseline") or {}
+    cur_gen = int(meta.get("rebalance_gen", 0))
     jvm, hp, fs = _ann_fs(spark, path)
     drift_dir = hp(f"{path}/_drift")
     apps: list[dict] = []
     if fs.exists(drift_dir):
-        for st in fs.listStatus(drift_dir):
-            stream = fs.open(st.getPath())
-            try:
-                raw = bytes(
-                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-                )
-            finally:
-                stream.close()
-            entry = json.loads(raw.decode())
-            if entry.get("mean_d2") is not None:
+        statuses = list(fs.listStatus(drift_dir))
+        if len(statuses) <= _DRIFT_DRIVER_READ_MAX:
+            entries = []
+            for st in statuses:
+                stream = fs.open(st.getPath())
+                try:
+                    raw = bytes(
+                        jvm.org.apache.commons.io.IOUtils.toByteArray(
+                            stream
+                        )
+                    )
+                finally:
+                    stream.close()
+                entries.append(json.loads(raw.decode()))
+        else:
+            # a high-cadence appender can accumulate thousands of
+            # journal files between rebalances — one parallel JSON
+            # scan instead of O(appends) driver round-trips
+            entries = [
+                r.asDict()
+                for r in spark.read.json(f"{path}/_drift").collect()
+            ]
+        for entry in entries:
+            # gen filter: a crashed rebalance may leave pre-rebalance
+            # entries behind; they must not count against the new
+            # baseline (absent gen = pre-tagging era = gen 0)
+            if (
+                entry.get("mean_d2") is not None
+                and int(entry.get("gen") or 0) == cur_gen
+            ):
                 apps.append(entry)
     n_app = sum(a["n"] for a in apps)
     app_mean = (
@@ -1077,17 +1247,33 @@ def rebalance_ann_index(
     the pick is fresh), the cells are rewritten, and the drift
     baseline resets. Single-maintainer contract (same as
     compact_ann_index): run it from the maintenance cadence, not
-    concurrently with appends — on a transactional index the cell
-    swap itself is an atomic overwrite commit. New centroids land in a
-    GENERATION directory (``centroids_g<gen>``) and the sidecar's
-    ``centroids_rel`` pointer flips; the old generation's parquet
-    stays, because on a transactional index every cells_log manifest
-    records which centroid set its cells were assigned against
-    (``ann_centroids``) — a ``probe_ann_index(version=...)`` of a
-    pre-rebalance version pairs the OLD cells with the OLD quantizer
-    and keeps returning exactly its original answers (an in-place
-    centroid overwrite would silently mis-route every time-travel
-    probe). Returns ``{path, n_vectors, mean_d2_before, mean_d2_after,
+    concurrently with appends.
+
+    CRASH-SAFE on both layouts — the new quantizer and the
+    re-assigned cells become visible in ONE atomic step, so a probe
+    can never silently pair new cells with the old quantizer (wrong
+    answers, no error) no matter where a crash lands:
+
+    - TRANSACTIONAL: the overwrite commit of the re-assigned cells
+      carries ``ann_centroids``/``ann_rebalance_gen``/
+      ``ann_drift_baseline`` in its manifest, and
+      :func:`read_ann_meta` resolves those fields from the LATEST
+      manifest — the post-commit sidecar refresh is a cache update,
+      not the commit point. Every manifest keeps naming the centroid
+      set its cells were assigned against, so a
+      ``probe_ann_index(version=...)`` of a pre-rebalance version
+      pairs the OLD cells with the OLD quantizer and keeps returning
+      exactly its original answers.
+    - PLAIN DIR: centroids AND cells land in fresh generation dirs
+      (``centroids_g<gen>``, ``cells_g<gen>``) and the commit point
+      is a single tiny overlay file (``_ann_gen_<gen>.json``) written
+      LAST; resolution only honors an overlay that parses and whose
+      dirs both exist, so a crash at any earlier point leaves the
+      index serving the previous generation in full (the leftovers
+      are dead dirs :func:`vacuum_ann_index` clears). No in-place
+      overwrite of live data anywhere.
+
+    Returns ``{path, n_vectors, mean_d2_before, mean_d2_after,
     rebalance_gen}``."""
     meta = read_ann_meta(spark, path)
     if meta.get("kind") == "rp_lsh":
@@ -1104,8 +1290,8 @@ def rebalance_ann_index(
 
         cells = table_log.read_snapshot(spark, f"{path}/cells_log")
     else:
-        spark.catalog.refreshByPath(f"{path}/cells")
-        cells = spark.read.parquet(f"{path}/cells")
+        spark.catalog.refreshByPath(f"{path}/{_cells_rel(meta)}")
+        cells = spark.read.parquet(f"{path}/{_cells_rel(meta)}")
     cells = cells.select("id", "vec").distinct()  # retried-append dups
     seeds = _hash_sample_rows(
         cells, n_lists, f"{meta['salt']}rebal{gen}|", "vec", "id"
@@ -1119,32 +1305,62 @@ def rebalance_ann_index(
         cells, F.broadcast(cent_df), "id", 1, "vec", "id", keep_dist=True
     ).select("id", F.col("__v").alias("vec"), "cell", "__d2")
     laid = _cell_layout(assigned, n_lists, files_per_cell)
-    # materialize BEFORE overwriting what we read from
-    laid = laid.localCheckpoint()
-    row = laid.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("__d2").alias("d2")
-    ).first()
-    n, mean_d2 = row["n"], row["d2"]
     cent_rel = f"centroids_g{gen}"
+    cells_rel_new = f"cells_g{gen}"
+    jvm, hp, fs = _ann_fs(spark, path)
+    # leftovers from a CRASHED earlier attempt at this same gen are
+    # dead until a commit point names them — clear and rewrite (gen is
+    # strictly above every committed generation, so these can never be
+    # live data)
+    for rel in (cent_rel, cells_rel_new):
+        if fs.exists(hp(f"{path}/{rel}")):
+            fs.delete(hp(f"{path}/{rel}"), True)
     cent_df.write.mode("errorifexists").parquet(f"{path}/{cent_rel}")
     if meta.get("transactional"):
         from etl_property_rumah123_spark.sinks import table_log
 
+        # one computation: count/mean + commit
+        laid = laid.localCheckpoint()
+        row = laid.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("__d2").alias("d2")
+        ).first()
+        n, mean_d2 = row["n"], row["d2"]
+        meta = {
+            **meta,
+            "centroids_rel": cent_rel,
+            "drift_baseline": {"mean_d2": mean_d2, "n": n},
+            "rebalance_gen": gen,
+        }
+        # COMMIT POINT: cells + quantizer pointer + baseline flip in
+        # one atomic manifest rename
         table_log.commit_snapshot(
             laid.drop("__d2"), f"{path}/cells_log", mode="overwrite",
-            extra_meta={"ann_centroids": cent_rel},
+            extra_meta=_ann_carry(meta),
         )
     else:
-        laid.drop("__d2").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(f"{path}/cells")
-        spark.catalog.refreshByPath(f"{path}/cells")
-    jvm, hp, fs = _ann_fs(spark, path)
-    fs.delete(hp(f"{path}/_drift"), True)  # journal resets with the baseline
-    meta["centroids_rel"] = cent_rel
-    meta["drift_baseline"] = {"mean_d2": mean_d2, "n": n}
-    meta["rebalance_gen"] = gen
-    _write_ann_meta(spark, path, meta)
+        # new cells land in a FRESH generation dir — the live index is
+        # untouched until the overlay below commits the flip
+        n, mean_d2 = _observed_cell_write(
+            laid, f"{path}/{cells_rel_new}", "errorifexists"
+        )
+        meta = {
+            **meta,
+            "centroids_rel": cent_rel,
+            "cells_rel": cells_rel_new,
+            "drift_baseline": {"mean_d2": mean_d2, "n": n},
+            "rebalance_gen": gen,
+        }
+        # COMMIT POINT: one tiny overlay file, written only after both
+        # generation dirs are complete; read_ann_meta honors it only
+        # if it parses and the dirs exist
+        _write_ann_gen_overlay(spark, path, gen, meta)
+        spark.catalog.refreshByPath(f"{path}/{cells_rel_new}")
+    # past the commit point: journal + sidecar refresh are cleanup
+    # (a crash here leaves stale journal entries, filtered out by
+    # their gen tag, and a stale sidecar, overridden by resolution)
+    fs.delete(hp(f"{path}/_drift"), True)
+    if meta.get("transactional"):
+        _write_ann_meta(spark, path, meta)
     return {
         "path": path,
         "n_vectors": n,
@@ -1155,7 +1371,7 @@ def rebalance_ann_index(
 
 
 def vacuum_ann_index(spark, path: str) -> list[str]:
-    """Drop centroid GENERATION dirs the index can no longer serve.
+    """Drop GENERATION artifacts the index can no longer serve.
     Rebalances accumulate ``centroids_g<gen>`` dirs deliberately —
     they are the time-travel data (:func:`probe_ann_index` pairs a
     version's cells with the generation its manifest names). This is
@@ -1164,17 +1380,19 @@ def vacuum_ann_index(spark, path: str) -> list[str]:
     ``table_log.vacuum`` on the cells_log first — the generations its
     pruned versions named become droppable here), plus the sidecar's
     current pointer; on a plain dir there is no version history, so
-    everything but the current pointer drops. Returns deleted paths.
-    Same single-maintainer contract as the other maintenance verbs."""
-    import re
-
-    meta = read_ann_meta(spark, path)
+    everything but the current generation drops — the previous
+    generation's ``cells``/``cells_g*`` dir, superseded or crashed
+    ``_ann_gen_*.json`` overlays, and orphan dirs a crashed rebalance
+    left behind. Returns deleted paths. Same single-maintainer
+    contract as the other maintenance verbs."""
+    meta = read_ann_meta(spark, path)  # generation-resolved
     if meta.get("kind") == "rp_lsh":
         raise ValueError(
             f"{path} is an rp_lsh index (no centroids) — nothing to "
             "vacuum here; vacuum its cells_log with the table tooling."
         )
     live = {meta.get("centroids_rel", "centroids")}
+    cur_gen = int(meta.get("rebalance_gen", 0))
     if meta.get("transactional"):
         from etl_property_rumah123_spark.sinks import table_log
 
@@ -1185,14 +1403,27 @@ def vacuum_ann_index(spark, path: str) -> list[str]:
                     "ann_centroids", "centroids"
                 )
             )
+    else:
+        live.add(_cells_rel(meta))
+        live.add(f"_ann_gen_{cur_gen}.json")
     jvm, hp, fs = _ann_fs(spark, path)
     deleted: list[str] = []
     for st in fs.listStatus(hp(path)):
         name = st.getPath().getName()
-        if name == "centroids" or re.fullmatch(r"centroids_g\d+", name):
-            if name not in live:
-                fs.delete(st.getPath(), True)
-                deleted.append(f"{path}/{name}")
+        dead_dir = (
+            name == "centroids"
+            or re.fullmatch(r"centroids_g\d+", name)
+            or (
+                not meta.get("transactional")
+                and (name == "cells" or re.fullmatch(r"cells_g\d+", name))
+            )
+        )
+        dead_overlay = (
+            not meta.get("transactional") and _ANN_GEN_RE.match(name)
+        )
+        if (dead_dir or dead_overlay) and name not in live:
+            fs.delete(st.getPath(), True)
+            deleted.append(f"{path}/{name}")
     return deleted
 
 
@@ -1269,10 +1500,10 @@ def probe_ann_index(
             )
         # a probe before any append in the same session must not see a
         # stale (or negatively-cached) listing — same LSH-index trap
-        spark.catalog.refreshByPath(f"{path}/cells")
-        cells_raw = spark.read.parquet(f"{path}/cells").filter(
-            F.col("cell").isin(probed_cells)
-        )
+        spark.catalog.refreshByPath(f"{path}/{_cells_rel(meta)}")
+        cells_raw = spark.read.parquet(
+            f"{path}/{_cells_rel(meta)}"
+        ).filter(F.col("cell").isin(probed_cells))
     cells = cells_raw.select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "cell"
     )
@@ -1524,10 +1755,8 @@ def compact_ann_index(
         version = table_log.commit_snapshot(
             compacted, log_path, mode="overwrite",
             # content-identical rewrite: the cells keep the centroid
-            # generation they were assigned against
-            extra_meta={
-                "ann_centroids": meta.get("centroids_rel", "centroids")
-            },
+            # generation (and gen/baseline) they were assigned against
+            extra_meta=_ann_carry(meta),
         )
         after = table_log.read_snapshot(spark, log_path)
         return {
@@ -1538,7 +1767,7 @@ def compact_ann_index(
             "files_after": len(after.inputFiles()),
             "version": version,
         }
-    cells_path = f"{path}/cells"
+    cells_path = f"{path}/{_cells_rel(meta)}"
     _jvm, hp, fs = _ann_fs(spark, path)
     spark.catalog.refreshByPath(cells_path)
     idx = spark.read.parquet(cells_path)
