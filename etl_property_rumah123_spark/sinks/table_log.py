@@ -335,6 +335,11 @@ def _carry_bloom(prev: dict | None) -> dict:
     w = (prev or {}).get("write_order") or []
     if w:
         out["write_order"] = w
+    if (prev or {}).get("count_matched"):
+        # declared-once metadata-COUNT guarantee: every eq-delete
+        # shape on this table records per-file matched counts so
+        # count_snapshot never falls back to a scan (VERDICT r12 #3)
+        out["count_matched"] = True
     return out
 
 
@@ -1211,7 +1216,7 @@ def merge_snapshot_mor(
     max_retries: int = 10,
     extra_meta: dict | None = None,
     eq: bool = False,
-    count_matched: bool = False,
+    count_matched: bool | None = None,
 ) -> int:
     """MERGE-ON-READ upsert: the DV composition of
     :func:`merge_snapshot`. Old versions of matched keys are marked
@@ -1236,10 +1241,12 @@ def merge_snapshot_mor(
       ``count_matched=True`` additionally records the entry's
       per-file suppressed-row counts (one key-column job over the
       scoped files — see :func:`_eq_matched_by_file`), keeping
-      ``count_snapshot`` metadata-only; it is OFF by default here
-      because this path's design point is the zero-read streaming
-      upsert (the takedown path :func:`delete_snapshot_eq` defaults
-      it ON).
+      ``count_snapshot`` metadata-only; ``None`` (the default)
+      inherits the table's ``count_matched`` PROPERTY (declared once
+      via :func:`commit_snapshot`), and an undeclared table keeps the
+      OFF default here because this path's design point is the
+      zero-read streaming upsert (the takedown path
+      :func:`delete_snapshot_eq` defaults it ON).
 
     The streaming-sink batch-id stamp rides in ``extra_meta`` exactly
     as in the CoW form. First commit degenerates to append."""
@@ -1280,7 +1287,12 @@ def merge_snapshot_mor(
                 "n": n_marked,
                 "scope": [_dv_rel_key(r) for r in prev["files"]],
             }
-            if count_matched:
+            cm = bool(
+                count_matched
+                if count_matched is not None
+                else prev.get("count_matched", False)
+            )
+            if cm:
                 eq_entry["matched"] = _eq_matched_by_file(
                     spark, table_path, prev, key, key_files
                 )
@@ -1616,6 +1628,7 @@ def commit_snapshot(
     bloom_cols: dict | list | None = None,
     constraints: dict | None = None,
     write_order: list | None = None,
+    count_matched: bool | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -1658,7 +1671,16 @@ def commit_snapshot(
     these columns before writing (one shuffle per write — see
     :func:`_with_write_order`), so per-file min/max stats stay tight
     and the manifest pruner skips files on these keys WITHOUT waiting
-    for a z-order compaction. Inherits like the other properties."""
+    for a z-order compaction. Inherits like the other properties.
+
+    ``count_matched=True`` declares the METADATA-COUNT property: every
+    equality-delete shape on this table (``delete_snapshot_eq`` AND
+    the MoR eq merge, which defaults the per-commit flag OFF as its
+    zero-read design point) records per-file matched live-row counts,
+    so ``count_snapshot`` stays job-free no matter who writes —
+    a table mixing eq-merge streams with COUNT(*) dashboards declares
+    the trade ONCE instead of relying on every merge call site to
+    remember the opt-in. ``False`` clears it; ``None`` inherits."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -1684,6 +1706,11 @@ def commit_snapshot(
             write_order
             if write_order is not None
             else (prev0 or {}).get("write_order") or []
+        )
+        cm = bool(
+            count_matched
+            if count_matched is not None
+            else (prev0 or {}).get("count_matched", False)
         )
         # schema evolution × properties: fail loud BEFORE any write if
         # an inherited property references a column this batch drops
@@ -1735,6 +1762,7 @@ def commit_snapshot(
             **({"bloom_cols": bloom} if bloom else {}),
             **({"constraints": checks} if checks else {}),
             **({"write_order": order} if order else {}),
+            **({"count_matched": True} if cm else {}),
             **(
                 {
                     "dvs": dvs,

@@ -2342,11 +2342,13 @@ def test_table_log_schema_evolution_fuzz_matches_model(spark, tmp_path):
                     constraints={"nonneg": f"{props_col} >= 0"},
                     write_order=[props_col],
                     bloom_cols={props_col: 64},
+                    count_matched=True,  # round 13: joins the family
                 )
             else:
                 table_log.commit_snapshot(
                     mkdf(rows), t, mode="append",
                     constraints={}, write_order=[], bloom_cols={},
+                    count_matched=False,
                 )
                 props_col = None
         elif op == "append":
@@ -2360,7 +2362,13 @@ def test_table_log_schema_evolution_fuzz_matches_model(spark, tmp_path):
             if op == "cow_merge":
                 table_log.merge_snapshot(mkdf(rows), t, key="k")
             else:
-                table_log.merge_snapshot_mor(mkdf(rows), t, key="k")
+                # eq=True sometimes: with the count_matched PROPERTY
+                # declared the entry records matched counts (metadata
+                # count), without it the documented scan fallback —
+                # the count invariant below must hold either way
+                table_log.merge_snapshot_mor(
+                    mkdf(rows), t, key="k", eq=rng.random() < 0.4
+                )
         elif op == "dv_delete":
             m_, r_ = rng.randint(2, 5), 0
             r_ = rng.randint(0, m_ - 1)
@@ -4706,3 +4714,78 @@ def test_optimize_dv_retirement_dedups_positions(spark, tmp_path):
     assert m2["dv_rows"] == 10
     assert table_log.count_snapshot(spark, t) == live
     assert table_log.read_snapshot(spark, t).count() == live
+
+
+def test_count_matched_table_property(spark, tmp_path, monkeypatch):
+    """ROUND 13 (VERDICT #3): ``count_matched`` as a DECLARED-ONCE
+    table property. The MoR eq merge defaults per-commit counting OFF
+    (its zero-read streaming design point), so a table mixing eq-merge
+    streams with COUNT(*) dashboards silently degraded to the scan
+    fallback unless every merge call site remembered the opt-in.
+    Declared like bloom_cols, the property makes EVERY eq-merge record
+    per-file matched counts: metadata COUNT stays job-free across an
+    eq-merge stream, survives rewrites via the property carry, and
+    clears explicitly."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        )
+
+    def boom(*a, **kw):
+        raise AssertionError("count_snapshot scanned data")
+
+    # WITHOUT the property: an eq merge stream degrades COUNT to a scan
+    t0 = str(tmp_path / "cm_off")
+    table_log.commit_snapshot(mk(0, 100), t0)
+    table_log.merge_snapshot_mor(mk(50, 60), t0, key="k", eq=True)
+    with monkeypatch.context() as mp:
+        mp.setattr(table_log, "read_snapshot", boom)
+        with pytest.raises(AssertionError, match="scanned data"):
+            table_log.count_snapshot(spark, t0)
+    assert table_log.count_snapshot(spark, t0) == 100  # fallback correct
+
+    # WITH the property: the same stream stays metadata-only
+    t = str(tmp_path / "cm_on")
+    table_log.commit_snapshot(mk(0, 100), t, count_matched=True)
+    assert table_log._manifest(spark, t, 0)["count_matched"] is True
+    for lo in (50, 70, 150):  # an eq-merge "stream": upserts + inserts
+        table_log.merge_snapshot_mor(mk(lo, lo + 10), t, key="k", eq=True)
+    with monkeypatch.context() as mp:
+        mp.setattr(table_log, "read_snapshot", boom)
+        assert table_log.count_snapshot(spark, t) == 110
+    assert table_log.read_snapshot(spark, t).count() == 110
+
+    # the property carries through every rewrite/maintenance path
+    table_log.delete_snapshot_dv(spark, t, "k = 1")
+    table_log.compact_snapshot(spark, t, target_files=2)
+    vs = table_log._list_versions(spark, t)
+    assert table_log._manifest(spark, t, vs[-1])["count_matched"] is True
+    table_log.merge_snapshot_mor(mk(60, 65), t, key="k", eq=True)
+    with monkeypatch.context() as mp:
+        mp.setattr(table_log, "read_snapshot", boom)
+        assert table_log.count_snapshot(spark, t) == 109
+
+    # per-call override still wins over the property
+    table_log.merge_snapshot_mor(
+        mk(60, 62), t, key="k", eq=True, count_matched=False
+    )
+    assert table_log.count_snapshot(spark, t) == 109  # scan fallback path
+    table_log.compact_snapshot(spark, t, target_files=2)  # clear debt
+
+    # explicit clear: later eq merges degrade again (and say so by
+    # taking the fallback), None inherits the cleared state
+    table_log.commit_snapshot(
+        mk(500, 501), t, mode="append", count_matched=False
+    )
+    vs = table_log._list_versions(spark, t)
+    assert "count_matched" not in table_log._manifest(spark, t, vs[-1])
+    table_log.merge_snapshot_mor(mk(70, 72), t, key="k", eq=True)
+    with monkeypatch.context() as mp:
+        mp.setattr(table_log, "read_snapshot", boom)
+        with pytest.raises(AssertionError, match="scanned data"):
+            table_log.count_snapshot(spark, t)
+    assert table_log.count_snapshot(spark, t) == 110
