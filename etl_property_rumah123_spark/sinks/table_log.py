@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 import warnings
 
@@ -2321,6 +2322,11 @@ def stage_snapshot(
     name = name or uuid.uuid4().hex[:12]
     if "/" in name or name.startswith("."):
         raise ValueError(f"invalid stage name {name!r}")
+    if _PUB_LEDGER_RE.match(f"{name}.json"):
+        raise ValueError(
+            f"invalid stage name {name!r}: the published_ledger_<n> "
+            "namespace is reserved for vacuum's tombstone ledgers"
+        )
     if _read_published_tombstone(spark, table_path, name) is not None:
         raise ValueError(
             f"stage name {name!r} at {table_path} was already published "
@@ -2406,6 +2412,30 @@ def _published_tombstone_path(table_path: str, name: str) -> str:
     return f"{table_path}/_log/published/{name}.json"
 
 
+#: folded publish-tombstone ledgers (see :func:`vacuum`): generation-
+#: numbered so a fold NEVER overwrites a live refusal record — the new
+#: ledger is created complete, THEN the folded per-name files and older
+#: ledgers drop; a crash at any point leaves every name findable.
+_PUB_LEDGER_RE = re.compile(r"^published_ledger_(\d+)\.json$")
+
+
+def _list_pub_ledgers(spark: SparkSession, table_path: str) -> list[int]:
+    jvm, fs = _fs(spark, table_path)
+    d = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_log/published")
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        m = _PUB_LEDGER_RE.match(st.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _pub_ledger_path(table_path: str, gen: int) -> str:
+    return f"{table_path}/_log/published/published_ledger_{gen}.json"
+
+
 def _read_published_tombstone(
     spark: SparkSession, table_path: str, name: str
 ) -> dict | None:
@@ -2413,11 +2443,79 @@ def _read_published_tombstone(
     p = jvm.org.apache.hadoop.fs.Path(
         _published_tombstone_path(table_path, name)
     )
-    if not fs.exists(p):
-        return None
-    return json.loads(_read_file(
-        spark, _published_tombstone_path(table_path, name)
-    ).decode())
+    if fs.exists(p):
+        return json.loads(_read_file(
+            spark, _published_tombstone_path(table_path, name)
+        ).decode())
+    # folded into a ledger by vacuum? newest ledger is a superset of
+    # older ones, but a crashed fold may have left several — check all
+    for gen in reversed(_list_pub_ledgers(spark, table_path)):
+        try:
+            ledger = json.loads(_read_file(
+                spark, _pub_ledger_path(table_path, gen)
+            ).decode())
+        except ValueError:
+            continue  # partial write from a crashed fold: unreadable,
+            # but the files it would have folded still exist
+        rec = ledger.get("records", {}).get(name)
+        if rec is not None:
+            return rec
+    return None
+
+
+def _fold_published_tombstones(
+    spark: SparkSession, table_path: str, dry_run: bool
+) -> list[str]:
+    """VACUUM's retention hook for publish tombstones: per-name
+    ``_log/published/<name>.json`` files accumulate one FS object per
+    published stage forever (the ~100 B each IS the durability). Fold
+    them into ONE generation-numbered ledger file preserving the
+    replay-refusal guarantee: the new ledger (union of every older
+    ledger and every per-name record) is created COMPLETE first, and
+    only then do the folded files and superseded ledgers drop — a
+    crash at any point leaves each name discoverable via either its
+    own file or a surviving ledger. Returns deleted paths."""
+    jvm, fs = _fs(spark, table_path)
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    pub_dir = hadoop_path(f"{table_path}/_log/published")
+    if not fs.exists(pub_dir):
+        return []
+    per_name: list[str] = []
+    for st in fs.listStatus(pub_dir):
+        n = st.getPath().getName()
+        if n.endswith(".json") and not _PUB_LEDGER_RE.match(n):
+            per_name.append(n)
+    ledgers = _list_pub_ledgers(spark, table_path)
+    if not per_name and len(ledgers) <= 1:
+        return []  # nothing to fold
+    records: dict = {}
+    for gen in ledgers:  # older first; newer records win (identical)
+        try:
+            ledger = json.loads(_read_file(
+                spark, _pub_ledger_path(table_path, gen)
+            ).decode())
+        except ValueError:
+            continue
+        records.update(ledger.get("records", {}))
+    for n in per_name:
+        rec = json.loads(_read_file(
+            spark, f"{table_path}/_log/published/{n}"
+        ).decode())
+        records[n[: -len(".json")]] = rec
+    deleted = [
+        f"{table_path}/_log/published/{n}" for n in per_name
+    ] + [_pub_ledger_path(table_path, g) for g in ledgers]
+    if dry_run:
+        return deleted
+    new_gen = (ledgers[-1] + 1) if ledgers else 0
+    _write_file(
+        spark,
+        _pub_ledger_path(table_path, new_gen),
+        json.dumps({"records": records}, sort_keys=True).encode(),
+    )
+    for p in deleted:
+        fs.delete(hadoop_path(p), False)
+    return deleted
 
 
 def publish_staged(
@@ -2435,9 +2533,11 @@ def publish_staged(
     vacuumed away AND the staged files compacted/optimized out of the
     current manifest — where both in-log detections (staged_name scan,
     file-subset check) go blind and a marker-only protocol would
-    re-append the batch, duplicating every row. Tombstones are ~100
-    bytes, kept forever (that IS the durability), and make a publish's
-    stage name permanently non-reusable."""
+    re-append the batch, duplicating every row. Tombstone RECORDS are
+    kept forever (that IS the durability) and make a publish's stage
+    name permanently non-reusable; :func:`vacuum` folds the per-name
+    files into one ledger object so a table cycling millions of stages
+    doesn't accumulate millions of FS objects."""
     staged = _staged_manifest(spark, table_path, name)
     new_files = staged["new_files"]
     jvm, fs = _fs(spark, table_path)
@@ -2615,6 +2715,7 @@ def vacuum(
         m = _manifest(spark, table_path, v)
         live_files.update(m["files"])
         live_files.update(m.get("dvs", []))  # DV parquet is live data
+        live_files.update(m.get("merge_keys", []))  # CDF fast-path keys
         for entry in m.get("eq_dvs", []):
             live_files.update(entry["files"])
     # pending WRITE-AUDIT-PUBLISH stages: their files are invisible to
@@ -2654,6 +2755,10 @@ def vacuum(
                 if not dry_run:
                     fs.delete(status.getPath(), True)
                 deleted.append(f"{table_path}/data/{name}")
+    # publish-tombstone retention: fold per-name refusal records into
+    # one ledger file (names stay permanently retired — the fold only
+    # collapses one-FS-object-per-published-stage into one object)
+    deleted.extend(_fold_published_tombstones(spark, table_path, dry_run))
     return deleted
 
 
@@ -2774,6 +2879,16 @@ def merge_snapshot(
             ),
         )
         _check_constraints(spark, table_path, checks, obs, new_files)
+        # persist the batch KEY SET (tiny — O(batch keys), the same
+        # artifact the eq-delete shape writes): it lets read_changes
+        # diff a merge step by narrowing both sides to key-matched
+        # rows before exceptAll — bit-identical output, but the diff
+        # shuffles O(batch + matched) rows instead of O(rewritten
+        # bytes). distinct() includes a NULL key if the batch has one
+        # (the CDF's null-safe semi join needs it).
+        merge_key_files, _ = _write_commit_dir_observed(
+            df.select(key).distinct(), table_path, f"data/c{token}k", None
+        )
         kept = [rel for rel in prev["files"] if rel not in set(touched_rel)]
         prev_stats = prev.get("stats", {})
         stats = {
@@ -2785,6 +2900,8 @@ def merge_snapshot(
             "version": version,
             "operation": "merge",
             **_carry_bloom(prev),
+            "merge_key": key,
+            "merge_keys": merge_key_files,
             "files": files,
             "n_files": len(files),
             "n_rewritten_files": len(touched_rel),
@@ -3518,6 +3635,43 @@ def read_changes(
                     else out.unionByName(step, allowMissingColumns=True)
                 )
                 continue
+            if (
+                m.get("operation") == "merge"
+                and m.get("merge_keys")
+                and m.get("merge_key")
+                and new_rows is not None
+                and old_rows is not None
+            ):
+                # CoW MERGE fast path: the commit persisted its batch
+                # key set, and carry rows (key not in the batch) are
+                # BY CONSTRUCTION identical multisets on both sides —
+                # they can only cancel in exceptAll. Narrowing both
+                # sides to key-matched rows first is therefore
+                # bit-identical output, while the diff shuffles
+                # O(batch + matched) rows instead of O(rewritten
+                # bytes): the semi joins push to the scans (bloom /
+                # min-max prune on the merge key), and only the
+                # changed keys' rows reach the exceptAll exchange.
+                # eqNullSafe keeps a NULL-key batch row diffable (the
+                # key file retains NULL; NULL-key carry rows match it
+                # on both sides and cancel as usual).
+                from etl_property_rumah123_spark.operators.common import (
+                    gated_broadcast,
+                )
+
+                mk = m["merge_key"]
+                k_df = gated_broadcast(
+                    spark.read.parquet(
+                        *[f"{table_path}/{r}" for r in m["merge_keys"]]
+                    ),
+                    what="CDF merge key set",
+                )
+                new_rows = new_rows.join(
+                    k_df, new_rows[mk].eqNullSafe(k_df[mk]), "left_semi"
+                )
+                old_rows = old_rows.join(
+                    k_df, old_rows[mk].eqNullSafe(k_df[mk]), "left_semi"
+                )
             if new_rows is not None and old_rows is not None:
                 new_rows, old_rows = aligned(new_rows, old_rows)
             parts = []

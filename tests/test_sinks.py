@@ -4789,3 +4789,169 @@ def test_count_matched_table_property(spark, tmp_path, monkeypatch):
         with pytest.raises(AssertionError, match="scanned data"):
             table_log.count_snapshot(spark, t)
     assert table_log.count_snapshot(spark, t) == 110
+
+
+def test_publish_tombstone_ledger_fold(spark, tmp_path):
+    """ROUND 13 (VERDICT #6): publish tombstones are the durable
+    replay-refusal records — but one FS object per published stage
+    accumulates forever. vacuum folds them into ONE generation-numbered
+    ledger: per-name files drop, every folded name still refuses reuse
+    AND still replays to its published version, later publishes fold
+    into the next generation, and a crashed fold (partial ledger file)
+    never loses a record."""
+    import json as _json
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "tomb_ledger")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(0, "z")], "k long, v string"), t
+    )
+    published = {}
+    for i in range(3):
+        name = f"s{i}"
+        table_log.stage_snapshot(
+            spark.createDataFrame([(10 + i, "a")], "k long, v string"),
+            t, name=name,
+        )
+        published[name] = table_log.publish_staged(spark, t, name)
+    jvm, fs = table_log._fs(spark, t)
+    hp = jvm.org.apache.hadoop.fs.Path
+
+    def per_name_files():
+        return sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(hp(f"{t}/_log/published"))
+            if not table_log._PUB_LEDGER_RE.match(st.getPath().getName())
+        )
+
+    assert per_name_files() == ["s0.json", "s1.json", "s2.json"]
+    dropped = table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    assert f"{t}/_log/published/s1.json" in dropped
+    assert per_name_files() == []
+    assert table_log._list_pub_ledgers(spark, t) == [0]
+    # folded names: still permanently retired, still replayable
+    import pytest as _pytest
+    for name, v in published.items():
+        with _pytest.raises(ValueError, match="already published"):
+            table_log.stage_snapshot(
+                spark.createDataFrame([(99, "x")], "k long, v string"),
+                t, name=name,
+            )
+        assert table_log._read_published_tombstone(
+            spark, t, name)["version"] == v
+    # a later publish + vacuum folds ledger + new names into gen 1
+    table_log.stage_snapshot(
+        spark.createDataFrame([(50, "b")], "k long, v string"),
+        t, name="s3",
+    )
+    v3 = table_log.publish_staged(spark, t, "s3")
+    table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    assert per_name_files() == []
+    assert table_log._list_pub_ledgers(spark, t) == [1]
+    for name in list(published) + ["s3"]:
+        with _pytest.raises(ValueError, match="already published"):
+            table_log.stage_snapshot(
+                spark.createDataFrame([(99, "x")], "k long, v string"),
+                t, name=name,
+            )
+    # replay THROUGH the ledger: restore the marker, publish again —
+    # the ledger record must answer with the original version
+    staged_like = table_log._read_published_tombstone(spark, t, "s3")
+    table_log._write_file(
+        spark, f"{t}/_log/staged/s3.json",
+        _json.dumps({
+            "name": "s3", "new_files": staged_like["new_files"],
+            "schema": None, "stats": {},
+        }).encode(),
+    )
+    assert table_log.publish_staged(spark, t, "s3") == v3
+    # crashed fold: a PARTIAL higher-gen ledger appears while the
+    # current ledger survives (fold deletes sources only after the new
+    # ledger is complete) — every record must stay discoverable
+    out = fs.create(hp(table_log._pub_ledger_path(t, 2)), True)
+    out.write(b'{"records": {"s0"')
+    out.close()
+    assert table_log._read_published_tombstone(
+        spark, t, "s0")["version"] == published["s0"]
+    # and the NEXT fold repairs: reads what parses, folds to gen 3
+    table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    assert table_log._list_pub_ledgers(spark, t) == [3]
+    for name in list(published) + ["s3"]:
+        assert table_log._read_published_tombstone(spark, t, name)
+    # the ledger namespace is reserved
+    with _pytest.raises(ValueError, match="reserved"):
+        table_log.stage_snapshot(
+            spark.createDataFrame([(1, "x")], "k long, v string"),
+            t, name="published_ledger_7",
+        )
+
+
+def test_read_changes_merge_fast_path_matches_generic_diff(
+    spark, tmp_path
+):
+    """ROUND 13 (VERDICT #4): the CoW merge persists its batch key set
+    so the change feed can narrow both diff sides to key-matched rows
+    before exceptAll — carry rows are identical multisets on both
+    sides by construction, so the narrowed diff is BIT-IDENTICAL to
+    the full one while shuffling O(batch + matched) instead of
+    O(rewritten bytes). Pinned by running the same span through the
+    fast path and (merge_keys stripped from the manifest) the generic
+    path, including NULL batch keys and same-content upserts."""
+    import json as _json
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "cdf_merge_fast")
+    table_log.commit_snapshot(
+        spark.createDataFrame(
+            [(k, f"v{k}", k * 10) for k in range(200)],
+            "k long, v string, x long",
+        ).coalesce(4),
+        t,
+    )
+    # the merge batch: updates (2 changed, 1 same-content no-op
+    # upsert), fresh inserts, and a NULL-key row
+    batch = spark.createDataFrame(
+        [
+            (5, "UP5", 50_000),
+            (7, "UP7", 70_000),
+            (9, "v9", 90),          # same content as the stored row
+            (500, "new", 1),
+            (None, "nullkey", 2),
+        ],
+        "k long, v string, x long",
+    )
+    table_log.merge_snapshot(batch, t, key="k")
+    vs = table_log._list_versions(spark, t)
+    m = table_log._manifest(spark, t, vs[-1])
+    assert m["merge_key"] == "k" and m["merge_keys"]
+
+    def feed():
+        rows = [
+            (r["k"], r["v"], r["x"], r["_change_type"])
+            for r in table_log.read_changes(spark, t, 0).collect()
+        ]
+        return sorted(rows, key=lambda x: (x[0] is None, x))
+
+    fast = feed()
+    # strip the key files from the manifest -> generic exceptAll path
+    m_path = f"{t}/_log/v{vs[-1]}.json"
+    stripped = {
+        k: v for k, v in m.items() if k not in ("merge_keys",)
+    }
+    table_log._write_file(
+        spark, m_path, _json.dumps(stripped).encode()
+    )
+    generic = feed()
+    assert fast == generic
+    # spot semantics: changed keys emit pairs, the same-content upsert
+    # emits nothing, the null-key row and fresh key are pure inserts
+    by_key = {}
+    for k, v, x, ct in fast:
+        by_key.setdefault(k, []).append(ct)
+    assert sorted(by_key[5]) == ["delete", "insert"]
+    assert sorted(by_key[7]) == ["delete", "insert"]
+    assert 9 not in by_key
+    assert by_key[500] == ["insert"]
+    assert by_key[None] == ["insert"]
