@@ -63,11 +63,14 @@ def sf_of(path: str) -> float:
 # Box-load stamp: same-code rounds have shown 15-30% per-query swings
 # (r6 vs r7 on byte-identical trees). Recording 1/5/15-min loadavg in
 # the bench JSON lets any reader separate plan regressions from a busy
-# box without re-running. When the 1-min load is already high BEFORE
-# the bench starts, wait (bounded) for it to settle so the recorded
-# numbers start from a quiet baseline.
-LOAD_QUIET_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_QUIET", "4.0"))
-LOAD_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "120"))
+# box without re-running. When the load is already high BEFORE the
+# bench starts, wait (bounded) for it to settle so the recorded
+# numbers start from a quiet baseline. Round-13 A/B evidence
+# (BASELINE §Round 13): runs whose 1-min load looked quiet but whose
+# 5-min load was still decaying read up to +40% — gate on BOTH.
+LOAD_QUIET_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_QUIET", "1.5"))
+LOAD_QUIET_5M = float(os.environ.get("SPARK_GRAFT_LOAD_QUIET_5M", "2.5"))
+LOAD_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "180"))
 
 
 def loadavg() -> list[float]:
@@ -93,14 +96,18 @@ def other_jvms() -> int:
 
 
 def wait_for_quiet_box() -> list[float]:
-    """Poll until 1-min loadavg < threshold or the wait budget is spent.
+    """Poll until the 1-min AND 5-min loadavg are under their
+    thresholds or the wait budget is spent.
 
     Returns the loadavg observed at bench start (post-wait)."""
     deadline = time.monotonic() + LOAD_WAIT_SEC
     la = loadavg()
-    while la[0] >= LOAD_QUIET_THRESHOLD and time.monotonic() < deadline:
+    while (
+        la[0] >= LOAD_QUIET_THRESHOLD or la[1] >= LOAD_QUIET_5M
+    ) and time.monotonic() < deadline:
         print(
-            f"bench: 1-min load {la[0]} >= {LOAD_QUIET_THRESHOLD}, "
+            f"bench: load {la[0]}/{la[1]} (1m/5m) >= "
+            f"{LOAD_QUIET_THRESHOLD}/{LOAD_QUIET_5M}, "
             "waiting for quiet box...",
             file=sys.stderr,
         )

@@ -21,6 +21,7 @@ across runs and engines.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 from pyspark.sql import DataFrame, Window
@@ -361,6 +362,15 @@ def _hash_sample_rows(
     return [(i, r["sid"], [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
 
 
+#: past this many centroid-array ELEMENTS (n_lists × dim) the literal
+#: centroid array would bloat the plan (millions of literal nodes);
+#: the legacy crossJoin path takes over — row explosion and a window
+#: shuffle, but no plan-size cliff
+_ASSIGN_LITERAL_MAX_ELEMENTS = int(
+    os.environ.get("SPARK_GRAFT_ASSIGN_LITERAL_MAX", "262144")
+)
+
+
 def _assign_cells(
     df: DataFrame,
     cent_df: DataFrame,
@@ -370,14 +380,81 @@ def _assign_cells(
     id_col: str,
     keep_dist: bool = False,
 ) -> DataFrame:
-    """Nearest-cell assignment against a (broadcast) centroid table:
-    each vector gets its ``keep_n`` nearest cells by squared L2, ties
-    broken on the lower cell id. The distance is the shared
-    LEFT-TO-RIGHT fold so assignments are bit-identical across runs,
-    the persisted index, and the DuckDB oracle. Output columns:
-    (id_alias, __v, cell) — plus the assignment distance ``__d2``
-    when ``keep_dist`` (the drift signal the persisted-index writers
-    record)."""
+    """Nearest-cell assignment against the centroid table: each vector
+    gets its ``keep_n`` nearest cells by squared L2, ties broken on
+    the lower cell id. The distance is the shared LEFT-TO-RIGHT fold
+    so assignments are bit-identical across runs, the persisted index,
+    and the DuckDB oracle. Output columns: (id_alias, __v, cell) —
+    plus the assignment distance ``__d2`` when ``keep_dist`` (the
+    drift signal the persisted-index writers record).
+
+    SHUFFLE-FREE (round 13, found by tools/ann_drill.py): centroids
+    are index METADATA (n_lists entries — the probe path already
+    collects ids bounded by it), so they ride into the plan as an
+    array literal and every row computes its top-``keep_n`` cells in
+    ONE narrow projection — ``transform`` over the centroid array
+    (the same per-centroid fold expression, so d2 is bit-identical),
+    ``array_sort`` on (d2, cell) structs (same tie-break as the old
+    window), ``slice`` + explode. The previous shape — crossJoin to
+    n_lists× the corpus rows, then a Window.partitionBy(id) — shuffled
+    and sorted the EXPLODED corpus: ~25 GB at 2M×64 and terabytes at
+    the 200M decade; build time was super-linear (17.6×/decade) before
+    this change. A centroid set too large for a literal plan
+    (n_lists × dim > SPARK_GRAFT_ASSIGN_LITERAL_MAX) falls back to the
+    crossJoin shape."""
+    rows = sorted(cent_df.collect(), key=lambda r: r["cell"])
+    dim = len(rows[0]["centroid"]) if rows else 0
+    if rows and len(rows) * dim <= _ASSIGN_LITERAL_MAX_ELEMENTS:
+        cent_arr = F.array(*[
+            F.struct(
+                F.lit(int(r["cell"])).alias("cell"),
+                F.array(
+                    *[F.lit(float(x)) for x in r["centroid"]]
+                ).alias("c"),
+            )
+            for r in rows
+        ])
+        scored = F.array_sort(
+            F.transform(
+                cent_arr,
+                lambda ct: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__v"),
+                            ct["c"],
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    ct["cell"].alias("cell"),
+                ),
+            )
+        )
+        base = df.select(
+            F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v")
+        )
+        if keep_n == 1:
+            best = F.element_at(scored, 1)
+            out = base.withColumn("__best", best).select(
+                id_alias,
+                "__v",
+                F.col("__best")["cell"].alias("cell"),
+                F.col("__best")["d2"].alias("__d2"),
+            )
+        else:
+            out = base.withColumn(
+                "__top", F.explode(F.slice(scored, 1, keep_n))
+            ).select(
+                id_alias,
+                "__v",
+                F.col("__top")["cell"].alias("cell"),
+                F.col("__top")["d2"].alias("__d2"),
+            )
+        if keep_dist:
+            return out
+        return out.select(id_alias, F.col("__v"), "cell")
     d2 = F.aggregate(
         F.zip_with(
             F.col("__v"),
@@ -390,7 +467,7 @@ def _assign_cells(
     w = Window.partitionBy(id_alias).orderBy(F.col("d2").asc(), F.col("cell"))
     out = (
         df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"))
-        .crossJoin(cent_df)
+        .crossJoin(F.broadcast(cent_df))
         .withColumn("d2", d2)
         .withColumn("__cr", F.row_number().over(w))
         .filter(F.col("__cr") <= keep_n)
