@@ -364,11 +364,103 @@ def _hash_sample_rows(
 
 #: past this many centroid-array ELEMENTS (n_lists × dim) the literal
 #: centroid array would bloat the plan (millions of literal nodes);
-#: the legacy crossJoin path takes over — row explosion and a window
-#: shuffle, but no plan-size cliff
+#: the Arrow-batched argmin kernel takes over — same narrow shape,
+#: numpy matmul per batch instead of a plan-literal expression
 _ASSIGN_LITERAL_MAX_ELEMENTS = int(
     os.environ.get("SPARK_GRAFT_ASSIGN_LITERAL_MAX", "262144")
 )
+
+
+def _assign_cells_arrow(
+    df: DataFrame,
+    rows: list,
+    id_alias: str,
+    keep_n: int,
+    vec_col: str,
+    id_col: str,
+    keep_dist: bool,
+) -> DataFrame:
+    """Arrow-batched nearest-cell assignment — the PRODUCTION-SCALE
+    shape of :func:`_assign_cells`, used when the centroid set is too
+    large to ride into the plan as a literal (n_lists × dim above
+    ``SPARK_GRAFT_ASSIGN_LITERAL_MAX`` — e.g. the 100 TB design point
+    of n_lists 4096 × dim 768 = 3.1 M elements). Same NARROW topology
+    as the literal path: zero shuffles, each task scores its own rows
+    against the broadcast centroid matrix with one float64 GEMM per
+    Arrow batch (rank key ``|c|² − 2·v·c`` — the row-constant |v|²
+    cannot change the ordering and is added back only for the reported
+    ``__d2``). Ties still break to the LOWER cell id (centroids arrive
+    sorted by cell; argmin/stable argsort take the first minimum).
+
+    The one documented divergence from the literal path: BLAS matmul
+    sums products pairwise, not left-to-right, so a d2 tie that is
+    exact under the sequential fold can round differently here and a
+    NEAR-tie (< ~1e-12 relative) may flip which cell wins. That moves
+    a vector between two equidistant cells of the SAME index — probe
+    answers stay exact because probes score candidates with the shared
+    fold — and the path cut-over depends only on the centroid-set
+    size, so every assignment a given index ever performs (build,
+    append, probe, rebalance) takes the SAME path and the drift
+    baseline is compared like-for-like."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    cells_np = np.asarray([int(r["cell"]) for r in rows], dtype=np.int32)
+    cent_np = np.asarray(
+        [list(r["centroid"]) for r in rows], dtype=np.float64
+    )
+    c_norms = np.einsum("ij,ij->i", cent_np, cent_np)
+    # the centroid matrix can reach tens of MB (4096×768 f64 = 25 MB):
+    # torrent-broadcast once instead of pickling it into every task
+    bc = spark.sparkContext.broadcast((cells_np, cent_np, c_norms))
+    n_keep = min(keep_n, len(rows))
+
+    base = df.select(
+        F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v")
+    )
+    out_schema = T.StructType(
+        [
+            base.schema[id_alias],
+            base.schema["__v"],
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("__d2", T.DoubleType(), False),
+        ]
+    )
+
+    def assign(batches):
+        import numpy as np
+
+        cells_a, cent_a, cn = bc.value
+        cent_t = np.ascontiguousarray(cent_a.T)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v_mat = np.stack(pdf["__v"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            rank = cn[None, :] - 2.0 * (v_mat @ cent_t)
+            if n_keep == 1:
+                top = rank.argmin(axis=1)[:, None]
+            else:
+                # stable full argsort: equal rank keeps index order =
+                # ascending cell, the literal path's tie-break. Full
+                # sort is fine — keep_n > 1 is the PROBE path (query
+                # sets), never the corpus assignment.
+                top = np.argsort(rank, axis=1, kind="stable")[:, :n_keep]
+            v_norms = np.einsum("ij,ij->i", v_mat, v_mat)
+            d2 = np.take_along_axis(rank, top, axis=1) + v_norms[:, None]
+            np.maximum(d2, 0.0, out=d2)  # matmul rounding can dip < 0
+            rep = np.repeat(np.arange(len(pdf)), n_keep)
+            out = pdf.iloc[rep, :].reset_index(drop=True)
+            out["cell"] = cells_a[top.ravel()]
+            out["__d2"] = d2.ravel()
+            yield out
+
+    out = base.mapInPandas(assign, schema=out_schema)
+    if keep_dist:
+        return out
+    return out.select(id_alias, F.col("__v"), "cell")
 
 
 def _assign_cells(
@@ -400,11 +492,28 @@ def _assign_cells(
     and sorted the EXPLODED corpus: ~25 GB at 2M×64 and terabytes at
     the 200M decade; build time was super-linear (17.6×/decade) before
     this change. A centroid set too large for a literal plan
-    (n_lists × dim > SPARK_GRAFT_ASSIGN_LITERAL_MAX) falls back to the
-    crossJoin shape."""
+    (n_lists × dim > SPARK_GRAFT_ASSIGN_LITERAL_MAX) switches to
+    :func:`_assign_cells_arrow` — the same narrow zero-shuffle
+    topology with a float64 GEMM per Arrow batch instead of a
+    plan-literal expression (see its docstring for the one documented
+    tie-rounding divergence). ``SPARK_GRAFT_ASSIGN_SHAPE`` in
+    {auto, literal, arrow, crossjoin} forces a shape — for A/B drills
+    and as an escape hatch; crossjoin is the legacy shape kept only
+    for comparison."""
     rows = sorted(cent_df.collect(), key=lambda r: r["cell"])
     dim = len(rows[0]["centroid"]) if rows else 0
-    if rows and len(rows) * dim <= _ASSIGN_LITERAL_MAX_ELEMENTS:
+    shape = os.environ.get("SPARK_GRAFT_ASSIGN_SHAPE", "auto")
+    if shape == "auto":
+        shape = (
+            "literal"
+            if len(rows) * dim <= _ASSIGN_LITERAL_MAX_ELEMENTS
+            else "arrow"
+        )
+    if rows and shape == "arrow":
+        return _assign_cells_arrow(
+            df, rows, id_alias, keep_n, vec_col, id_col, keep_dist
+        )
+    if rows and shape == "literal":
         cent_arr = F.array(*[
             F.struct(
                 F.lit(int(r["cell"])).alias("cell"),

@@ -896,3 +896,123 @@ def test_rebalance_crash_safety_fully_old_or_fully_new(
     assert m2["ann_rebalance_gen"] == 1
     d = similarity.ann_index_drift(spark, tidx)
     assert d["rebalance_gen"] == 1 and d["ratio"] < 1.5
+
+
+def _assignment_set(df, keep_dist=False):
+    if keep_dist:
+        return {
+            (r[0], r["cell"], round(r["__d2"], 9)) for r in df.collect()
+        }
+    return {(r[0], r["cell"]) for r in df.collect()}
+
+
+def test_assign_cells_arrow_matches_literal(spark, clustered, monkeypatch):
+    """The Arrow GEMM shape (the above-literal-ceiling production
+    path) must produce the SAME assignments as the plan-literal shape
+    on non-degenerate data: same (id, cell) for the corpus pass
+    (keep_n=1), same ordered probe cells (keep_n=3), and __d2 within
+    float rounding of the sequential fold. Ties are the one documented
+    divergence; the clustered fixture has none."""
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [
+                (i, [float(x) for x in r["embedding"]])
+                for i, r in enumerate(
+                    clustered.filter(F.col("vec_id") % 40 == 7)
+                    .orderBy("vec_id")
+                    .collect()
+                )
+            ],
+            "cell int, centroid array<double>",
+        )
+    )
+    monkeypatch.setenv("SPARK_GRAFT_ASSIGN_SHAPE", "literal")
+    lit1 = similarity._assign_cells(
+        clustered, cent, "id", 1, "embedding", "vec_id", keep_dist=True
+    ).collect()
+    lit3 = similarity._assign_cells(
+        clustered, cent, "id", 3, "embedding", "vec_id", keep_dist=True
+    ).collect()
+    monkeypatch.setenv("SPARK_GRAFT_ASSIGN_SHAPE", "arrow")
+    arw1 = similarity._assign_cells(
+        clustered, cent, "id", 1, "embedding", "vec_id", keep_dist=True
+    ).collect()
+    arw3 = similarity._assign_cells(
+        clustered, cent, "id", 3, "embedding", "vec_id", keep_dist=True
+    ).collect()
+
+    def by_id(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["id"], []).append((r["__d2"], r["cell"]))
+        return {k: sorted(v) for k, v in out.items()}
+
+    l1, a1 = by_id(lit1), by_id(arw1)
+    assert set(l1) == set(a1) and len(lit1) == len(arw1)
+    for vid in l1:
+        for (ld, lc), (ad, ac) in zip(l1[vid], a1[vid]):
+            assert lc == ac
+            assert abs(ld - ad) <= 1e-9 * max(1.0, abs(ld))
+    l3, a3 = by_id(lit3), by_id(arw3)
+    assert set(l3) == set(a3)
+    for vid in l3:
+        assert [c for _, c in l3[vid]] == [c for _, c in a3[vid]]
+    # the arrow plan is NARROW: no exchange between scan and output
+    plan = similarity._assign_cells(
+        clustered, cent, "id", 1, "embedding", "vec_id"
+    )._sc._jvm.PythonSQLUtils.explainString(
+        similarity._assign_cells(
+            clustered, cent, "id", 1, "embedding", "vec_id"
+        )._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "Exchange" not in plan
+
+
+def test_ann_index_lifecycle_on_arrow_shape(
+    spark, clustered, tmp_path, monkeypatch
+):
+    """Build → append → probe → rebalance with the Arrow assignment
+    shape forced end-to-end: probe answers must match the
+    literal-shape index exactly (no ties in the fixture → identical
+    assignments → identical candidates → the shared exact-fold
+    rescoring returns identical rows), and recall holds."""
+    monkeypatch.setenv("SPARK_GRAFT_ASSIGN_SHAPE", "literal")
+    idx_lit = str(tmp_path / "idx_lit")
+    similarity.write_ann_index(
+        clustered.filter(F.col("vec_id") % 4 != 0), idx_lit, n_lists=8
+    )
+    similarity.append_ann_index(
+        clustered.filter(F.col("vec_id") % 4 == 0), idx_lit
+    )
+    q = clustered.filter(F.col("vec_id") % 40 == 3)
+    res_lit = {
+        tuple(r)
+        for r in similarity.probe_ann_index(q, idx_lit, k=5, n_probe=2).collect()
+    }
+
+    monkeypatch.setenv("SPARK_GRAFT_ASSIGN_SHAPE", "arrow")
+    idx_arw = str(tmp_path / "idx_arw")
+    info = similarity.write_ann_index(
+        clustered.filter(F.col("vec_id") % 4 != 0), idx_arw, n_lists=8
+    )
+    assert info["n_vectors"] == 240
+    out = similarity.append_ann_index(
+        clustered.filter(F.col("vec_id") % 4 == 0), idx_arw
+    )
+    assert out["n_appended"] == 80
+    res_arw = {
+        tuple(r)
+        for r in similarity.probe_ann_index(q, idx_arw, k=5, n_probe=2).collect()
+    }
+    assert res_arw == res_lit
+    truth = similarity.brute_force_topk(q, clustered, k=5)
+    assert recall(
+        similarity.probe_ann_index(q, idx_arw, k=5, n_probe=2), truth
+    ) >= 0.8
+    # rebalance runs its one full pass through the arrow shape too
+    reb = similarity.rebalance_ann_index(spark, idx_arw)
+    assert reb["n_vectors"] == 320
+    assert recall(
+        similarity.probe_ann_index(q, idx_arw, k=5, n_probe=2), truth
+    ) >= 0.8
