@@ -433,28 +433,48 @@ def _assign_cells_arrow(
 
         cells_a, cent_a, cn = bc.value
         cent_t = np.ascontiguousarray(cent_a.T)
+        # cap the per-chunk rank matrix at ~2^21 f64 (16 MB): the
+        # full-batch shape is batch × n_lists (655 MB at 10k × 8192)
+        # and its out-of-place subtract measured 40× slower than the
+        # GEMM itself on pure temporary-allocation memory traffic
+        chunk = max(1, (1 << 21) // max(1, len(cells_a)))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             v_mat = np.stack(pdf["__v"].to_numpy()).astype(
                 np.float64, copy=False
             )
-            rank = cn[None, :] - 2.0 * (v_mat @ cent_t)
-            if n_keep == 1:
-                top = rank.argmin(axis=1)[:, None]
-            else:
-                # stable full argsort: equal rank keeps index order =
-                # ascending cell, the literal path's tie-break. Full
-                # sort is fine — keep_n > 1 is the PROBE path (query
-                # sets), never the corpus assignment.
-                top = np.argsort(rank, axis=1, kind="stable")[:, :n_keep]
-            v_norms = np.einsum("ij,ij->i", v_mat, v_mat)
-            d2 = np.take_along_axis(rank, top, axis=1) + v_norms[:, None]
+            b = len(pdf)
+            top = np.empty((b, n_keep), dtype=np.int64)
+            d2 = np.empty((b, n_keep), dtype=np.float64)
+            for s in range(0, b, chunk):
+                v = v_mat[s : s + chunk]
+                g = v @ cent_t
+                g *= -2.0
+                g += cn[None, :]  # rank key |c|² − 2·v·c, in place
+                if n_keep == 1:
+                    t = g.argmin(axis=1)[:, None]
+                else:
+                    # stable argsort: equal rank keeps index order =
+                    # ascending cell, the literal path's tie-break.
+                    # Full sort is fine — keep_n > 1 is the PROBE path
+                    # (query sets), never the corpus assignment.
+                    t = np.argsort(g, axis=1, kind="stable")[:, :n_keep]
+                top[s : s + chunk] = t
+                v_norms = np.einsum("ij,ij->i", v, v)
+                d2[s : s + chunk] = (
+                    np.take_along_axis(g, t, axis=1) + v_norms[:, None]
+                )
             np.maximum(d2, 0.0, out=d2)  # matmul rounding can dip < 0
-            rep = np.repeat(np.arange(len(pdf)), n_keep)
-            out = pdf.iloc[rep, :].reset_index(drop=True)
-            out["cell"] = cells_a[top.ravel()]
-            out["__d2"] = d2.ravel()
+            if n_keep == 1:
+                out = pdf.assign(
+                    cell=cells_a[top.ravel()], __d2=d2.ravel()
+                )
+            else:
+                rep = np.repeat(np.arange(b), n_keep)
+                out = pdf.iloc[rep, :].reset_index(drop=True)
+                out["cell"] = cells_a[top.ravel()]
+                out["__d2"] = d2.ravel()
             yield out
 
     out = base.mapInPandas(assign, schema=out_schema)
@@ -1468,7 +1488,8 @@ def rebalance_ann_index(
             "rebalance; rebuild with write_rp_index if bucket skew "
             "is the problem."
         )
-    before = ann_index_drift(spark, path)["appended_mean_d2"]
+    drift = ann_index_drift(spark, path)
+    before = drift["appended_mean_d2"]
     gen = int(meta.get("rebalance_gen", 0)) + 1
     n_lists = meta["n_lists"]
     if meta.get("transactional"):
@@ -1478,7 +1499,27 @@ def rebalance_ann_index(
     else:
         spark.catalog.refreshByPath(f"{path}/{_cells_rel(meta)}")
         cells = spark.read.parquet(f"{path}/{_cells_rel(meta)}")
-    cells = cells.select("id", "vec").distinct()  # retried-append dups
+    cells = cells.select("id", "vec")
+    # STRAY-ROW GUARD instead of an unconditional distinct(): the
+    # dedup used to shuffle every vector byte of the index on every
+    # rebalance (it dominated the 2M drill at ~35 s) to clean up rows
+    # only a CRASHED plain-dir append can leave (a committed append —
+    # task retries, speculation — is exactly-once on both layouts, and
+    # on the transactional layout partial files are never referenced
+    # by any manifest). The index's own accounting detects that case
+    # without touching the vectors: build/rebalance record
+    # drift_baseline.n and every successful append journals its n, so
+    # actual rows == build_n + journaled-append rows ⟺ no stray rows
+    # — the count() is a footer-metadata scan, not a shuffle. Any
+    # mismatch (crashed-append debris, a compact that dropped rows
+    # without resetting the journal) falls back to the full distinct.
+    # Deliberate duplicate appends of the same batch are journaled
+    # like any append and therefore PRESERVED — row multiplicity is
+    # compact_ann_index's business (probes already collapse candidate
+    # duplicates), not the rebalance's.
+    expected_n = (drift["build_n"] or 0) + drift["appended_n"]
+    if drift["build_n"] is None or cells.count() != expected_n:
+        cells = cells.distinct()
     seeds = _hash_sample_rows(
         cells, n_lists, f"{meta['salt']}rebal{gen}|", "vec", "id"
     )

@@ -1016,3 +1016,83 @@ def test_ann_index_lifecycle_on_arrow_shape(
     assert recall(
         similarity.probe_ann_index(q, idx_arw, k=5, n_probe=2), truth
     ) >= 0.8
+
+
+def test_rebalance_skips_dedup_shuffle_when_accounting_clean(
+    spark, clustered, tmp_path, monkeypatch
+):
+    """The rebalance's (id, vec).distinct() used to shuffle every
+    vector byte of the index on every run, guarding against rows only
+    a CRASHED append can leave. When the index's own accounting
+    (drift_baseline.n + journaled append counts == actual rows) proves
+    the index clean, the shuffle must be SKIPPED — and deliberate,
+    journaled duplicate appends are preserved (row multiplicity is
+    compact_ann_index's business; probes collapse candidates)."""
+    # Spark 4: instances are the classic subclass, which defines its
+    # own distinct — patch THAT, not the abstract base
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    idx = str(tmp_path / "idx_guard")
+    similarity.write_ann_index(
+        clustered.filter(F.col("vec_id") < 240), idx, n_lists=8
+    )
+    batch = clustered.filter(F.col("vec_id") >= 240)
+    similarity.append_ann_index(batch, idx)
+    similarity.append_ann_index(batch, idx)  # journaled duplicate
+
+    calls = {"n": 0}
+    real = DataFrame.distinct
+
+    def spy(self):
+        calls["n"] += 1
+        return real(self)
+
+    monkeypatch.setattr(DataFrame, "distinct", spy)
+    reb = similarity.rebalance_ann_index(spark, idx)
+    monkeypatch.setattr(DataFrame, "distinct", real)
+    assert calls["n"] == 0, "clean accounting must not dedup-shuffle"
+    assert reb["n_vectors"] == 240 + 80 + 80
+    q = clustered.filter(F.col("vec_id") % 40 == 9)
+    truth = similarity.brute_force_topk(q, clustered, k=5)
+    assert recall(
+        similarity.probe_ann_index(q, idx, k=5, n_probe=2), truth
+    ) >= 0.8
+
+
+def test_rebalance_dedups_when_stray_rows_detected(
+    spark, clustered, tmp_path, monkeypatch
+):
+    """Crashed-append debris (rows on disk with no journal entry —
+    planted here as a copied data file) must trip the accounting
+    mismatch and fall back to the full distinct: the rebalanced index
+    holds exactly the unique rows."""
+    import glob
+    import shutil
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    idx = str(tmp_path / "idx_debris")
+    similarity.write_ann_index(clustered, idx, n_lists=8)
+    meta = similarity.read_ann_meta(spark, idx)
+    cells_dir = f"{idx}/{similarity._cells_rel(meta)}"
+    a_file = sorted(glob.glob(f"{cells_dir}/cell=*/*.parquet"))[0]
+    shutil.copy(a_file, a_file.replace(".parquet", "-debris.parquet"))
+    spark.catalog.refreshByPath(cells_dir)
+
+    calls = {"n": 0}
+    real = DataFrame.distinct
+
+    def spy(self):
+        calls["n"] += 1
+        return real(self)
+
+    monkeypatch.setattr(DataFrame, "distinct", spy)
+    reb = similarity.rebalance_ann_index(spark, idx)
+    monkeypatch.setattr(DataFrame, "distinct", real)
+    assert calls["n"] >= 1, "stray rows must engage the dedup"
+    assert reb["n_vectors"] == 320  # debris collapsed, nothing lost
+    q = clustered.filter(F.col("vec_id") % 40 == 9)
+    truth = similarity.brute_force_topk(q, clustered, k=5)
+    assert recall(
+        similarity.probe_ann_index(q, idx, k=5, n_probe=2), truth
+    ) >= 0.8
