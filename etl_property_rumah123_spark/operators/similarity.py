@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -371,6 +372,36 @@ _ASSIGN_LITERAL_MAX_ELEMENTS = int(
 )
 
 
+#: per-centroid-set broadcast memo for the Arrow assignment kernel —
+#: a long-lived maintenance/ingest session calls _assign_cells once
+#: per append/probe batch against the SAME frozen centroid generation;
+#: without the memo each call torrent-broadcasts a fresh copy of the
+#: (up to ~25 MB at 4096×768) matrix and never releases it, leaking
+#: one broadcast per call for the session lifetime. Keyed by
+#: (applicationId, content digest) so a rebalanced generation or a new
+#: session gets its own entry; eviction just DROPS our reference (no
+#: destroy() — an in-flight lazy plan may still hold the broadcast;
+#: Spark's ContextCleaner reclaims the JVM side once nothing does).
+_ASSIGN_BC_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+_ASSIGN_BC_MAX = 4
+
+
+def _assign_broadcast(spark, cells_np, cent_np, c_norms):
+    digest = hashlib.sha1(
+        cells_np.tobytes() + cent_np.tobytes()
+    ).hexdigest()
+    key = (spark.sparkContext.applicationId, digest)
+    bc = _ASSIGN_BC_CACHE.get(key)
+    if bc is not None:
+        _ASSIGN_BC_CACHE.move_to_end(key)
+        return bc
+    bc = spark.sparkContext.broadcast((cells_np, cent_np, c_norms))
+    _ASSIGN_BC_CACHE[key] = bc
+    while len(_ASSIGN_BC_CACHE) > _ASSIGN_BC_MAX:
+        _ASSIGN_BC_CACHE.popitem(last=False)
+    return bc
+
+
 def _assign_cells_arrow(
     df: DataFrame,
     rows: list,
@@ -411,9 +442,7 @@ def _assign_cells_arrow(
         [list(r["centroid"]) for r in rows], dtype=np.float64
     )
     c_norms = np.einsum("ij,ij->i", cent_np, cent_np)
-    # the centroid matrix can reach tens of MB (4096×768 f64 = 25 MB):
-    # torrent-broadcast once instead of pickling it into every task
-    bc = spark.sparkContext.broadcast((cells_np, cent_np, c_norms))
+    bc = _assign_broadcast(spark, cells_np, cent_np, c_norms)
     n_keep = min(keep_n, len(rows))
 
     base = df.select(
@@ -520,15 +549,20 @@ def _assign_cells(
     {auto, literal, arrow, crossjoin} forces a shape — for A/B drills
     and as an escape hatch; crossjoin is the legacy shape kept only
     for comparison."""
-    rows = sorted(cent_df.collect(), key=lambda r: r["cell"])
-    dim = len(rows[0]["centroid"]) if rows else 0
     shape = os.environ.get("SPARK_GRAFT_ASSIGN_SHAPE", "auto")
-    if shape == "auto":
-        shape = (
-            "literal"
-            if len(rows) * dim <= _ASSIGN_LITERAL_MAX_ELEMENTS
-            else "arrow"
-        )
+    # a forced crossjoin (the legacy A/B shape) never uses the driver
+    # copy of the centroids — collecting up to n_lists × dim doubles
+    # first would charge the legacy timing a cost it never had
+    rows: list = []
+    if shape != "crossjoin":
+        rows = sorted(cent_df.collect(), key=lambda r: r["cell"])
+        dim = len(rows[0]["centroid"]) if rows else 0
+        if shape == "auto":
+            shape = (
+                "literal"
+                if len(rows) * dim <= _ASSIGN_LITERAL_MAX_ELEMENTS
+                else "arrow"
+            )
     if rows and shape == "arrow":
         return _assign_cells_arrow(
             df, rows, id_alias, keep_n, vec_col, id_col, keep_dist
@@ -1013,21 +1047,39 @@ def _resolve_txn_manifest_meta(spark, path: str, meta: dict) -> dict:
     re-assigned; probes quantizing queries against it would silently
     mis-route. The LATEST manifest is therefore the authority for the
     rebalance-owned fields; the sidecar is a fallback cache for
-    indexes written before these fields rode the commit."""
+    indexes written before these fields rode the commit.
+
+    The authority is the newest manifest that CARRIES the fields, not
+    the newest manifest outright: a commit made on the cells_log with
+    the plain table tooling (a takedown delete_snapshot_eq, an
+    external compaction) has no ann_* keys, and treating its silence
+    as 'fall back to the sidecar' would skip past a committed
+    rebalance straight to the stale pre-rebalance pointer — the
+    new-cells/old-quantizer pairing this resolver exists to prevent.
+    The quantizer only changes when a commit says it does, so walking
+    back to the last commit that spoke is exact; the walk is bounded
+    by the (vacuumed) log length and stops at the first hit — one
+    manifest read in the common case."""
     from etl_property_rumah123_spark.sinks import table_log
 
     log_path = f"{path}/cells_log"
     versions = table_log._list_versions(spark, log_path)
-    if not versions:
-        return meta
-    m = table_log._manifest(spark, log_path, versions[-1])
     out = dict(meta)
-    if "ann_centroids" in m:
-        out["centroids_rel"] = m["ann_centroids"]
-    if "ann_rebalance_gen" in m:
-        out["rebalance_gen"] = m["ann_rebalance_gen"]
-    if m.get("ann_drift_baseline") is not None:
-        out["drift_baseline"] = m["ann_drift_baseline"]
+    for v in reversed(versions):
+        m = table_log._manifest(spark, log_path, v)
+        if not (
+            "ann_centroids" in m
+            or "ann_rebalance_gen" in m
+            or m.get("ann_drift_baseline") is not None
+        ):
+            continue
+        if "ann_centroids" in m:
+            out["centroids_rel"] = m["ann_centroids"]
+        if "ann_rebalance_gen" in m:
+            out["rebalance_gen"] = m["ann_rebalance_gen"]
+        if m.get("ann_drift_baseline") is not None:
+            out["drift_baseline"] = m["ann_drift_baseline"]
+        break
     return out
 
 
@@ -1164,6 +1216,58 @@ def _observed_cell_write(
     return got["n"], (got.get("d2") if with_d2 else None)
 
 
+def _txn_cell_commit(laid, log_path: str, mode: str, carry_fn):
+    """Commit a laid-out cells frame to the cells_log and return
+    ``(n, mean_d2, version)`` with the count and mean assignment
+    distance riding the COMMIT WRITE job itself (``observe`` on
+    :func:`table_log.commit_snapshot`) — ``carry_fn(n, mean_d2)``
+    builds the manifest's ann_* extra_meta from the observed values,
+    so a rebalance commits its NEW drift baseline atomically with the
+    re-assigned cells. The previous shape localCheckpoint-ed the full
+    frame to aggregate before committing — one extra materialization
+    of the whole index (~26 GB of local disk at the 200M-vector
+    decade, found when the round-13 drill filled /tmp). Speculative
+    execution double-counts observed metrics, so that config keeps
+    the checkpoint+aggregate shape (exact accounting)."""
+    from etl_property_rumah123_spark.sinks import table_log
+
+    if table_log._speculation_enabled(laid.sparkSession):
+        laid = laid.localCheckpoint()
+        row = laid.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("__d2").alias("d2")
+        ).first()
+        n, d2 = row["n"], row["d2"]
+        v = table_log.commit_snapshot(
+            laid.drop("__d2"), log_path, mode=mode,
+            extra_meta=carry_fn(n, d2),
+        )
+        return n, d2, v
+    got: dict = {}
+
+    def meta_fn(vals):
+        if vals is None:
+            # unreachable under the speculation gate above: a fresh
+            # token dir always runs the write job on first pass, and
+            # race retries reuse the first pass's values
+            raise RuntimeError(
+                f"cells_log commit at {log_path}: no observed metrics "
+                "rode the write job"
+            )
+        got["n"], got["d2"] = int(vals["__ann_n"]), vals["__ann_d2"]
+        return carry_fn(got["n"], got["d2"])
+
+    v = table_log.commit_snapshot(
+        laid, log_path, mode=mode,
+        observe={
+            "__ann_n": F.count(F.lit(1)),
+            "__ann_d2": F.avg("__d2"),
+        },
+        observe_drop=["__d2"],
+        extra_meta=meta_fn,
+    )
+    return got["n"], got["d2"], v
+
+
 def _cell_layout(assigned: DataFrame, n_lists: int, files_per_cell: int) -> DataFrame:
     """Shuffle assignments so each cell directory gets AT MOST
     ``files_per_cell`` files per write, instead of one file per
@@ -1236,24 +1340,19 @@ def write_ann_index(
     ).select("id", F.col("__v").alias("vec"), "cell", "__d2")
     laid = _cell_layout(assigned, n_lists, files_per_cell)
     if transactional:
-        from etl_property_rumah123_spark.sinks import table_log
-
-        laid = laid.localCheckpoint()  # one computation: count + commit
-        row = laid.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("__d2").alias("d2")
-        ).first()
-        n, mean_d2 = row["n"], row["d2"]
-        meta["drift_baseline"] = {"mean_d2": mean_d2, "n": n}
-        table_log.commit_snapshot(
-            laid.drop("__d2"), f"{path}/cells_log", mode="overwrite",
-            # each cells_log manifest names the centroid set its cells
-            # were assigned against (plus the rebalance gen and drift
-            # baseline), so a time-travel probe pairs old cells with
-            # the OLD quantizer after a rebalance, and the LATEST
-            # manifest answers those fields even when a crash lands
-            # between a rebalance commit and its sidecar refresh
-            extra_meta=_ann_carry(meta),
+        # each cells_log manifest names the centroid set its cells
+        # were assigned against (plus the rebalance gen and drift
+        # baseline), so a time-travel probe pairs old cells with
+        # the OLD quantizer after a rebalance, and the LATEST
+        # manifest answers those fields even when a crash lands
+        # between a rebalance commit and its sidecar refresh
+        n, mean_d2, _v = _txn_cell_commit(
+            laid, f"{path}/cells_log", "overwrite",
+            lambda n_, d2_: _ann_carry({
+                **meta, "drift_baseline": {"mean_d2": d2_, "n": n_},
+            }),
         )
+        meta["drift_baseline"] = {"mean_d2": mean_d2, "n": n}
     else:
         n, mean_d2 = _observed_cell_write(
             laid, f"{path}/cells", "errorifexists"
@@ -1307,18 +1406,11 @@ def append_ann_index(
     ).select("id", F.col("__v").alias("vec"), "cell", "__d2")
     laid = _cell_layout(assigned, meta["n_lists"], files_per_cell)
     if meta.get("transactional"):
-        from etl_property_rumah123_spark.sinks import table_log
-
-        laid = laid.localCheckpoint()
-        row = laid.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("__d2").alias("d2")
-        ).first()
-        n, mean_d2 = row["n"], row["d2"]
-        v = table_log.commit_snapshot(
-            laid.drop("__d2"), f"{path}/cells_log", mode="append",
-            # carry the current generation + baseline forward so the
-            # LATEST manifest stays the authority for them
-            extra_meta=_ann_carry(meta),
+        # carry the current generation + baseline forward so the
+        # LATEST manifest stays the authority for them
+        n, mean_d2, v = _txn_cell_commit(
+            laid, f"{path}/cells_log", "append",
+            lambda n_, d2_: _ann_carry(meta),
         )
         _record_append_drift(spark, path, meta, n, mean_d2)
         return {"path": path, "n_appended": n, "version": v}
@@ -1391,33 +1483,40 @@ def ann_index_drift(spark, path: str) -> dict:
     if fs.exists(drift_dir):
         statuses = list(fs.listStatus(drift_dir))
         if len(statuses) <= _DRIFT_DRIVER_READ_MAX:
-            entries = []
-            for st in statuses:
-                stream = fs.open(st.getPath())
-                try:
-                    raw = bytes(
-                        jvm.org.apache.commons.io.IOUtils.toByteArray(
-                            stream
-                        )
-                    )
-                finally:
-                    stream.close()
-                entries.append(json.loads(raw.decode()))
+            entries = [
+                _ann_read_json(
+                    spark, f"{path}/_drift/{st.getPath().getName()}"
+                )
+                for st in statuses
+            ]
         else:
             # a high-cadence appender can accumulate thousands of
             # journal files between rebalances — one parallel JSON
-            # scan instead of O(appends) driver round-trips
+            # scan instead of O(appends) driver round-trips. The
+            # journal churns within a session (appends add files,
+            # rebalance deletes the dir), so drop any cached listing
+            # first — a stale FileStatusCache entry would either
+            # crash the scan on deleted files or silently under-read
+            # the monitoring signal.
+            spark.catalog.refreshByPath(f"{path}/_drift")
             entries = [
                 r.asDict()
                 for r in spark.read.json(f"{path}/_drift").collect()
             ]
         for entry in entries:
-            # gen filter: a crashed rebalance may leave pre-rebalance
-            # entries behind; they must not count against the new
-            # baseline (absent gen = pre-tagging era = gen 0)
+            # gen filter: a crashed rebalance (committed, then died
+            # before the journal delete) may leave earlier-generation
+            # entries behind; their gen tag keeps them from counting
+            # against the new baseline. An entry with NO tag was
+            # written by the pre-tagging code, which only ever left
+            # journal files belonging to the index's CURRENT
+            # generation (its rebalance cleared the journal in the
+            # same step as the baseline reset) — so untagged counts
+            # as current, whatever the generation number is.
+            g = entry.get("gen")
             if (
                 entry.get("mean_d2") is not None
-                and int(entry.get("gen") or 0) == cur_gen
+                and (g is None or int(g) == cur_gen)
             ):
                 apps.append(entry)
     n_app = sum(a["n"] for a in apps)
@@ -1544,26 +1643,24 @@ def rebalance_ann_index(
             fs.delete(hp(f"{path}/{rel}"), True)
     cent_df.write.mode("errorifexists").parquet(f"{path}/{cent_rel}")
     if meta.get("transactional"):
-        from etl_property_rumah123_spark.sinks import table_log
-
-        # one computation: count/mean + commit
-        laid = laid.localCheckpoint()
-        row = laid.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("__d2").alias("d2")
-        ).first()
-        n, mean_d2 = row["n"], row["d2"]
+        # COMMIT POINT: cells + quantizer pointer + baseline flip in
+        # one atomic manifest rename; count/mean ride the commit
+        # write job (no checkpoint of the full index)
+        n, mean_d2, _v = _txn_cell_commit(
+            laid, f"{path}/cells_log", "overwrite",
+            lambda n_, d2_: _ann_carry({
+                **meta,
+                "centroids_rel": cent_rel,
+                "drift_baseline": {"mean_d2": d2_, "n": n_},
+                "rebalance_gen": gen,
+            }),
+        )
         meta = {
             **meta,
             "centroids_rel": cent_rel,
             "drift_baseline": {"mean_d2": mean_d2, "n": n},
             "rebalance_gen": gen,
         }
-        # COMMIT POINT: cells + quantizer pointer + baseline flip in
-        # one atomic manifest rename
-        table_log.commit_snapshot(
-            laid.drop("__d2"), f"{path}/cells_log", mode="overwrite",
-            extra_meta=_ann_carry(meta),
-        )
     else:
         # new cells land in a FRESH generation dir — the live index is
         # untouched until the overlay below commits the flip

@@ -167,6 +167,7 @@ def _write_commit_dir_observed(
     commit_rel: str,
     metrics: dict | None,
     options: dict | None = None,
+    drop: list | None = None,
 ) -> tuple[list[str], dict | None]:
     """:func:`_write_commit_dir` plus aggregate ``metrics`` (name ->
     Column) computed ON the write job via ``Observation`` — the
@@ -183,7 +184,12 @@ def _write_commit_dir_observed(
     inflating n_deleted/dv_rows/n_keys in the manifest (set-union
     metrics like dv_keys are idempotent, but the counts are not).
     The read-back path counts what is ON DISK, which only one attempt
-    ever commits, so it is immune."""
+    ever commits, so it is immune.
+
+    ``drop`` names columns the metrics may reference that must NOT
+    land in the written files (observe first, then drop — e.g. the
+    ANN cell writers' ``__d2`` assignment distance, averaged into the
+    manifest's drift baseline but not stored)."""
     spark = df.sparkSession
     jvm, fs = _fs(spark, table_path)
     hadoop_path = jvm.org.apache.hadoop.fs.Path
@@ -194,14 +200,19 @@ def _write_commit_dir_observed(
             from pyspark.sql import Observation
 
             obs = Observation()
-            df.observe(
+            observed = df.observe(
                 obs, *[expr.alias(k) for k, expr in metrics.items()]
-            ).write.mode("errorifexists").options(
+            )
+            if drop:
+                observed = observed.drop(*drop)
+            observed.write.mode("errorifexists").options(
                 **(options or {})
             ).parquet(commit_dir)
             values = obs.get
         else:
-            df.write.mode("errorifexists").options(
+            (df.drop(*drop) if drop else df).write.mode(
+                "errorifexists"
+            ).options(
                 **(options or {})
             ).parquet(commit_dir)
     files = sorted(
@@ -1625,11 +1636,13 @@ def commit_snapshot(
     table_path: str,
     mode: str = "append",
     max_retries: int = 10,
-    extra_meta: dict | None = None,
+    extra_meta=None,
     bloom_cols: dict | list | None = None,
     constraints: dict | None = None,
     write_order: list | None = None,
     count_matched: bool | None = None,
+    observe: dict | None = None,
+    observe_drop: list | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -1681,12 +1694,33 @@ def commit_snapshot(
     so ``count_snapshot`` stays job-free no matter who writes —
     a table mixing eq-merge streams with COUNT(*) dashboards declares
     the trade ONCE instead of relying on every merge call site to
-    remember the opt-in. ``False`` clears it; ``None`` inherits."""
+    remember the opt-in. ``False`` clears it; ``None`` inherits.
+
+    ``observe`` ({name: aggregate Column}, names must not collide
+    with the reserved ``__chk_`` constraint counters) rides caller
+    metrics ON the commit's write job — zero extra passes over the
+    batch, the same machinery the constraint counters use. Columns in
+    ``observe_drop`` are visible to the metrics but dropped before
+    the bytes land (and from the recorded schema). To embed observed
+    values in the manifest ATOMICALLY with the commit, pass a
+    CALLABLE ``extra_meta``: it is invoked with the observed values
+    dict ({name: value}, or None when no metrics could ride — no
+    ``observe``, or speculative execution, under which observed
+    counts double-count and the caller must use its own exact
+    fallback) and returns the dict to embed. The ANN cells_log
+    writers are the design customer: count + mean assignment
+    distance ride the commit write instead of localCheckpoint-ing
+    the full index first (at the 200M-vector drill scale that
+    checkpoint alone is ~26 GB of local disk)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
+    if observe and any(k.startswith("__chk_") for k in observe):
+        raise ValueError("observe metric names must not use __chk_")
     spark = df.sparkSession
     token = uuid.uuid4().hex[:12]
     commit_rel = f"data/c{token}"
+    out_df = df.drop(*observe_drop) if observe_drop else df
+    user_vals: dict | None = None
     for _ in range(max_retries):
         versions = _list_versions(spark, table_path)
         version = (versions[-1] + 1) if versions else 0
@@ -1715,8 +1749,10 @@ def commit_snapshot(
         )
         # schema evolution × properties: fail loud BEFORE any write if
         # an inherited property references a column this batch drops
+        # (validated against the WRITTEN schema — observe_drop columns
+        # never land)
         _validate_properties_against_schema(
-            df, table_path, checks, order, bloom
+            out_df, table_path, checks, order, bloom
         )
         if mode == "append" and prev0 is not None:
             # newly-declared / changed constraints validate EXISTING
@@ -1733,9 +1769,15 @@ def commit_snapshot(
             _with_write_order(df, order),
             table_path,
             commit_rel,
-            _constraint_metrics(checks) or None,
+            {**_constraint_metrics(checks), **(observe or {})} or None,
             options=_bloom_options(bloom),
+            drop=observe_drop,
         )
+        if observe and obs is not None and user_vals is None:
+            # remember across retry iterations: a lost manifest race
+            # reuses the already-written dir (no job to observe), but
+            # the values describe the same data
+            user_vals = {k: obs[k] for k in observe}
         _check_constraints(spark, table_path, checks, obs, new_files)
         new_stats = _stats_for_files(spark, table_path, new_files)
         dvs: list[str] = []
@@ -1753,12 +1795,13 @@ def commit_snapshot(
         else:
             files = new_files
             stats = new_stats
+        em = extra_meta(user_vals) if callable(extra_meta) else extra_meta
         manifest = {
             "version": version,
             "operation": mode,
             "files": files,
             "n_files": len(files),
-            "schema": df.schema.json(),
+            "schema": out_df.schema.json(),
             "stats": _cap_stats(stats),
             **({"bloom_cols": bloom} if bloom else {}),
             **({"constraints": checks} if checks else {}),
@@ -1774,7 +1817,7 @@ def commit_snapshot(
                 if (dvs or eq_dvs)
                 else {}
             ),
-            **(extra_meta or {}),
+            **(em or {}),
         }
         if _try_publish(spark, table_path, version, token, manifest):
             return version
@@ -2464,7 +2507,8 @@ def _read_published_tombstone(
 
 
 def _fold_published_tombstones(
-    spark: SparkSession, table_path: str, dry_run: bool
+    spark: SparkSession, table_path: str, dry_run: bool,
+    min_age_s: float = 0.0,
 ) -> list[str]:
     """VACUUM's retention hook for publish tombstones: per-name
     ``_log/published/<name>.json`` files accumulate one FS object per
@@ -2474,37 +2518,74 @@ def _fold_published_tombstones(
     ledger and every per-name record) is created COMPLETE first, and
     only then do the folded files and superseded ledgers drop — a
     crash at any point leaves each name discoverable via either its
-    own file or a surviving ledger. Returns deleted paths."""
+    own file or a surviving ledger. Returns deleted paths.
+
+    Two classes of file are folded but never destroyed blind:
+
+    - A per-name file younger than ``min_age_s`` or that does not
+      parse is SKIPPED (left in place, not deleted): a lock-free
+      concurrent publish may be mid-write of its tombstone, and a
+      truncated file from a crashed publish must not brick every
+      future vacuum — the skip costs one FS object until the writer
+      finishes or an operator removes the debris.
+    - A parseable ledger-named file WITHOUT a ``records`` key is a
+      legacy per-name tombstone whose stage happened to be called
+      ``published_ledger_<n>`` (the name became reserved only after
+      ledgers shipped): it is folded as the record for that name —
+      classifying it as an empty ledger would delete the
+      replay-refusal record and let a replayed publish re-append its
+      batch."""
     jvm, fs = _fs(spark, table_path)
     hadoop_path = jvm.org.apache.hadoop.fs.Path
     pub_dir = hadoop_path(f"{table_path}/_log/published")
     if not fs.exists(pub_dir):
         return []
+    import time
+
+    now_ms = time.time() * 1000.0
+    min_age_ms = min_age_s * 1000.0
     per_name: list[str] = []
     for st in fs.listStatus(pub_dir):
         n = st.getPath().getName()
         if n.endswith(".json") and not _PUB_LEDGER_RE.match(n):
-            per_name.append(n)
+            if (now_ms - st.getModificationTime()) >= min_age_ms:
+                per_name.append(n)
     ledgers = _list_pub_ledgers(spark, table_path)
     if not per_name and len(ledgers) <= 1:
         return []  # nothing to fold
     records: dict = {}
+    foldable_ledgers: list[int] = []
     for gen in ledgers:  # older first; newer records win (identical)
         try:
             ledger = json.loads(_read_file(
                 spark, _pub_ledger_path(table_path, gen)
             ).decode())
         except ValueError:
+            # partial write from a crashed fold: its inputs were only
+            # deleted after a COMPLETE write, so every record it would
+            # have held still exists elsewhere — safe to retire
+            foldable_ledgers.append(gen)
             continue
-        records.update(ledger.get("records", {}))
+        if "records" in ledger:
+            records.update(ledger["records"])
+        else:  # legacy tombstone masquerading under the ledger name
+            records[f"published_ledger_{gen}"] = ledger
+        foldable_ledgers.append(gen)
+    foldable_names: list[str] = []
     for n in per_name:
-        rec = json.loads(_read_file(
-            spark, f"{table_path}/_log/published/{n}"
-        ).decode())
+        try:
+            rec = json.loads(_read_file(
+                spark, f"{table_path}/_log/published/{n}"
+            ).decode())
+        except ValueError:
+            continue  # mid-write or truncated: leave the file alone
         records[n[: -len(".json")]] = rec
+        foldable_names.append(n)
+    if not foldable_names and len(foldable_ledgers) <= 1:
+        return []
     deleted = [
-        f"{table_path}/_log/published/{n}" for n in per_name
-    ] + [_pub_ledger_path(table_path, g) for g in ledgers]
+        f"{table_path}/_log/published/{n}" for n in foldable_names
+    ] + [_pub_ledger_path(table_path, g) for g in foldable_ledgers]
     if dry_run:
         return deleted
     new_gen = (ledgers[-1] + 1) if ledgers else 0
@@ -2758,7 +2839,9 @@ def vacuum(
     # publish-tombstone retention: fold per-name refusal records into
     # one ledger file (names stay permanently retired — the fold only
     # collapses one-FS-object-per-published-stage into one object)
-    deleted.extend(_fold_published_tombstones(spark, table_path, dry_run))
+    deleted.extend(_fold_published_tombstones(
+        spark, table_path, dry_run, min_age_s=min_age_s
+    ))
     return deleted
 
 

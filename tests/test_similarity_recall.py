@@ -1096,3 +1096,276 @@ def test_rebalance_dedups_when_stray_rows_detected(
     assert recall(
         similarity.probe_ann_index(q, idx, k=5, n_probe=2), truth
     ) >= 0.8
+
+
+def test_txn_meta_resolution_walks_past_plain_commits(
+    spark, tmp_path, monkeypatch
+):
+    """A commit made on the cells_log with the PLAIN table tooling (a
+    takedown delete_snapshot, an external compaction) carries no ann_*
+    keys. After a rebalance whose sidecar refresh never landed (crash
+    window), resolution must walk back to the rebalance COMMIT — not
+    treat the newest manifest's silence as 'fall back to the (stale)
+    sidecar', which would pair gen-1 cells with the gen-0 quantizer."""
+    import math as _math
+    import random as _random
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    rng = _random.Random(23)
+
+    def mk(shift, per, vid0):
+        rows, vid = [], vid0
+        for _ in range(per):
+            v = [rng.gauss(shift, 1.0) for _ in range(DIM)]
+            n = _math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [x / n for x in v]))
+            vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    tidx = str(tmp_path / "txn_walkback")
+    similarity.write_ann_index(
+        mk(0.0, 200, 0), tidx, n_lists=8, transactional=True
+    )
+    similarity.append_ann_index(mk(3.0, 200, 10_000), tidx)
+
+    # rebalance commits gen 1, dies before the sidecar refresh
+    real_meta_write = similarity._write_ann_meta
+
+    def die(*a, **kw):
+        raise RuntimeError("injected death before sidecar refresh")
+
+    monkeypatch.setattr(similarity, "_write_ann_meta", die)
+    with pytest.raises(RuntimeError, match="injected death"):
+        similarity.rebalance_ann_index(spark, tidx)
+    monkeypatch.setattr(similarity, "_write_ann_meta", real_meta_write)
+
+    # a takedown lands through the plain table tooling: newest
+    # manifest now has NO ann_* keys
+    v_del = table_log.delete_snapshot(
+        spark, f"{tidx}/cells_log", "id = 3"
+    )
+    latest = table_log._list_versions(spark, f"{tidx}/cells_log")[-1]
+    assert latest == v_del
+    m_latest = table_log._manifest(spark, f"{tidx}/cells_log", latest)
+    assert "ann_centroids" not in m_latest
+
+    # resolution walks back to the rebalance commit
+    m = similarity.read_ann_meta(spark, tidx)
+    assert m["rebalance_gen"] == 1
+    assert m["centroids_rel"] == "centroids_g1"
+
+    # probes quantize against the NEW generation (gen-1 cells never
+    # silently paired with the gen-0 quantizer) and honor the takedown
+    q = mk(3.0, 8, 90_000)
+    ann = similarity.probe_ann_index(q, tidx, k=5, n_probe=2)
+    got_ids = {r["neighbor_id"] for r in ann.collect()}
+    assert 3 not in got_ids
+    corpus = table_log.read_snapshot(spark, f"{tidx}/cells_log").select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    truth = similarity.brute_force_topk(q, corpus, k=5)
+    assert recall(ann, truth) >= 0.8
+
+
+def test_drift_journal_untagged_entries_and_stale_listing(
+    spark, clustered, tmp_path
+):
+    """Two journal seams: (a) entries with NO gen tag were written by
+    the pre-tagging code, whose rebalance cleared the journal — a
+    surviving untagged entry therefore belongs to the CURRENT
+    generation whatever its number, and excluding it (old behavior:
+    untagged == gen 0) would blind drift and break the rebalance
+    accounting on every upgraded index; (b) the >32-file parallel
+    scan must not trust a session-cached dir listing — the journal
+    churns (appends add, rebalance deletes) within one session."""
+    import json as _json
+    import uuid as _uuid
+
+    idx = str(tmp_path / "idx_legacy_journal")
+    similarity.write_ann_index(clustered, idx, n_lists=8)
+    similarity.rebalance_ann_index(spark, idx)  # gen 1
+    similarity.append_ann_index(
+        clustered.select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        ).limit(40),
+        idx,
+    )
+    _jvm, hp, fs = similarity._ann_fs(spark, idx)
+
+    def strip_gen_tags():
+        names = [
+            st.getPath().getName()
+            for st in fs.listStatus(hp(f"{idx}/_drift"))
+        ]
+        for n in names:
+            e = similarity._ann_read_json(spark, f"{idx}/_drift/{n}")
+            e.pop("gen", None)
+            out = fs.create(hp(f"{idx}/_drift/{n}"), True)
+            out.write(_json.dumps(e).encode())
+            out.close()
+
+    tagged = similarity.ann_index_drift(spark, idx)
+    assert tagged["appended_n"] == 40 and tagged["rebalance_gen"] == 1
+    strip_gen_tags()  # simulate a pre-tagging-era writer
+    legacy = similarity.ann_index_drift(spark, idx)
+    assert legacy["appended_n"] == 40, (
+        "untagged journal entries must count as current-gen"
+    )
+    assert legacy["ratio"] == tagged["ratio"]
+
+    # (b) force the parallel-scan path by planting > driver-read-max
+    # synthetic entries, read once (a scan can leave the dir listing
+    # in the session's FileStatusCache), then GROW the journal and
+    # read again — the second read must reflect the new files, not a
+    # cached listing
+    base = similarity._ann_read_json(
+        spark,
+        f"{idx}/_drift/"
+        + fs.listStatus(hp(f"{idx}/_drift"))[0].getPath().getName(),
+    )
+
+    def plant(k):
+        for _ in range(k):
+            e = dict(base, n=1, gen=1)
+            out = fs.create(
+                hp(f"{idx}/_drift/{_uuid.uuid4().hex[:16]}.json"), True
+            )
+            out.write(_json.dumps(e).encode())
+            out.close()
+
+    plant(similarity._DRIFT_DRIVER_READ_MAX + 4)
+    many = similarity.ann_index_drift(spark, idx)
+    assert many["appended_n"] == 40 + similarity._DRIFT_DRIVER_READ_MAX + 4
+    plant(5)  # the journal grew between two same-session reads
+    again = similarity.ann_index_drift(spark, idx)
+    assert again["appended_n"] == many["appended_n"] + 5
+    similarity.rebalance_ann_index(spark, idx)  # deletes the journal
+    clean = similarity.ann_index_drift(spark, idx)
+    assert clean["appended_n"] == 0 and clean["rebalance_gen"] == 2
+
+
+def test_assign_broadcast_memoized_per_centroid_set(spark):
+    """The Arrow kernel's centroid broadcast is memoized by content:
+    repeated assignments against the SAME frozen generation (hourly
+    appends, probe batches) reuse one broadcast instead of leaking one
+    ~25 MB copy per call; a different centroid set (a rebalanced
+    generation) gets its own entry; the cache stays bounded."""
+    import numpy as np
+
+    similarity._ASSIGN_BC_CACHE.clear()
+    cells = np.arange(8, dtype=np.int32)
+    cent = np.arange(8 * 4, dtype=np.float64).reshape(8, 4)
+    norms = np.einsum("ij,ij->i", cent, cent)
+    b1 = similarity._assign_broadcast(spark, cells, cent, norms)
+    b2 = similarity._assign_broadcast(spark, cells, cent, norms)
+    assert b1 is b2
+    b3 = similarity._assign_broadcast(spark, cells, cent + 1.0, norms)
+    assert b3 is not b1
+    for i in range(similarity._ASSIGN_BC_MAX + 2):
+        similarity._assign_broadcast(
+            spark, cells, cent + float(10 + i), norms
+        )
+    assert len(similarity._ASSIGN_BC_CACHE) == similarity._ASSIGN_BC_MAX
+    similarity._ASSIGN_BC_CACHE.clear()
+
+
+def test_forced_crossjoin_shape_skips_centroid_collect(
+    spark, clustered, monkeypatch
+):
+    """SPARK_GRAFT_ASSIGN_SHAPE=crossjoin exists to time the legacy
+    shape in A/B drills — it must not first pay a driver collect of
+    the centroid table the legacy shape never used (at the production
+    design point that is ~25 MB per call charged to the wrong side of
+    the A/B)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [
+                (i, [float(x) for x in r["embedding"]])
+                for i, r in enumerate(
+                    clustered.filter(F.col("vec_id") % 80 == 7)
+                    .orderBy("vec_id")
+                    .collect()
+                )
+            ],
+            "cell int, centroid array<double>",
+        )
+    )
+    monkeypatch.setenv("SPARK_GRAFT_ASSIGN_SHAPE", "crossjoin")
+    calls = {"n": 0}
+    real = DataFrame.collect
+
+    def spy(self):
+        calls["n"] += 1
+        return real(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    out = similarity._assign_cells(
+        clustered, cent, "id", 1, "embedding", "vec_id", keep_dist=True
+    )
+    assert calls["n"] == 0, "forced crossjoin must not collect centroids"
+    monkeypatch.setattr(DataFrame, "collect", real)
+    monkeypatch.setenv("SPARK_GRAFT_ASSIGN_SHAPE", "literal")
+    lit = similarity._assign_cells(
+        clustered, cent, "id", 1, "embedding", "vec_id", keep_dist=True
+    )
+    assert _assignment_set(out, keep_dist=True) == _assignment_set(
+        lit, keep_dist=True
+    )
+
+
+def test_txn_lifecycle_commits_without_checkpointing_index(
+    spark, clustered, tmp_path, monkeypatch
+):
+    """The transactional build/append/rebalance commits used to
+    localCheckpoint the full laid-out index to aggregate count/mean
+    before committing — a second materialization of every vector
+    (~26 GB of local disk at the 200M-vector decade; it filled /tmp
+    in the round-13 drill). The accounting now rides the commit write
+    job itself: no localCheckpoint anywhere in the non-speculative
+    lifecycle, and the manifest's baseline/count match the committed
+    data exactly."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    calls = {"n": 0}
+    real = DataFrame.localCheckpoint
+
+    def spy(self, *a, **kw):
+        calls["n"] += 1
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    idx = str(tmp_path / "txn_nockpt")
+    info = similarity.write_ann_index(
+        clustered, idx, n_lists=8, transactional=True
+    )
+    assert info["n_vectors"] == 320
+    out = similarity.append_ann_index(
+        clustered.select(
+            (F.col("vec_id") + 50_000).alias("vec_id"), "embedding"
+        ).limit(40),
+        idx,
+    )
+    assert out["n_appended"] == 40
+    reb = similarity.rebalance_ann_index(spark, idx)
+    assert reb["n_vectors"] == 360
+    assert calls["n"] == 0, "lifecycle must not checkpoint the index"
+
+    # the committed manifest's baseline describes the committed data
+    latest = table_log._list_versions(spark, f"{idx}/cells_log")[-1]
+    m = table_log._manifest(spark, f"{idx}/cells_log", latest)
+    assert m["ann_drift_baseline"]["n"] == 360
+    assert m["ann_rebalance_gen"] == 1
+    n_rows = table_log.read_snapshot(spark, f"{idx}/cells_log").count()
+    assert n_rows == 360
+    q = clustered.filter(F.col("vec_id") % 40 == 5)
+    truth = similarity.brute_force_topk(q, clustered, k=5)
+    assert recall(
+        similarity.probe_ann_index(q, idx, k=5, n_probe=2), truth
+    ) >= 0.8

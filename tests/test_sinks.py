@@ -4955,3 +4955,118 @@ def test_read_changes_merge_fast_path_matches_generic_diff(
     assert 9 not in by_key
     assert by_key[500] == ["insert"]
     assert by_key[None] == ["insert"]
+
+
+def test_tombstone_fold_tolerates_debris_and_legacy_ledger_names(
+    spark, tmp_path
+):
+    """Fold hardening (round-13 review): (a) a per-name tombstone that
+    does not parse (a publish crashed mid-write) is SKIPPED, not
+    folded and not deleted — one unreadable file must never brick
+    every future vacuum; (b) a parseable file whose stage was literally
+    NAMED published_ledger_<n> (the name became reserved only after
+    ledgers shipped) is a legacy per-name tombstone — it folds as the
+    RECORD for that name instead of being misread as an empty ledger
+    and destroyed; (c) per-name files younger than vacuum's min_age_s
+    are left for the next pass (a lock-free concurrent publish may
+    still be writing)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "fold_debris")
+    table_log.commit_snapshot(
+        spark.createDataFrame([(0, "z")], "k long, v string"), t
+    )
+    published = {}
+    for name in ("s0", "s1"):
+        table_log.stage_snapshot(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            t, name=name,
+        )
+        published[name] = table_log.publish_staged(spark, t, name)
+    jvm, fs = table_log._fs(spark, t)
+    hp = jvm.org.apache.hadoop.fs.Path
+
+    def write_pub(name, data: bytes):
+        out = fs.create(hp(f"{t}/_log/published/{name}"), True)
+        out.write(data)
+        out.close()
+
+    def pub_files():
+        return sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(hp(f"{t}/_log/published"))
+        )
+
+    # (b) legacy stage named like a ledger, published pre-reservation
+    legacy_rec = {"version": 77, "new_files": ["data/cleg/f.parquet"]}
+    write_pub("published_ledger_3.json", _json.dumps(legacy_rec).encode())
+    # (a) a publish crashed mid-write of its tombstone
+    write_pub("broken.json", b'{"version": 9, "new_f')
+
+    dropped = table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    assert f"{t}/_log/published/broken.json" not in dropped
+    assert pub_files() == ["broken.json", "published_ledger_4.json"]
+    for name, v in published.items():
+        assert table_log._read_published_tombstone(
+            spark, t, name)["version"] == v
+        with _pytest.raises(ValueError, match="already published"):
+            table_log.stage_snapshot(
+                spark.createDataFrame([(9, "x")], "k long, v string"),
+                t, name=name,
+            )
+    assert table_log._read_published_tombstone(
+        spark, t, "published_ledger_3") == legacy_rec
+
+    # (c) young per-name files wait for the retention window
+    write_pub("broken.json", _json.dumps(
+        {"version": 9, "new_files": ["data/cb/f.parquet"]}
+    ).encode())
+    assert table_log.vacuum(spark, t, keep_last=1, min_age_s=3600) == []
+    assert "broken.json" in pub_files()
+
+    # once old enough (min_age_s=0 here), the repaired file folds too
+    table_log.vacuum(spark, t, keep_last=1, min_age_s=0)
+    assert pub_files() == ["published_ledger_5.json"]
+    assert table_log._read_published_tombstone(
+        spark, t, "broken")["version"] == 9
+    assert table_log._read_published_tombstone(
+        spark, t, "published_ledger_3") == legacy_rec
+
+
+def test_commit_snapshot_observe_rides_write(spark, tmp_path):
+    """commit_snapshot's caller-metric observation (round 13): the
+    metrics ride the commit's write job, observe_drop columns are
+    visible to them but land in neither the files nor the recorded
+    schema, and a CALLABLE extra_meta embeds the observed values in
+    the manifest atomically with the commit."""
+    from pyspark.sql import functions as F
+
+    from etl_property_rumah123_spark.sinks import table_log
+
+    t = str(tmp_path / "obs_commit")
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 4.0), (3, 6.0)], "k long, aux double"
+    )
+    v = table_log.commit_snapshot(
+        df, t,
+        observe={"n_in": F.count(F.lit(1)), "aux_avg": F.avg("aux")},
+        observe_drop=["aux"],
+        extra_meta=lambda vals: {
+            "batch_n": int(vals["n_in"]),
+            "batch_aux_avg": vals["aux_avg"],
+        },
+    )
+    m = table_log._manifest(spark, t, v)
+    assert m["batch_n"] == 3
+    assert abs(m["batch_aux_avg"] - 4.0) < 1e-12
+    back = table_log.read_snapshot(spark, t)
+    assert back.columns == ["k"]  # aux observed, never written
+    assert "aux" not in m["schema"]
+    with pytest.raises(ValueError, match="__chk_"):
+        table_log.commit_snapshot(
+            df.drop("aux"), t, observe={"__chk_x": F.count(F.lit(1))}
+        )

@@ -152,6 +152,11 @@ def main() -> int:
         extra_conf={
             "spark.ui.enabled": "false",
             "spark.driver.memory": os.environ.get("ANN_DRIVER_MEM", "48g"),
+            # the 200M scale shuffles ~25 GB per assignment pass; the
+            # default 30-min periodic GC leaves the previous pass's
+            # shuffle files on disk long enough to overlap the next
+            # one and exhaust /tmp — collect dead shuffles promptly
+            "spark.cleaner.periodicGC.interval": "90s",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -164,11 +169,14 @@ def main() -> int:
     ratios = {}
     for a, b in zip(results, results[1:]):
         decade = f"{a['vectors']}→{b['vectors']}"
+        # a flat metadata op can round to 0.0 s at the small decade —
+        # emit null rather than dropping the key (a dropped key would
+        # hide exactly the op whose flat-shape claim the drill checks)
         ratios[decade] = {
-            k: round(b[k] / a[k], 2)
+            k: (round(b[k] / a[k], 2) if a.get(k) else None)
             for k in ("build_s", "append_s", "probe_s", "drift_s",
                       "rebalance_s", "vacuum_s")
-            if a.get(k)
+            if k in a and k in b
         }
     print(json.dumps({"ratios_per_decade": ratios}), flush=True)
     return 0
