@@ -1836,12 +1836,21 @@ def probe_ann_index(
     # explicit hint keeps the INDEX data in place — without it Spark's
     # unknown-size estimate shuffles the probed cells on `cell`, which
     # at 100 TB moves n_probe/n_lists of the index per query batch.
+    # Score BEFORE any exchange, so the dedup + ranking shuffles carry
+    # (query_id, neighbor_id, sim) — ~24 B/row — instead of both
+    # embedding vectors (~300 B/row at dim 16, KBs at dim 768). The
+    # round-13 decade drill measured the wide shape super-linear
+    # (8.6 → 145 s per 10× at 2M→20M: a uniform 64-query batch probes
+    # every cell, so candidates ≈ the whole index and the wide dedup
+    # exchange spills). Same output set: a duplicate index row
+    # (retried append) has the same vec, hence the same sim, and
+    # collapses in the narrow distinct exactly as in the wide one.
     scored = (
         F.broadcast(probes).join(cells, "cell")
-        .select("query_id", "neighbor_id", "qv", "cv")
-        .distinct()  # multi-probe / retried-append duplicates
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", dot(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "sim")
+        .distinct()  # multi-probe / retried-append duplicates
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -2024,12 +2033,21 @@ def probe_rp_index(
     )
     # same small-probe-side broadcast contract as probe_ann_index:
     # the index data never shuffles for a query batch
+    # Score BEFORE any exchange, so the dedup + ranking shuffles carry
+    # (query_id, neighbor_id, sim) — ~24 B/row — instead of both
+    # embedding vectors (~300 B/row at dim 16, KBs at dim 768). The
+    # round-13 decade drill measured the wide shape super-linear
+    # (8.6 → 145 s per 10× at 2M→20M: a uniform 64-query batch probes
+    # every cell, so candidates ≈ the whole index and the wide dedup
+    # exchange spills). Same output set: a duplicate index row
+    # (retried append) has the same vec, hence the same sim, and
+    # collapses in the narrow distinct exactly as in the wide one.
     scored = (
         F.broadcast(probes).join(cells, "cell")
-        .select("query_id", "neighbor_id", "qv", "cv")
-        .distinct()  # multi-probe / retried-append duplicates
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", dot(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "sim")
+        .distinct()  # multi-probe / retried-append duplicates
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
