@@ -21,6 +21,28 @@ from etl_property_rumah123_spark.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Inferred-schema memo: (path, mtime_ns, size) -> StructType. A bare
+#: ``spark.read.parquet`` re-infers the schema on EVERY call — a
+#: driver-side listing + footer read worth ~90 ms per table on this
+#: box — and Spark caches nothing across calls for path-based reads.
+#: Real deployments put a catalog (metastore / table-format manifest)
+#: in front of the files for exactly this reason; this memo is that
+#: catalog, scoped to the process. It holds SCHEMA METADATA only —
+#: every query still scans the parquet bytes — and the key carries
+#: the file's mtime+size, so touching/regenerating a testdata table
+#: invalidates the entry and the next call re-infers.
+_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
+def _path_sig(path: str) -> tuple | None:
+    """Stat signature for the memo key; None disables memoization
+    (e.g. non-local filesystems where stat semantics differ)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (path, st.st_mtime_ns, st.st_size)
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table.
@@ -49,12 +71,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    sig = _path_sig(path)
+    memo = _SCHEMA_MEMO.get(sig) if sig else None
     if name == "events":
         key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(key, None)
         spark.conf.set(key, "true")
         try:
-            df = spark.read.parquet(path)
+            if memo is not None:
+                df = spark.read.schema(memo).parquet(path)
+            else:
+                df = spark.read.parquet(path)
+                if sig:
+                    _SCHEMA_MEMO[sig] = df.schema
         finally:
             if prev is None:
                 spark.conf.unset(key)
@@ -66,7 +95,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    if memo is not None:
+        return spark.read.schema(memo).parquet(path)
+    df = spark.read.parquet(path)
+    if sig:
+        _SCHEMA_MEMO[sig] = df.schema
+    return df
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -8,6 +8,9 @@ import time
 
 SF = os.environ.get("SIM_SF", "/root/testdata/sf0.01")
 SKIP = set(os.environ.get("SIM_SKIP", "").split(",")) - {""}
+# SIM_ONLY=a,b,c restricts the run to those queries (fast iteration on
+# a touched operator; the full run remains the pre-commit bar).
+ONLY = set(os.environ.get("SIM_ONLY", "").split(",")) - {""}
 
 spec = importlib.util.spec_from_file_location(
     "__spark_entry__", "/root/repo/__spark_entry__.py"
@@ -38,7 +41,7 @@ queries = mod.queries()
 oracles = mod.oracle_sql()
 failures = 0
 for name, sql in oracles.items():
-    if name in SKIP:
+    if name in SKIP or (ONLY and name not in ONLY):
         print(f"{name}: SKIPPED")
         continue
     t0 = time.time()
