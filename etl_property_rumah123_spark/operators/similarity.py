@@ -515,6 +515,11 @@ def _assign_cells_arrow(
     return out.select(id_alias, F.col("__v"), "cell")
 
 
+#: the on-disk centroid table schema, fixed by every writer
+#: (write_ann_index / rebalance_ann_index)
+_CENTROID_SCHEMA = "cell INT, centroid ARRAY<DOUBLE>"
+
+
 def _centroid_literal(rows: list):
     """The centroid table as ONE plan-literal array column.
 
@@ -795,20 +800,79 @@ def pq_topk_seeded(
             )
         return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
-    # encode: per (vec, j) the argmin-d2 codeword (tiebreak smallest c)
+    # encode: per (vec, j) the argmin-d2 codeword (tiebreak smallest c).
+    # SHUFFLE-FREE (round 13): the codebook is tiny driver-known
+    # metadata (m x ksub rows), so each subspace's codewords ride into
+    # the plan as a literal array and every corpus row computes all m
+    # codes in ONE narrow projection — transform (the same zip_with
+    # (a-b)^2 left fold, so d2 is bit-identical), array_sort on
+    # (d2, c) structs (the same (d2 asc, c asc) tiebreak as the old
+    # row_number), element_at 1. The previous shape crossJoined the
+    # corpus to m x ksub x its row count and shuffled+sorted corpus x m
+    # rows through a Window exchange — at a billion vectors that
+    # exchange IS the encode cost. Non-finite codewords (impossible
+    # for real vector data) fall back to the legacy crossJoin shape
+    # because SQL has no inf/nan double literal.
+    import math as _math
+
     c_side = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    wenc = Window.partitionBy("neighbor_id", "j").orderBy(
-        F.col("d2").asc(), F.col("c")
-    )
-    codes = (
-        c_side.crossJoin(cb)
-        .withColumn("d2", sub_fold("cv", mul=False))
-        .withColumn("__r", F.row_number().over(wenc))
-        .filter(F.col("__r") == 1)
-        .select("neighbor_id", "j", "c")
-    )
+    if all(_math.isfinite(x) for _j, _c, w in cb_rows for x in w):
+        code_structs = []
+        for j in range(m):
+            cw_lit = F.expr(
+                "array(" + ",".join(
+                    "named_struct('c', {c}, 'w', array({vals}))".format(
+                        c=int(c), vals=",".join(f"{x!r}D" for x in w)
+                    )
+                    for (jj, c, w) in cb_rows
+                    if jj == j
+                ) + ")"
+            )
+            sub = F.slice(F.col("cv"), j * dsub + 1, dsub)
+            best = F.element_at(
+                F.array_sort(
+                    F.transform(
+                        cw_lit,
+                        lambda cw: F.struct(
+                            F.aggregate(
+                                F.zip_with(
+                                    sub,
+                                    cw["w"],
+                                    lambda a, b: (a.cast("double") - b)
+                                    * (a.cast("double") - b),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            ).alias("d2"),
+                            cw["c"].alias("c"),
+                        ),
+                    )
+                ),
+                1,
+            )
+            code_structs.append(
+                F.struct(F.lit(j).alias("j"), best["c"].alias("c"))
+            )
+        codes = (
+            c_side.select(
+                "neighbor_id",
+                F.explode(F.array(*code_structs)).alias("__jc"),
+            )
+            .select("neighbor_id", F.col("__jc.j"), F.col("__jc.c"))
+        )
+    else:
+        wenc = Window.partitionBy("neighbor_id", "j").orderBy(
+            F.col("d2").asc(), F.col("c")
+        )
+        codes = (
+            c_side.crossJoin(cb)
+            .withColumn("d2", sub_fold("cv", mul=False))
+            .withColumn("__r", F.row_number().over(wenc))
+            .filter(F.col("__r") == 1)
+            .select("neighbor_id", "j", "c")
+        )
     # per-query LUT: dot(q_sub_j, codeword_{j,c})
     q_side = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -1430,7 +1494,11 @@ def append_ann_index(
             "append_rp_index instead."
         )
     cent_rel = meta.get("centroids_rel", "centroids")
-    cent_df = spark.read.parquet(f"{path}/{cent_rel}")
+    # fixed writer schema: skip per-call footer inference (~0.1 s of
+    # driver latency per append on this box; pure metadata)
+    cent_df = spark.read.schema(_CENTROID_SCHEMA).parquet(
+        f"{path}/{cent_rel}"
+    )
     assigned = _assign_cells(
         _with_dim_check(new_vectors, meta["vec_col"], meta["dim"]),
         F.broadcast(cent_df),
@@ -1833,7 +1901,10 @@ def probe_ann_index(
 
         m = table_log._manifest(spark, f"{path}/cells_log", version)
         cent_rel = m.get("ann_centroids", "centroids")
-    cent_df = F.broadcast(spark.read.parquet(f"{path}/{cent_rel}"))
+    # fixed writer schema: skip per-probe footer inference
+    cent_df = F.broadcast(
+        spark.read.schema(_CENTROID_SCHEMA).parquet(f"{path}/{cent_rel}")
+    )
     probes = _assign_cells(
         _with_dim_check(queries, vc, meta["dim"]), cent_df, "query_id",
         n_probe, vc, ic,

@@ -700,12 +700,16 @@ _suite(
 _suite(
     "corpus_dedup_suite",
     {
+        # heavy action-running builders lead (star_cc's O(log n)
+        # label-propagation rounds and the LSH index/probe pipelines
+        # execute during BUILD): the thread pool starts them first so
+        # the lazy members fill their shadow
+        "star_cc": {"part": "components_star_chain", "n1": "doc_id", "n2": "component"},
+        "minhash_md5": {"part": "minhash_lsh_md5", "n1": "id_a", "n2": "id_b"},
+        "lsh_probe": {"part": "corpus_lsh_probe", "n1": "new_id", "n2": "indexed_id"},
         "spans": {"part": "corpus_repeated_spans", "n1": "doc_id", "n2": "n_windows", "n3": "n_repeated"},
         "semdedup": {"part": "corpus_semantic_dedup", "n1": "bucket", "n2": "n_vecs", "n3": "n_dropped"},
         "source_cap": {"part": "corpus_source_cap", "s1": "source", "n1": "n_docs", "n2": "n_kept", "n3": "kept_id_sum"},
-        "lsh_probe": {"part": "corpus_lsh_probe", "n1": "new_id", "n2": "indexed_id"},
-        "minhash_md5": {"part": "minhash_lsh_md5", "n1": "id_a", "n2": "id_b"},
-        "star_cc": {"part": "components_star_chain", "n1": "doc_id", "n2": "component"},
         "archive": {"part": "archive_ingest_roundtrip", "n1": "shard", "n2": "n_docs", "n3": "payload_bytes", "s1": "id_sum"},
         "bloom": {"part": "bloom_membership_prune", "n1": "doc_id", "n2": "maybe_present", "n3": "truly_present"},
     },
@@ -720,7 +724,11 @@ _suite(
     "large/small-star connected components over a chain graph, the "
     "doc_archive shard ingestion round-trip, and Bloom-filter "
     "membership pruning (bit_or-aggregated bitmap broadcast to "
-    "probes, no-false-negatives pinned against the exact semi-join).",
+    "probes, no-false-negatives pinned against the exact semi-join). "
+    "Members build CONCURRENTLY (star_cc's label-propagation rounds "
+    "and the LSH index build execute at build time and otherwise "
+    "serialize on the driver).",
+    concurrent=True,
 )
 
 
@@ -1069,14 +1077,17 @@ _suite(
 _suite(
     "analytics_patterns_suite",
     {
+        # iterative builders lead (pagerank/kmeans/logreg run their
+        # training rounds at BUILD time): the thread pool starts them
+        # first so the lazy members fill their shadow
+        "pagerank": {"part": "pagerank_bipartite", "n1": "node", "n2": "degree", "n3": "rank_micro"},
+        "kmeans": {"part": "kmeans_lloyd", "n1": "cluster", "n2": "dim", "n3": "value"},
+        "logreg": {"part": "logreg_train_gd", "n1": "iter", "n2": "grad_micro", "s1": "feature", "v1": "weight"},
         "basket": {"part": "brand_cooccurrence", "s1": "brand_a", "s2": "brand_b", "n1": "support"},
         "cohort": {"part": "cohort_retention", "s1": "cohort_month", "n1": "month_offset", "n2": "active_customers"},
         "scd2": {"part": "scd2_customer_versions", "n1": "c_custkey", "n2": "is_current", "s1": "valid_from", "v1": "acctbal"},
         "udtf": {"part": "udtf_sentence_split", "n1": "doc_id", "n2": "sentence_idx", "n3": "n_words", "s1": "sentence"},
-        "logreg": {"part": "logreg_train_gd", "n1": "iter", "n2": "grad_micro", "s1": "feature", "v1": "weight"},
         "gram": {"part": "embedding_gram_matrix", "n1": "i", "n2": "j", "n3": "value"},
-        "pagerank": {"part": "pagerank_bipartite", "n1": "node", "n2": "degree", "n3": "rank_micro"},
-        "kmeans": {"part": "kmeans_lloyd", "n1": "cluster", "n2": "dim", "n3": "value"},
     },
     [("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("v1", "double")],
     doc="Warehouse analytics patterns, consolidated (round-6) from "
@@ -1091,5 +1102,8 @@ _suite(
     "(micro-quantized map-side gradient partials, rational-sigmoid "
     "link — bit-exact vs the oracle's chained-CTE restatement) and "
     "gram-matrix accumulation over embeddings (the distributed half "
-    "of PCA).",
+    "of PCA). Members build CONCURRENTLY (the iterative trainers run "
+    "their rounds at build time and otherwise serialize on the "
+    "driver).",
+    concurrent=True,
 )
