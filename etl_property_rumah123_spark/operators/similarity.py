@@ -520,6 +520,31 @@ def _assign_cells_arrow(
 _CENTROID_SCHEMA = "cell INT, centroid ARRAY<DOUBLE>"
 
 
+def _cells_reader(spark, meta: dict):
+    """``spark.read`` for the plain-dir ``cells`` table, with the
+    sidecar-recorded schema applied when the index carries one
+    (``cells_schema``, recorded at build/rebalance from a read-back
+    of the freshly written dir — so nullability and partition-column
+    placement are exactly what inference would produce). Skips the
+    per-probe footer read and partition-type inference; pre-round-13
+    indexes without the field fall back to inference."""
+    sj = meta.get("cells_schema")
+    if not sj:
+        return spark.read
+    import json
+
+    from pyspark.sql.types import StructType
+
+    return spark.read.schema(StructType.fromJson(json.loads(sj)))
+
+
+def _record_cells_schema(spark, meta: dict, cells_path: str) -> None:
+    """Read back the just-written cells dir ONCE and record its exact
+    schema in the sidecar dict (one footer read at write time buys
+    inference-free probes for the index's lifetime)."""
+    meta["cells_schema"] = spark.read.parquet(cells_path).schema.json()
+
+
 def _centroid_literal(rows: list):
     """The centroid table as ONE plan-literal array column.
 
@@ -1462,6 +1487,7 @@ def write_ann_index(
         # — a drifting ingest distribution shows up as a rising ratio
         # in ann_index_drift long before recall visibly degrades.
         meta["drift_baseline"] = {"mean_d2": mean_d2, "n": n}
+        _record_cells_schema(spark, meta, f"{path}/cells")
     _write_ann_meta(spark, path, meta)
     return {
         "path": path,
@@ -1778,6 +1804,7 @@ def rebalance_ann_index(
             "drift_baseline": {"mean_d2": mean_d2, "n": n},
             "rebalance_gen": gen,
         }
+        _record_cells_schema(spark, meta, f"{path}/{cells_rel_new}")
         # COMMIT POINT: one tiny overlay file, written only after both
         # generation dirs are complete; read_ann_meta honors it only
         # if it parses and the dirs exist
@@ -1932,7 +1959,7 @@ def probe_ann_index(
         # a probe before any append in the same session must not see a
         # stale (or negatively-cached) listing — same LSH-index trap
         spark.catalog.refreshByPath(f"{path}/{_cells_rel(meta)}")
-        cells_raw = spark.read.parquet(
+        cells_raw = _cells_reader(spark, meta).parquet(
             f"{path}/{_cells_rel(meta)}"
         ).filter(F.col("cell").isin(probed_cells))
     cells = cells_raw.select(
@@ -2041,6 +2068,7 @@ def write_rp_index(
         _rp_cells(corpus, meta), meta["n_lists"], files_per_bucket
     )
     n, _ = _observed_cell_write(laid, f"{path}/cells", "errorifexists")
+    _record_cells_schema(spark, meta, f"{path}/cells")
     _write_ann_meta(spark, path, meta)
     return {
         "path": path,
@@ -2131,7 +2159,7 @@ def probe_rp_index(
     probed = sorted(r[0] for r in ids)
     spark.catalog.refreshByPath(f"{path}/cells")
     cells = (
-        spark.read.parquet(f"{path}/cells")
+        _cells_reader(spark, meta).parquet(f"{path}/cells")
         .filter(F.col("cell").isin(probed))
         .select(
             F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"),
