@@ -80,6 +80,24 @@ def _hyperplane(seed: str, plane: int, dim: int) -> list[float]:
     return out
 
 
+def _double_array_literal(vals: list[float]):
+    """One plan-literal ARRAY<DOUBLE> built as a SINGLE ``F.expr``
+    call. ``F.lit(list)`` on classic py4j PySpark desugars to
+    ``array(*[lit(x) ...])`` — one driver round trip per ELEMENT
+    (ADVICE r13 measured it call-for-call identical to the explicit
+    comprehension at dim 64), so batching must happen in SQL text.
+    ``repr(float)`` is the shortest round-tripping decimal, so
+    ``Double.parseDouble`` reconstructs bit-identical doubles (same
+    argument as :func:`_centroid_literal`); non-finite values fall
+    back to the per-element form because SQL has no inf/nan double
+    literal."""
+    import math
+
+    if all(isinstance(x, float) and math.isfinite(x) for x in vals):
+        return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
 def rp_lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -92,14 +110,12 @@ def rp_lsh_buckets(
     Vectors with high cosine similarity agree on most sign bits, so
     near neighbors concentrate in the same bucket. The planes are
     constant literal arrays compiled into the plan — no fitted model,
-    no broadcast needed.
+    no broadcast needed; each plane is ONE ``F.expr`` parse, not one
+    py4j call per element (:func:`_double_array_literal`).
     """
     code = F.lit(0).cast("long")
     for p in range(num_planes):
-        # one literal-array py4j call per plane (F.lit on a Python
-        # list), not one per element — value-identical, ~64x fewer
-        # driver round trips at dim 64
-        plane = F.lit(_hyperplane(seed, p, dim))
+        plane = _double_array_literal(_hyperplane(seed, p, dim))
         bit = (dot(F.col(vec_col), plane) >= 0).cast("long")
         code = code.bitwiseOR(F.shiftleft(bit, p))
     return df.withColumn("bucket", code)
@@ -765,85 +781,101 @@ def ivf_topk_seeded(
     )
 
 
-def pq_topk_seeded(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 5,
-    m: int = 8,
-    nbits: int = 4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    salt: str = "pq|",
-    refine_factor: int = 8,
+def _pq_encode_codes(
+    c_side: DataFrame,
+    cb,
+    cb_rows: list,
+    m: int,
+    dsub: int,
+    sub_fold,
 ) -> DataFrame:
-    """PQ-ADC with SEEDED codebooks: per-subspace codewords are the
-    subspace slices of ``2**nbits`` hash-picked corpus vectors instead
-    of per-subspace KMeans centroids.
+    """Corpus PQ encode — per (vec, j) the argmin-d2 codeword
+    (tiebreak smallest c) as (neighbor_id, j, c) rows — in the NARROW
+    zero-shuffle topology round 13 established (the legacy shape
+    crossJoined the corpus to m × ksub × its row count and
+    shuffled+sorted corpus × m rows through a Window exchange; at a
+    billion vectors that exchange IS the encode cost).
 
-    Same rationale as :func:`ivf_topk_seeded`: identical serving
-    pipeline (encode corpus to m small codes -> per-query ADC lookup
-    scoring -> exact re-rank of the top ``k * refine_factor``), zero
-    fitted state, every float derived by the shared left-to-right
-    fold — so the DuckDB oracle reproduces codes, ADC scores, and the
-    final ranking bit-for-bit. The KMeans-codebook variant
-    (:func:`pq_topk`) stays as the production path (tighter codebooks
-    => smaller ADC error at equal m/nbits).
+    Round 14 moves the per-row argmin from plan-literal higher-order
+    functions to an ARROW-BATCHED kernel: the literal HOFs
+    (transform/aggregate over an m × ksub × dsub literal codebook) are
+    interpreted per row — measured ~0.9 s of fixed overhead at sf0.1
+    and ADVICE r13 flagged the uncapped plan bloat at large
+    nbits × dim — while the kernel hands whole Arrow batches to numpy
+    (guide §4.2) with the codebook closure-captured (a few KB).
 
-    Implementation is DataFrame-native (explode subspaces, window
-    argmin, conditional-max pivot + explicit left-to-right ADC sum) —
-    no driver-side numpy in the scoring path at all.
-    """
-    ksub = 2 ** nbits
-    samples = _hash_sample_rows(corpus, ksub, salt, vec_col, id_col)
-    dim = len(samples[0][2])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    dsub = dim // m
-    spark = corpus.sparkSession
-    # codebook rows: (j, c, codeword[dsub])
-    cb_rows = [
-        (j, c, v[j * dsub : (j + 1) * dsub])
-        for j in range(m)
-        for c, _sid, v in samples
-    ]
-    cb = F.broadcast(
-        spark.createDataFrame(cb_rows, "j int, c int, w array<double>")
-    )
-
-    def sub_fold(vec_col_name, mul):
-        """Left fold over the j-th subspace: (v[j*dsub+d] op w[d])."""
-        sub = F.slice(F.col(vec_col_name), F.col("j") * dsub + 1, dsub)
-        if mul:
-            prods = F.zip_with(
-                sub, F.col("w"), lambda a, b: a.cast("double") * b
-            )
-        else:
-            prods = F.zip_with(
-                sub,
-                F.col("w"),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            )
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-    # encode: per (vec, j) the argmin-d2 codeword (tiebreak smallest c).
-    # SHUFFLE-FREE (round 13): the codebook is tiny driver-known
-    # metadata (m x ksub rows), so each subspace's codewords ride into
-    # the plan as a literal array and every corpus row computes all m
-    # codes in ONE narrow projection — transform (the same zip_with
-    # (a-b)^2 left fold, so d2 is bit-identical), array_sort on
-    # (d2, c) structs (the same (d2 asc, c asc) tiebreak as the old
-    # row_number), element_at 1. The previous shape crossJoined the
-    # corpus to m x ksub x its row count and shuffled+sorted corpus x m
-    # rows through a Window exchange — at a billion vectors that
-    # exchange IS the encode cost. Non-finite codewords (impossible
-    # for real vector data) fall back to the legacy crossJoin shape
-    # because SQL has no inf/nan double literal.
+    BIT-EXACTNESS (the oracle serves this path): the kernel
+    accumulates (a_d − b_d)² in DIM ORDER — ``acc += diff²`` one d at
+    a time, float64 throughout — which is scalar-for-scalar the same
+    IEEE operation sequence as the SQL left fold
+    ``aggregate(zip_with(sub, w, (a-b)*(a-b)), 0.0, acc+x)``; and
+    ``argmin`` takes the FIRST minimum with codewords ordered by c, the
+    same (d2 asc, c asc) tiebreak as the literal array_sort and the
+    legacy row_number. Same construction as make_dot_pandas. Pinned
+    code-for-code equal to both prior shapes in
+    tests/test_optimization_r14.py. Non-finite codewords (impossible
+    for real vector data) fall back to the legacy crossJoin shape —
+    NaN d2 ordering differs between numpy (NaN wins argmin) and SQL
+    (NaN sorts last), and SQL has no inf/nan double literal either.
+    ``SPARK_GRAFT_PQ_ENCODE_SHAPE`` in {auto, arrow, literal,
+    crossjoin} forces a shape for A/B drills; literal keeps round 13's
+    plan-literal form (unchanged, still uncapped — only ever used when
+    forced)."""
     import math as _math
 
-    c_side = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    if all(_math.isfinite(x) for _j, _c, w in cb_rows for x in w):
+    from pyspark.sql import types as T
+
+    shape = os.environ.get("SPARK_GRAFT_PQ_ENCODE_SHAPE", "auto")
+    finite = all(_math.isfinite(x) for _j, _c, w in cb_rows for x in w)
+    if shape == "auto":
+        shape = "arrow" if finite else "crossjoin"
+    if shape == "arrow":
+        import numpy as np
+
+        books = np.empty((m, len(cb_rows) // m, dsub), dtype=np.float64)
+        for j, c, w in cb_rows:
+            books[j, c] = w
+
+        out_schema = T.StructType(
+            [
+                c_side.schema["neighbor_id"],
+                T.StructField("j", T.IntegerType(), False),
+                T.StructField("c", T.IntegerType(), False),
+            ]
+        )
+
+        def encode(batches):
+            import numpy as np
+            import pandas as pd
+
+            mm, ksub, dd = books.shape
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                X = np.stack(pdf["cv"].to_numpy()).astype(
+                    np.float64, copy=False
+                )
+                codes = np.empty((n, mm), dtype=np.int32)
+                for j in range(mm):
+                    sub = X[:, j * dd : (j + 1) * dd]
+                    acc = np.zeros((n, ksub), dtype=np.float64)
+                    for d in range(dd):  # dim-ordered: the SQL fold
+                        diff = sub[:, d][:, None] - books[j, :, d][None, :]
+                        acc += diff * diff
+                    codes[:, j] = acc.argmin(axis=1)  # first min = low c
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": pdf["neighbor_id"].to_numpy().repeat(mm),
+                        "j": np.tile(
+                            np.arange(mm, dtype=np.int32), n
+                        ),
+                        "c": codes.ravel(),
+                    }
+                )
+
+        return c_side.mapInPandas(encode, schema=out_schema)
+    if shape == "literal" and finite:
         code_structs = []
         for j in range(m):
             cw_lit = F.expr(
@@ -880,24 +912,91 @@ def pq_topk_seeded(
             code_structs.append(
                 F.struct(F.lit(j).alias("j"), best["c"].alias("c"))
             )
-        codes = (
+        return (
             c_side.select(
                 "neighbor_id",
                 F.explode(F.array(*code_structs)).alias("__jc"),
             )
             .select("neighbor_id", F.col("__jc.j"), F.col("__jc.c"))
         )
-    else:
-        wenc = Window.partitionBy("neighbor_id", "j").orderBy(
-            F.col("d2").asc(), F.col("c")
-        )
-        codes = (
-            c_side.crossJoin(cb)
-            .withColumn("d2", sub_fold("cv", mul=False))
-            .withColumn("__r", F.row_number().over(wenc))
-            .filter(F.col("__r") == 1)
-            .select("neighbor_id", "j", "c")
-        )
+    wenc = Window.partitionBy("neighbor_id", "j").orderBy(
+        F.col("d2").asc(), F.col("c")
+    )
+    return (
+        c_side.crossJoin(cb)
+        .withColumn("d2", sub_fold("cv", mul=False))
+        .withColumn("__r", F.row_number().over(wenc))
+        .filter(F.col("__r") == 1)
+        .select("neighbor_id", "j", "c")
+    )
+
+
+def pq_topk_seeded(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "pq|",
+    refine_factor: int = 8,
+) -> DataFrame:
+    """PQ-ADC with SEEDED codebooks: per-subspace codewords are the
+    subspace slices of ``2**nbits`` hash-picked corpus vectors instead
+    of per-subspace KMeans centroids.
+
+    Same rationale as :func:`ivf_topk_seeded`: identical serving
+    pipeline (encode corpus to m small codes -> per-query ADC lookup
+    scoring -> exact re-rank of the top ``k * refine_factor``), zero
+    fitted state, every float derived by the shared left-to-right
+    fold — so the DuckDB oracle reproduces codes, ADC scores, and the
+    final ranking bit-for-bit. The KMeans-codebook variant
+    (:func:`pq_topk`) stays as the production path (tighter codebooks
+    => smaller ADC error at equal m/nbits).
+
+    Implementation: the corpus ENCODE is an Arrow-batched dim-ordered
+    argmin kernel (:func:`_pq_encode_codes` — bit-identical to the SQL
+    fold, see its docstring); the LUT/ADC scoring stays
+    DataFrame-native (conditional-max pivot + explicit left-to-right
+    ADC sum) with no driver-side numpy anywhere in the scoring path.
+    """
+    ksub = 2 ** nbits
+    samples = _hash_sample_rows(corpus, ksub, salt, vec_col, id_col)
+    dim = len(samples[0][2])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    spark = corpus.sparkSession
+    # codebook rows: (j, c, codeword[dsub])
+    cb_rows = [
+        (j, c, v[j * dsub : (j + 1) * dsub])
+        for j in range(m)
+        for c, _sid, v in samples
+    ]
+    cb = F.broadcast(
+        spark.createDataFrame(cb_rows, "j int, c int, w array<double>")
+    )
+
+    def sub_fold(vec_col_name, mul):
+        """Left fold over the j-th subspace: (v[j*dsub+d] op w[d])."""
+        sub = F.slice(F.col(vec_col_name), F.col("j") * dsub + 1, dsub)
+        if mul:
+            prods = F.zip_with(
+                sub, F.col("w"), lambda a, b: a.cast("double") * b
+            )
+        else:
+            prods = F.zip_with(
+                sub,
+                F.col("w"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    c_side = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    codes = _pq_encode_codes(c_side, cb, cb_rows, m, dsub, sub_fold)
     # per-query LUT: dot(q_sub_j, codeword_{j,c})
     q_side = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -1124,9 +1223,14 @@ def _ann_read_json(spark, full_path: str) -> dict:
 
 
 #: rebalance-owned fields a generation overlay (plain-dir) or a
-#: cells_log manifest (transactional) may override on the base sidecar
+#: cells_log manifest (transactional) may override on the base sidecar.
+#: cells_schema rides here too (ADVICE r13): the rebalance records the
+#: NEW generation dir's schema, and without carrying it the overlay
+#: would leave probes applying the stale gen-0 recorded schema to
+#: cells_g<gen> reads.
 _ANN_GEN_FIELDS = (
     "centroids_rel", "cells_rel", "rebalance_gen", "drift_baseline",
+    "cells_schema",
 )
 
 
@@ -1159,6 +1263,12 @@ def _resolve_ann_gen_overlay(spark, path: str, meta: dict) -> dict:
         meta = {**meta, **{
             k: overlay[k] for k in _ANN_GEN_FIELDS if k in overlay
         }}
+        if "cells_schema" not in overlay:
+            # overlay written before cells_schema rode the commit: the
+            # base sidecar's recorded schema describes the PREVIOUS
+            # generation's dir, not this one — drop it so reads fall
+            # back to inference instead of applying a stale schema
+            meta.pop("cells_schema", None)
         break
     return meta
 

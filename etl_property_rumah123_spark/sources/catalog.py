@@ -12,6 +12,7 @@ Replaces the reference's re-infer-types-per-stage CSV handoff
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -31,17 +32,53 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: every query still scans the parquet bytes — and the key carries
 #: the file's mtime+size, so touching/regenerating a testdata table
 #: invalidates the entry and the next call re-infers.
-_SCHEMA_MEMO: dict[tuple, object] = {}
+_SCHEMA_MEMO: "OrderedDict[tuple, object]" = OrderedDict()
+#: bound the memo like _ASSIGN_BC_CACHE next door (ADVICE r13): a
+#: long-lived session scanning many sf_dirs would otherwise grow it
+#: without limit. Generous — one full testdata sweep touches
+#: len(TESTDATA_TABLES) × #sf_dirs entries, far under the cap.
+_SCHEMA_MEMO_MAX = 64
 
 
 def _path_sig(path: str) -> tuple | None:
     """Stat signature for the memo key; None disables memoization
-    (e.g. non-local filesystems where stat semantics differ)."""
+    (e.g. non-local filesystems where stat semantics differ).
+
+    For a parquet DIRECTORY the dir's own (mtime, size) does not
+    change when a part file is rewritten in place (ADVICE r13), so the
+    signature folds in the child count plus the newest child's name,
+    mtime, and size — regenerating a table in place invalidates the
+    entry even when the directory inode stats are unchanged."""
     try:
         st = os.stat(path)
+        if os.path.isdir(path):
+            newest: tuple = ()
+            names = os.listdir(path)
+            for name in names:
+                try:
+                    cst = os.stat(os.path.join(path, name))
+                except OSError:
+                    continue
+                cand = (cst.st_mtime_ns, name, cst.st_size)
+                if cand > newest:
+                    newest = cand
+            return (path, st.st_mtime_ns, st.st_size, len(names), newest)
     except OSError:
         return None
     return (path, st.st_mtime_ns, st.st_size)
+
+
+def _memo_get(sig):
+    schema = _SCHEMA_MEMO.get(sig)
+    if schema is not None:
+        _SCHEMA_MEMO.move_to_end(sig)
+    return schema
+
+
+def _memo_put(sig, schema) -> None:
+    _SCHEMA_MEMO[sig] = schema
+    while len(_SCHEMA_MEMO) > _SCHEMA_MEMO_MAX:
+        _SCHEMA_MEMO.popitem(last=False)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -72,7 +109,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     sig = _path_sig(path)
-    memo = _SCHEMA_MEMO.get(sig) if sig else None
+    memo = _memo_get(sig) if sig else None
     if name == "events":
         key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(key, None)
@@ -83,7 +120,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             else:
                 df = spark.read.parquet(path)
                 if sig:
-                    _SCHEMA_MEMO[sig] = df.schema
+                    _memo_put(sig, df.schema)
         finally:
             if prev is None:
                 spark.conf.unset(key)
@@ -99,7 +136,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return spark.read.schema(memo).parquet(path)
     df = spark.read.parquet(path)
     if sig:
-        _SCHEMA_MEMO[sig] = df.schema
+        _memo_put(sig, df.schema)
     return df
 
 
