@@ -554,6 +554,55 @@ def _cells_reader(spark, meta: dict):
     return spark.read.schema(StructType.fromJson(json.loads(sj)))
 
 
+def _probed_cells_df(spark, meta: dict, cells_path: str, probed: list):
+    """Read ONLY the probed cells' hive partition directories (round
+    14, guide §6): a plain-dir probe used to hand Spark the cells ROOT
+    and let partition pruning drop the unprobed dirs — correct, but
+    the InMemoryFileIndex first lists EVERY partition dir recursively
+    (~0.55 s of driver round trips at 256 RP buckets, and one RPC per
+    bucket against object storage at scale) before pruning can run.
+    The probed cell ids are already driver-known and bounded by
+    n_lists / the probe-bucket cap, so list the root ONCE
+    (non-recursive — one FS call), intersect with the probed ids, and
+    pass the matching dirs explicitly with ``basePath`` so the
+    partition column still materializes. Rows are identical by
+    construction: every row of ``cell=<c>`` has cell == c, so reading
+    probed dirs == reading all dirs + the isin filter (which stays
+    applied downstream either way).
+
+    Returns None — caller falls back to the full-listing read — when
+    the sidecar carries no recorded ``cells_schema`` (pre-round-13
+    index: subset-based partition-type inference is not provably
+    identical to full-dir inference, so legacy indexes keep the old
+    path). ``SPARK_GRAFT_ANN_PROBE_DIRS=0`` forces the fallback for
+    A/B drills."""
+    sj = meta.get("cells_schema")
+    if not sj or os.environ.get("SPARK_GRAFT_ANN_PROBE_DIRS", "1") == "0":
+        return None
+    import json
+
+    from pyspark.sql.types import StructType
+
+    _jvm, hp, fs = _ann_fs(spark, cells_path)
+    by_val: dict[int, str] = {}
+    for st in fs.listStatus(hp(cells_path)):
+        name = str(st.getPath().getName())
+        if name.startswith("cell="):
+            try:
+                by_val[int(name[5:])] = name
+            except ValueError:
+                continue
+    schema = StructType.fromJson(json.loads(sj))
+    dirs = [f"{cells_path}/{by_val[c]}" for c in probed if c in by_val]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .option("basePath", cells_path)
+        .parquet(*dirs)
+    )
+
+
 def _record_cells_schema(spark, meta: dict, cells_path: str) -> None:
     """Read back the just-written cells dir ONCE and record its exact
     schema in the sidecar dict (one footer read at write time buys
@@ -2069,9 +2118,14 @@ def probe_ann_index(
         # a probe before any append in the same session must not see a
         # stale (or negatively-cached) listing — same LSH-index trap
         spark.catalog.refreshByPath(f"{path}/{_cells_rel(meta)}")
-        cells_raw = _cells_reader(spark, meta).parquet(
-            f"{path}/{_cells_rel(meta)}"
-        ).filter(F.col("cell").isin(probed_cells))
+        cells_raw = _probed_cells_df(
+            spark, meta, f"{path}/{_cells_rel(meta)}", probed_cells
+        )
+        if cells_raw is None:  # pre-r13 index: full-listing fallback
+            cells_raw = _cells_reader(spark, meta).parquet(
+                f"{path}/{_cells_rel(meta)}"
+            )
+        cells_raw = cells_raw.filter(F.col("cell").isin(probed_cells))
     cells = cells_raw.select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "cell"
     )
@@ -2268,8 +2322,11 @@ def probe_rp_index(
         )
     probed = sorted(r[0] for r in ids)
     spark.catalog.refreshByPath(f"{path}/cells")
+    cells_raw = _probed_cells_df(spark, meta, f"{path}/cells", probed)
+    if cells_raw is None:  # pre-r13 index: full-listing fallback
+        cells_raw = _cells_reader(spark, meta).parquet(f"{path}/cells")
     cells = (
-        _cells_reader(spark, meta).parquet(f"{path}/cells")
+        cells_raw
         .filter(F.col("cell").isin(probed))
         .select(
             F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"),

@@ -57,6 +57,7 @@ import os
 import re
 import uuid
 import warnings
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,6 +85,179 @@ def _write_file(spark: SparkSession, path: str, data: bytes) -> None:
         out.write(data)
     finally:
         out.close()
+
+
+#: Per-commit-dir schema sidecar (round 14, guide §6 "manifest
+#: metadata in front of files"): every data/DV/key write lands in an
+#: immutable ``data/c<token>*`` commit dir with ONE uniform schema (a
+#: single DataFrame write), so recording that schema as a tiny
+#: ``_schema.json`` INSIDE the commit dir lets every read of an
+#: explicit file list derive its schema driver-side — no
+#: footer-inference job per read. At 100 TB a snapshot read otherwise
+#: pays a footer sweep (mergeSchema reads touch EVERY footer) before
+#: the first task runs. The reader-side derivation EMULATES Spark's
+#: parquet inference exactly (pinned by the evolution fuzz):
+#: files are considered in SORTED path order (InMemoryFileIndex's
+#: listing order); without mergeSchema the first file's schema wins;
+#: with mergeSchema schemas union in encounter order (new fields
+#: append); everything is forced recursively nullable (file scans
+#: always are). Any commit dir without a sidecar (pre-round-14
+#: tables), or any type conflict the emulation does not model, falls
+#: back to real footer inference — the fast path is strictly an
+#: optimization. ``SPARK_GRAFT_TABLE_SCHEMA_SIDECAR=0`` disables the
+#: read-side use for A/B.
+_COMMIT_SCHEMA_NAME = "_schema.json"
+_COMMIT_SCHEMA_MEMO: "OrderedDict[str, object]" = OrderedDict()
+_COMMIT_SCHEMA_MEMO_MAX = 4096
+
+
+def _commit_dir_schema(spark: SparkSession, commit_dir: str):
+    """The recorded schema of one immutable commit dir, memoized for
+    the process lifetime (commit dirs are never rewritten — a vacuumed
+    dir is simply never asked for again). None = no sidecar
+    (pre-round-14 commit) — also memoized; the only transition
+    None -> schema is our own retry-reuse backfill, which updates the
+    memo through :func:`_record_commit_schema`."""
+    hit = _COMMIT_SCHEMA_MEMO.get(commit_dir)
+    if hit is not None or commit_dir in _COMMIT_SCHEMA_MEMO:
+        if hit is not None:
+            _COMMIT_SCHEMA_MEMO.move_to_end(commit_dir)
+        return hit
+    from pyspark.sql.types import StructType
+
+    try:
+        raw = _read_file(spark, f"{commit_dir}/{_COMMIT_SCHEMA_NAME}")
+        schema = StructType.fromJson(json.loads(raw.decode()))
+    except Exception:
+        schema = None
+    _COMMIT_SCHEMA_MEMO[commit_dir] = schema
+    while len(_COMMIT_SCHEMA_MEMO) > _COMMIT_SCHEMA_MEMO_MAX:
+        _COMMIT_SCHEMA_MEMO.popitem(last=False)
+    return schema
+
+
+def _record_commit_schema(spark, fs, jvm, commit_dir: str, schema) -> None:
+    """Write the commit dir's schema sidecar (skipped when present —
+    retry reuse wrote identical bytes) and prime the memo."""
+    sidecar = f"{commit_dir}/{_COMMIT_SCHEMA_NAME}"
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(sidecar)):
+        _write_file(spark, sidecar, schema.json().encode())
+    _COMMIT_SCHEMA_MEMO[commit_dir] = schema
+    while len(_COMMIT_SCHEMA_MEMO) > _COMMIT_SCHEMA_MEMO_MAX:
+        _COMMIT_SCHEMA_MEMO.popitem(last=False)
+
+
+def _nullable_type(dt):
+    """Recursively nullable copy of a type — what a parquet scan's
+    inferred schema always is (Spark forces asNullable on file
+    relations, including nested element/value nullability)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name, _nullable_type(f.dataType), True, f.metadata
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _nullable_type(dt.keyType), _nullable_type(dt.valueType), True
+        )
+    return dt
+
+
+def _merge_types(a, b):
+    """Parquet-style schema union: same-named fields must agree on
+    type (recursively; struct fields union, new fields append in
+    encounter order). Returns None on any conflict — the caller falls
+    back to real footer inference, which raises the real merge error.
+    Nullability is irrelevant here (the result is nullable-ized)."""
+    from pyspark.sql import types as T
+
+    if a == b:
+        return a
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        fields = list(a.fields)
+        index = {f.name: i for i, f in enumerate(fields)}
+        for f in b.fields:
+            i = index.get(f.name)
+            if i is None:
+                fields.append(f)
+            else:
+                m = _merge_types(fields[i].dataType, f.dataType)
+                if m is None:
+                    return None
+                fields[i] = T.StructField(f.name, m, True)
+        return T.StructType(fields)
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        m = _merge_types(a.elementType, b.elementType)
+        return T.ArrayType(m, True) if m is not None else None
+    if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+        mk = _merge_types(a.keyType, b.keyType)
+        mv = _merge_types(a.valueType, b.valueType)
+        return (
+            T.MapType(mk, mv, True)
+            if mk is not None and mv is not None
+            else None
+        )
+    if isinstance(a, type(b)) and not isinstance(
+        a, (T.StructType, T.ArrayType, T.MapType)
+    ):
+        # same class, different params (e.g. two DecimalTypes): only
+        # exact equality is modeled; anything else -> real inference
+        return None
+    return None
+
+
+def _rels_schema(spark: SparkSession, table_path: str, rels, merge: bool):
+    """Driver-side schema for an explicit relative-file list, from the
+    commit-dir sidecars; None (= use footer inference) when disabled,
+    any dir lacks a sidecar, or the merge emulation hits a conflict."""
+    if os.environ.get("SPARK_GRAFT_TABLE_SCHEMA_SIDECAR", "1") == "0":
+        return None
+    rels = list(rels)
+    if not rels:
+        return None
+    dirs: list[str] = []
+    seen: set[str] = set()
+    for rel in sorted(rels):  # leaf files list in sorted path order
+        d = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        if d not in seen:
+            seen.add(d)
+            dirs.append(d)
+    schemas = []
+    for d in dirs:
+        s = _commit_dir_schema(spark, f"{table_path}/{d}")
+        if s is None:
+            return None
+        schemas.append(s)
+    if not merge:
+        # non-merge inference reads ONE footer: the first file's
+        return _nullable_type(schemas[0])
+    merged = schemas[0]
+    for s in schemas[1:]:
+        merged = _merge_types(merged, s)
+        if merged is None:
+            return None
+    return _nullable_type(merged)
+
+
+def _rels_reader(spark: SparkSession, table_path: str, rels, merge: bool):
+    """``spark.read`` for an explicit file list: sidecar-derived
+    schema when available (NO footer-inference job), else footer
+    inference with ``mergeSchema`` as requested."""
+    schema = _rels_schema(spark, table_path, rels, merge)
+    if schema is not None:
+        return spark.read.schema(schema)
+    reader = spark.read
+    if merge:
+        reader = reader.option("mergeSchema", "true")
+    return reader
 
 
 def _list_versions(spark: SparkSession, table_path: str) -> list[int]:
@@ -215,6 +389,15 @@ def _write_commit_dir_observed(
             ).options(
                 **(options or {})
             ).parquet(commit_dir)
+    # record the commit's (uniform) schema inside the immutable dir —
+    # one tiny driver write that buys footer-inference-free reads for
+    # the table's lifetime (see _COMMIT_SCHEMA_NAME above). On retry
+    # reuse the sidecar exists with identical bytes; backfilling a
+    # missing one is safe for the same reason (same token = same df).
+    _record_commit_schema(
+        spark, fs, jvm, commit_dir,
+        (df.drop(*drop) if drop else df).schema,
+    )
     files = sorted(
         f"{commit_rel}/{status.getPath().getName()}"
         for status in fs.listStatus(hadoop_path(commit_dir))
@@ -550,9 +733,8 @@ def _check_constraints(
         from pyspark.sql import functions as F
 
         row = (
-            spark.read.parquet(
-                *[f"{table_path}/{rel}" for rel in new_files]
-            )
+            _rels_reader(spark, table_path, new_files, False)
+            .parquet(*[f"{table_path}/{rel}" for rel in new_files])
             .agg(
                 *[
                     expr.alias(k)
@@ -789,7 +971,9 @@ def _stats_for_files(spark: SparkSession, table_path: str, rels: list[str]) -> d
                 "SPARK_GRAFT_FOOTER_STATS=0 to silence.",
                 stacklevel=2,
             )
-    df = spark.read.parquet(*[f"{table_path}/{rel}" for rel in rels])
+    df = _rels_reader(spark, table_path, rels, False).parquet(
+        *[f"{table_path}/{rel}" for rel in rels]
+    )
     eligible = [
         f.name
         for f in df.schema.fields
@@ -989,9 +1173,8 @@ def _apply_eq_dvs(spark: SparkSession, table_path: str, manifest: dict, data):
 
     for entry in manifest.get("eq_dvs", []):
         keys = (
-            spark.read.parquet(
-                *[f"{table_path}/{r}" for r in entry["files"]]
-            )
+            _rels_reader(spark, table_path, entry["files"], False)
+            .parquet(*[f"{table_path}/{r}" for r in entry["files"]])
             .withColumnRenamed(entry["key"], "__eq_val")
             .withColumn("__eq_hit", F.lit(1))
         )
@@ -1038,7 +1221,7 @@ def _read_with_row_identity(spark: SparkSession, table_path: str, manifest: dict
     from pyspark.sql import functions as F
 
     data = (
-        spark.read.option("mergeSchema", "true")
+        _rels_reader(spark, table_path, manifest["files"], True)
         # same fail-loud contract as read_snapshot: a rewrite source
         # must never silently drop files a concurrent vacuum removed
         .option("ignoreMissingFiles", "false")
@@ -1051,7 +1234,9 @@ def _read_with_row_identity(spark: SparkSession, table_path: str, manifest: dict
     )
     dv_rels = manifest.get("dvs", [])
     if dv_rels:
-        dv = spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
+        dv = _rels_reader(spark, table_path, dv_rels, False).parquet(
+            *[f"{table_path}/{r}" for r in dv_rels]
+        )
         data = data.join(
             F.broadcast(dv),
             (F.col("__dv_key") == dv["file_key"])
@@ -1073,7 +1258,8 @@ def _dv_count_and_keys(
     from pyspark.sql import functions as F
 
     row = (
-        spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
+        _rels_reader(spark, table_path, dv_rels, False)
+        .parquet(*[f"{table_path}/{r}" for r in dv_rels])
         .agg(
             F.count("*").alias("n"),
             F.collect_set("file_key").alias("ks"),
@@ -1136,9 +1322,8 @@ def _prev_dv_keys(
         return set()
     return {
         r["file_key"]
-        for r in spark.read.parquet(
-            *[f"{table_path}/{r}" for r in dv_rels]
-        )
+        for r in _rels_reader(spark, table_path, dv_rels, False)
+        .parquet(*[f"{table_path}/{r}" for r in dv_rels])
         .select("file_key")
         .distinct()
         .collect()
@@ -1289,9 +1474,9 @@ def merge_snapshot_mor(
             n_marked = (
                 obs["n"]
                 if obs is not None
-                else spark.read.parquet(
-                    *[f"{table_path}/{r}" for r in key_files]
-                ).count()
+                else _rels_reader(spark, table_path, key_files, False)
+                .parquet(*[f"{table_path}/{r}" for r in key_files])
+                .count()
             )
             eq_entry = {
                 "key": key,
@@ -1395,7 +1580,8 @@ def _eq_matched_by_file(
     commit recomputes against identical keys."""
     live = _read_with_row_identity(spark, table_path, prev)
     keys = (
-        spark.read.parquet(*[f"{table_path}/{r}" for r in key_files])
+        _rels_reader(spark, table_path, key_files, False)
+        .parquet(*[f"{table_path}/{r}" for r in key_files])
         .withColumnRenamed(key, "__eq_k")
     )
     rows = (
@@ -1453,9 +1639,9 @@ def delete_snapshot_eq(
         n_keys = (
             obs["n"]
             if obs is not None
-            else spark.read.parquet(
-                *[f"{table_path}/{r}" for r in key_files]
-            ).count()
+            else _rels_reader(spark, table_path, key_files, False)
+            .parquet(*[f"{table_path}/{r}" for r in key_files])
+            .count()
         )
         entry = {
             "key": key,
@@ -1541,14 +1727,10 @@ def consolidate_eq_dvs(
                 new_entries.append(group[0])
                 continue
             merged_any = True
+            _grp_rels = [r for e in group for r in e["files"]]
             union_keys = (
-                spark.read.parquet(
-                    *[
-                        f"{table_path}/{r}"
-                        for e in group
-                        for r in e["files"]
-                    ]
-                )
+                _rels_reader(spark, table_path, _grp_rels, False)
+                .parquet(*[f"{table_path}/{r}" for r in _grp_rels])
                 .select(key)
                 .distinct()
             )
@@ -1559,9 +1741,9 @@ def consolidate_eq_dvs(
             n_union = (
                 obs["n"]
                 if obs is not None
-                else spark.read.parquet(
-                    *[f"{table_path}/{r}" for r in key_files]
-                ).count()
+                else _rels_reader(spark, table_path, key_files, False)
+                .parquet(*[f"{table_path}/{r}" for r in key_files])
+                .count()
             )
             merged = {
                 "key": key,
@@ -1592,9 +1774,11 @@ def consolidate_eq_dvs(
         def entry_n(e: dict) -> int:
             if "n" in e:
                 return e["n"]
-            return spark.read.parquet(
-                *[f"{table_path}/{r}" for r in e["files"]]
-            ).count()
+            return (
+                _rels_reader(spark, table_path, e["files"], False)
+                .parquet(*[f"{table_path}/{r}" for r in e["files"]])
+                .count()
+            )
 
         n_eq = sum(entry_n(e) for e in new_entries)
         if all("n" in e for e in entries):
@@ -1602,9 +1786,9 @@ def consolidate_eq_dvs(
         else:
             dv_rels = prev.get("dvs", [])
             n_pos = (
-                spark.read.parquet(
-                    *[f"{table_path}/{r}" for r in dv_rels]
-                ).count()
+                _rels_reader(spark, table_path, dv_rels, False)
+                .parquet(*[f"{table_path}/{r}" for r in dv_rels])
+                .count()
                 if dv_rels
                 else 0
             )
@@ -1943,16 +2127,22 @@ def read_snapshot(
     if not files:
         return _empty_snapshot_df(spark, manifest)
     paths = [f"{table_path}/{rel}" for rel in files]
+
     # Vacuum-vs-reader contract: a snapshot read races a concurrent
     # vacuum only through the retention guard (min_age_s); if an
     # operator vacuums with retention off while this version's files
     # are being read, the scan must FAIL LOUDLY, never silently
     # return the subset of files that still exist — pinned here so a
     # session-level ignoreMissingFiles=true cannot turn a torn read
-    # into partial rows.
-    reader = spark.read.option("ignoreMissingFiles", "false")
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
+    # into partial rows. Schema comes from the commit-dir sidecars
+    # when available (per SUBSET read, exactly emulating what
+    # inference over that subset returns) — no footer job per read.
+    def rd(sub_rels):
+        return _rels_reader(
+            spark, table_path, sub_rels, merge_schema
+        ).option("ignoreMissingFiles", "false")
+
+    reader = rd(files)
     dv_rels = manifest.get("dvs", [])
     if manifest.get("eq_dvs"):
         # equality deletes may hit any scoped file: tag every row with
@@ -1969,7 +2159,9 @@ def read_snapshot(
             .withColumn("__dv_pos", F.col("_metadata.row_index"))
         )
         if dv_rels:
-            dv = spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
+            dv = _rels_reader(spark, table_path, dv_rels, False).parquet(
+                *[f"{table_path}/{r}" for r in dv_rels]
+            )
             tagged = tagged.join(
                 F.broadcast(dv),
                 (F.col("__dv_key") == dv["file_key"])
@@ -1984,7 +2176,9 @@ def read_snapshot(
         # carry DVs pay the anti-join; the rest scan plain and union.
         from pyspark.sql import functions as F
 
-        dv = spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
+        dv = _rels_reader(spark, table_path, dv_rels, False).parquet(
+            *[f"{table_path}/{r}" for r in dv_rels]
+        )
         # the clean/DV'd split comes from the manifest's dv_keys —
         # recorded once at DV-commit time, so reads run NO job and
         # collect nothing here. Manifests from before dv_keys fall
@@ -1997,12 +2191,14 @@ def read_snapshot(
                 r["file_key"]
                 for r in dv.select("file_key").distinct().collect()
             }
-        dvd = [p for p, rel in zip(paths, files) if _dv_rel_key(rel) in dv_keys]
-        clean = [p for p, rel in zip(paths, files) if _dv_rel_key(rel) not in dv_keys]
+        dvd_rels = [rel for rel in files if _dv_rel_key(rel) in dv_keys]
+        clean_rels = [rel for rel in files if _dv_rel_key(rel) not in dv_keys]
+        dvd = [f"{table_path}/{rel}" for rel in dvd_rels]
+        clean = [f"{table_path}/{rel}" for rel in clean_rels]
         parts = []
         if dvd:
             tagged = (
-                reader.parquet(*dvd)
+                rd(dvd_rels).parquet(*dvd)
                 .withColumn(
                     "__dv_key",
                     F.regexp_extract(F.col("_metadata.file_path"), _DV_KEY_RE, 1),
@@ -2018,7 +2214,7 @@ def read_snapshot(
                 ).drop("__dv_key", "__dv_pos")
             )
         if clean:
-            parts.append(reader.parquet(*clean))
+            parts.append(rd(clean_rels).parquet(*clean))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=merge_schema)
@@ -2099,7 +2295,7 @@ def read_snapshot_multi(
         {rel for m in manifests.values() for rel in m["files"]}
     )
     data = (
-        spark.read.option("mergeSchema", "true")
+        _rels_reader(spark, table_path, all_files, True)
         .option("ignoreMissingFiles", "false")
         .parquet(*[f"{table_path}/{rel}" for rel in all_files])
         .withColumn(
@@ -2131,7 +2327,8 @@ def read_snapshot_multi(
     )
     if dv_rels:
         dv = (
-            spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
+            _rels_reader(spark, table_path, dv_rels, False)
+            .parquet(*[f"{table_path}/{r}" for r in dv_rels])
             .withColumn(
                 "__dv_rel",
                 F.regexp_extract(
@@ -2156,9 +2353,8 @@ def read_snapshot_multi(
     eq_flags: list[tuple[tuple, object]] = []
     for i, (eid, entry) in enumerate(sorted(eq_entries.items())):
         keys = (
-            spark.read.parquet(
-                *[f"{table_path}/{r}" for r in entry["files"]]
-            )
+            _rels_reader(spark, table_path, entry["files"], False)
+            .parquet(*[f"{table_path}/{r}" for r in entry["files"]])
             .select(F.col(entry["key"]).alias(f"__eqv{i}"))
             .distinct()
             .withColumn(f"__eqh{i}", F.lit(1))
@@ -2329,7 +2525,8 @@ def count_snapshot(
     if not relevant:
         return total - n_eq
     dv = (
-        spark.read.parquet(*[f"{table_path}/{r}" for r in dv_rels])
+        _rels_reader(spark, table_path, dv_rels, False)
+        .parquet(*[f"{table_path}/{r}" for r in dv_rels])
         .select("file_key", "pos")
         .distinct()
     )
@@ -2441,9 +2638,9 @@ def read_staged(
     current snapshot unioned with the batch — for gates that check
     cross-batch invariants (key uniqueness, distribution drift)."""
     staged = _staged_manifest(spark, table_path, name)
-    batch = spark.read.option("mergeSchema", "true").parquet(
-        *[f"{table_path}/{rel}" for rel in staged["new_files"]]
-    )
+    batch = _rels_reader(
+        spark, table_path, staged["new_files"], True
+    ).parquet(*[f"{table_path}/{rel}" for rel in staged["new_files"]])
     if not with_table:
         return batch
     return read_snapshot(spark, table_path).unionByName(
@@ -3309,9 +3506,12 @@ def optimize_snapshot(
             # count_snapshot subtracts the DISTINCT set — counting raw
             # rows here would over-decrement dv_rows and drift the
             # maybe_compact_dvs debt gauge low
-            dv_all = spark.read.parquet(
-                *[f"{table_path}/{r}" for r in prev["dvs"]]
-            ).select("file_key", "pos").distinct()
+            dv_all = (
+                _rels_reader(spark, table_path, prev["dvs"], False)
+                .parquet(*[f"{table_path}/{r}" for r in prev["dvs"]])
+                .select("file_key", "pos")
+                .distinct()
+            )
             if len(rewritten_dv_keys) <= _EQ_SCOPE_ISIN_MAX:
                 n_pos_small = dv_all.filter(
                     F.col("file_key").isin(*rewritten_dv_keys)
@@ -3561,7 +3761,7 @@ def read_changes(
     out: DataFrame | None = None
 
     def read_rel(rels):
-        return spark.read.option("mergeSchema", "true").parquet(
+        return _rels_reader(spark, table_path, rels, True).parquet(
             *[f"{table_path}/{r}" for r in rels]
         )
 
@@ -3605,9 +3805,9 @@ def read_changes(
         # force before this step, so nothing already-deleted re-emits)
         new_eq = [e for eid, e in cur_eq.items() if eid not in prev_eq]
         for entry in new_eq:
-            keys = spark.read.parquet(
-                *[f"{table_path}/{r}" for r in entry["files"]]
-            )
+            keys = _rels_reader(
+                spark, table_path, entry["files"], False
+            ).parquet(*[f"{table_path}/{r}" for r in entry["files"]])
             scoped_rels = [
                 rel
                 for rel in prev_manifest["files"]
@@ -3642,7 +3842,7 @@ def read_changes(
         if new_dvs:
             dv = read_rel(new_dvs)
             tagged = (
-                spark.read.option("mergeSchema", "true")
+                _rels_reader(spark, table_path, sorted(cur_files), True)
                 .parquet(*[f"{table_path}/{r}" for r in sorted(cur_files)])
                 .withColumn(
                     "__dv_key",
@@ -3744,7 +3944,9 @@ def read_changes(
 
                 mk = m["merge_key"]
                 k_df = gated_broadcast(
-                    spark.read.parquet(
+                    _rels_reader(
+                        spark, table_path, m["merge_keys"], False
+                    ).parquet(
                         *[f"{table_path}/{r}" for r in m["merge_keys"]]
                     ),
                     what="CDF merge key set",

@@ -153,6 +153,63 @@ def test_rebalance_overlay_carries_cells_schema(spark, sf_dir, tmp_path):
     assert "cells_schema" not in meta2
 
 
+def _probe_env(val):
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        prev = os.environ.get("SPARK_GRAFT_ANN_PROBE_DIRS")
+        os.environ["SPARK_GRAFT_ANN_PROBE_DIRS"] = val
+        try:
+            yield
+        finally:
+            if prev is None:
+                del os.environ["SPARK_GRAFT_ANN_PROBE_DIRS"]
+            else:
+                os.environ["SPARK_GRAFT_ANN_PROBE_DIRS"] = prev
+
+    return cm()
+
+
+def test_probed_dirs_read_matches_full_listing(spark, sf_dir, tmp_path):
+    """Round-14 probe optimization: reading only the probed cell=
+    directories (basePath + recorded schema) must return exactly the
+    full-listing + isin read's answers — on the RP index, the IVF
+    index, and a post-rebalance IVF generation dir."""
+    from etl_property_rumah123_spark.sources.catalog import table
+
+    corpus = table(spark, sf_dir, "embeddings")
+    q = corpus.filter(F.col("vec_id") < 8)
+
+    rp = str(tmp_path / "rp_idx")
+    dim = len(corpus.select("embedding").first()[0])
+    similarity.write_rp_index(corpus, rp, dim=dim, num_planes=6)
+    ivf = str(tmp_path / "ivf_idx")
+    similarity.write_ann_index(corpus, ivf, n_lists=8)
+    similarity.rebalance_ann_index(spark, ivf)  # probe hits cells_g1
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    with _probe_env("1"):
+        rp_new = rows(similarity.probe_rp_index(q, rp, k=3))
+        ivf_new = rows(similarity.probe_ann_index(q, ivf, k=3, n_probe=2))
+    with _probe_env("0"):
+        rp_old = rows(similarity.probe_rp_index(q, rp, k=3))
+        ivf_old = rows(similarity.probe_ann_index(q, ivf, k=3, n_probe=2))
+    assert rp_new == rp_old and len(rp_new) > 0
+    assert ivf_new == ivf_old and len(ivf_new) > 0
+
+    # empty probed-dir intersection (query maps to buckets that were
+    # never populated) returns an empty, correctly-typed frame
+    meta = similarity.read_ann_meta(spark, rp)
+    empty = similarity._probed_cells_df(
+        spark, meta, f"{rp}/cells", [10**9]
+    )
+    assert empty.count() == 0
+    assert "cell" in empty.columns
+
+
 def test_path_sig_detects_in_place_dir_rewrite(spark, tmp_path):
     """ADVICE r13 (low): rewriting a part file inside a parquet
     directory must change the memo signature."""

@@ -2406,6 +2406,46 @@ def test_table_log_schema_evolution_fuzz_matches_model(spark, tmp_path):
             k: {c: d.get(c) for c in cols} for k, d in model.items()
         }
         assert got == want, f"divergence after step {step} ({op})"
+        # ROUND 14: the commit-sidecar schema derivation must be
+        # indistinguishable from real footer inference at EVERY
+        # evolution state — same schema (field order and types
+        # included) for the merged read AND the default
+        # (first-footer) read, identical default-read rows, and the
+        # SAME failure when the default read is ill-posed (a DV-split
+        # snapshot whose subsets evolved apart unions mismatched
+        # widths without mergeSchema — a pre-existing property of the
+        # default read, with inference and sidecars alike).
+        def default_outcome():
+            try:
+                df_ = table_log.read_snapshot(spark, t)
+                key_fn = lambda r: tuple(  # noqa: E731
+                    (str(v) if v is not None else "") for v in r
+                )
+                return (
+                    "ok",
+                    df_.schema,
+                    sorted(df_.collect(), key=key_fn),
+                )
+            except Exception as ex:
+                return ("err", type(ex).__name__)
+
+        got_default = default_outcome()
+        os.environ["SPARK_GRAFT_TABLE_SCHEMA_SIDECAR"] = "0"
+        try:
+            inferred_m = table_log.read_snapshot(
+                spark, t, merge_schema=True
+            )
+            assert got_df.schema == inferred_m.schema, (
+                f"merged-read schema drift after step {step} ({op}): "
+                f"{got_df.schema} != {inferred_m.schema}"
+            )
+            inferred_default = default_outcome()
+            assert got_default == inferred_default, (
+                f"default-read drift after step {step} ({op}): "
+                f"{got_default[:2]} != {inferred_default[:2]}"
+            )
+        finally:
+            del os.environ["SPARK_GRAFT_TABLE_SCHEMA_SIDECAR"]
         # metadata COUNT(*) invariant across every op/evolution state
         # (pure-metadata, DV-subtraction, and eq-fallback paths alike)
         assert table_log.count_snapshot(spark, t) == len(model), (
