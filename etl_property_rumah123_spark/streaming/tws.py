@@ -107,7 +107,16 @@ class DedupGateProcessor(StatefulProcessor):
                 seen.append(dg)
                 out_e.append(int(eid))
                 out_d.append(dg)
-        self._seen.update((list(seen),))
+        # An all-duplicates batch leaves the horizon EXACTLY as read
+        # (admission is the only mutation), so skip the state write —
+        # one fewer state-server round trip + RocksDB put per quiet
+        # key per batch, the common case for the gate's design target
+        # (dup-heavy replay traffic). NOT skipped under state TTL:
+        # there the write IS the aging signal ("expires after that
+        # long without a write"), and skipping would let a key serving
+        # only duplicates expire mid-traffic.
+        if out_e or self.state_ttl_ms is not None:
+            self._seen.update((list(seen),))
         if out_e:
             yield pd.DataFrame(
                 {
@@ -200,7 +209,11 @@ class ListStateGateProcessor(StatefulProcessor):
                 seen.append(dg)
                 out_e.append(int(eid))
                 out_d.append(dg)
-        self._seen.put([(d,) for d in seen])
+        # same all-duplicates skip as the value-state gate; safe at any
+        # idle_ttl because list-state aging is TIMER-driven (re-armed
+        # below every batch), never write-driven
+        if out_e:
+            self._seen.put([(d,) for d in seen])
         if self.idle_ttl_ms is not None:
             # registerTimer ADDS — it never replaces — so the previous
             # batch's timer would still fire idle_ttl after THAT batch

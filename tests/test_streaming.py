@@ -532,6 +532,70 @@ def test_tws_dedup_gate_matches_applyinpandaswithstate(spark, events_stream_dir)
             spark.conf.set(provider_key, old)
 
 
+def test_tws_gate_skipped_write_keeps_horizon(spark, tmp_path):
+    """ROUND 14: an all-duplicates batch skips the state write (the
+    horizon is exactly what was read). The skip must be invisible: a
+    later batch mixing replayed and new content must still suppress
+    the replays — i.e. the horizon survives batches that wrote
+    nothing. Batch schedule (maxFilesPerTrigger=1): f0 = fresh rows A
+    (admitted), f1 = exact replay of A (nothing admitted — the skip
+    fires for every key), f2 = A ∪ B (A suppressed, B admitted)."""
+    import os
+    import time
+
+    from etl_property_rumah123_spark.streaming import tws
+
+    src = str(tmp_path / "replay_events")
+    os.makedirs(src)
+    rows_a = [
+        (u, u * 10 + i, f"p{u}-{i}") for u in (1, 2, 3) for i in range(3)
+    ]
+    rows_b = [(u, u * 10 + 7, f"q{u}") for u in (1, 2, 3)]
+    schema = "user_id long, event_id long, props string"
+
+    def write_one(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/{name}"
+        )
+
+    write_one("f0", rows_a)
+    write_one("f1", rows_a)  # pure replay: skip path for every key
+    write_one("f2", rows_a + rows_b)
+    # file order = mtime order for the file stream source
+    for i, name in enumerate(("f0", "f1", "f2")):
+        for part in os.listdir(f"{src}/{name}"):
+            os.utime(f"{src}/{name}/{part}", (time.time() + i, time.time() + i))
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        out = drain(
+            spark,
+            tws.streaming_dedup_admission_tws(stream, n_recent=100),
+            "t_tws_replay",
+        )
+        got = {(r["user_id"], r["event_id"]) for r in out.collect()}
+        want = {(u, e) for u, e, _p in rows_a} | {
+            (u, e) for u, e, _p in rows_b
+        }
+        assert got == want  # A admitted once, replays suppressed, B admitted
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+
 def test_protolite_wire_codec_roundtrips():
     """The minimal protobuf runtime behind the transformWithState
     shim: varint edges (negative int32/int64 two's-complement 10-byte
